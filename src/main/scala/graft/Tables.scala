@@ -1,23 +1,38 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Loaders for the driver-provided synthetic parquet tables
-  * (see TESTDATA.md). One parquet file per table under `sfDir`.
+/** Loaders for the driver-provided synthetic parquet tables (TESTDATA.md):
+  * one parquet file per table under `sfDir`.
   *
-  * All `SparkEntry.queries` read through here so every query gets the
-  * same scan path (column pruning + filter pushdown reach the parquet
-  * reader — verified via `.explain("formatted")`).
+  * All `SparkEntry.queries` read through here so every query shares one
+  * scan path: column pruning + filter pushdown reach the parquet reader
+  * uniformly, and the events-table timestamp normalization happens in
+  * exactly one place.
   */
 object Tables {
+  /** The eight TPC-H-ish tables plus the LLM-pipeline tables. */
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    // rejects; the session reads it as a nanosecond long (nanosAsLong) and
+    // we truncate to microseconds here — same truncation DuckDB applies, so
+    // oracle comparisons agree.
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
-  /** Shared local session for mains/tests that create their own. */
+  /** Shared local session config for every entry point (Verify/Bench/tests).
+    * Shuffle partitions sized to cores: at 100 TB on a real cluster this is
+    * AQE-coalesced from a much larger initial number; locally 32 avoids
+    * thousands of empty reducers.
+    */
   def session(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,9 +40,17 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the same required confs to an externally-built session. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 }

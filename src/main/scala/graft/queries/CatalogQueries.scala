@@ -1,0 +1,199 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.catalog.{Merge, ParquetTable}
+import graft.orchestrate.RunDecision
+
+/** Catalog DML (MERGE ×3 shapes, UPDATE, DELETE — SURVEY §2.4 A7, §2.9
+  * D8/D9) and the orchestration decision queries (J2/J3, P7, nested
+  * CASE), each over the deterministic [[Fixtures]] so DuckDB can check
+  * them with plain CTE SQL.
+  */
+object CatalogQueries {
+  import Merge.src
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // A7: full MERGE clause family incl. WHEN NOT MATCHED BY SOURCE
+    // soft-retire (insert_config.py:202-270 header merge shape).
+    "q_merge_upsert" -> Q(
+      (s, dir) => {
+        val sup = Tables.load(s, dir, "supplier")
+        val target = sup.filter(col("s_suppkey") % 3 =!= 1)
+          .select(col("s_suppkey"), col("s_name"),
+            col("s_acctbal").as("bal"), lit(1).as("IsCurrent"))
+        val staging = sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"),
+            (col("s_acctbal") + 100.0).as("bal"))
+        Merge.merge(target, staging, Seq("s_suppkey"),
+          whenMatchedUpdate = Map("bal" -> src("bal"), "IsCurrent" -> lit(1)),
+          insertDefaults = Map("IsCurrent" -> lit(1)),
+          whenNotMatchedBySourceSet = Map("IsCurrent" -> lit(0)))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT s_suppkey, s_name, s_acctbal AS bal, 1 AS IsCurrent
+             |  FROM supplier WHERE s_suppkey % 3 <> 1),
+             |stg AS (
+             |  SELECT s_suppkey, s_name, s_acctbal + 100.0 AS bal
+             |  FROM supplier WHERE s_suppkey % 2 = 0)
+             |SELECT coalesce(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+             |  coalesce(t.s_name, s.s_name) AS s_name,
+             |  CASE WHEN s.s_suppkey IS NOT NULL THEN s.bal ELSE t.bal END AS bal,
+             |  CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END AS IsCurrent
+             |FROM tgt t FULL OUTER JOIN stg s ON t.s_suppkey = s.s_suppkey
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // A7/J7: two-key MERGE (column-config shape, insert_config.py:301-345).
+    "q_merge_2key" -> Q(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val target = li.filter(col("l_orderkey") < 600)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").as("qty"), lit(1).as("IsCurrent"))
+        val staging = li.filter(col("l_orderkey") < 800 && col("l_linenumber") <= 3)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") + 5.0).as("qty"))
+        Merge.merge(target, staging, Seq("l_orderkey", "l_linenumber"),
+          whenMatchedUpdate = Map("qty" -> src("qty"), "IsCurrent" -> lit(1)),
+          insertDefaults = Map("IsCurrent" -> lit(1)),
+          whenNotMatchedBySourceSet = Map("IsCurrent" -> lit(0)))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity AS qty, 1 AS IsCurrent
+             |  FROM lineitem WHERE l_orderkey < 600),
+             |stg AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity + 5.0 AS qty
+             |  FROM lineitem WHERE l_orderkey < 800 AND l_linenumber <= 3)
+             |SELECT coalesce(t.l_orderkey, s.l_orderkey) AS l_orderkey,
+             |  coalesce(t.l_linenumber, s.l_linenumber) AS l_linenumber,
+             |  CASE WHEN s.l_orderkey IS NOT NULL THEN s.qty ELSE t.qty END AS qty,
+             |  CASE WHEN s.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS IsCurrent
+             |FROM tgt t FULL OUTER JOIN stg s
+             |  ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A7: insert-only MERGE (status seed, insert_config.py:146-161);
+    // left-anti + union keeps the target shuffle-free.
+    "q_merge_insert_only" -> Q(
+      (s, dir) => {
+        val seed = s.createDataFrame(Seq(
+          (0, "Not Started"), (1, "Completed"), (2, "Cancelled"), (3, "Failed")))
+          .toDF("StatusID", "StatusDescription")
+        val source = Tables.load(s, dir, "nation")
+          .select((col("n_nationkey") % 6).as("StatusID"),
+            concat(lit("Status-"), (col("n_nationkey") % 6).cast("string"))
+              .as("StatusDescription"))
+          .distinct()
+        Merge.insertWhenNotMatched(seed, source, Seq("StatusID"))
+          .orderBy(col("StatusID"))
+      },
+      Some("""WITH seed(StatusID, StatusDescription) AS (VALUES
+             |  (0,'Not Started'),(1,'Completed'),(2,'Cancelled'),(3,'Failed')),
+             |src AS (
+             |  SELECT DISTINCT n_nationkey % 6 AS StatusID,
+             |    concat('Status-', CAST(n_nationkey % 6 AS VARCHAR)) AS StatusDescription
+             |  FROM nation)
+             |SELECT * FROM seed
+             |UNION ALL
+             |SELECT s.* FROM src s
+             |WHERE s.StatusID NOT IN (SELECT StatusID FROM seed)
+             |ORDER BY StatusID""".stripMargin)),
+
+    // D8: UPDATE … SET … WHERE through the ParquetTable swap kernel
+    // (log_table_control_table_upsert.py:71-75 control state machine).
+    "q_update_where" -> Q(
+      (s, dir) => {
+        val ctl = Fixtures.control(s, dir)
+        val tmp = Files.createTempDirectory("graft-upd").toString
+        val pt = ParquetTable(s, "ctl_upd", s"$tmp/ctl", ctl.schema)
+        pt.overwrite(ctl)
+        pt.update(col("StatusID") === 3, Map(
+          "StatusID" -> lit(0),
+          "LastUpdateTime" -> lit(Timestamp.valueOf("2024-01-05 00:00:00"))))
+        pt.read().orderBy(col("HeaderID"))
+      },
+      Some(s"""WITH ctl AS (${Fixtures.controlCte})
+              |SELECT HeaderID,
+              |  CASE WHEN StatusID = 3 THEN 0 ELSE StatusID END AS StatusID,
+              |  JobID,
+              |  CASE WHEN StatusID = 3 THEN TIMESTAMP '2024-01-05 00:00:00'
+              |       ELSE LastUpdateTime END AS LastUpdateTime
+              |FROM ctl ORDER BY HeaderID""".stripMargin)),
+
+    // D9: DELETE FROM … WHERE through the swap kernel
+    // (Data Ingestion Helper.py:140 idempotent daily delete).
+    "q_delete_where" -> Q(
+      (s, dir) => {
+        val logs = Fixtures.logs(s, dir)
+        val tmp = Files.createTempDirectory("graft-del").toString
+        val pt = ParquetTable(s, "logs_del", s"$tmp/logs", logs.schema)
+        pt.overwrite(logs)
+        pt.deleteWhere(col("LogEntryType") === "INFO")
+        pt.read().groupBy(col("LogEntryType"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("LogEntryType"))
+      },
+      Some(s"""WITH logs AS (${Fixtures.logsCte})
+              |SELECT LogEntryType, count(*) AS n FROM logs
+              |WHERE NOT (LogEntryType = 'INFO')
+              |GROUP BY LogEntryType ORDER BY LogEntryType""".stripMargin)),
+
+    // J2 + nested CASE: the NeedToRun CTE (Run jobs.py:81-132).
+    "q_needtorun" -> Q(
+      (s, dir) => RunDecision.needToRun(
+        Fixtures.control(s, dir), Fixtures.header(s, dir),
+        java.sql.Date.valueOf("2024-01-02"))
+        .orderBy(col("HeaderID")),
+      Some(s"""WITH ctl AS (${Fixtures.controlCte}),
+              |hdr AS (${Fixtures.headerCte})
+              |SELECT c.HeaderID, c.JobID, h.TableName, h.RunFrequency,
+              |  h.Mon, h.Tue, h.Wed, h.Thu, h.Fri, h.Sat, h.Sun, h.SLA
+              |FROM ctl c LEFT JOIN hdr h ON c.HeaderID = h.HeaderID
+              |WHERE (CASE WHEN CAST(c.LastUpdateTime AS DATE) = DATE '2024-01-02'
+              |         AND c.StatusID IN (1,2) THEN 0
+              |       ELSE CASE WHEN c.StatusID = 1 THEN 0 ELSE 1 END END) = 1
+              |ORDER BY c.HeaderID""".stripMargin)),
+
+    // Run-vs-cancel decision per job (Run jobs.py:150-202) with injected
+    // clock: now=14:30 on a Tuesday.
+    "q_sla_decision" -> Q(
+      (s, dir) => RunDecision.decide(
+        RunDecision.needToRun(
+          Fixtures.control(s, dir), Fixtures.header(s, dir),
+          java.sql.Date.valueOf("2024-01-02")),
+        nowTime = "14:30", shortDay = "Tue")
+        .orderBy(col("HeaderID")),
+      Some(s"""WITH ctl AS (${Fixtures.controlCte}),
+              |hdr AS (${Fixtures.headerCte}),
+              |ntr AS (
+              |  SELECT c.HeaderID, c.JobID, h.TableName, h.RunFrequency,
+              |    h.Mon, h.Tue, h.Wed, h.Thu, h.Fri, h.Sat, h.Sun, h.SLA
+              |  FROM ctl c LEFT JOIN hdr h ON c.HeaderID = h.HeaderID
+              |  WHERE (CASE WHEN CAST(c.LastUpdateTime AS DATE) = DATE '2024-01-02'
+              |           AND c.StatusID IN (1,2) THEN 0
+              |         ELSE CASE WHEN c.StatusID = 1 THEN 0 ELSE 1 END END) = 1)
+              |SELECT *, CASE WHEN '14:30' <= SLA THEN
+              |    CASE WHEN RunFrequency = 1 THEN 'run'
+              |         WHEN RunFrequency = 2 AND Tue = 1 THEN 'run'
+              |         ELSE 'skip' END
+              |  ELSE 'cancel' END AS Action
+              |FROM ntr ORDER BY HeaderID""".stripMargin)),
+
+    // J3: pending-job SLA sweep (Run jobs.py:180-202).
+    "q_sla_cancel" -> Q(
+      (s, dir) => RunDecision.slaCancel(
+        Fixtures.control(s, dir), Fixtures.header(s, dir), nowTime = "09:00")
+        .orderBy(col("HeaderID")),
+      Some(s"""WITH ctl AS (${Fixtures.controlCte}),
+              |hdr AS (${Fixtures.headerCte})
+              |SELECT c.HeaderID, c.JobID, h.SLA, h.TableName
+              |FROM ctl c LEFT JOIN hdr h ON c.HeaderID = h.HeaderID
+              |WHERE c.StatusID = 1 AND '09:00' > h.SLA
+              |ORDER BY c.HeaderID""".stripMargin))
+  )
+}

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational suite: every SQL-expressible operator family from
+  * SURVEY.md §2 (scans, filters, joins incl. the interval join J5,
+  * aggregations A1-A6, set ops, sorts, scalar functions §2.8) expressed
+  * over the TESTDATA tables, each with a DuckDB oracle.
+  *
+  * Parity conventions (both sides, so the driver's hash compare agrees):
+  *  - money sums rounded to 2 decimals (inputs have 2 decimals, so the
+  *    true sum is on the 0.01 grid and rounding is ulp-safe);
+  *  - averages rounded to 4 decimals;
+  *  - durations = floor(second-truncated epoch diff / unit) — Spark
+  *    `unix_timestamp` equals DuckDB `date_diff('second', …)` exactly;
+  *  - every query ends in a total ORDER BY.
+  */
+object Core {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // A1: plain row count (the reference's most common action —
+    // reconciliation counts, auto_loader_steps.py:289,386).
+    "q_count" -> Q(
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    // A3/A4/P7/F*: filtered group-agg (TPC-H Q1 shape). Filter is pushed
+    // to the parquet scan; partial aggregation is map-side.
+    "q_pricing_summary" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A6: DISTINCT (dedup-before-count, auto_loader_steps.py:289,303).
+    "q_distinct" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // A2: scalar MAX subquery (insert_config.py:97 `(SELECT MAX(ColumnOrder) …)`).
+    "q_scalar_subquery" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val mx = li.agg(max(col("l_quantity")).as("mx"))
+        li.join(broadcast(mx), col("l_quantity") === col("mx"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity = (SELECT max(l_quantity) FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // J1-chain: fact ⋈ three dim tables, all dims broadcast (the
+    // create_workflow_jobs.py:108-116 config join at TPC-H shape).
+    "q_join_dims" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // J2: LEFT JOIN + coalesce over the null side (Run jobs.py:110-114 shape).
+    "q_left_join" -> Q(
+      (s, dir) => {
+        val nat = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+               round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        nat.join(cust, col("n_nationkey") === col("c_nationkey"), "left")
+          .select(col("n_nationkey"), col("n_name"),
+                  coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+                  coalesce(col("sum_bal"), lit(0.0)).as("sum_bal"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |  coalesce(n_cust, 0) AS n_cust, coalesce(sum_bal, 0.0) AS sum_bal
+             |FROM nation LEFT JOIN (
+             |  SELECT c_nationkey, count(*) AS n_cust,
+             |         round(sum(c_acctbal), 2) AS sum_bal
+             |  FROM customer GROUP BY c_nationkey) c
+             |ON n_nationkey = c_nationkey
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // J5: interval join — equi key (user_id) + BETWEEN range residual
+    // (Autoloader_daily_log_report.sql:129-138). The equi key keeps this a
+    // hash/sort-merge join with a residual filter — never a cartesian.
+    "q_interval_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val win = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("w_user"))
+          .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        ev.filter(col("event_type") === "purchase")
+          .join(win, col("user_id") === col("w_user") &&
+                     col("ts").between(col("start_ts"), col("end_ts")))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_in_window"),
+               round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT e.user_id, count(*) AS n_in_window,
+             |  round(sum(e.value), 2) AS sum_value
+             |FROM events e
+             |JOIN (SELECT user_id AS w_user, min(ts) AS start_ts, max(ts) AS end_ts
+             |      FROM events WHERE event_type = 'view' GROUP BY user_id) w
+             |ON e.user_id = w.w_user AND e.ts BETWEEN w.start_ts AND w.end_ts
+             |WHERE e.event_type = 'purchase'
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+
+    // A3/U2/A5/F*: the run-window pivot — the reference does
+    // UNION-then-MAX (Autoloader_daily_log_report.sql:99-124); conditional
+    // aggregation is the shuffle-free equivalent (one pass, no union).
+    // Duration = floor(second-truncated epoch diff / 60), the exact
+    // semantics of the report's timediff(minute, …).
+    "q_run_window_pivot" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup", col("ts"))).as("start_ts"),
+            max(when(col("event_type") === "error", col("ts"))).as("end_ts"))
+          .withColumn("duration_min",
+            floor((unix_timestamp(col("end_ts")) - unix_timestamp(col("start_ts"))) / 60))
+          .filter(col("start_ts").isNotNull && col("end_ts").isNotNull)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  min(CASE WHEN event_type = 'signup' THEN ts END) AS start_ts,
+             |  max(CASE WHEN event_type = 'error' THEN ts END) AS end_ts,
+             |  CAST(floor(date_diff('second',
+             |    min(CASE WHEN event_type = 'signup' THEN ts END),
+             |    max(CASE WHEN event_type = 'error' THEN ts END)) / 60.0) AS BIGINT)
+             |    AS duration_min
+             |FROM events GROUP BY user_id
+             |HAVING start_ts IS NOT NULL AND end_ts IS NOT NULL
+             |ORDER BY user_id""".stripMargin)),
+
+    // F*: nested CASE (Run jobs.py:94-107; report :223-227).
+    "q_case_nested" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F",
+            when(col("o_totalprice") > 200000, lit("big-finished"))
+              .otherwise(lit("finished")))
+          .when(col("o_orderstatus") === "O",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("hot-open"))
+              .otherwise(lit("open")))
+          .otherwise(lit("partial")).as("verdict"))
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .orderBy(col("verdict")),
+      Some("""SELECT CASE WHEN o_orderstatus = 'F' THEN
+             |         CASE WHEN o_totalprice > 200000 THEN 'big-finished' ELSE 'finished' END
+             |       WHEN o_orderstatus = 'O' THEN
+             |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot-open' ELSE 'open' END
+             |       ELSE 'partial' END AS verdict, count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY verdict""".stripMargin)),
+
+    // F* string functions: concat / substring / trim / lower / split.
+    "q_string_funcs" -> Q(
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          lower(col("p_brand")).as("brand_lc"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat(col("p_brand"), lit("#"), trim(col("p_type"))).as("tag"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, lower(p_brand) AS brand_lc,
+             |  substring(p_type, 1, 5) AS type5,
+             |  concat(p_brand, '#', trim(p_type)) AS tag,
+             |  split_part(p_name, ' ', 1) AS first_word
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // F* date functions: date_format / timestampadd / year-month parts
+    // (report :34-38,71,222-223).
+    "q_date_funcs" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm").as("od_fmt"),
+          year(col("o_orderdate")).as("od_year"),
+          month(col("o_orderdate")).as("od_month"),
+          expr("timestampadd(SECOND, 30, o_orderdate)").as("od_plus30s"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%m/%d/%Y %H:%M') AS od_fmt,
+             |  CAST(year(o_orderdate) AS INT) AS od_year,
+             |  CAST(month(o_orderdate) AS INT) AS od_month,
+             |  o_orderdate + INTERVAL 30 SECOND AS od_plus30s
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // A4: SUM(CAST(extracted-string AS INT)) — the report's row-count
+    // roll-up (Autoloader_daily_log_report.sql:205-214) over the events
+    // props JSON-ish payload.
+    "q_cast_sum" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(coalesce(regexp_extract(col("props"), "[0-9]+", 0), lit("0"))
+          .cast("int")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(coalesce(regexp_extract(props, '[0-9]+'), '0') AS INT)) AS BIGINT) AS sum_k,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // O1/O2: global sort + limit (top-k runs through TakeOrderedAndProject,
+    // no full sort at scale).
+    "q_topk" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .limit(20),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // U1: inline constant status dimension (insert_config.py:125-144)
+    // joined back to data grouped by a derived status id.
+    "q_status_dim" -> Q(
+      (s, dir) => {
+        val dim = s.createDataFrame(Seq(
+          (0, "Open"), (1, "Finished"), (2, "Partial")))
+          .toDF("StatusID", "StatusName")
+        val counts = t(s, dir, "orders")
+          .withColumn("StatusID",
+            when(col("o_orderstatus") === "O", 0)
+              .when(col("o_orderstatus") === "F", 1).otherwise(2))
+          .groupBy(col("StatusID")).agg(count(lit(1)).as("n"))
+        dim.join(broadcast(counts), Seq("StatusID"), "left")
+          .select(col("StatusID"), col("StatusName"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("StatusID"))
+      },
+      Some("""SELECT d.StatusID, d.StatusName, coalesce(c.n, 0) AS n
+             |FROM (VALUES (0,'Open'),(1,'Finished'),(2,'Partial')) d(StatusID, StatusName)
+             |LEFT JOIN (
+             |  SELECT CASE WHEN o_orderstatus='O' THEN 0
+             |              WHEN o_orderstatus='F' THEN 1 ELSE 2 END AS StatusID,
+             |         count(*) AS n
+             |  FROM orders GROUP BY 1) c ON d.StatusID = c.StatusID
+             |ORDER BY d.StatusID""".stripMargin)),
+
+    // U2: UNION (distinct) of two projections.
+    "q_union_distinct" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+          .union(o.filter(col("o_totalprice") > 300000).select(col("o_custkey")))
+          .distinct().orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |UNION
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // P6: isin membership filter (config_checking.py:28,39,50).
+    "q_isin" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders WHERE o_orderpriority IN ('1-URGENT','5-LOW')
+             |GROUP BY o_orderstatus, o_orderpriority
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // §2.12-adjacent: binary/multimodal metadata — byte length + sha256
+    // digest of an opaque payload column (here the document text bytes).
+    "q_binary_meta" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("byte_len"),
+          sha2(col("text"), 256).as("digest"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |  sha256(text) AS digest
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

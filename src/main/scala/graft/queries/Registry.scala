@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query: the Spark implementation plus (when the semantics are
+  * ANSI-SQL-expressible) an equivalent DuckDB SQL oracle over the same
+  * parquet tables. Queries without an oracle get the driver's weaker
+  * rows-only check and are covered by ScalaTest specs instead.
+  *
+  * @param bench include in the Bench headline suite (skip entries whose
+  *              cost is dominated by fixture file IO rather than the
+  *              operator under test)
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    bench: Boolean = true)
+
+object Registry {
+  lazy val all: Seq[(String, Q)] =
+    Core.defs ++ CatalogQueries.defs ++ ReportQueries.defs ++
+      TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) =>
+      n -> { (s: SparkSession, dir: String) =>
+        q.fn(graft.Tables.configure(s), dir)
+      }
+    }.toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.collect { case (n, Q(_, Some(o), _)) => n -> o }.toMap
+
+  lazy val benchNames: Seq[String] =
+    all.collect { case (n, q) if q.bench => n }
+}
