@@ -1,0 +1,112 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.FeedConfig.Feed
+
+/** The streaming half of the ingest flagship path: an incremental file
+  * source feeding [[IngestPipeline.processBatch]] through foreachBatch —
+  * the reference's Auto Loader + writeStream block
+  * (modules/auto_loader_steps.py:85-114 read,
+  * notebooks/Data Ingestion Steps.py:31-46 write).
+  *
+  * Auto Loader specifics map to the OSS file source:
+  *  - incremental discovery + exactly-once → checkpointed file-stream
+  *    source (seen-files log lives in the checkpoint);
+  *  - `maxFilesPerTrigger` 1/100 by run mode → same option;
+  *  - `_rescued_data` → PERMISSIVE mode + columnNameOfCorruptRecord
+  *    (csv/json); documented divergence for parquet (SURVEY §7.4);
+  *  - `_metadata.file_path` → projected as source_file_path;
+  *  - one-shot mode's fragile poll-and-stop loop
+  *    (auto_loader_steps.py:500-528) → Trigger.AvailableNow, which
+  *    drains exactly the available files then stops.
+  */
+final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) {
+  private val feed: Feed = pipeline.feed
+
+  /** The streaming source DataFrame (read_streaming,
+    * auto_loader_steps.py:98-114). */
+  def source(): DataFrame = {
+    val fmt = feed.SourceFileFormat.toLowerCase
+    val declared = SchemaTools.declaredSchema(pipeline.columns)
+    val withRescue = fmt match {
+      case "csv" | "json" =>
+        declared.add(IngestPipeline.RescueColumn, "string", nullable = true)
+      case _ => declared // parquet: schema mismatch surfaces as nulls/read error
+    }
+    var reader = spark.readStream.format(fmt)
+      .schema(withRescue)
+      .option("maxFilesPerTrigger", feed.maxFilesPerTrigger)
+      .option("ignoreMissingFiles", "true")
+    if (fmt == "csv") {
+      reader = reader
+        .option("header", feed.SourceFileHeader == 1)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", IngestPipeline.RescueColumn)
+      if (feed.SourceFileDelimiter.nonEmpty)
+        reader = reader.option("sep", feed.SourceFileDelimiter)
+    }
+    if (fmt == "json")
+      reader = reader.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", IngestPipeline.RescueColumn)
+    reader.load(feed.SourceFilePath)
+      // S2: _metadata.file_path → source_file_path
+      // (notebooks/Data Ingestion Steps.py:38)
+      .selectExpr("*", "_metadata.file_path AS source_file_path")
+  }
+
+  /** Start the stream (Data Ingestion Steps.py:31-46). Continuous mode
+    * micro-batches every 0.5 s; one-shot mode drains available files and
+    * stops (AvailableNow replaces the reference's 30 s trigger + control
+    * table poll + manual stop). */
+  def start(checkpointDir: String): StreamingQuery = {
+    val trigger =
+      if (feed.ContinuousRunFlag == 1) Trigger.ProcessingTime("500 milliseconds")
+      else Trigger.AvailableNow()
+    source().writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // source_file_path rides along for the corrupt-file move and is
+        // excluded from the target projection by the ordered select.
+        pipeline.processBatch(batch, batchId): Unit
+      }
+      .queryName(s"ingest-${feed.HeaderID}")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
+  /** Batch-side drift preflight: the OSS file source needs its schema
+    * up front (Auto Loader evolves it mid-stream), so new columns are
+    * detected by peeking at the source files' header/schema BEFORE the
+    * stream starts — the reference runs the same table-side re-sync
+    * before each ingest (Data Ingestion Helper.py:193-283). */
+  def preflightDrift(): Unit = {
+    val fmt = feed.SourceFileFormat.toLowerCase
+    val observed = fmt match {
+      case "csv" =>
+        var r = spark.read.option("header", feed.SourceFileHeader == 1)
+        if (feed.SourceFileDelimiter.nonEmpty) r = r.option("sep", feed.SourceFileDelimiter)
+        r.csv(feed.SourceFilePath).schema
+      case "json" => spark.read.json(feed.SourceFilePath).schema
+      case _ => spark.read.parquet(feed.SourceFilePath).schema
+    }
+    val known = pipeline.columns.map(_.SourceColumnName).toSet
+    val extras = observed.fields.toSeq.filterNot(f => known.contains(f.name))
+      .map(f => org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.StringType))
+    pipeline.evolveIfDrifted(extras, batchId = -1, pipeline.clock())
+  }
+
+  /** One-shot ingest: preflight drift, create targets, start, drain,
+    * stop. Returns when the sink is fully loaded. */
+  def runOnce(checkpointDir: String): Unit = {
+    if (FileOps.awaitFiles(spark, feed.SourceFilePath, timeoutMs = 10000))
+      preflightDrift()
+    pipeline.createTargets()
+    val q = start(checkpointDir)
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+  }
+}

@@ -1,7 +1,167 @@
 package graft.queries
 
-/** End-to-end ingest-pipeline entries (rows-only checks; the DuckDB
-  * oracle can't drive file ingest) — filled in as graft.ingest lands. */
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.catalog.MetaStore
+import graft.ingest.{IngestPipeline, StreamRunner}
+import graft.model.FeedConfig._
+
+/** End-to-end ingest-pipeline entries (SURVEY §3.1, the flagship path):
+  * file feed → streaming scan → system columns → drift → select/rename →
+  * PII fork → sink → log/control bookkeeping. The clock is pinned so
+  * even these are DuckDB-checkable: the expected target contents are a
+  * pure function of the source table.
+  */
 object PipelineQueries {
-  val defs: Seq[(String, Q)] = Seq.empty
+
+  private val fixedNow = Timestamp.valueOf("2024-01-15 10:00:00")
+
+  /** Deterministic single-file CSV feed from `nation` (25 rows): exactly
+    * one source file → exactly one micro-batch → BatchId=1. */
+  private def writeNationCsv(s: SparkSession, dir: String, tmp: Path,
+                             withExtra: Boolean): String = {
+    val rows = Tables.load(s, dir, "nation")
+      .orderBy(col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .collect()
+    val header = if (withExtra) "n_nationkey,n_name,n_regionkey,extra_note"
+                 else "n_nationkey,n_name,n_regionkey"
+    val lines = rows.map { r =>
+      val base = s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}"
+      if (withExtra) s"$base,note-${r.getInt(0)}" else base
+    }
+    val src = Files.createDirectories(tmp.resolve("src"))
+    Files.writeString(src.resolve("feed.csv"), (header +: lines).mkString("\n"))
+    src.toString
+  }
+
+  private def nationFeed(srcDir: String, pii: Boolean): Feed = Feed(
+    HeaderID = 1, SourceContainer = "local", SourceFilePath = srcDir,
+    SourceFileFormat = "csv", SourceFileHeader = 1, SourceFileDelimiter = ",",
+    TargetTableSchema = "analytics", TargetTableName = "nation_ingested",
+    IsPII = if (pii) 1 else 0, PIISchema = "pii", PIITableName = "nation_pii",
+    Columns = Seq(
+      ColumnSpec("n_nationkey", "nation_key", "int", 1),
+      ColumnSpec("n_name", "nation_name", "string", 2, IsPII = if (pii) 1 else 0),
+      ColumnSpec("n_regionkey", "region_key", "int", 3)))
+
+  /** Run the one-shot ingest and return (pipeline, meta). */
+  private def ingest(s: SparkSession, feed: Feed, tmp: Path,
+                     pii: Boolean): IngestPipeline = {
+    val meta = new MetaStore(s, tmp.resolve("meta").toString).bootstrap()
+    val pipe = new IngestPipeline(s, feed, meta,
+      tmp.resolve("target").toString,
+      piiPath = if (pii) Some(tmp.resolve("pii").toString) else None,
+      corruptPath = Some(tmp.resolve("corrupt").toString),
+      errorDir = Some(tmp.resolve("errors").toString),
+      clock = () => fixedNow)
+    new StreamRunner(s, pipe).runOnce(tmp.resolve("ckpt").toString)
+    pipe
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // S1/S2/S8/P1-P3/O4/ST*: the full one-shot CSV ingest slice.
+    "q_ingest_csv" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-ingest")
+        val src = writeNationCsv(s, dir, tmp, withExtra = false)
+        ingest(s, nationFeed(src, pii = false), tmp, pii = false)
+          .target.read().orderBy(col("nation_key"))
+      },
+      Some("""SELECT n_nationkey AS nation_key, n_name AS nation_name,
+             |  n_regionkey AS region_key, 1 AS BatchId,
+             |  DATE '2024-01-15' AS InsertDate,
+             |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
+             |FROM nation ORDER BY nation_key""".stripMargin),
+      bench = false),
+
+    // P4: the PII shadow table is byte-identical except masked columns.
+    "q_ingest_pii" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-ingest-pii")
+        val src = writeNationCsv(s, dir, tmp, withExtra = false)
+        ingest(s, nationFeed(src, pii = true), tmp, pii = true)
+          .piiTarget.get.read().orderBy(col("nation_key"))
+      },
+      Some("""SELECT n_nationkey AS nation_key, 'xxxxxxx' AS nation_name,
+             |  n_regionkey AS region_key, 1 AS BatchId,
+             |  DATE '2024-01-15' AS InsertDate,
+             |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
+             |FROM nation ORDER BY nation_key""".stripMargin),
+      bench = false),
+
+    // U3/D5/D6: schema drift — a 4th column appears in the feed, the
+    // config evolves (string, next ColumnOrder), target carries it.
+    "q_ingest_drift" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-ingest-drift")
+        val src = writeNationCsv(s, dir, tmp, withExtra = true)
+        ingest(s, nationFeed(src, pii = false), tmp, pii = false)
+          .target.read().orderBy(col("nation_key"))
+      },
+      Some("""SELECT n_nationkey AS nation_key, n_name AS nation_name,
+             |  n_regionkey AS region_key,
+             |  concat('note-', CAST(n_nationkey AS VARCHAR)) AS extra_note,
+             |  1 AS BatchId, DATE '2024-01-15' AS InsertDate,
+             |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
+             |FROM nation ORDER BY nation_key""".stripMargin),
+      bench = false),
+
+    // The drift event also lands in the column-config catalog table.
+    "q_ingest_drift_config" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-ingest-driftcfg")
+        val src = writeNationCsv(s, dir, tmp, withExtra = true)
+        val pipe = ingest(s, nationFeed(src, pii = false), tmp, pii = false)
+        pipe.meta.columns.read()
+          .select(col("HeaderID"), col("SourceColumnName"),
+            col("TargetColumnName"), col("TargetDataType"), col("ColumnOrder"))
+          .orderBy(col("ColumnOrder"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (1, 'extra_note', 'extra_note', 'string', 4))
+             |  t(HeaderID, SourceColumnName, TargetColumnName, TargetDataType, ColumnOrder)
+             |ORDER BY ColumnOrder""".stripMargin),
+      bench = false),
+
+    // S1 at scale: one-shot parquet ingest of the whole events table —
+    // the throughput-relevant ingest bench (streaming scan → project →
+    // sink, no shuffle).
+    "q_ingest_events" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-ingest-ev")
+        // The file-stream source wants a directory: expose the events
+        // parquet file through a symlinked source dir (no data copy).
+        val srcDir = Files.createDirectories(tmp.resolve("src"))
+        Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val feed = Feed(
+          HeaderID = 2, SourceContainer = "local",
+          SourceFilePath = srcDir.toString,
+          SourceFileFormat = "parquet", SourceFileHeader = 0,
+          SourceFileDelimiter = "",
+          TargetTableSchema = "analytics", TargetTableName = "events_ingested",
+          Columns = Seq(
+            ColumnSpec("event_id", "event_id", "bigint", 1),
+            ColumnSpec("ts", "event_ts_nanos", "bigint", 2),
+            ColumnSpec("user_id", "user_id", "bigint", 3),
+            ColumnSpec("event_type", "event_type", "string", 4),
+            ColumnSpec("value", "value", "double", 5),
+            ColumnSpec("props", "props", "string", 6)))
+        val pipe = ingest(s, feed, tmp, pii = false)
+        pipe.target.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("sum_value"),
+               max(col("BatchId")).as("max_batch"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(sum(value), 2) AS sum_value, 1 AS max_batch
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
 }
