@@ -314,6 +314,22 @@ object Core {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
              |  sha256(text) AS digest
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal payload path: opaque binary column + metadata
+    // projection (graft.multimodal.Binary) — the codegen'd scan that
+    // precedes any decode at 100 TB.
+    "q_media_features" -> Q(
+      (s, dir) => graft.multimodal.Binary.payloadMetadata(
+        graft.multimodal.Binary.mediaTable(t(s, dir, "documents")))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS media_type,
+             |  octet_length(encode(text)) AS byte_len,
+             |  sha256(text) AS digest,
+             |  lower(hex(encode(substring(text, 1, 8)))) AS magic
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

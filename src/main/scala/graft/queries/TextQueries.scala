@@ -1,7 +1,146 @@
 package graft.queries
 
-/** Text-analysis + dedup suite over `documents` — filled in as the
-  * graft.text package lands. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{Dedup, TextFunctions}
+
+/** Text analysis + deduplication over `documents` (the LLM-pipeline
+  * operator family): token counting, language ID, quality scoring,
+  * fingerprinting, exact dedup, SimHash, MinHash-LSH near-dup. */
 object TextQueries {
-  val defs: Seq[(String, Q)] = Seq.empty
+
+  /** documents ∪ 20 planted exact dups (whitespace-mangled copies) —
+    * exercises the normalization in the fingerprint. Mirrored in the
+    * oracle CTE. */
+  private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(lit(" "), col("text"), lit("  ")).as("text")))
+  }
+
+  private val plantedCte =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, concat(' ', text, '  ') AS text
+      |  FROM documents WHERE doc_id < 20""".stripMargin
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // Token counting (whitespace + BPE-ish regex) and fingerprinting.
+    "q_text_stats" -> Q(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tokens_bpe"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+             |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
+             |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic (stopword n-grams + CJK class).
+    "q_lang_id" -> Q(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("lang_detected"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+             |       WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) = 0
+             |        AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las)\b')) = 0
+             |        AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) = 0
+             |        AND len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b')) = 0
+             |       THEN 'und'
+             |       WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b'))
+             |         >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las)\b'))
+             |        AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b'))
+             |         >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b'))
+             |        AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b'))
+             |         >= len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b'))
+             |       THEN 'en'
+             |       WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las)\b'))
+             |         >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b'))
+             |        AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las)\b'))
+             |         >= len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b'))
+             |       THEN 'es'
+             |       WHEN len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b'))
+             |         >= len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b'))
+             |       THEN 'de'
+             |       ELSE 'fr' END AS lang_detected
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length / word-shape / punctuation components.
+    "q_quality" -> Q(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+             |  round(len(regexp_extract_all(text, '[.,;:!?]')) /
+             |        greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+             |  round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) /
+             |        greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0), 4)
+             |    AS stopword_ratio,
+             |  round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             |    + (CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g')) /
+             |         greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+             |         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+             |    + (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]')) /
+             |         greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)
+             |    AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact dedup groups (md5 of normalized text) over planted dups.
+    "q_dedup_exact" -> Q(
+      (s, dir) => Dedup.exactGroups(withPlantedDups(s, dir), "doc_id", "text")
+        .orderBy(col("fp")),
+      Some(s"""WITH docs2 AS ($plantedCte)
+              |SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+              |  min(doc_id) AS keep_id, count(*) AS dup_count
+              |FROM docs2 GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // Surviving rows after exact dedup (left-semi keep-first).
+    "q_dedup_surviving" -> Q(
+      (s, dir) => Dedup.exactDedup(withPlantedDups(s, dir), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""WITH docs2 AS ($plantedCte)
+              |SELECT doc_id FROM docs2
+              |WHERE doc_id IN (
+              |  SELECT min(doc_id)
+              |  FROM docs2
+              |  GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // SimHash fingerprints (64-bit, expression-only) — not expressible
+    // in the oracle; covered by DedupSpec invariants.
+    "q_simhash" -> Q(
+      (s, dir) => Dedup.withSimhash(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash-LSH near-duplicate pairs over planted near-dups (one
+    // trailing token appended — est. Jaccard stays high). Candidates
+    // come from band-bucket equi-joins; verified by DedupSpec.
+    "q_neardup_pairs" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        Dedup.nearDuplicates(planted, "doc_id", "text", threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      })
+  )
 }

@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for document corpora at 100 TB scale.
+  *
+  * Exact dedup is a hash group-by (one shuffle on the digest). Near-dup
+  * detection is MinHash + LSH with banded bucketing: candidates come
+  * from an equi-join on (band, bandHash) — never an all-pairs cross
+  * join — so cost scales with bucket occupancy, not n². SimHash gives a
+  * 64-bit fingerprint whose Hamming distance approximates similarity of
+  * the token multisets; n-gram Jaccard is the exact verifier run only
+  * on LSH candidates.
+  *
+  * All signature math uses the native higher-order-function Column API
+  * (transform/aggregate/zip_with + xxhash64) — no UDFs, no driver-side
+  * loops.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: fingerprint → (keeper id, group size).
+    * Map-side partial agg then one shuffle on the 128-bit digest. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Rows that survive exact dedup (first id per fingerprint wins). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Word w-shingles of the text (empty array when too short). */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - lit(w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: k seeded xxhash64 minima over the shingle set.
+    * One pass; k×|shingles| hashes per row. */
+  def minhashSignature(shinglesCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)), s =>
+      aggregate(shinglesCol, lit(Long.MaxValue),
+        (acc, x) => least(acc, xxhash64(s, x))))
+
+  /** Estimated Jaccard similarity from two MinHash signatures. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB,
+      (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
+      lit(0.0), (acc, x) => acc + x) / size(sigA)
+
+  /** LSH banding: the signature split into `bands` bands of `k/bands`
+    * rows, each band hashed to a bucket key. Docs sharing any band
+    * bucket become candidates. */
+  def bandHashes(sigCol: Column, k: Int = 64, bands: Int = 16): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(b, concat_ws(",", slice(sigCol, b * lit(r) + lit(1), lit(r))))
+          .as("bh")))
+  }
+
+  /** Candidate near-duplicate pairs via LSH: explode band hashes, self
+    * equi-join on (band, bh), id-ordered to halve the pairs, distinct.
+    * The join shuffles on the band hash — identical docs land in the
+    * same bucket; no cartesian product anywhere in the plan. */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val sigd = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), w), k).as("sig"))
+    val exploded = sigd
+      .select(col("id"), col("sig"), explode(bandHashes(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val a = exploded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bh"))
+    val b = exploded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Near-duplicate pairs above an estimated-Jaccard threshold. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.7, w: Int = 3,
+                     k: Int = 64, bands: Int = 16): DataFrame =
+    candidatePairs(df, idCol, textCol, w, k, bands)
+      .filter(col("est_jaccard") >= threshold)
+
+  /** 64-bit SimHash per document: tokens explode once, each token is
+    * hashed ONCE, then 64 conditional-sum bit votes aggregate per doc
+    * (codegen'd hash aggregate, one shuffle on the id), and the votes
+    * pack into a long. Scales linearly in corpus size. */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String,
+                  out: String = "simhash"): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+        .as(s"__b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sims = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as(out))
+    df.join(sims, Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out), lit(0L)))
+  }
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact token-n-gram Jaccard similarity — the precise verifier for
+    * LSH candidates. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column = {
+    val ga = array_distinct(shingles(textA, n))
+    val gb = array_distinct(shingles(textB, n))
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    val union = size(array_union(ga, gb)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+}

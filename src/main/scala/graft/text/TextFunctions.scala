@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, token counting, language ID, quality scoring, document
+  * fingerprinting. All pure `functions._` compositions — codegen'd, no
+  * UDFs — so they run inside whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word pieces + standalone punctuation —
+    * the `\w+|[^\w\s]` regex both Java and RE2 agree on. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+
+  /** Language-specific stopword hit counts (ASCII word-boundary regex,
+    * identical semantics in Java regex and RE2). */
+  val stopwordPatterns: Map[String, String] = Map(
+    "en" -> "\\b(the|and|of|to|in|is)\\b",
+    "es" -> "\\b(el|la|de|que|los|las)\\b",
+    "de" -> "\\b(der|die|und|das|ist|nicht)\\b",
+    "fr" -> "\\b(le|la|et|les|des|est)\\b")
+
+  /** CJK character class (BMP unified ideographs). */
+  val cjkPattern: String = "[\\x{4e00}-\\x{9fff}]"
+
+  def stopwordHits(text: Column, lang: String): Column =
+    regexp_count(lower(text), lit(stopwordPatterns(lang)))
+
+  /** n-gram-heuristic language ID: any CJK → zh; otherwise the language
+    * with the most stopword hits, first-wins in (en, es, de, fr) order;
+    * no hits at all → 'und'. */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, "en")
+    val es = stopwordHits(text, "es")
+    val de = stopwordHits(text, "de")
+    val fr = stopwordHits(text, "fr")
+    when(regexp_count(text, lit(cjkPattern)) > 0, lit("zh"))
+      .when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Punctuation characters per character of text. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?]")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** English stopwords per whitespace token. */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, "en").cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Composite quality score in [0,1]: length saturation, word-shape
+    * sanity, low punctuation noise. Deterministic double arithmetic —
+    * identical on any engine that follows IEEE 754. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val wordScore =
+      when(avgTokenLen(text).between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(5.0), lit(1.0))
+    round((lenScore + wordScore + punctScore) / lit(3.0), 4)
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercased
+    * text — the exact-dedup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}
