@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Dedup, TextFunctions}
+
+/** Dedup + text-analysis invariants the DuckDB oracle can't express:
+  * MinHash-LSH recall on planted near-dups, SimHash distance behavior,
+  * CJK language detection, Jaccard verifier sanity. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+    "in the warm sun and the birds sing in the tall green trees today"
+
+  test("LSH finds every planted near-duplicate, estimates high Jaccard") {
+    val docs = (0 until 40).map(i => (i.toLong, s"$base variant token$i"))
+    val dups = (0 until 10).map(i => (1000L + i, s"$base variant token$i extra"))
+    val df = (docs ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0 until 10).foreach { i =>
+      assert(found.contains((i.toLong, 1000L + i)),
+        s"planted pair $i missing from $found")
+    }
+    assert(pairs.filter(p => p._2 >= 1000L && p._1 == p._2 - 1000L)
+      .forall(_._3 > 0.7))
+  }
+
+  test("LSH plan contains no cartesian product") {
+    val df = (0 until 20).map(i => (i.toLong, s"$base t$i")).toDF("doc_id", "text")
+    val plan = Dedup.nearDuplicates(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("exact dedup keeps the smallest id per normalized fingerprint") {
+    val df = Seq(
+      (1L, "Hello  world"), (2L, "  hello world "), (3L, "different"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("SimHash: identical text → distance 0; near text → small; disjoint → large") {
+    val df = Seq(
+      (1L, base), (2L, base), (3L, s"$base extra word"),
+      (4L, "completely unrelated words about spark catalyst tungsten codegen shuffles"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.withSimhash(df, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) == 0)
+    assert(ham(sims(1L), sims(3L)) <= 12)
+    assert(ham(sims(1L), sims(4L)) > 12)
+  }
+
+  test("ngramJaccard: identical 1.0, disjoint 0.0, near-dup high") {
+    val df = Seq((base, base, s"$base extra", "alpha beta gamma delta epsilon"))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b")).as("same"),
+      Dedup.ngramJaccard(col("a"), col("c")).as("near"),
+      Dedup.ngramJaccard(col("a"), col("d")).as("far")).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) > 0.8)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("langId detects CJK and the stopword languages") {
+    val df = Seq(
+      ("t1", "the cat and the dog of the house is in town"),
+      ("t2", "el perro de la casa que los gatos las aman"),
+      ("t3", "der hund und die katze das ist nicht gut"),
+      ("t4", "le chien et les chats des maisons est grand"),
+      ("t5", "你好世界 some ascii too"),
+      ("t6", "zzz qqq xxx"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("t1" -> "en", "t2" -> "es", "t3" -> "de",
+      "t4" -> "fr", "t5" -> "zh", "t6" -> "und"))
+  }
+
+  test("token counts handle empty and whitespace-only text") {
+    val df = Seq(("", " "), ("a b  c", "x")).toDF("a", "b")
+    val r = df.select(TextFunctions.tokenCount(col("a")).as("na"),
+      TextFunctions.tokenCount(col("b")).as("nb")).collect()
+    assert(r(1).getInt(0) == 3)
+  }
+}

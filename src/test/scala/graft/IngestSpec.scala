@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.MetaStore
+import graft.ingest.{FileOps, IngestPipeline, StreamRunner}
+import graft.model.FeedConfig._
+
+/** End-to-end ingest slices on generated CSV fixtures (SURVEY §7.2),
+  * including the negative paths the oracle queries can't drive:
+  * corrupt-row quarantine + file move + batch failure, overwrite mode,
+  * and the control/log bookkeeping contents. */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val now = Timestamp.valueOf("2024-03-01 12:00:00")
+
+  private def feed(src: String, overwrite: Boolean = false): Feed = Feed(
+    HeaderID = 7, SourceContainer = "local", SourceFilePath = src,
+    SourceFileFormat = "csv", SourceFileHeader = 1, SourceFileDelimiter = ",",
+    TargetTableSchema = "t", TargetTableName = "people",
+    OverWriteFlag = if (overwrite) 1 else 0,
+    Columns = Seq(
+      ColumnSpec("id", "person_id", "int", 1),
+      ColumnSpec("name", "person_name", "string", 2),
+      ColumnSpec("score", "score", "double", 3)))
+
+  private def writeCsv(tmp: Path, name: String, lines: Seq[String]): Unit = {
+    val src = Files.createDirectories(tmp.resolve("src"))
+    Files.writeString(src.resolve(name), lines.mkString("\n"))
+  }
+
+  private def build(tmp: Path, f: Feed): (IngestPipeline, StreamRunner) = {
+    val meta = new MetaStore(spark, tmp.resolve("meta").toString).bootstrap()
+    val pipe = new IngestPipeline(spark, f, meta, tmp.resolve("target").toString,
+      corruptPath = Some(tmp.resolve("corrupt").toString),
+      errorDir = Some(tmp.resolve("errors").toString),
+      clock = () => now)
+    (pipe, new StreamRunner(spark, pipe))
+  }
+
+  test("happy path: rows land renamed + stamped; log and control updated") {
+    val tmp = Files.createTempDirectory("ing-ok")
+    writeCsv(tmp, "f.csv", Seq("id,name,score", "1,ann,1.5", "2,bob,2.5"))
+    val (pipe, runner) = build(tmp, feed(tmp.resolve("src").toString))
+    runner.runOnce(tmp.resolve("ckpt").toString)
+
+    val rows = pipe.target.read().orderBy("person_id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows.head.getString(1) == "ann")
+    assert(rows.head.getAs[Int]("BatchId") == 1)
+    assert(rows.head.getAs[java.sql.Date]("InsertDate").toString == "2024-03-01")
+
+    val logTypes = pipe.meta.logs.read()
+      .select("LogEntryType").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(logTypes.contains("ROW_COUNT"))
+    val ctl = pipe.meta.control.read().filter(col("HeaderID") === 7).collect()
+    assert(ctl.nonEmpty && ctl.head.getAs[Int]("StatusID") == 1)
+  }
+
+  test("corrupt row: batch fails, quarantine written, source file moved to errors") {
+    val tmp = Files.createTempDirectory("ing-bad")
+    // 'oops' cannot parse as double → PERMISSIVE captures the raw line
+    // into _rescued_data → the corrupt gate trips.
+    writeCsv(tmp, "bad.csv", Seq("id,name,score", "1,ann,1.5", "2,bob,oops"))
+    val (pipe, runner) = build(tmp, feed(tmp.resolve("src").toString))
+    val ex = intercept[Exception] { runner.runOnce(tmp.resolve("ckpt").toString) }
+    assert(ex.getMessage.contains("Bad records") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Bad records")))
+    // quarantine parquet exists with the full batch
+    assert(spark.read.parquet(tmp.resolve("corrupt").toString).count() == 2)
+    // offending file moved out of the source dir
+    assert(Files.list(tmp.resolve("errors")).count() == 1)
+    assert(!Files.exists(tmp.resolve("src").resolve("bad.csv")))
+    // failure logged with StatusID=3
+    assert(pipe.meta.logs.read().filter(col("StatusID") === 3).count() >= 1)
+  }
+
+  test("overwrite mode replaces prior contents") {
+    val tmp = Files.createTempDirectory("ing-ow")
+    writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5"))
+    val f = feed(tmp.resolve("src").toString, overwrite = true)
+    val (pipe, runner) = build(tmp, f)
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    assert(pipe.target.read().count() == 1)
+
+    // second file arrives; new one-shot run overwrites
+    writeCsv(tmp, "b.csv", Seq("id,name,score", "9,zed,9.9"))
+    new StreamRunner(spark, pipe).runOnce(tmp.resolve("ckpt").toString)
+    val ids = pipe.target.read().select("person_id")
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().toSet
+    assert(ids == Set(9))
+  }
+
+  test("multi-file one-shot: maxFilesPerTrigger=1 gives one batch per file") {
+    val tmp = Files.createTempDirectory("ing-multi")
+    writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5"))
+    writeCsv(tmp, "b.csv", Seq("id,name,score", "2,bob,2.5"))
+    val (pipe, runner) = build(tmp, feed(tmp.resolve("src").toString))
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    val batches = pipe.target.read().select("BatchId")
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().toSet
+    assert(pipe.target.read().count() == 2)
+    assert(batches == Set(1, 2)) // two micro-batches, ids stamped 1 and 2
+  }
+
+  test("FileOps.awaitFiles times out cleanly on an empty dir") {
+    val tmp = Files.createTempDirectory("ing-empty")
+    assert(!FileOps.awaitFiles(spark, tmp.resolve("nope").toString, timeoutMs = 300))
+  }
+}

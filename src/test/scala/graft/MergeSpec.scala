@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.{Merge, ParquetTable}
+
+/** MERGE kernel semantics (SURVEY §2.4 A7): every clause family the
+  * reference's five Delta MERGEs use, plus the ParquetTable DML surface
+  * (UPDATE / DELETE / TRUNCATE / append / atomic swap). */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def target = Seq(
+    (1, "a", 10.0, 1), (2, "b", 20.0, 1), (3, "c", 30.0, 1))
+    .toDF("id", "name", "bal", "IsCurrent")
+  private def staging = Seq(
+    (2, "b2", 200.0), (4, "d", 40.0))
+    .toDF("id", "name", "bal")
+
+  test("merge: matched updates, not-matched inserts, not-matched-by-source retires") {
+    val out = Merge.merge(target, staging, Seq("id"),
+      whenMatchedUpdate = Map("bal" -> Merge.src("bal"), "IsCurrent" -> lit(1)),
+      insertDefaults = Map("IsCurrent" -> lit(1)),
+      whenNotMatchedBySourceSet = Map("IsCurrent" -> lit(0)))
+      .orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1, "a", 10.0, 0),    // not matched by source → retired
+      (2, "b", 200.0, 1),   // matched → bal updated, name kept
+      (3, "c", 30.0, 0),    // retired
+      (4, "d", 40.0, 1)))   // inserted from source
+  }
+
+  test("merge without insert clause drops source-only rows") {
+    val out = Merge.merge(target, staging, Seq("id"),
+      whenMatchedUpdate = Map("bal" -> Merge.src("bal")),
+      whenNotMatchedInsert = false)
+    assert(out.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("insert-only merge keeps target rows verbatim and adds new keys") {
+    val seed = Seq((0, "Not Started"), (1, "Completed")).toDF("id", "desc")
+    val src = Seq((1, "clash"), (5, "New")).toDF("id", "desc")
+    val out = Merge.insertWhenNotMatched(seed, src, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((0, "Not Started"), (1, "Completed"), (5, "New")))
+  }
+
+  test("upsertOnly equals full merge minus the by-source clause") {
+    val a = Merge.upsertOnly(target, staging, Seq("id"),
+      whenMatchedUpdate = Map("bal" -> Merge.src("bal")))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(a.toSeq == Seq((1, 10.0), (2, 200.0), (3, 30.0), (4, 40.0)))
+  }
+
+  test("ParquetTable: update / deleteWhere / truncate / append round-trip") {
+    val dir = Files.createTempDirectory("pt-spec").toString
+    val pt = ParquetTable(spark, "t", s"$dir/t", target.schema)
+    pt.overwrite(target)
+    pt.update(col("id") === 2, Map("bal" -> lit(99.0)))
+    assert(pt.read().filter(col("id") === 2).select("bal").as[Double].head() == 99.0)
+    pt.deleteWhere(col("id") === 1)
+    assert(pt.read().count() == 2)
+    pt.append(staging.withColumn("IsCurrent", lit(1)))
+    assert(pt.read().count() == 4)
+    pt.truncate()
+    assert(pt.read().count() == 0)
+    // createIfNotExists is a no-op on an existing (even empty) table
+    pt.createIfNotExists()
+    assert(pt.read().schema.fieldNames.toSeq == target.schema.fieldNames.toSeq)
+  }
+
+  test("ParquetTable.compact keeps contents, reduces files, sorts by z-cols") {
+    val dir = Files.createTempDirectory("pt-z").toString
+    val pt = ParquetTable(spark, "z", s"$dir/z", target.schema)
+    pt.overwrite(target.repartition(8))
+    pt.compact(zorderCols = Seq("bal"))
+    assert(pt.read().count() == 3)
+    assert(pt.read().agg(round(sum(col("bal")), 2)).as[Double].head() == 60.0)
+  }
+}
