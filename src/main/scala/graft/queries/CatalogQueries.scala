@@ -184,6 +184,62 @@ object CatalogQueries {
               |  ELSE 'cancel' END AS Action
               |FROM ntr ORDER BY HeaderID""".stripMargin)),
 
+    // J1: job-spec synthesis (create_workflow_jobs.py:85-121) — the
+    // config triple join with split() email lists, all dims broadcast.
+    "q_job_specs" -> Q(
+      (s, dir) => graft.orchestrate.JobPlanner.jobSpecs(
+        Fixtures.headerFull(s, dir), Fixtures.jobs(s, dir),
+        Fixtures.control(s, dir)),
+      Some(s"""WITH hdr AS (${Fixtures.headerFullCte}),
+              |job AS (${Fixtures.jobsCte}),
+              |ctl AS (${Fixtures.controlCte})
+              |SELECT h.HeaderID, c.JobID,
+              |  concat(trim(h.TargetTableSchema), '.', trim(h.TargetTableName)) AS TableName,
+              |  string_split(j.Emails, ',') AS Emails,
+              |  j.CronSyntax, j.WarningDuration, j.TimeOut, j.Retries,
+              |  j.ClusterMaxWorkers, h.ContinuousRunFlag
+              |FROM hdr h
+              |JOIN job j ON h.HeaderID = j.HeaderID
+              |JOIN ctl c ON h.HeaderID = c.HeaderID
+              |WHERE h.IsCurrent = 1
+              |ORDER BY h.HeaderID""".stripMargin)),
+
+    // J4 + F-concat/substring/CASE: the report's config view — source
+    // path synthesis with a date-partition suffix
+    // (Autoloader_daily_log_report.sql:24-52), clock injected.
+    "q_report_config" -> Q(
+      (s, dir) => {
+        val d = "2024-01-15"
+        Fixtures.headerFull(s, dir).join(
+          broadcast(Fixtures.jobs(s, dir)), Seq("HeaderID"))
+          .select(col("HeaderID"),
+            concat(lit("/raw/"),
+              when(col("SourceFilePath").like("%current%"), col("SourceFilePath"))
+                .otherwise(concat(col("SourceFilePath"),
+                  substring(lit(d), 1, 4), lit("/"),
+                  substring(lit(d), 6, 2), lit("/"),
+                  substring(lit(d), 9, 2))),
+              lit("/*.parquet")).as("FilePath"),
+            concat(trim(col("TargetTableSchema")), lit("."),
+              trim(col("TargetTableName"))).as("TargetName"),
+            col("WarningDuration"))
+          .orderBy(col("HeaderID"))
+      },
+      Some(s"""WITH hdr AS (${Fixtures.headerFullCte}),
+              |job AS (${Fixtures.jobsCte})
+              |SELECT h.HeaderID,
+              |  concat('/raw/',
+              |    CASE WHEN h.SourceFilePath LIKE '%current%' THEN h.SourceFilePath
+              |         ELSE concat(h.SourceFilePath,
+              |           substring('2024-01-15', 1, 4), '/',
+              |           substring('2024-01-15', 6, 2), '/',
+              |           substring('2024-01-15', 9, 2)) END,
+              |    '/*.parquet') AS FilePath,
+              |  concat(trim(h.TargetTableSchema), '.', trim(h.TargetTableName)) AS TargetName,
+              |  j.WarningDuration
+              |FROM hdr h JOIN job j ON h.HeaderID = j.HeaderID
+              |ORDER BY h.HeaderID""".stripMargin)),
+
     // J3: pending-job SLA sweep (Run jobs.py:180-202).
     "q_sla_cancel" -> Q(
       (s, dir) => RunDecision.slaCancel(

@@ -56,6 +56,53 @@ object Fixtures {
       |  CASE WHEN n_nationkey % 7 = 6 THEN 1 ELSE 0 END AS Sun
       |FROM nation""".stripMargin
 
+  /** Full header_config stand-in for job planning / report config:
+    * source paths (some "current"-style), target schema.table parts,
+    * IsCurrent and run-mode flags. */
+  def headerFull(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "nation").select(
+      col("n_nationkey").as("HeaderID"),
+      when(col("n_nationkey") % 4 === 0,
+        concat(lit("feeds/current/"), lower(col("n_name"))))
+        .otherwise(concat(lit("feeds/"), lower(col("n_name")), lit("/")))
+        .as("SourceFilePath"),
+      lit("analytics").as("TargetTableSchema"),
+      lower(col("n_name")).as("TargetTableName"),
+      when(col("n_nationkey") % 7 === 0, 0).otherwise(1).as("IsCurrent"),
+      (col("n_nationkey") % 2).as("ContinuousRunFlag"))
+
+  val headerFullCte: String =
+    """SELECT n_nationkey AS HeaderID,
+      |  CASE WHEN n_nationkey % 4 = 0 THEN concat('feeds/current/', lower(n_name))
+      |       ELSE concat('feeds/', lower(n_name), '/') END AS SourceFilePath,
+      |  'analytics' AS TargetTableSchema,
+      |  lower(n_name) AS TargetTableName,
+      |  CASE WHEN n_nationkey % 7 = 0 THEN 0 ELSE 1 END AS IsCurrent,
+      |  n_nationkey % 2 AS ContinuousRunFlag
+      |FROM nation""".stripMargin
+
+  /** job_config stand-in: alerting/cron/limits per feed. */
+  def jobs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "nation").select(
+      col("n_nationkey").as("HeaderID"),
+      concat(lit("a-"), lower(col("n_name")), lit("@x.com,b-"),
+        lower(col("n_name")), lit("@x.com")).as("Emails"),
+      lit("0 0 3 * * ?").as("CronSyntax"),
+      (lit(600) + col("n_nationkey") * 10).as("WarningDuration"),
+      (lit(1200) + col("n_nationkey") * 10).as("TimeOut"),
+      lit(2).as("Retries"),
+      (lit(1) + col("n_nationkey") % 4).as("ClusterMaxWorkers"))
+
+  val jobsCte: String =
+    """SELECT n_nationkey AS HeaderID,
+      |  concat('a-', lower(n_name), '@x.com,b-', lower(n_name), '@x.com') AS Emails,
+      |  '0 0 3 * * ?' AS CronSyntax,
+      |  600 + n_nationkey * 10 AS WarningDuration,
+      |  1200 + n_nationkey * 10 AS TimeOut,
+      |  2 AS Retries,
+      |  1 + n_nationkey % 4 AS ClusterMaxWorkers
+      |FROM nation""".stripMargin
+
   /** logs stand-in derived from `events`: signup→START, view→AUTO_LOADER,
     * purchase→ROW_COUNT, error→END; value carried as the description. */
   def logs(s: SparkSession, dir: String): DataFrame =

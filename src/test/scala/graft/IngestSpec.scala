@@ -106,6 +106,24 @@ class IngestSpec extends AnyFunSuite {
     assert(batches == Set(1, 2)) // two micro-batches, ids stamped 1 and 2
   }
 
+  test("continuous mode: ProcessingTime trigger drains and can be stopped") {
+    val tmp = Files.createTempDirectory("ing-cont")
+    writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5"))
+    val f = feed(tmp.resolve("src").toString).copy(ContinuousRunFlag = 1)
+    val (pipe, runner) = build(tmp, f)
+    runner.preflightDrift()
+    pipe.createTargets()
+    val q = runner.start(tmp.resolve("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(pipe.target.read().count() == 1)
+      // a new file arrives mid-stream; the 0.5 s trigger picks it up
+      writeCsv(tmp, "b.csv", Seq("id,name,score", "2,bob,2.5"))
+      q.processAllAvailable()
+      assert(pipe.target.read().count() == 2)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("FileOps.awaitFiles times out cleanly on an empty dir") {
     val tmp = Files.createTempDirectory("ing-empty")
     assert(!FileOps.awaitFiles(spark, tmp.resolve("nope").toString, timeoutMs = 300))

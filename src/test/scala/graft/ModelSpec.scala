@@ -106,6 +106,18 @@ class ModelSpec extends AnyFunSuite {
     assert(cancels == Set(5L)) // in-flight and past its 09:00 SLA
   }
 
+  test("cron describe covers the config shapes, registers as a UDF") {
+    import graft.orchestrate.CronDescribe
+    assert(CronDescribe.describe("0 0 3 * * ?") == "at 03:00:00, every day")
+    assert(CronDescribe.describe("0 30 14 * * 2") == "at 14:30:00 on weekday 2")
+    assert(CronDescribe.describe("0 0/15 * * * ?") == "every 15 minutes, every day")
+    assert(CronDescribe.describe("bogus").startsWith("invalid cron"))
+    CronDescribe.register(spark)
+    val out = spark.sql("SELECT cron_describe('0 0 3 * * ?') AS d")
+      .as[String].head()
+    assert(out == "at 03:00:00, every day")
+  }
+
   test("multimodal: metadata scan, stubbed decode, frame sampling") {
     val docs = Seq((0L, "abcdefgh0123456789"), (1L, "shorter")).toDF("doc_id", "text")
     val media = Binary.mediaTable(docs)
