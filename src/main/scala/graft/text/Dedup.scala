@@ -40,12 +40,40 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: k seeded xxhash64 minima over the shingle set.
-    * One pass; k×|shingles| hashes per row. */
-  def minhashSignature(shinglesCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)), s =>
-      aggregate(shinglesCol, lit(Long.MaxValue),
-        (acc, x) => least(acc, xxhash64(s, x))))
+  /** Deterministic multipliers / addends for the k MinHash
+    * permutations h_i(x) = a_i·(h(x) & 0xffffffff) + b_i. Bounds keep
+    * every product below 2^63, so the arithmetic is overflow-free under
+    * ANSI mode: a_i < 2^31, base masked to 32 bits, b_i < 2^31. */
+  private def permutationSeeds(k: Int): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(1337L)
+    (Seq.fill(k)(rnd.nextInt(Int.MaxValue - 1).toLong + 1L),
+      Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Mersenne prime 2^31−1 for the universal-hash reduction. */
+  private val MinhashPrime = 2147483647L
+
+  /** MinHash signature from a column of per-shingle base hashes: each
+    * shingle is string-hashed ONCE (the expensive part); the k
+    * signature slots are universal-hash permutations
+    * (a_i·h32 + b_i) mod p — the mod is what makes each permutation
+    * reorder the shingles (a plain a·h+b is monotone in h and would
+    * collapse every slot to the same argmin). Cost is |shingles| string
+    * hashes + k·|shingles| multiply-add-mods. Bind the base-hash column
+    * through a named attribute (a prior select) so it evaluates once
+    * per row. */
+  def minhashFromBaseHashes(baseHashes: Column, k: Int = 64): Column = {
+    val (as, bs) = permutationSeeds(k)
+    array((0 until k).map { i =>
+      array_min(transform(baseHashes,
+        h => (h.bitwiseAND(lit(0xffffffffL)) * lit(as(i)) + lit(bs(i)))
+          % lit(MinhashPrime)))
+    }: _*)
+  }
+
+  /** One xxhash64 per shingle — the only string hashing in the path. */
+  def shingleBaseHashes(text: Column, w: Int = 3): Column =
+    transform(shingles(text, w), x => xxhash64(x))
 
   /** Estimated Jaccard similarity from two MinHash signatures. */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
@@ -65,26 +93,32 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs via LSH: explode band hashes, self
-    * equi-join on (band, bh), id-ordered to halve the pairs, distinct.
-    * The join shuffles on the band hash — identical docs land in the
-    * same bucket; no cartesian product anywhere in the plan. */
+    * equi-join on (band, bh), id-ordered to halve the pairs, distinct
+    * pairs first, THEN one est-Jaccard per pair. The signature relation
+    * is persisted so the self-join and the two signature re-joins don't
+    * recompute it (at cluster scale this is the standard "materialize
+    * the signature table" step). No cartesian product anywhere. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
-    val sigd = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), w), k).as("sig"))
+    val based = df.select(col(idCol).as("id"),
+      shingleBaseHashes(col(textCol), w).as("bh0"))
+    val sigd = based
+      .select(col("id"), minhashFromBaseHashes(col("bh0"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sigd
-      .select(col("id"), col("sig"), explode(bandHashes(col("sig"), k, bands)).as("b"))
-      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val a = exploded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bh"))
-    val b = exploded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+      .select(col("id"), explode(bandHashes(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val pairs = exploded.select(col("id").as("id_a"), col("band"), col("bh"))
+      .join(exploded.select(col("id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Near-duplicate pairs above an estimated-Jaccard threshold. */

@@ -18,7 +18,8 @@ class DedupSpec extends AnyFunSuite {
   test("LSH finds every planted near-duplicate, estimates high Jaccard") {
     val docs = (0 until 40).map(i => (i.toLong, s"$base variant token$i"))
     val dups = (0 until 10).map(i => (1000L + i, s"$base variant token$i extra"))
-    val df = (docs ++ dups).toDF("doc_id", "text")
+    val exact = Seq((2000L, s"$base variant token0")) // identical to doc 0
+    val df = (docs ++ dups ++ exact).toDF("doc_id", "text")
     val pairs = Dedup.nearDuplicates(df, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val found = pairs.map(p => (p._1, p._2)).toSet
@@ -26,8 +27,15 @@ class DedupSpec extends AnyFunSuite {
       assert(found.contains((i.toLong, 1000L + i)),
         s"planted pair $i missing from $found")
     }
-    assert(pairs.filter(p => p._2 >= 1000L && p._1 == p._2 - 1000L)
-      .forall(_._3 > 0.7))
+    val plantedEst = pairs.filter(p => p._2 >= 1000L && p._2 < 2000L &&
+      p._1 == p._2 - 1000L).map(_._3)
+    // near-dups estimate high, and the family is NOT degenerate — a
+    // monotone permutation family would put EVERY pair at exactly 1.0
+    // (single pairs can legitimately saturate: true J≈58/59)
+    assert(plantedEst.forall(_ > 0.7), plantedEst.toSeq)
+    assert(plantedEst.exists(_ < 1.0), plantedEst.toSeq)
+    // the truly identical pair IS exactly 1.0
+    assert(pairs.find(p => p._1 == 0L && p._2 == 2000L).exists(_._3 == 1.0))
   }
 
   test("LSH plan contains no cartesian product") {
