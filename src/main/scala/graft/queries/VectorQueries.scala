@@ -83,6 +83,24 @@ object VectorQueries {
              |  count(*) AS n
              |FROM ranked WHERE rn <= 10 GROUP BY qid ORDER BY qid""".stripMargin)),
 
+    // Embedding-cosine near-duplicate detection (the vector analogue of
+    // MinHash dedup): planted perturbed copies must surface as pairs.
+    // LSH self-join on hyperplane buckets — no cross join. Exactness
+    // asserted in AnnSpec; entry is rows-only (LSH not in DuckDB).
+    "q_embed_neardup" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val planted = emb.select(col("vec_id"), col("embedding")).unionByName(
+          emb.filter(col("vec_id") % 25 === 0).select(
+            (col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + lit(0.002f) * ((i * 7 + col("vec_id")) % 5 - 2).cast("float"))
+              .as("embedding")))
+        graft.vector.Ann.cosineNearDuplicates(
+          planted, "vec_id", "embedding", threshold = 0.98, probes = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
     // LSH-bucketed ANN (random hyperplanes, multi-probe d≤1): the scale
     // path — candidates from bucket equi-joins, exact re-rank. Recall
     // vs exact top-k is asserted in AnnSpec.

@@ -101,6 +101,30 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector analogue of
+    * MinHash dedup: LSH-bucket the corpus once, self-join on bucket
+    * (one side probes Hamming-adjacent buckets so near pairs split by
+    * one hyperplane still meet), exact-cosine filter, id-ordered
+    * distinct pairs. No cross join; cost follows bucket occupancy. */
+  def cosineNearDuplicates(data: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.95, bits: Int = 8,
+                           probes: Int = 1, dim: Int = 64,
+                           seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, dim, seed)
+    val bucketed = data.select(col(idCol), col(vecCol),
+      bucketOf(col(vecCol), planes).as("bucket"))
+    val probed = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      explode(probeBuckets(col("bucket"), bits, probes)).as("bucket"))
+    probed.join(bucketed.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos_sim")).as("cos_sim"))
+  }
+
   /** IVF-style bucketing: assign every vector to its nearest of m
     * deterministic centroid vectors (broadcast), queries probe the
     * `nprobe` nearest centroids. Better recall than LSH on clustered

@@ -34,7 +34,7 @@ class AnnSpec extends AnyFunSuite {
     val rows = centers.flatMap { case (id, v) =>
       (1 to 10).map { j =>
         val copy = v.indices.map(i =>
-          v(i) + 0.01f * (((i * j + id) % 7) - 3)).toArray
+          v(i) + 0.002f * (((i * j + id) % 7) - 3)).toArray
         (id * 1000L + j, copy)
       } :+ (id, v)
     }
@@ -83,6 +83,17 @@ class AnnSpec extends AnyFunSuite {
       k = K, bits = 8, probes = 1)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cosine near-dup finds every planted copy and nothing below threshold") {
+    val (data, _) = planted
+    val pairs = Ann.cosineNearDuplicates(data, "vec_id", "embedding",
+      threshold = 0.98, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every copy pairs with its center (center id c, copies c*1000+j)
+    val centerCopy = pairs.filter { case (a, b, _) => b / 1000 == a || a / 1000 == b }
+    assert(centerCopy.size >= 20 * 10, s"found ${centerCopy.size} of 200")
+    assert(pairs.forall(_._3 >= 0.98))
   }
 
   test("brute-force top-k: the query vector itself ranks first with sim 1.0") {
