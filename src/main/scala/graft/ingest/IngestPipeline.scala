@@ -48,6 +48,16 @@ final class IngestPipeline(
     piiTarget.foreach(_.createIfNotExists())
   }
 
+  /** Idempotent daily re-run: delete today's rows before re-ingesting
+    * (delete_table_records_step, Data Ingestion Helper.py:139-142), so
+    * replaying the same day's files never duplicates. */
+  def deleteToday(): Unit = {
+    val today = new Date(clock().getTime)
+    if (target.exists) target.deleteWhere(col("InsertDate") === lit(today))
+    piiTarget.filter(_.exists)
+      .foreach(_.deleteWhere(col("InsertDate") === lit(today)))
+  }
+
   private def log(batchId: Long, entryType: String, desc: String,
                   statusId: Int, error: Option[String] = None): Unit =
     meta.logAndControl(feed.HeaderID, feed.SourceFilePath, batchId.toInt,

@@ -99,12 +99,18 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
     pipeline.evolveIfDrifted(extras, batchId = -1, pipeline.clock())
   }
 
-  /** One-shot ingest: preflight drift, create targets, start, drain,
-    * stop. Returns when the sink is fully loaded. */
+  /** One-shot ingest: preflight drift, idempotent daily delete, create
+    * targets, start, drain, stop. Returns when the sink is fully
+    * loaded. */
   def runOnce(checkpointDir: String): Unit = {
     if (FileOps.awaitFiles(spark, feed.SourceFilePath, timeoutMs = 10000))
       preflightDrift()
     pipeline.createTargets()
+    // one-shot mode deletes today's rows so a re-run of the same day's
+    // files (e.g. after a failure, with a fresh checkpoint) never
+    // duplicates (Data Ingestion Helper.py:139-142)
+    if (feed.ContinuousRunFlag == 0 && feed.OverWriteFlag == 0)
+      pipeline.deleteToday()
     val q = start(checkpointDir)
     try q.awaitTermination()
     finally if (q.isActive) q.stop()

@@ -111,4 +111,24 @@ object DailyLogReport {
     val steps = stepsInWindow(logs, win)
     finalReport(sourceCounts, jobDurations(steps, now), loggedRowCounts(steps), reportDate)
   }
+
+  /** Idempotent daily persist (sql:237-277): DELETE today's rows, then
+    * INSERT the fresh report into the catalog's daily_log_report. */
+  def persist(meta: graft.catalog.MetaStore, report: DataFrame,
+              reportDate: java.sql.Date): Unit = {
+    val rows = report.select(
+      col("HeaderID").cast("long").as("HeaderID"),
+      (if (report.columns.contains("FeedName")) col("FeedName")
+       else lit("")).as("FeedName"),
+      col("Parquet_Row_Count").cast("long").as("SourceRowCount"),
+      col("Delta_Count").cast("long").as("TargetRowCount"),
+      col("LogRowCount").cast("long").as("LoggedRowCount"),
+      col("Job_Start_Time").as("StartTime"),
+      col("Process_End").as("EndTime"),
+      col("Total_Job_Duration_Min").cast("long").as("DurationMinutes"),
+      col("RowCountMatchFlag").as("Verdict"),
+      lit(reportDate).as("ReportDate"))
+    meta.report.deleteWhere(col("ReportDate") === lit(reportDate))
+    meta.report.append(rows)
+  }
 }

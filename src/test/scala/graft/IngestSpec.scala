@@ -106,6 +106,33 @@ class IngestSpec extends AnyFunSuite {
     assert(batches == Set(1, 2)) // two micro-batches, ids stamped 1 and 2
   }
 
+  test("daily re-run with a fresh checkpoint is idempotent (deleteToday)") {
+    val tmp = Files.createTempDirectory("ing-idem")
+    writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5", "2,bob,2.5"))
+    val (pipe, runner) = build(tmp, feed(tmp.resolve("src").toString))
+    runner.runOnce(tmp.resolve("ckpt1").toString)
+    assert(pipe.target.read().count() == 2)
+    // same files, same day, NEW checkpoint (e.g. recovery): without the
+    // pre-flight delete this would double to 4
+    new StreamRunner(spark, pipe).runOnce(tmp.resolve("ckpt2").toString)
+    assert(pipe.target.read().count() == 2)
+  }
+
+  test("json feed format parses with declared schema") {
+    val tmp = Files.createTempDirectory("ing-json")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    Files.writeString(src.resolve("f.json"),
+      """{"id": 1, "name": "ann", "score": 1.5}
+        |{"id": 2, "name": "bob", "score": 2.5}""".stripMargin)
+    val f = feed(src.toString).copy(SourceFileFormat = "json",
+      SourceFileHeader = 0, SourceFileDelimiter = "")
+    val (pipe, runner) = build(tmp, f)
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    val rows = pipe.target.read().orderBy("person_id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows(1).getAs[Double]("score") == 2.5)
+  }
+
   test("continuous mode: ProcessingTime trigger drains and can be stopped") {
     val tmp = Files.createTempDirectory("ing-cont")
     writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5"))

@@ -61,6 +61,21 @@ class ReportSpec extends AnyFunSuite {
     assert(report(3L).getAs[String]("RowCountMatchFlag") == "In Progress")
   }
 
+  test("persist is idempotent per report date (DELETE + INSERT)") {
+    val root = java.nio.file.Files.createTempDirectory("rep").toString
+    val meta = new graft.catalog.MetaStore(spark, root).bootstrap()
+    val rpt = DailyLogReport.build(logs, src, now, day)
+    DailyLogReport.persist(meta, rpt, day)
+    assert(meta.report.read().count() == 4)
+    DailyLogReport.persist(meta, rpt, day) // daily re-run
+    assert(meta.report.read().count() == 4)
+    val verdicts = meta.report.read()
+      .select("HeaderID", "Verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts(1L) == "PASS (Row count match)")
+    assert(verdicts(3L) == "In Progress")
+  }
+
   test("open window is closed by the injected clock") {
     assert(report(4L).getAs[Timestamp]("Process_End") == now)
     assert(report(4L).getAs[String]("RowCountMatchFlag") == "PASS (Row count match)")
