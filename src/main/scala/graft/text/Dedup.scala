@@ -71,9 +71,22 @@ object Dedup {
     }: _*)
   }
 
-  /** One xxhash64 per shingle — the only string hashing in the path. */
-  def shingleBaseHashes(text: Column, w: Int = 3): Column =
-    transform(shingles(text, w), x => xxhash64(x))
+  /** One hash per token — bind the result through a NAMED column before
+    * feeding [[shingleHashesFromTokenHashes]], or it re-evaluates per
+    * reference. */
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.tokens(text), t => xxhash64(t))
+
+  /** Per-shingle base hashes without materializing shingle strings:
+    * each w-gram's hash is xxhash64 over the w token hashes (fixed
+    * 8-byte words — no concat_ws allocation). `th` MUST be a bound
+    * attribute (see [[tokenHashes]]); element_at on a bound array is an
+    * O(1) read. String work is O(total token chars), not O(w × chars). */
+  def shingleHashesFromTokenHashes(th: Column, w: Int = 3): Column =
+    when(size(th) >= w,
+      transform(sequence(lit(1), size(th) - lit(w - 1)), i =>
+        xxhash64((0 until w).map(o => element_at(th, i + lit(o))): _*)))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Estimated Jaccard similarity from two MinHash signatures. */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
@@ -101,7 +114,8 @@ object Dedup {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     val based = df.select(col(idCol).as("id"),
-      shingleBaseHashes(col(textCol), w).as("bh0"))
+      tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), shingleHashesFromTokenHashes(col("th"), w).as("bh0"))
     val sigd = based
       .select(col("id"), minhashFromBaseHashes(col("bh0"), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
