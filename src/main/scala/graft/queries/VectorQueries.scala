@@ -104,6 +104,21 @@ object VectorQueries {
           .orderBy(col("id_a"), col("id_b"))
       }),
 
+    // IVF-style ANN: centroid assignment + nprobe probing — better on
+    // clustered corpora than hyperplane LSH; recall gated in AnnSpec.
+    "q_ann_ivf" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val centroids = emb.filter(col("vec_id") % 31 === 0).limit(16)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        Ann.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
+          k = 5, centroids = centroids, nprobe = 4)
+          .select(col("qid"), col("vec_id"), col("rank"))
+          .orderBy(col("qid"), col("rank"))
+      }),
+
     // LSH-bucketed ANN (random hyperplanes, multi-probe d≤1): the scale
     // path — candidates from bucket equi-joins, exact re-rank. Recall
     // vs exact top-k is asserted in AnnSpec.
