@@ -40,15 +40,19 @@ final class MetaStore(val spark: SparkSession, val root: String) {
 
   def registerViews(): this.type = { all.foreach(_.registerView()); this }
 
+  private val logSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Append one log row and update the control-table state machine — the
     * reference's update_insert_log_control
-    * (modules/log_table_control_table_upsert.py:9-75). */
+    * (modules/log_table_control_table_upsert.py:9-75). LogID is unique
+    * within this store instance even when many rows share a timestamp
+    * (millis × 10^6 + in-process sequence). */
   def logAndControl(
       headerId: Long, sourcePath: String, batchId: Int, entryType: String,
       description: String, statusId: Int, error: Option[String] = None,
       jobId: Option[String] = None, now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     import spark.implicits._
-    val logId = now.getTime * 1000 + (headerId % 1000)
+    val logId = now.getTime * 1000000L + (logSeq.incrementAndGet() % 1000000L)
     logs.append(Seq(LogRow(logId, headerId, sourcePath, batchId, jobId,
       entryType, description, error, statusId, now)).toDS().toDF())
 

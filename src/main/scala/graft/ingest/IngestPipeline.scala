@@ -98,11 +98,13 @@ final class IngestPipeline(
     // (auto_loader_steps.py:189-275).
     evolveIfDrifted(SchemaTools.extraColumns(stamped, columns), batchId, now)
 
-    // Corrupt gate (auto_loader_steps.py:277-315): any row with
-    // non-null rescue column fails the batch into quarantine.
+    // Corrupt gate (auto_loader_steps.py:277-315): any row with a
+    // non-null rescue column fails the batch into quarantine. The
+    // reference counts distinct() corrupt rows — a full batch shuffle;
+    // filter-then-count is shuffle-free, counts duplicates correctly,
+    // and the gate only needs count > 0.
     if (stamped.columns.contains(IngestPipeline.RescueColumn)) {
-      val corrupt = stamped.distinct()
-        .filter(col(IngestPipeline.RescueColumn).isNotNull)
+      val corrupt = stamped.filter(col(IngestPipeline.RescueColumn).isNotNull)
       val corruptRows = corrupt.count()
       if (corruptRows > 0) {
         corruptPath.foreach(p =>

@@ -84,6 +84,10 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
     * before each ingest (Data Ingestion Helper.py:193-283). */
   def preflightDrift(): Unit = {
     val fmt = feed.SourceFileFormat.toLowerCase
+    // A headerless CSV cannot name new columns (Spark would report
+    // positional _c0.._cN and every one would look like drift) — its
+    // schema is positional and fixed by the config.
+    if (fmt == "csv" && feed.SourceFileHeader != 1) return
     val observed = fmt match {
       case "csv" =>
         var r = spark.read.option("header", feed.SourceFileHeader == 1)

@@ -20,6 +20,10 @@ object Skew {
     * so results are reproducible run to run. */
   def saltedJoin(fact: DataFrame, other: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched replicated-side row
+    // saltFactor times — refuse rather than silently duplicate.
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
     val replicated = other.withColumn("__salt",

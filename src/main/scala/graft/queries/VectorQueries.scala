@@ -111,7 +111,8 @@ object VectorQueries {
         val emb = Tables.load(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding"))
-        val centroids = emb.filter(col("vec_id") % 31 === 0).limit(16)
+        val centroids = emb.filter(col("vec_id") % 31 === 0)
+          .orderBy(col("vec_id")).limit(16) // ordered: deterministic set
           .select(col("vec_id").as("cid"), col("embedding"))
         Ann.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
           k = 5, centroids = centroids, nprobe = 4)

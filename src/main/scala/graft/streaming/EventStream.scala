@@ -36,38 +36,59 @@ object EventStream {
                            n_events: Int, total_value: Double)
 
   /** Gap-based sessionization: a user's events belong to one session
-    * until `gapMs` of silence; each closed session is emitted once.
-    * State per active user only (timeout reclaims idle users). */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
+    * until `gapMs` of event-time silence; each closed session is
+    * emitted once. State is bounded by EVENT-TIME timeouts: when the
+    * watermark passes a user's last event + gap, their open session is
+    * closed, emitted, and the state removed — so one-time users never
+    * accumulate while the stream flows. (Event-time timeouts are
+    * deterministic and replayable, unlike wall-clock ones — and
+    * wall-clock timeouts keep the engine's should-run-another-batch
+    * loop spinning, which blocks processAllAvailable-style draining.) */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes")(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // events within a micro-batch arrive unordered — sort by time
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, events = s.events + 1,
-                  value = s.value + e.value))
-              case Some(s) =>
-                closed += Session(userId, new Timestamp(s.start),
-                  new Timestamp(s.last), s.events, s.value)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // the watermark passed last + gap: close and emit the open
+            // session, free the state
+            val closed = state.getOption.map(s => Session(userId,
+              new Timestamp(s.start), new Timestamp(s.last), s.events, s.value))
+            state.remove()
+            closed.iterator
+          } else {
+            // events within a micro-batch arrive unordered — sort by time
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, events = s.events + 1,
+                    value = s.value + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.events, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // timeout must sit strictly beyond the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              case None => state.remove()
+            }
+            closed.result().iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None => state.remove()
-          }
-          closed.result().iterator
       }
   }
 

@@ -116,6 +116,10 @@ object Dedup {
     val based = df.select(col(idCol).as("id"),
       tokenHashes(col(textCol)).as("th"))
       .select(col("id"), shingleHashesFromTokenHashes(col("th"), w).as("bh0"))
+    // Cached for the three reads below (band explode + two signature
+    // re-joins). The block stays under Spark's LRU storage management —
+    // the unified memory manager evicts it under execution pressure;
+    // long-lived callers can spark.catalog.clearCache() between corpora.
     val sigd = based
       .select(col("id"), minhashFromBaseHashes(col("bh0"), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

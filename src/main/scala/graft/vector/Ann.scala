@@ -143,8 +143,7 @@ object Ann {
         .drop("cvec", "csim", "crank")
     }
     val dataAssigned = assign(data, col(idCol), 1)
-    val queryAssigned = assign(queries.withColumnRenamed(vecCol, "qvec")
-      .withColumnRenamed("qvec", vecCol), col(qidCol), nprobe)
+    val queryAssigned = assign(queries, col(qidCol), nprobe)
       .withColumnRenamed(vecCol, "qvec")
     val candidates = dataAssigned
       .join(broadcast(queryAssigned.select(col(qidCol), col("qvec"), col("cid"))),

@@ -118,6 +118,18 @@ class IngestSpec extends AnyFunSuite {
     assert(pipe.target.read().count() == 2)
   }
 
+  test("headerless csv: positional schema, no phantom _cN drift") {
+    val tmp = Files.createTempDirectory("ing-nohdr")
+    writeCsv(tmp, "f.csv", Seq("1,ann,1.5", "2,bob,2.5")) // no header row
+    val f = feed(tmp.resolve("src").toString).copy(SourceFileHeader = 0)
+    val (pipe, runner) = build(tmp, f)
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    assert(pipe.driftEvents.isEmpty, pipe.driftEvents)
+    val rows = pipe.target.read().orderBy("person_id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(pipe.target.read().columns.count(_.startsWith("_c")) == 0)
+  }
+
   test("json feed format parses with declared schema") {
     val tmp = Files.createTempDirectory("ing-json")
     val src = Files.createDirectories(tmp.resolve("src"))

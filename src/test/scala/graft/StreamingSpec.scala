@@ -66,6 +66,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("idle user's session is closed when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(7, ts("2024-03-01 09:00:00"), "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").count() == 0) // open, state held
+      // user 8's 09:20 event advances the watermark to 09:19, past
+      // user 7's timeout (09:00 + 5 min) → next batch fires the timeout
+      input.addData(Event(8, ts("2024-03-01 09:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(8, ts("2024-03-01 09:21:00"), "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_timeout").as[Session].collect()
+        .filter(_.user_id == 7L)
+      assert(closed.length == 1 && closed.head.n_events == 1
+        && closed.head.total_value == 2.0)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("batch sessionization closes every session at end of input") {
     val events = Seq(
       Event(1, ts("2024-03-01 09:00:00"), "a", 1.0),
