@@ -292,6 +292,50 @@ object Core {
              |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Anti join — the NOT-MATCHED-BY-SOURCE semantics family
+    // (insert_config.py merges) as a standalone operator: customers
+    // with no orders.
+    "q_anti_join" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Semi join — EXISTS: suppliers that shipped at least one item.
+    "q_semi_join" -> Q(
+      (s, dir) => t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem").select(col("l_suppkey").as("s_suppkey")),
+          Seq("s_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey")),
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Beyond-parity: ROLLUP subtotals (multi-level aggregation in one
+    // pass — the reference computes report subtotals with separate
+    // queries).
+    "q_rollup" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST,
+             |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // P6: isin membership filter (config_checking.py:28,39,50).
     "q_isin" -> Q(
       (s, dir) => t(s, dir, "orders")
