@@ -186,16 +186,20 @@ object CatalogQueries {
 
     // J1: job-spec synthesis (create_workflow_jobs.py:85-121) — the
     // config triple join with split() email lists, all dims broadcast.
+    // The checker's pandas hash only handles scalars, so the entry
+    // renders the email array back to a ';'-joined string; the library
+    // API (jobSpecs) keeps the typed array.
     "q_job_specs" -> Q(
       (s, dir) => graft.orchestrate.JobPlanner.jobSpecs(
         Fixtures.headerFull(s, dir), Fixtures.jobs(s, dir),
-        Fixtures.control(s, dir)),
+        Fixtures.control(s, dir))
+        .withColumn("Emails", array_join(col("Emails"), ";")),
       Some(s"""WITH hdr AS (${Fixtures.headerFullCte}),
               |job AS (${Fixtures.jobsCte}),
               |ctl AS (${Fixtures.controlCte})
               |SELECT h.HeaderID, c.JobID,
               |  concat(trim(h.TargetTableSchema), '.', trim(h.TargetTableName)) AS TableName,
-              |  string_split(j.Emails, ',') AS Emails,
+              |  array_to_string(string_split(j.Emails, ','), ';') AS Emails,
               |  j.CronSyntax, j.WarningDuration, j.TimeOut, j.Retries,
               |  j.ClusterMaxWorkers, h.ContinuousRunFlag
               |FROM hdr h

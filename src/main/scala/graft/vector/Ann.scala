@@ -101,49 +101,91 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Buckets needed so expected occupancy stays near `targetOccupancy`
+    * as the corpus grows: bits ≈ log2(n / occupancy), clamped to
+    * [4, 24]. A fixed bucket count makes the LSH self-join's per-bucket
+    * quadratic cost grow linearly with n; scaling bits with log2(n)
+    * keeps it flat. */
+  def bitsFor(n: Long, targetOccupancy: Int = 64): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1).toDouble / targetOccupancy)
+      / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector analogue of
     * MinHash dedup: LSH-bucket the corpus once, self-join on bucket
     * (one side probes Hamming-adjacent buckets so near pairs split by
-    * one hyperplane still meet), exact-cosine filter, id-ordered
-    * distinct pairs. No cross join; cost follows bucket occupancy. */
+    * one hyperplane still meet), id-ordered DISTINCT pairs first, then
+    * ONE exact-cosine score per pair (a pair meeting in several probe
+    * buckets must not pay the 64-dim cosine once per meeting). No cross
+    * join; cost follows bucket occupancy, and `bits <= 0` derives the
+    * bucket count from the corpus size via [[bitsFor]] so occupancy
+    * stays flat as n grows. */
   def cosineNearDuplicates(data: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double = 0.95, bits: Int = 8,
+                           threshold: Double = 0.95, bits: Int = 0,
                            probes: Int = 1, dim: Int = 64,
                            seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bits, dim, seed)
-    val bucketed = data.select(col(idCol), col(vecCol),
-      bucketOf(col(vecCol), planes).as("bucket"))
-    val probed = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      explode(probeBuckets(col("bucket"), bits, probes)).as("bucket"))
-    probed.join(bucketed.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-        col("bucket")), Seq("bucket"))
+    val b = if (bits > 0) bits else bitsFor(data.count())
+    val planes = hyperplanes(b, dim, seed)
+    val bucketed = data.select(col(idCol), bucketOf(col(vecCol), planes).as("bucket"))
+    val probed = bucketed.select(col(idCol).as("id_a"),
+      explode(probeBuckets(col("bucket"), b, probes)).as("bucket"))
+    val pairs = probed
+      .join(bucketed.select(col(idCol).as("id_b"), col("bucket")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(data.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(data.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("cos_sim")).as("cos_sim"))
   }
 
   /** IVF-style bucketing: assign every vector to its nearest of m
-    * deterministic centroid vectors (broadcast), queries probe the
-    * `nprobe` nearest centroids. Better recall than LSH on clustered
-    * data; same no-cross-join candidate structure. */
+    * deterministic centroid vectors, queries probe the `nprobe` nearest
+    * centroids. Better recall than LSH on clustered data; same
+    * no-cross-join candidate structure.
+    *
+    * The centroid set is tiny and deterministic by construction, so it
+    * is collected once to the driver (a documented O3 scalar fetch) and
+    * the nearest-centroid assignment becomes a pure MAP-SIDE argmax
+    * over centroid literals — like [[bucketOf]], zero join/shuffle for
+    * the corpus side. (The round-2 crossJoin+window version shuffled an
+    * m×-expanded corpus just to pick each row's argmax.) */
   def ivfTopK(data: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, qidCol: String,
               k: Int, centroids: DataFrame, nprobe: Int = 4): DataFrame = {
-    val c = centroids.select(col("cid"), col(vecCol).as("cvec"))
-    def assign(df: DataFrame, id: Column, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id)
-        .orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(broadcast(c))
-        .withColumn("csim", VectorFunctions.cosine(col(vecCol), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cvec", "csim", "crank")
+    val cents: Seq[(Any, Seq[Double])] = centroids
+      .select(col("cid"), VectorFunctions.toDoubleArray(col(vecCol)))
+      .collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+
+    // Probe list of the `keep` nearest centroids as a pure projection:
+    // the vector's double form and norm are bound through NAMED columns
+    // (evaluated once per row), each centroid costs one dot product,
+    // and sort_array over (negated sim, cid) structs yields the
+    // sim-desc / cid-asc order with no window and no shuffle. The
+    // division mirrors cosine()'s dot/(norm*norm) association so sims
+    // stay bit-identical to VectorFunctions.cosine.
+    def withProbes(df: DataFrame, keep: Int): DataFrame = {
+      val scored = cents.map { case (cid, cv) =>
+        val cnorm = math.sqrt(cv.map(x => x * x).sum)
+        struct(
+          (-(VectorFunctions.dot(col("__vd"), VectorFunctions.vectorLit(cv))
+            / (col("__vnorm") * lit(cnorm)))).as("negsim"),
+          lit(cid).as("cid"))
+      }
+      df.withColumn("__vd", VectorFunctions.toDoubleArray(col(vecCol)))
+        .withColumn("__vnorm", VectorFunctions.norm(col("__vd")))
+        .withColumn("cid",
+          explode(transform(slice(sort_array(array(scored: _*)), 1, keep),
+            s => s("cid"))))
+        .drop("__vd", "__vnorm")
     }
-    val dataAssigned = assign(data, col(idCol), 1)
-    val queryAssigned = assign(queries, col(qidCol), nprobe)
+    val dataAssigned = withProbes(data, 1)
+    val queryAssigned = withProbes(queries, nprobe)
       .withColumnRenamed(vecCol, "qvec")
     val candidates = dataAssigned
       .join(broadcast(queryAssigned.select(col(qidCol), col("qvec"), col("cid"))),

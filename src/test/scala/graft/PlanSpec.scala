@@ -48,6 +48,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF centroid assignment is map-side: no exchange or window before the candidate join") {
+    // The corpus side's nearest-centroid pick must be a pure projection
+    // (argmax over centroid literals) — the only join in the plan is
+    // the bucket-id candidate join, and the only Window is the final
+    // per-query top-k rank.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") % 31 === 0)
+      .orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val qe = graft.vector.Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+      "qid", k = 5, centroids = centroids, nprobe = 4).queryExecution
+    // optimized logical plan: the ONLY join is the bucket-id candidate
+    // join and the ONLY window is the final top-k rank (the round-2
+    // version had 3 joins and 3 windows from crossJoin+row_number
+    // assignment); \b keeps WindowGroupLimit rewrites out of the count
+    val logical = qe.optimizedPlan.toString
+    assert("\\bJoin\\b".r.findAllIn(logical).size == 1, logical)
+    assert("\\bWindow\\b".r.findAllIn(logical).size == 1, logical)
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     val df = SparkEntry.queries("q_pricing_summary")(spark, sf)
     df.collect() // AQE finalizes the plan only after execution
