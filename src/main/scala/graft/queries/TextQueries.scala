@@ -130,8 +130,11 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     // MinHash-LSH near-duplicate pairs over planted near-dups (one
-    // trailing token appended — est. Jaccard stays high). Candidates
-    // come from band-bucket equi-joins; verified by DedupSpec.
+    // trailing token appended). Candidates come from band-bucket
+    // equi-joins; each candidate is then verified with the EXACT
+    // token-3-gram Jaccard, so DuckDB can recompute the result as an
+    // all-pairs exact self-join (feasible at oracle scale only — the
+    // Spark side never goes all-pairs).
     "q_neardup_pairs" -> Q(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -139,8 +142,30 @@ object TextQueries {
           docs.filter(col("doc_id") < 20).select(
             (col("doc_id") + 100000).as("doc_id"),
             concat(col("text"), lit(" trailing")).as("text")))
-        Dedup.nearDuplicates(planted, "doc_id", "text", threshold = 0.5)
+        Dedup.verifiedNearDuplicates(planted, "doc_id", "text", threshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))
-      })
+      },
+      Some(s"""WITH docs2 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
+              |  FROM documents WHERE doc_id < 20),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs2),
+              |grams AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+              |    i -> array_to_string(t[i:i+2], ' '))) AS g
+              |  FROM toks),
+              |scored AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
+              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+              |SELECT id_a, id_b,
+              |  CASE WHEN un = 0 THEN 0.0 ELSE inter / un END AS jaccard
+              |FROM scored
+              |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -10,6 +10,14 @@ import graft.vector.{Ann, VectorFunctions}
   * windowed exact-kNN path. */
 object VectorQueries {
 
+  /** The LSH hyperplanes as a DuckDB VALUES literal — Scala's
+    * Double.toString is shortest-round-trip, so DuckDB parses back the
+    * exact same doubles and the oracle recomputes the same buckets. */
+  private def planesValues(bits: Int, dim: Int, seed: Long): String =
+    Ann.hyperplanes(bits, dim, seed).zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.mkString(",")}])"
+    }.mkString(",\n    ")
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Brute-force cosine top-10 against the vec_id=0 embedding. The
@@ -85,8 +93,11 @@ object VectorQueries {
 
     // Embedding-cosine near-duplicate detection (the vector analogue of
     // MinHash dedup): planted perturbed copies must surface as pairs.
-    // LSH self-join on hyperplane buckets — no cross join. Exactness
-    // asserted in AnnSpec; entry is rows-only (LSH not in DuckDB).
+    // LSH self-join on hyperplane buckets — no cross join. The oracle
+    // recomputes the pair set EXACTLY as an all-pairs cosine self-join
+    // (feasible at oracle scale only); the entry emits ids alone so the
+    // compare is integer-exact. probes=1 here (the bench path); AnnSpec
+    // drives probes=2 and asserts full planted recall.
     "q_embed_neardup" -> Q(
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -96,16 +107,30 @@ object VectorQueries {
             transform(col("embedding"), (x, i) =>
               x + lit(0.002f) * ((i * 7 + col("vec_id")) % 5 - 2).cast("float"))
               .as("embedding")))
-        // probes=1 here (the bench path); AnnSpec drives probes=2 and
-        // asserts full planted recall — single-probe loses nothing for
-        // cos≈0.9996 copies but scans 4× fewer candidates.
         graft.vector.Ann.cosineNearDuplicates(
           planted, "vec_id", "embedding", threshold = 0.98, probes = 1)
+          .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
-      }),
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id,
+             |    list_transform(range(len(embedding)), i ->
+             |      embedding[i+1] + CAST(0.002 AS FLOAT)
+             |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
+             |  FROM embeddings WHERE vec_id % 25 = 0)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                             CAST(b.embedding AS DOUBLE[])) >= 0.98
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // IVF-style ANN: centroid assignment + nprobe probing — better on
     // clustered corpora than hyperplane LSH; recall gated in AnnSpec.
+    // The oracle REIMPLEMENTS the whole IVF pipeline in SQL (centroid
+    // pick, argmax assignment, nprobe probing, windowed re-rank) — the
+    // centroid set derives from the data, so no literals are needed.
     "q_ann_ivf" -> Q(
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -116,13 +141,42 @@ object VectorQueries {
           .select(col("vec_id").as("cid"), col("embedding"))
         Ann.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
           k = 5, centroids = centroids, nprobe = 4)
-          .select(col("qid"), col("vec_id"), col("rank"))
+          .select(col("qid"), col("vec_id"), cast_rank)
           .orderBy(col("qid"), col("rank"))
-      }),
+      },
+      Some("""WITH data AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cents AS (
+             |  SELECT vec_id AS cid, v AS cv FROM data
+             |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+             |assigned AS (
+             |  SELECT d.vec_id, c.cid, row_number() OVER (PARTITION BY d.vec_id
+             |    ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS crank
+             |  FROM data d, cents c),
+             |dassign AS (SELECT vec_id, cid FROM assigned WHERE crank = 1),
+             |qs AS (SELECT vec_id AS qid, v AS qv FROM data WHERE vec_id % 100 = 0),
+             |qassign AS (
+             |  SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS crank
+             |  FROM qs q, cents c),
+             |cand AS (
+             |  SELECT p.qid, da.vec_id, list_cosine_similarity(d.v, p.qv) AS sim
+             |  FROM (SELECT qid, qv, cid FROM qassign WHERE crank <= 4) p
+             |  JOIN dassign da ON da.cid = p.cid
+             |  JOIN data d ON d.vec_id = da.vec_id
+             |  WHERE da.vec_id <> p.qid),
+             |ranked AS (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |    ORDER BY sim DESC, vec_id) AS rn
+             |  FROM cand)
+             |SELECT qid, vec_id, CAST(rn AS INT) AS rank
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // LSH-bucketed ANN (random hyperplanes, multi-probe d≤1): the scale
-    // path — candidates from bucket equi-joins, exact re-rank. Recall
-    // vs exact top-k is asserted in AnnSpec.
+    // path — candidates from bucket equi-joins, exact re-rank. The
+    // oracle REIMPLEMENTS the pipeline in SQL with the hyperplanes
+    // embedded as round-trip-exact double literals: sign-bit bucketing,
+    // Hamming-1 probe expansion via xor, windowed re-rank.
     "q_ann_lsh" -> Q(
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -130,8 +184,41 @@ object VectorQueries {
           .select(col("vec_id").as("qid"), col("embedding"))
         Ann.lshTopK(emb, queries, "vec_id", "embedding", "qid",
           k = 5, bits = 8, probes = 1)
-          .select(col("qid"), col("vec_id"), col("rank"))
+          .select(col("qid"), col("vec_id"), cast_rank)
           .orderBy(col("qid"), col("rank"))
-      })
+      },
+      Some(s"""WITH planes(j, p) AS (VALUES
+              |    ${planesValues(bits = 8, dim = 64, seed = 42L)}),
+              |data AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |buckets AS (
+              |  SELECT d.vec_id,
+              |    CAST(sum(CASE WHEN list_inner_product(d.v, pl.p) >= 0
+              |             THEN 1 << pl.j ELSE 0 END) AS INT) AS bucket
+              |  FROM data d, planes pl GROUP BY d.vec_id),
+              |qs AS (
+              |  SELECT d.vec_id AS qid, d.v AS qv, b.bucket AS qbucket
+              |  FROM data d JOIN buckets b ON b.vec_id = d.vec_id
+              |  WHERE d.vec_id % 100 = 0),
+              |probes AS (
+              |  SELECT qid, qv, unnest(list_prepend(qbucket,
+              |    list_transform(range(8), j -> xor(qbucket, CAST(1 << j AS INT))))) AS bucket
+              |  FROM qs),
+              |cand AS (
+              |  SELECT p.qid, b.vec_id, list_cosine_similarity(d.v, p.qv) AS sim
+              |  FROM probes p
+              |  JOIN buckets b ON b.bucket = p.bucket
+              |  JOIN data d ON d.vec_id = b.vec_id
+              |  WHERE b.vec_id <> p.qid),
+              |ranked AS (
+              |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              |    ORDER BY sim DESC, vec_id) AS rn
+              |  FROM cand)
+              |SELECT qid, vec_id, CAST(rn AS INT) AS rank
+              |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin))
   )
+
+  /** row_number() is int on both engines, but keep the cast explicit
+    * so the checker's schema compare can never drift. */
+  private def cast_rank = col("rank").cast("int").as("rank")
 }

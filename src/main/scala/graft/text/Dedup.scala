@@ -146,6 +146,24 @@ object Dedup {
     candidatePairs(df, idCol, textCol, w, k, bands)
       .filter(col("est_jaccard") >= threshold)
 
+  /** The production near-dup shape: LSH candidates (recall from
+    * banding) verified with the EXACT n-gram Jaccard (precision exact)
+    * — the threshold applies to the true similarity, so the output is
+    * engine-checkable, unlike the MinHash estimate. The exact verifier
+    * runs once per candidate pair, never all-pairs. */
+  def verifiedNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.7, w: Int = 3,
+                             k: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = candidatePairs(df, idCol, textCol, w, k, bands)
+      .select(col("id_a"), col("id_b"))
+    pairs
+      .join(df.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ngramJaccard(col("text_a"), col("text_b"), w).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash per document: tokens explode once, each token is
     * hashed ONCE, then 64 conditional-sum bit votes aggregate per doc
     * (codegen'd hash aggregate, one shuffle on the id), and the votes
