@@ -45,6 +45,17 @@ object Merge {
     * @param whenNotMatchedBySourceSet  columns rewritten for target rows
     *                            with no source match (soft-retire); empty
     *                            map = leave those rows untouched
+    * @param requireUniqueSourceKeys  fail the job (like Delta's
+    *                            multiple-match error) when two source rows
+    *                            share a merge key, instead of silently
+    *                            fanning out the matched target row. The
+    *                            check is a window count folded into the
+    *                            merge's own scan — no extra job — but it
+    *                            shuffles the source side, so it is opt-in.
+    *
+    * Keys join with PLAIN equality, exactly like Delta MERGE: a
+    * NULL-keyed source row never matches a NULL-keyed target row — it
+    * inserts, and the NULL-keyed target row takes the BY SOURCE branch.
     */
   def merge(
       target: DataFrame,
@@ -53,11 +64,16 @@ object Merge {
       whenMatchedUpdate: Map[String, Column],
       whenNotMatchedInsert: Boolean = true,
       insertDefaults: Map[String, Column] = Map.empty,
-      whenNotMatchedBySourceSet: Map[String, Column] = Map.empty): DataFrame = {
+      whenNotMatchedBySourceSet: Map[String, Column] = Map.empty,
+      requireUniqueSourceKeys: Boolean = false): DataFrame = {
     val outCols = target.columns.toSeq
     val t = target.withColumn("__tpresent", lit(true)).alias("__t")
-    val s = source.withColumn("__spresent", lit(true)).alias("__s")
-    val joinCond = keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
+    val s0 = source.withColumn("__spresent", lit(true))
+    val s = (if (requireUniqueSourceKeys)
+      s0.withColumn("__scnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
+    else s0).alias("__s")
+    val joinCond = keys.map(k => tgt(k) === src(k)).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 
     val matched = col("__t.__tpresent").isNotNull && col("__s.__spresent").isNotNull
@@ -79,7 +95,15 @@ object Merge {
     val withInsertFilter =
       if (whenNotMatchedInsert) joined
       else joined.filter(!sourceOnly)
-    withInsertFilter.select(projected: _*)
+    val guarded =
+      if (requireUniqueSourceKeys)
+        withInsertFilter.filter(
+          when(col("__s.__scnt") > 1, raise_error(
+            concat(lit("MERGE: duplicate source rows for key ("),
+              concat_ws(",", keys.map(k => src(k).cast("string")): _*), lit(")"))))
+            .otherwise(lit(true)))
+      else withInsertFilter
+    guarded.select(projected: _*)
   }
 
   /** Insert-only MERGE (status seed, insert_config.py:146-161): keep all

@@ -42,20 +42,40 @@ final class MetaStore(val spark: SparkSession, val root: String) {
 
   private val logSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** One log entry: (entryType, description, statusId, error). */
+  type LogEntry = (String, String, Int, Option[String])
+
   /** Append one log row and update the control-table state machine — the
     * reference's update_insert_log_control
-    * (modules/log_table_control_table_upsert.py:9-75). LogID is unique
-    * within this store instance even when many rows share a timestamp
-    * (millis × 10^6 + in-process sequence). */
+    * (modules/log_table_control_table_upsert.py:9-75). */
   def logAndControl(
       headerId: Long, sourcePath: String, batchId: Int, entryType: String,
       description: String, statusId: Int, error: Option[String] = None,
-      jobId: Option[String] = None, now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
-    import spark.implicits._
-    val logId = now.getTime * 1000000L + (logSeq.incrementAndGet() % 1000000L)
-    logs.append(Seq(LogRow(logId, headerId, sourcePath, batchId, jobId,
-      entryType, description, error, statusId, now)).toDS().toDF())
+      jobId: Option[String] = None, now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit =
+    logAndControlMany(headerId, sourcePath, batchId,
+      Seq((entryType, description, statusId, error)), jobId, now)
 
+  /** Batched variant: N log rows in ONE append, control updated ONCE
+    * (to the last entry's status). A micro-batch logs 2+ entries; at a
+    * sub-second trigger the per-entry read-rewrite of the control table
+    * is pure driver job churn, so callers pass the batch's entries
+    * together. LogID is unique within this store instance even when
+    * many rows share a timestamp (millis × 10^6 + in-process
+    * sequence). */
+  def logAndControlMany(
+      headerId: Long, sourcePath: String, batchId: Int,
+      entries: Seq[LogEntry], jobId: Option[String] = None,
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
+    import spark.implicits._
+    require(entries.nonEmpty, "logAndControlMany needs at least one entry")
+    val rows = entries.map { case (entryType, description, statusId, error) =>
+      val logId = now.getTime * 1000000L + (logSeq.incrementAndGet() % 1000000L)
+      LogRow(logId, headerId, sourcePath, batchId, jobId,
+        entryType, description, error, statusId, now)
+    }
+    logs.append(rows.toDS().toDF())
+
+    val statusId = entries.last._3
     val existing = control.read().filter(col("HeaderID") === headerId).limit(1).count() > 0
     if (existing) {
       control.update(col("HeaderID") === headerId, Map(

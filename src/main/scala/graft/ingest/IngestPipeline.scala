@@ -18,9 +18,12 @@ import graft.model.FeedConfig.{ColumnSpec, Feed}
   *
   * Scale notes: every step is a narrow transform over the batch — no
   * shuffle at all on the happy path (select/rename/withColumn/filter),
-  * and the only action besides the sink write is the corrupt-count,
-  * which the reference also pays. Catalog lookups are driver-side reads
-  * of tiny tables.
+  * and the happy path is ONE scan: the row count and the corrupt count
+  * ride the sink write as observe() metrics instead of separate count
+  * jobs (the reference pays 2-3 scans per batch). The rare corrupt
+  * batch pays a compensating delete of its own just-appended rows
+  * before quarantining. Catalog lookups are driver-side reads of tiny
+  * tables, batched to one control update per micro-batch.
   */
 final class IngestPipeline(
     val spark: SparkSession,
@@ -30,7 +33,8 @@ final class IngestPipeline(
     val piiPath: Option[String] = None,
     val corruptPath: Option[String] = None,
     val errorDir: Option[String] = None,
-    val clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    val clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    val notifier: graft.notify.Notifier = graft.notify.Notifier.default) {
 
   @volatile var columns: Seq[ColumnSpec] = feed.Columns
   @volatile var driftEvents: Seq[String] = Nil
@@ -99,54 +103,100 @@ final class IngestPipeline(
     evolveIfDrifted(SchemaTools.extraColumns(stamped, columns), batchId, now)
 
     // Corrupt gate (auto_loader_steps.py:277-315): any row with a
-    // non-null rescue column fails the batch into quarantine. The
-    // reference counts distinct() corrupt rows — a full batch shuffle;
-    // filter-then-count is shuffle-free, counts duplicates correctly,
-    // and the gate only needs count > 0.
-    if (stamped.columns.contains(IngestPipeline.RescueColumn)) {
-      val corrupt = stamped.filter(col(IngestPipeline.RescueColumn).isNotNull)
-      val corruptRows = corrupt.count()
-      if (corruptRows > 0) {
-        corruptPath.foreach(p =>
-          stamped.write.mode("overwrite").parquet(p))
-        if (stamped.columns.contains("source_file_path"))
-          for (dir <- errorDir;
-               row <- corrupt.select("source_file_path").distinct().collect())
-            FileOps.moveToError(spark, row.getString(0), dir)
-        log(batchId, "AUTO_LOADER", s"Bad records: $corruptRows", 3,
-          error = Some(s"$corruptRows corrupt rows quarantined"))
-        throw new IllegalStateException("Bad records")
-      }
+    // non-null rescue column fails the batch into quarantine. In
+    // overwrite mode the gate must run BEFORE the write (overwriting
+    // destroys the previous contents, so there is nothing to compensate
+    // back to); in append mode the corrupt count rides the write as an
+    // observe() metric and the rare corrupt batch is pulled back out.
+    val gated = stamped.columns.contains(IngestPipeline.RescueColumn)
+    if (gated && feed.OverWriteFlag == 1) {
+      val corruptRows =
+        stamped.filter(col(IngestPipeline.RescueColumn).isNotNull).count()
+      if (corruptRows > 0) quarantine(stamped, batchId, corruptRows)
     }
 
-    loadData(stamped, batchId)
+    loadData(stamped, batchId, observeCorrupt = gated && feed.OverWriteFlag != 1)
+  }
+
+  /** Corrupt-batch path: dump the batch to the quarantine location, move
+    * the offending source files to the error dir, log + notify, fail the
+    * batch (auto_loader_steps.py:277-315). Never returns. */
+  private def quarantine(stamped: DataFrame, batchId: Long, corruptRows: Long): Nothing = {
+    corruptPath.foreach(p => stamped.write.mode("overwrite").parquet(p))
+    if (stamped.columns.contains("source_file_path"))
+      for (dir <- errorDir;
+           row <- stamped.filter(col(IngestPipeline.RescueColumn).isNotNull)
+             .select("source_file_path").distinct().collect())
+        FileOps.moveToError(spark, row.getString(0), dir)
+    log(batchId, "AUTO_LOADER", s"Bad records: $corruptRows", 3,
+      error = Some(s"$corruptRows corrupt rows quarantined"))
+    notifier.notify("CORRUPT_BATCH", feed.qualifiedTarget,
+      s"batch $batchId: $corruptRows corrupt rows quarantined" +
+        corruptPath.fold("")(p => s" at $p"))
+    throw new IllegalStateException("Bad records")
   }
 
   /** load_data (auto_loader_steps.py:323-409): ordered select, rename to
-    * target names, PII fork, append/overwrite sink, row-count log. */
-  private def loadData(stamped: DataFrame, batchId: Long): Long = {
+    * target names, PII fork, append/overwrite sink, row-count log. The
+    * row count and (append mode) the corrupt count are observe() metrics
+    * on the ONE write scan — no separate count jobs. */
+  private def loadData(stamped: DataFrame, batchId: Long,
+                       observeCorrupt: Boolean = false): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val corruptMetric =
+      if (observeCorrupt)
+        sum(when(col(IngestPipeline.RescueColumn).isNotNull, 1L).otherwise(0L))
+      else sum(lit(0L))
+    val watched = stamped.observe(obs,
+      count(lit(1)).as("rows"), corruptMetric.as("corrupt"))
+
     val ordered = columns.sortBy(_.ColumnOrder)
     val selectCols = ordered.map(c => col(c.SourceColumnName)) ++
       Seq(col("BatchId"), col("InsertDate"), col("ModifiedDateTime"))
     val renames = ordered
       .filter(c => c.SourceColumnName != c.TargetColumnName)
       .map(c => c.SourceColumnName -> c.TargetColumnName).toMap
-    val projected = stamped.select(selectCols: _*).withColumnsRenamed(renames)
+    val projected = watched.select(selectCols: _*).withColumnsRenamed(renames)
 
     val mode = if (feed.OverWriteFlag == 1) "overwrite" else "append"
-    val rows = projected.count()
-
     if (mode == "overwrite") target.overwrite(projected) else target.append(projected)
 
-    // PII shadow table with masked values (auto_loader_steps.py:345-375).
+    val metrics = obs.get
+    val rows = metrics("rows").asInstanceOf[Long]
+    val corruptRows = Option(metrics("corrupt")) // sum over empty batch is null
+      .fold(0L)(_.asInstanceOf[Long])
+    if (corruptRows > 0) {
+      // compensate: pull this batch's rows back out of the target (the
+      // BatchId stamp identifies exactly them), then quarantine
+      target.deleteWhere(col("BatchId") === lit(batchId.toInt + 1))
+      quarantine(stamped, batchId, corruptRows)
+    }
+
+    // PII shadow table with masked values (auto_loader_steps.py:345-375)
+    // — written only after the batch is known clean.
     piiTarget.foreach { pii =>
       val masked = Masking.maskPII(projected, columns)
       if (mode == "overwrite") pii.overwrite(masked) else pii.append(masked)
     }
 
-    log(batchId, "ROW_COUNT", rows.toString, 1)
-    log(batchId, "AUTO_LOADER", s"Batch $batchId loaded ($mode)", 1)
+    meta.logAndControlMany(feed.HeaderID, feed.SourceFilePath, batchId.toInt,
+      Seq(("ROW_COUNT", rows.toString, 1, None),
+        ("AUTO_LOADER", s"Batch $batchId loaded ($mode)", 1, None)),
+      now = clock())
     rows
+  }
+
+  /** Post-load OPTIMIZE ZORDER (auto_loader_steps.py:481-498): compact
+    * the target (and PII shadow) clustering on the config's ZOrder
+    * columns. Run once per completed load — NOT per micro-batch, a
+    * per-batch full-table rewrite would be quadratic in stream length. */
+  def compactTargets(): Unit = {
+    val zcols = columns.filter(_.ZOrder == 1).sortBy(_.ColumnOrder)
+      .map(_.TargetColumnName)
+    if (zcols.nonEmpty) {
+      if (target.exists) target.compact(zcols)
+      piiTarget.filter(_.exists).foreach(_.compact(zcols))
+    }
   }
 }
 

@@ -104,8 +104,8 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
   }
 
   /** One-shot ingest: preflight drift, idempotent daily delete, create
-    * targets, start, drain, stop. Returns when the sink is fully
-    * loaded. */
+    * targets, start, drain, stop, compact. Returns when the sink is
+    * fully loaded. */
   def runOnce(checkpointDir: String): Unit = {
     if (FileOps.awaitFiles(spark, feed.SourceFilePath, timeoutMs = 10000))
       preflightDrift()
@@ -118,5 +118,74 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
     val q = start(checkpointDir)
     try q.awaitTermination()
     finally if (q.isActive) q.stop()
+    // post-load OPTIMIZE ZORDER from the config's flags
+    // (auto_loader_steps.py:481-498) — once per completed load
+    pipeline.compactTargets()
+  }
+
+  /** The control table's LatestBatchID for this feed, or -1 before the
+    * first batch — the bookkeeping the reference's stop loop polls. */
+  private def latestBatchId(): Int = {
+    val rows = pipeline.meta.control.read()
+      .filter(col("HeaderID") === feed.HeaderID)
+      .select(max(col("LatestBatchID"))).collect()
+    if (rows.isEmpty || rows.head.isNullAt(0)) -1 else rows.head.getInt(0)
+  }
+
+  /** Continuous-mode graceful stop (auto_loader_steps.py:500-528
+    * `stop_batch`): start the 0.5 s-trigger stream, poll the control
+    * table until LatestBatchID has advanced past
+    * `initial + BatchFileCount - 1` (i.e. BatchFileCount data batches
+    * landed), then stop the query. A deadline bounds the wait when
+    * fewer files than expected arrive. Ends with the same post-load
+    * compaction as [[runOnce]]. */
+  def runContinuousBatches(checkpointDir: String,
+                           pollMs: Long = 100,
+                           timeoutMs: Long = 60000): Unit = {
+    require(feed.ContinuousRunFlag == 1,
+      "runContinuousBatches drives continuous-mode feeds; use runOnce otherwise")
+    if (FileOps.awaitFiles(spark, feed.SourceFilePath, timeoutMs = 10000))
+      preflightDrift()
+    pipeline.createTargets()
+    val initial = latestBatchId()
+    val q = start(checkpointDir)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    try {
+      while (q.isActive && latestBatchId() <= initial + feed.BatchFileCount - 1
+        && System.currentTimeMillis() < deadline)
+        Thread.sleep(pollMs)
+      // surface a batch failure instead of swallowing it as a "stop"
+      if (q.exception.isDefined) throw q.exception.get
+    } finally if (q.isActive) q.stop()
+    pipeline.compactTargets()
+  }
+
+  /** Harness-level retry honoring the config's Retries
+    * (`.option("retryCount", 2)` in Data Ingestion Steps.py:44, job
+    * max_retries in create_workflow_jobs.py:278-279): re-run a failed
+    * ingest up to Retries extra times. The checkpoint makes replays
+    * exactly-once at the source and the BatchId-stamped compensating
+    * delete keeps the target clean, so a retry never double-loads.
+    * Returns the number of retries used; notifies and rethrows when the
+    * attempts are exhausted. */
+  def runOnceWithRetry(checkpointDir: String): Int = {
+    val max = math.max(feed.JobConfig.Retries, 0)
+    var attempt = 0
+    while (true) {
+      try { runOnce(checkpointDir); return attempt }
+      catch {
+        case e: Exception if attempt < max =>
+          pipeline.meta.logAndControl(feed.HeaderID, feed.SourceFilePath,
+            batchId = -1, "AUTO_LOADER",
+            s"Attempt ${attempt + 1} failed: ${e.getMessage}; retrying", 2,
+            error = Some(e.toString), now = pipeline.clock())
+          attempt += 1
+        case e: Exception =>
+          pipeline.notifier.notify("RUN_FAILED", feed.qualifiedTarget,
+            s"ingest failed after $attempt retries: ${e.getMessage}")
+          throw e
+      }
+    }
+    attempt // unreachable
   }
 }

@@ -50,4 +50,20 @@ object RunDecision {
       .join(broadcast(header), Seq("HeaderID"), "left")
       .filter(lit(nowTime) > col("SLA"))
       .select(col("HeaderID"), col("JobID"), col("SLA"), col("TableName"))
+
+  /** Run the SLA sweep and notify per cancelled job — the reference
+    * posts a chat card for each cancellation (Run jobs.py:180-202 +
+    * send_google_chat.py:79-87). The cancel set is one row per
+    * past-deadline feed (tiny by construction), so the collect is a
+    * driver-side scalar fetch, not a data collect. Returns the
+    * cancelled HeaderIDs. */
+  def sweepAndNotify(control: DataFrame, header: DataFrame, nowTime: String,
+                     notifier: graft.notify.Notifier): Seq[Long] =
+    slaCancel(control, header, nowTime).collect().toSeq.map { r =>
+      val headerId = r.getAs[Number]("HeaderID").longValue
+      notifier.notify("SLA_CANCEL", Option(r.getString(r.fieldIndex("TableName")))
+        .getOrElse(s"header $headerId"),
+        s"job ${r.get(r.fieldIndex("JobID"))} past SLA ${r.get(r.fieldIndex("SLA"))} at $nowTime — cancelled")
+      headerId
+    }
 }

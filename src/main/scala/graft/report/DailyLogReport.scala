@@ -112,6 +112,20 @@ object DailyLogReport {
     finalReport(sourceCounts, jobDurations(steps, now), loggedRowCounts(steps), reportDate)
   }
 
+  /** Source-file inventory for the report's config pane
+    * (Autoloader_daily_log_report.sql:70-71): one row per distinct file
+    * under the source path with its modification time, from the scan's
+    * own `_metadata` struct — no extra filesystem listing, the file
+    * index the scan already built supplies both columns. */
+  def fileInventory(spark: org.apache.spark.sql.SparkSession, path: String,
+                    format: String = "parquet"): DataFrame =
+    spark.read.format(format)
+      .option("ignoreMissingFiles", "true")
+      .load(path)
+      .select(col("_metadata.file_path").as("FilePath"),
+        col("_metadata.file_modification_time").as("FileModificationTime"))
+      .distinct()
+
   /** Idempotent daily persist (sql:237-277): DELETE today's rows, then
     * INSERT the fresh report into the catalog's daily_log_report. */
   def persist(meta: graft.catalog.MetaStore, report: DataFrame,

@@ -68,8 +68,13 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // within gap of the open session. A later batch can
+                // carry events OLDER than the restored state (late but
+                // inside the watermark) — extend with min/max so the
+                // session interval never moves backwards.
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, events = s.events + 1,
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), events = s.events + 1,
                     value = s.value + e.value))
                 case Some(s) =>
                   closed += Session(userId, new Timestamp(s.start),

@@ -116,13 +116,20 @@ object Dedup {
     val based = df.select(col(idCol).as("id"),
       tokenHashes(col(textCol)).as("th"))
       .select(col("id"), shingleHashesFromTokenHashes(col("th"), w).as("bh0"))
-    // Cached for the three reads below (band explode + two signature
-    // re-joins). The block stays under Spark's LRU storage management —
-    // the unified memory manager evicts it under execution pressure;
-    // long-lived callers can spark.catalog.clearCache() between corpora.
-    val sigd = based
-      .select(col("id"), minhashFromBaseHashes(col("bh0"), k).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the signature table once (the standard cluster-scale
+    // "signature table" step): computing MinHash costs |tokens| string
+    // hashes per doc and the relation is read three more times below
+    // (both self-join sides + two score re-joins), so recomputing is
+    // out; a short-lived parquet spill makes each re-read a cheap
+    // columnar scan with NO executor-cache footprint — a persist() here
+    // would outlive the returned DataFrame with no safe unpersist
+    // point. The temp dir lives under java.io.tmpdir.
+    val spark = df.sparkSession
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-minhash-sig")
+      .resolve("sig").toString
+    based.select(col("id"), minhashFromBaseHashes(col("bh0"), k).as("sig"))
+      .write.mode("overwrite").parquet(sigDir)
+    val sigd = spark.read.parquet(sigDir)
     val exploded = sigd
       .select(col("id"), explode(bandHashes(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))

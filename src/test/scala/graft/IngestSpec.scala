@@ -167,4 +167,125 @@ class IngestSpec extends AnyFunSuite {
     val tmp = Files.createTempDirectory("ing-empty")
     assert(!FileOps.awaitFiles(spark, tmp.resolve("nope").toString, timeoutMs = 300))
   }
+
+  test("happy-path batch scans its input exactly once (counts ride the write)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ing-onescan")
+    val meta = new MetaStore(spark, tmp.resolve("meta").toString).bootstrap()
+    val pipe = new IngestPipeline(spark, feed(tmp.resolve("src").toString), meta,
+      tmp.resolve("target").toString, clock = () => now)
+    val scanned = spark.sparkContext.longAccumulator("scans")
+    val batch = Seq((1, "ann", 1.5), (2, "bob", 2.5)).toDF("id", "name", "score")
+      .as[(Int, String, Double)]
+      .map { r => scanned.add(1); r }
+      .toDF("id", "name", "score")
+    val rows = pipe.processBatch(batch, batchId = 0)
+    assert(rows == 2)
+    // 2 rows, 1 pass: the row count is an observe() metric on the write
+    // scan, not a separate count job (the round-2 path scanned twice)
+    assert(scanned.value == 2, s"batch scanned ${scanned.value / 2} times")
+  }
+
+  test("append-mode corrupt batch: compensating delete leaves target empty, notifier fires") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ing-comp")
+    val meta = new MetaStore(spark, tmp.resolve("meta").toString).bootstrap()
+    val notifier = new graft.notify.BufferingNotifier
+    val pipe = new IngestPipeline(spark, feed(tmp.resolve("src").toString), meta,
+      tmp.resolve("target").toString,
+      corruptPath = Some(tmp.resolve("corrupt").toString),
+      clock = () => now, notifier = notifier)
+    val bad = Seq(
+      (1, "ann", 1.5, null.asInstanceOf[String]),
+      (2, "bob", 2.5, "2,bob,oops"))
+      .toDF("id", "name", "score", "_rescued_data")
+    intercept[IllegalStateException] { pipe.processBatch(bad, batchId = 0) }
+    // the batch was appended on the single write pass, then pulled back
+    // out by the BatchId-stamped compensating delete
+    assert(pipe.target.read().count() == 0)
+    assert(spark.read.parquet(tmp.resolve("corrupt").toString).count() == 2)
+    assert(notifier.events.exists(_._1 == "CORRUPT_BATCH"), notifier.events)
+  }
+
+  test("continuous mode: runContinuousBatches stops after BatchFileCount batches") {
+    val tmp = Files.createTempDirectory("ing-contstop")
+    writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5"))
+    val f = feed(tmp.resolve("src").toString)
+      .copy(ContinuousRunFlag = 1, BatchFileCount = 2)
+    val (pipe, runner) = build(tmp, f)
+    // deliver the second batch's file while the stream is live
+    val writer = new Thread(() => {
+      Thread.sleep(1500)
+      writeCsv(tmp, "b.csv", Seq("id,name,score", "2,bob,2.5"))
+    })
+    writer.start()
+    runner.runContinuousBatches(tmp.resolve("ckpt").toString, timeoutMs = 45000)
+    writer.join()
+    // both batches landed and the query stopped on its own bookkeeping
+    assert(pipe.target.read().count() == 2)
+    val latest = pipe.meta.control.read().filter(col("HeaderID") === 7)
+      .select(max(col("LatestBatchID"))).collect().head.getInt(0)
+    assert(latest >= 1, s"expected 2 batches, LatestBatchID=$latest")
+  }
+
+  test("runOnceWithRetry retries a transient failure and succeeds") {
+    val tmp = Files.createTempDirectory("ing-retry")
+    writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5", "2,bob,2.5"))
+    val meta = new MetaStore(spark, tmp.resolve("meta").toString).bootstrap()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    val flakyClock: () => Timestamp = () => {
+      if (failures.getAndDecrement() > 0) throw new RuntimeException("transient")
+      now
+    }
+    val pipe = new IngestPipeline(spark, feed(tmp.resolve("src").toString), meta,
+      tmp.resolve("target").toString, clock = flakyClock)
+    val retries = new StreamRunner(spark, pipe)
+      .runOnceWithRetry(tmp.resolve("ckpt").toString)
+    assert(retries == 1)
+    // the checkpoint replays the failed batch exactly once
+    assert(pipe.target.read().count() == 2)
+    assert(pipe.meta.logs.read()
+      .filter(col("LogEntryDescription").contains("retrying")).count() == 1)
+  }
+
+  test("runOnceWithRetry exhausts Retries and notifies RUN_FAILED") {
+    val tmp = Files.createTempDirectory("ing-retryfail")
+    writeCsv(tmp, "bad.csv", Seq("id,name,score", "2,bob,oops"))
+    val meta = new MetaStore(spark, tmp.resolve("meta").toString).bootstrap()
+    val notifier = new graft.notify.BufferingNotifier
+    val f = feed(tmp.resolve("src").toString)
+    val pipe = new IngestPipeline(spark,
+      f.copy(JobConfig = f.JobConfig.copy(Retries = 1)), meta,
+      tmp.resolve("target").toString,
+      corruptPath = Some(tmp.resolve("corrupt").toString),
+      clock = () => now, notifier = notifier)
+    intercept[Exception] {
+      new StreamRunner(spark, pipe).runOnceWithRetry(tmp.resolve("ckpt").toString)
+    }
+    // 1 retry attempted (logged), then the failure notified
+    assert(pipe.meta.logs.read()
+      .filter(col("LogEntryDescription").contains("retrying")).count() == 1)
+    assert(notifier.events.exists(_._1 == "RUN_FAILED"), notifier.events)
+  }
+
+  test("ZOrder-flagged feed is compacted after the load: one sorted file") {
+    val tmp = Files.createTempDirectory("ing-zorder")
+    writeCsv(tmp, "a.csv", Seq("id,name,score", "3,cat,3.0", "1,ann,1.5"))
+    writeCsv(tmp, "b.csv", Seq("id,name,score", "2,bob,2.5"))
+    val base = feed(tmp.resolve("src").toString)
+    val f = base.copy(Columns = base.Columns.map(c =>
+      if (c.SourceColumnName == "id") c.copy(ZOrder = 1) else c))
+    val (pipe, runner) = build(tmp, f)
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    // two micro-batches wrote >=2 files; post-load compaction leaves 1
+    import scala.jdk.CollectionConverters._
+    val partFiles = Files.list(tmp.resolve("target")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
+    assert(partFiles.size == 1, partFiles)
+    // and rows are clustered by the z column
+    val ids = pipe.target.read().select("person_id")
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().toSeq
+    assert(ids == ids.sorted, ids)
+  }
 }

@@ -48,6 +48,33 @@ class MergeSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, "Not Started"), (1, "Completed"), (5, "New")))
   }
 
+  test("NULL-keyed source rows insert; NULL-keyed target rows never match them (Delta semantics)") {
+    val t = Seq((Some(1), "a"), (None, "tnull")).toDF("id", "name")
+    val s = Seq((Some(1), "a2"), (None, "snull")).toDF("id", "name")
+    val out = Merge.merge(t, s, Seq("id"),
+      whenMatchedUpdate = Map("name" -> Merge.src("name")),
+      whenNotMatchedBySourceSet = Map("name" -> lit("retired")))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(out == Set(
+      (Some(1), "a2"),      // matched → updated
+      (None, "retired"),    // NULL-key target: NOT matched by source
+      (None, "snull")))     // NULL-key source: inserted, not an update
+  }
+
+  test("duplicate source keys fail loudly when requireUniqueSourceKeys is set") {
+    val dupSource = Seq((2, "x", 1.0), (2, "y", 2.0)).toDF("id", "name", "bal")
+    val guarded = Merge.merge(target, dupSource, Seq("id"),
+      whenMatchedUpdate = Map("bal" -> Merge.src("bal")),
+      requireUniqueSourceKeys = true)
+    val ex = intercept[Exception] { guarded.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("duplicate source rows")), ex)
+    // and without the flag the historical fan-out behavior is unchanged
+    assert(Merge.merge(target, dupSource, Seq("id"),
+      whenMatchedUpdate = Map("bal" -> Merge.src("bal"))).count() == 4)
+  }
+
   test("upsertOnly equals full merge minus the by-source clause") {
     val a = Merge.upsertOnly(target, staging, Seq("id"),
       whenMatchedUpdate = Map("bal" -> Merge.src("bal")))

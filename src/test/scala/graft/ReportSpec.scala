@@ -81,4 +81,16 @@ class ReportSpec extends AnyFunSuite {
     assert(report(4L).getAs[String]("RowCountMatchFlag") == "PASS (Row count match)")
     assert(report(4L).getAs[Long]("Total_Job_Duration_Min") == 60L)
   }
+
+  test("fileInventory lists each source file once with its modification time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rep-inv").toString
+    Seq((1, "a")).toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((2, "b")).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    val inv = DailyLogReport.fileInventory(spark, dir).collect()
+    assert(inv.length == 2, inv.toSeq) // one row per part file
+    assert(inv.forall(_.getString(0).endsWith(".parquet")))
+    // mtime comes from the scan's own _metadata, and is a real time
+    assert(inv.forall(r => r.getTimestamp(1).getTime > 0L))
+  }
 }

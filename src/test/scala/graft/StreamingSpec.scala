@@ -90,6 +90,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("late-but-in-watermark event extends the session backwards, never shrinks it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(),
+      gapMs = 30 * 60 * 1000L, watermarkDelay = "20 minutes")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts("2024-03-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable() // watermark → 09:40
+      // 09:55 is BEFORE the restored state's last=10:00 but inside the
+      // watermark: it must extend the session's start, not drag last
+      // backwards (which could wrongly split the next event)
+      input.addData(Event(1, ts("2024-03-01 09:55:00"), "click", 2.0))
+      q.processAllAvailable()
+      // 11:00 is >30 min past last=10:00 → closes the session
+      input.addData(Event(1, ts("2024-03-01 11:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late").as[Session].collect()
+      assert(sessions.length == 1, sessions.toSeq)
+      val s = sessions.head
+      assert(s.start == ts("2024-03-01 09:55:00"), s)
+      assert(s.end == ts("2024-03-01 10:00:00"), s)
+      assert(s.n_events == 2 && s.total_value == 3.0, s)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("batch sessionization closes every session at end of input") {
     val events = Seq(
       Event(1, ts("2024-03-01 09:00:00"), "a", 1.0),
