@@ -119,31 +119,33 @@ object Dedup {
     // Materialize the signature table once (the standard cluster-scale
     // "signature table" step): computing MinHash costs |tokens| string
     // hashes per doc and the relation is read three more times below
-    // (both self-join sides + two score re-joins), so recomputing is
-    // out; a short-lived parquet spill makes each re-read a cheap
-    // columnar scan with NO executor-cache footprint — a persist() here
-    // would outlive the returned DataFrame with no safe unpersist
-    // point. The temp dir lives under java.io.tmpdir.
-    val spark = df.sparkSession
-    val sigDir = java.nio.file.Files.createTempDirectory("graft-minhash-sig")
-      .resolve("sig").toString
-    based.select(col("id"), minhashFromBaseHashes(col("bh0"), k).as("sig"))
-      .write.mode("overwrite").parquet(sigDir)
-    val sigd = spark.read.parquet(sigDir)
-    val exploded = sigd
-      .select(col("id"), explode(bandHashes(col("sig"), k, bands)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val pairs = exploded.select(col("id").as("id_a"), col("band"), col("bh"))
-      .join(exploded.select(col("id").as("id_b"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    pairs
-      .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+    // (both self-join sides + two score re-joins). The cache's lifetime
+    // is bounded INSIDE this call: the scored pair set — tiny relative
+    // to the corpus, it's the near-dup output — is materialized eagerly
+    // while the signatures are hot, then the signature cache is
+    // released. The checkpointed result's blocks are plain RDD blocks,
+    // GC'd by the ContextCleaner once the caller drops the DataFrame
+    // (unlike CacheManager entries, which outlive every reference).
+    val sigd = based
+      .select(col("id"), minhashFromBaseHashes(col("bh0"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exploded = sigd
+        .select(col("id"), explode(bandHashes(col("sig"), k, bands)).as("b"))
+        .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val pairs = exploded.select(col("id").as("id_a"), col("band"), col("bh"))
+        .join(exploded.select(col("id").as("id_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      pairs
+        .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .localCheckpoint(true)
+    } finally sigd.unpersist(false)
   }
 
   /** Near-duplicate pairs above an estimated-Jaccard threshold. */
@@ -157,11 +159,18 @@ object Dedup {
     * banding) verified with the EXACT n-gram Jaccard (precision exact)
     * — the threshold applies to the true similarity, so the output is
     * engine-checkable, unlike the MinHash estimate. The exact verifier
-    * runs once per candidate pair, never all-pairs. */
+    * runs once per candidate pair, never all-pairs, and a cheap
+    * estimated-Jaccard pre-filter (4σ below the exact threshold — the
+    * k-slot estimate's σ = sqrt(J(1-J)/k) ≤ 1/(2√k), so a true
+    * ≥-threshold pair clears it with ~3e-5 miss probability) discards
+    * the mass of one-band-coincidence candidates before they pay the
+    * text joins and the exact n-gram set intersection. */
   def verifiedNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, w: Int = 3,
                              k: Int = 64, bands: Int = 16): DataFrame = {
+    val margin = 2.0 / math.sqrt(k.toDouble)
     val pairs = candidatePairs(df, idCol, textCol, w, k, bands)
+      .filter(col("est_jaccard") >= math.max(0.0, threshold - margin))
       .select(col("id_a"), col("id_b"))
     pairs
       .join(df.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
