@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions.VectorExpressions
+
+/** Library extension point, installable two ways:
+  *
+  *   - `SparkSession.builder().withExtensions(new GraftExtensions)` —
+  *     or `spark.sql.extensions=graft.GraftExtensions` on a cluster —
+  *     registers everything before the session exists;
+  *   - [[GraftExtensions.register]] retrofits an already-running
+  *     session (idempotent), which `Tables.session`/`Tables.configure`
+  *     call so `getOrCreate` reuse can never hand back a session
+  *     missing the functions.
+  *
+  * Registered functions resolve by name through the session's
+  * FunctionRegistry, so they are callable from SQL text
+  * (`SELECT graft_cosine(a, b)`) as well as via `call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExpressions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** Register the library's functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    VectorExpressions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -37,12 +37,15 @@ object Tables {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate may reuse a session built without the extensions
+    GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -51,6 +54,7 @@ object Tables {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    GraftExtensions.register(spark)
     spark
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.vector.VectorFunctions
+
+/** The native codegen vector expressions (graft_dot / graft_cosine)
+  * must be BIT-identical to the higher-order-function formulation they
+  * replaced — the DuckDB oracle hash-compares doubles — including the
+  * null/length/NaN corners, and must actually survive codegen (no
+  * silent interpreted fallback). */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The pre-native formulations, kept verbatim as the semantic spec. */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    def nrm(v: org.apache.spark.sql.Column) = sqrt(hofDot(v, v))
+    least(greatest(hofDot(ad, bd) / (nrm(ad) * nrm(bd)), lit(-1.0)), lit(1.0))
+  }
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+  }
+
+  test("graft_dot and graft_cosine are bit-identical to the HOF formulation") {
+    val cmp = vecs.select(
+      VectorFunctions.dot(col("a"), col("b")).as("nd"),
+      hofDot(transform(col("a"), _.cast("double")),
+        transform(col("b"), _.cast("double"))).as("hd"),
+      VectorFunctions.cosine(col("a"), col("b")).as("nc"),
+      hofCosine(col("a"), col("b")).as("hc"))
+    // exact double equality, not tolerance — the oracle hashes bits
+    assert(cmp.filter(col("nd") =!= col("hd") || col("nc") =!= col("hc")).count() === 0)
+  }
+
+  test("null element, null array and length mismatch all yield NULL") {
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, null)),
+      (2L, Seq[java.lang.Float](1f, 2f), null),
+      (3L, Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](1f, 2f))
+    ).toDF("id", "a", "b")
+    val out = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c")).collect()
+    assert(out.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("zero-norm input yields NaN where ANSI-mode HOF division throws") {
+    val df = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+    val native = df.select(VectorFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(native.isNaN)
+    // the formulation this replaces cannot even evaluate the row
+    val e = intercept[Exception] {
+      df.select(hofCosine(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
+
+  test("functions resolve from SQL text through the FunctionRegistry") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |                    array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c
+        |""".stripMargin).head
+    assert(r.getDouble(0) === 11.0 && r.getDouble(1) === 1.0)
+  }
+
+  test("expressions survive codegen with fallback disabled") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val s = vecs.select(
+        sum(VectorFunctions.dot(col("a"), col("b"))).as("sd"),
+        sum(VectorFunctions.cosine(col("a"), col("b"))).as("sc")).head
+      assert(!s.isNullAt(0) && !s.isNullAt(1))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+}
