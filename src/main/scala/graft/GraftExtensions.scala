@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.VectorExpressions
+import graft.functions.{TextExpressions, VectorExpressions}
 
 /** Library extension point, installable two ways:
   *
@@ -20,13 +20,16 @@ import graft.functions.VectorExpressions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    VectorExpressions.functions.foreach(ext.injectFunction)
+    GraftExtensions.allFunctions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
+  private def allFunctions =
+    VectorExpressions.functions ++ TextExpressions.functions
+
   /** Register the library's functions on an existing session. */
   def register(spark: SparkSession): Unit =
-    VectorExpressions.functions.foreach { case (ident, info, builder) =>
+    allFunctions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 }

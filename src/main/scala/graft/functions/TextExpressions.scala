@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Registry entries for the text/dedup native expressions. */
+object TextExpressions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bh) => MinHashSignature(bh, 64)
+        case Seq(bh, Literal(k: Int, IntegerType)) => MinHashSignature(bh, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash expects (baseHashes array<bigint>[, k integer literal])")
+      }))
+}

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * the token multisets; n-gram Jaccard is the exact verifier run only
   * on LSH candidates.
   *
-  * All signature math uses the native higher-order-function Column API
-  * (transform/aggregate/zip_with + xxhash64) — no UDFs, no driver-side
-  * loops.
+  * Signature math runs as Catalyst expressions — the per-shingle
+  * hashing via transform + xxhash64, the k-slot signature via the
+  * native codegen [[graft.functions.MinHashSignature]] — no UDFs, no
+  * driver-side loops.
   */
 object Dedup {
 
@@ -40,36 +41,16 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Deterministic multipliers / addends for the k MinHash
-    * permutations h_i(x) = a_i·(h(x) & 0xffffffff) + b_i. Bounds keep
-    * every product below 2^63, so the arithmetic is overflow-free under
-    * ANSI mode: a_i < 2^31, base masked to 32 bits, b_i < 2^31. */
-  private def permutationSeeds(k: Int): (Seq[Long], Seq[Long]) = {
-    val rnd = new scala.util.Random(1337L)
-    (Seq.fill(k)(rnd.nextInt(Int.MaxValue - 1).toLong + 1L),
-      Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** Mersenne prime 2^31−1 for the universal-hash reduction. */
-  private val MinhashPrime = 2147483647L
-
   /** MinHash signature from a column of per-shingle base hashes: each
     * shingle is string-hashed ONCE (the expensive part); the k
     * signature slots are universal-hash permutations
-    * (a_i·h32 + b_i) mod p — the mod is what makes each permutation
-    * reorder the shingles (a plain a·h+b is monotone in h and would
-    * collapse every slot to the same argmin). Cost is |shingles| string
-    * hashes + k·|shingles| multiply-add-mods. Bind the base-hash column
-    * through a named attribute (a prior select) so it evaluates once
-    * per row. */
-  def minhashFromBaseHashes(baseHashes: Column, k: Int = 64): Column = {
-    val (as, bs) = permutationSeeds(k)
-    array((0 until k).map { i =>
-      array_min(transform(baseHashes,
-        h => (h.bitwiseAND(lit(0xffffffffL)) * lit(as(i)) + lit(bs(i)))
-          % lit(MinhashPrime)))
-    }: _*)
-  }
+    * (a_i·h32 + b_i) mod p computed by the native
+    * [[graft.functions.MinHashSignature]] expression — one generated
+    * pass keeping k running minima, instead of k interpreted
+    * array_min(transform(...)) walks. Seeds, prime and degenerate-input
+    * shapes are documented (and pinned bit-identical) there. */
+  def minhashFromBaseHashes(baseHashes: Column, k: Int = 64): Column =
+    call_function("graft_minhash", baseHashes, lit(k))
 
   /** One hash per token — bind the result through a NAMED column before
     * feeding [[shingleHashesFromTokenHashes]], or it re-evaluates per
@@ -158,13 +139,23 @@ object Dedup {
   /** The production near-dup shape: LSH candidates (recall from
     * banding) verified with the EXACT n-gram Jaccard (precision exact)
     * — the threshold applies to the true similarity, so the output is
-    * engine-checkable, unlike the MinHash estimate. The exact verifier
-    * runs once per candidate pair, never all-pairs, and a cheap
-    * estimated-Jaccard pre-filter (4σ below the exact threshold — the
-    * k-slot estimate's σ = sqrt(J(1-J)/k) ≤ 1/(2√k), so a true
-    * ≥-threshold pair clears it with ~3e-5 miss probability) discards
-    * the mass of one-band-coincidence candidates before they pay the
-    * text joins and the exact n-gram set intersection. */
+    * engine-checkable, unlike the MinHash estimate.
+    *
+    * Three properties keep this cheap at corpus scale:
+    *   - a cheap estimated-Jaccard pre-filter (4σ below the exact
+    *     threshold — the k-slot estimate's σ = sqrt(J(1-J)/k) ≤
+    *     1/(2√k), so a true ≥-threshold pair clears it with ~3e-5 miss
+    *     probability) discards the mass of one-band-coincidence
+    *     candidates first;
+    *   - the verifier runs once per surviving pair, never all-pairs;
+    *   - it compares DISTINCT SHINGLE-HASH sets, not shingle strings:
+    *     the candidate-doc set is semi-join-reduced (docs appearing in
+    *     any pair — tiny vs the corpus), their 8-byte hash sets are
+    *     recomputed and joined to the pairs, and raw text is NEVER
+    *     shuffled (at 100 TB the text column is the corpus; the hash
+    *     sets are ~1 % of it). Set equality matches string n-gram
+    *     equality modulo 64-bit collisions (P ≈ |S|²·2⁻⁶⁴ per doc —
+    *     vanishing), so the Jaccard ratio is the exact string value. */
   def verifiedNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, w: Int = 3,
                              k: Int = 64, bands: Int = 16): DataFrame = {
@@ -172,11 +163,19 @@ object Dedup {
     val pairs = candidatePairs(df, idCol, textCol, w, k, bands)
       .filter(col("est_jaccard") >= math.max(0.0, threshold - margin))
       .select(col("id_a"), col("id_b"))
+    val inPairs = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val sets = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .join(inPairs, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(shingleHashesFromTokenHashes(col("th"), w)).as("g"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val union = (size(col("ga")) + size(col("gb"))).cast("double") - inter
     pairs
-      .join(df.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
-      .join(df.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        ngramJaccard(col("text_a"), col("text_b"), w).as("jaccard"))
+        when(union === 0, lit(0.0)).otherwise(inter / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

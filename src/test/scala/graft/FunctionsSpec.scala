@@ -76,6 +76,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 11.0 && r.getDouble(1) === 1.0)
   }
 
+  test("graft_minhash is bit-identical to the declarative k-pass formulation") {
+    // the formulation MinHashSignature replaced, kept as the spec
+    val (as, bs) = graft.functions.MinHashSignature.seeds(8)
+    def hofMinhash(bh: org.apache.spark.sql.Column) =
+      array((0 until 8).map { i =>
+        array_min(transform(bh,
+          h => (h.bitwiseAND(lit(0xffffffffL)) * lit(as(i)) + lit(bs(i)))
+            % lit(graft.functions.MinHashSignature.Prime)))
+      }: _*)
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 100).map(i => (i.toLong, Seq.fill(20)(rnd.nextLong())))
+      .toDF("id", "bh")
+    val native = call_function("graft_minhash", col("bh"), lit(8))
+    assert(docs.filter(not(native <=> hofMinhash(col("bh")))).count() === 0)
+    // degenerate inputs: empty or NULL base hashes → k NULL slots
+    val deg = Seq((1L, Seq.empty[Long]), (2L, null)).toDF("id", "bh")
+      .select(call_function("graft_minhash", col("bh"), lit(8)).as("sig"))
+      .collect()
+    assert(deg.forall(r =>
+      r.getSeq[Any](0).length == 8 && r.getSeq[Any](0).forall(_ == null)))
+  }
+
   test("expressions survive codegen with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
@@ -84,6 +106,10 @@ class FunctionsSpec extends AnyFunSuite {
         sum(VectorFunctions.dot(col("a"), col("b"))).as("sd"),
         sum(VectorFunctions.cosine(col("a"), col("b"))).as("sc")).head
       assert(!s.isNullAt(0) && !s.isNullAt(1))
+      val m = Seq((1L, Seq(3L, 9L, 27L))).toDF("id", "bh")
+        .select(call_function("graft_minhash", col("bh"), lit(16)).as("sig"))
+        .head.getSeq[Long](0)
+      assert(m.length == 16)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
