@@ -45,13 +45,16 @@ object Merge {
     * @param whenNotMatchedBySourceSet  columns rewritten for target rows
     *                            with no source match (soft-retire); empty
     *                            map = leave those rows untouched
-    * @param requireUniqueSourceKeys  fail the job (like Delta's
+    * @param requireUniqueSourceKeys  fail the job (exactly Delta's
     *                            multiple-match error) when two source rows
-    *                            share a merge key, instead of silently
-    *                            fanning out the matched target row. The
-    *                            check is a window count folded into the
-    *                            merge's own scan — no extra job — but it
-    *                            shuffles the source side, so it is opt-in.
+    *                            share a merge key AND match a target row,
+    *                            instead of silently fanning out that
+    *                            target row; duplicate keys that match no
+    *                            target (NULL keys included) insert
+    *                            normally. The check is a window count
+    *                            folded into the merge's own scan — no
+    *                            extra job — but it shuffles the source
+    *                            side, so it is opt-in.
     *
     * Keys join with PLAIN equality, exactly like Delta MERGE: a
     * NULL-keyed source row never matches a NULL-keyed target row — it
@@ -95,10 +98,14 @@ object Merge {
     val withInsertFilter =
       if (whenNotMatchedInsert) joined
       else joined.filter(!sourceOnly)
+    // Delta's multiple-match error fires only when duplicate source rows
+    // MATCH a target row (fan-out); duplicate keys that match nothing —
+    // including NULL keys, which never match under === — all insert,
+    // exactly like Delta's WHEN NOT MATCHED.
     val guarded =
       if (requireUniqueSourceKeys)
         withInsertFilter.filter(
-          when(col("__s.__scnt") > 1, raise_error(
+          when(matched && col("__s.__scnt") > 1, raise_error(
             concat(lit("MERGE: duplicate source rows for key ("),
               concat_ws(",", keys.map(k => src(k).cast("string")): _*), lit(")"))))
             .otherwise(lit(true)))

@@ -115,7 +115,8 @@ final class IngestPipeline(
       if (corruptRows > 0) quarantine(stamped, batchId, corruptRows)
     }
 
-    loadData(stamped, batchId, observeCorrupt = gated && feed.OverWriteFlag != 1)
+    loadData(stamped, batchId, now,
+      observeCorrupt = gated && feed.OverWriteFlag != 1)
   }
 
   /** Corrupt-batch path: dump the batch to the quarantine location, move
@@ -140,8 +141,16 @@ final class IngestPipeline(
     * target names, PII fork, append/overwrite sink, row-count log. The
     * row count and (append mode) the corrupt count are observe() metrics
     * on the ONE write scan — no separate count jobs. */
-  private def loadData(stamped: DataFrame, batchId: Long,
+  private def loadData(stamped: DataFrame, batchId: Long, now: Timestamp,
                        observeCorrupt: Boolean = false): Long = {
+    // Identifies exactly THIS batch's rows for compensation. BatchId
+    // alone is not enough: it restarts at 0 with every fresh checkpoint,
+    // so an unscoped delete would also remove same-BatchId rows loaded
+    // by earlier runs; the batch's own InsertDate/ModifiedDateTime
+    // stamps pin it to this run.
+    val thisBatch = col("BatchId") === lit(batchId.toInt + 1) &&
+      col("InsertDate") === lit(new Date(now.getTime)) &&
+      col("ModifiedDateTime") === lit(now)
     val obs = org.apache.spark.sql.Observation()
     val corruptMetric =
       if (observeCorrupt)
@@ -166,23 +175,33 @@ final class IngestPipeline(
     val corruptRows = Option(metrics("corrupt")) // sum over empty batch is null
       .fold(0L)(_.asInstanceOf[Long])
     if (corruptRows > 0) {
-      // compensate: pull this batch's rows back out of the target (the
-      // BatchId stamp identifies exactly them), then quarantine
-      target.deleteWhere(col("BatchId") === lit(batchId.toInt + 1))
+      // compensate: pull this batch's rows back out of the target, then
+      // quarantine
+      target.deleteWhere(thisBatch)
       quarantine(stamped, batchId, corruptRows)
     }
 
-    // PII shadow table with masked values (auto_loader_steps.py:345-375)
-    // — written only after the batch is known clean.
-    piiTarget.foreach { pii =>
-      val masked = Masking.maskPII(projected, columns)
-      if (mode == "overwrite") pii.overwrite(masked) else pii.append(masked)
-    }
+    try {
+      // PII shadow table with masked values (auto_loader_steps.py:345-375)
+      // — written only after the batch is known clean.
+      piiTarget.foreach { pii =>
+        val masked = Masking.maskPII(projected, columns)
+        if (mode == "overwrite") pii.overwrite(masked) else pii.append(masked)
+      }
 
-    meta.logAndControlMany(feed.HeaderID, feed.SourceFilePath, batchId.toInt,
-      Seq(("ROW_COUNT", rows.toString, 1, None),
-        ("AUTO_LOADER", s"Batch $batchId loaded ($mode)", 1, None)),
-      now = clock())
+      meta.logAndControlMany(feed.HeaderID, feed.SourceFilePath, batchId.toInt,
+        Seq(("ROW_COUNT", rows.toString, 1, None),
+          ("AUTO_LOADER", s"Batch $batchId loaded ($mode)", 1, None)),
+        now = clock())
+    } catch {
+      // The target append landed but the batch will NOT commit to the
+      // checkpoint — a retry replays it. Compensate so the replayed
+      // append cannot double-load (append mode only: an overwrite
+      // replay replaces the contents wholesale anyway).
+      case e: Throwable =>
+        if (mode == "append") target.deleteWhere(thisBatch)
+        throw e
+    }
     rows
   }
 

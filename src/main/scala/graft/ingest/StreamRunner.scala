@@ -103,6 +103,16 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
     pipeline.evolveIfDrifted(extras, batchId = -1, pipeline.clock())
   }
 
+  /** True when the checkpoint has already committed ≥1 batch. On such a
+    * checkpoint the file source will NOT replay the committed batches —
+    * so a pre-load delete of today's rows would orphan their data. */
+  private def checkpointHasCommits(checkpointDir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) &&
+      fs.listStatus(path).exists(s => !s.getPath.getName.startsWith("."))
+  }
+
   /** One-shot ingest: preflight drift, idempotent daily delete, create
     * targets, start, drain, stop, compact. Returns when the sink is
     * fully loaded. */
@@ -111,9 +121,13 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
       preflightDrift()
     pipeline.createTargets()
     // one-shot mode deletes today's rows so a re-run of the same day's
-    // files (e.g. after a failure, with a fresh checkpoint) never
-    // duplicates (Data Ingestion Helper.py:139-142)
-    if (feed.ContinuousRunFlag == 0 && feed.OverWriteFlag == 0)
+    // files (with a FRESH checkpoint, which replays everything) never
+    // duplicates (Data Ingestion Helper.py:139-142). On a resumed
+    // checkpoint — a retry — committed batches will not replay, so
+    // their already-loaded rows must survive: skip the delete, the
+    // per-batch compensating delete keeps replays clean instead.
+    if (feed.ContinuousRunFlag == 0 && feed.OverWriteFlag == 0
+      && !checkpointHasCommits(checkpointDir))
       pipeline.deleteToday()
     val q = start(checkpointDir)
     try q.awaitTermination()
@@ -123,22 +137,33 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
     pipeline.compactTargets()
   }
 
-  /** The control table's LatestBatchID for this feed, or -1 before the
-    * first batch — the bookkeeping the reference's stop loop polls. */
-  private def latestBatchId(): Int = {
-    val rows = pipeline.meta.control.read()
-      .filter(col("HeaderID") === feed.HeaderID)
-      .select(max(col("LatestBatchID"))).collect()
-    if (rows.isEmpty || rows.head.isNullAt(0)) -1 else rows.head.getInt(0)
+  /** Highest batch id COMMITTED to the stream's checkpoint, or -1. The
+    * commit file is the only completion marker with no race: it appears
+    * strictly after the batch's foreachBatch work (data + bookkeeping)
+    * finished, and a committed batch never replays — so stopping on it
+    * can neither interrupt in-flight work nor orphan rows. Polling the
+    * control table instead would fire early (it advances on EVERY log
+    * entry, including the mid-batch drift log written before the data
+    * lands), and polling the log's "Batch N loaded" entry still leaves
+    * a window where stop() interrupts the control update right after
+    * it. A driver-side directory listing, no Spark job per poll. */
+  private def lastCommittedBatchId(checkpointDir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) -1
+    else fs.listStatus(path).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .foldLeft(-1)((m, n) => math.max(m, n.toInt))
   }
 
   /** Continuous-mode graceful stop (auto_loader_steps.py:500-528
-    * `stop_batch`): start the 0.5 s-trigger stream, poll the control
-    * table until LatestBatchID has advanced past
-    * `initial + BatchFileCount - 1` (i.e. BatchFileCount data batches
-    * landed), then stop the query. A deadline bounds the wait when
-    * fewer files than expected arrive. Ends with the same post-load
-    * compaction as [[runOnce]]. */
+    * `stop_batch`, which polls the control table): start the
+    * 0.5 s-trigger stream, poll the checkpoint's commit log until
+    * BatchFileCount batches have COMMITTED past the starting point
+    * (see [[lastCommittedBatchId]] for why commits, not control), then
+    * stop the query. A deadline bounds the wait when fewer files than
+    * expected arrive. Ends with the same post-load compaction as
+    * [[runOnce]]. */
   def runContinuousBatches(checkpointDir: String,
                            pollMs: Long = 100,
                            timeoutMs: Long = 60000): Unit = {
@@ -147,11 +172,12 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
     if (FileOps.awaitFiles(spark, feed.SourceFilePath, timeoutMs = 10000))
       preflightDrift()
     pipeline.createTargets()
-    val initial = latestBatchId()
+    val initial = lastCommittedBatchId(checkpointDir)
     val q = start(checkpointDir)
     val deadline = System.currentTimeMillis() + timeoutMs
     try {
-      while (q.isActive && latestBatchId() <= initial + feed.BatchFileCount - 1
+      while (q.isActive
+        && lastCommittedBatchId(checkpointDir) <= initial + feed.BatchFileCount - 1
         && System.currentTimeMillis() < deadline)
         Thread.sleep(pollMs)
       // surface a batch failure instead of swallowing it as a "stop"

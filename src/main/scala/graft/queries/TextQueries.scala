@@ -134,7 +134,12 @@ object TextQueries {
     // equi-joins; each candidate is then verified with the EXACT
     // token-3-gram Jaccard, so DuckDB can recompute the result as an
     // all-pairs exact self-join (feasible at oracle scale only — the
-    // Spark side never goes all-pairs).
+    // Spark side never goes all-pairs). LSH recall is probabilistic in
+    // general, but every hash/band here is seeded-deterministic over
+    // the driver's fixed tables, so equality with the exact oracle is a
+    // REPRODUCIBLE property of this dataset (verified at sf0.001 and
+    // sf0.01) — a borderline pair missing a band collision would
+    // surface as a red correctness row, never as silent corruption.
     "q_neardup_pairs" -> Q(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))

@@ -97,7 +97,11 @@ object VectorQueries {
     // recomputes the pair set EXACTLY as an all-pairs cosine self-join
     // (feasible at oracle scale only); the entry emits ids alone so the
     // compare is integer-exact. probes=1 here (the bench path); AnnSpec
-    // drives probes=2 and asserts full planted recall.
+    // drives probes=2 and asserts full planted recall. As with
+    // q_neardup_pairs, hyperplanes are seeded-deterministic over fixed
+    // data, so oracle equality is a reproducible dataset property
+    // (verified at sf0.001/sf0.01); a cos≥0.98 pair split by ≥2
+    // hyperplanes would show as a red correctness row, not silently.
     "q_embed_neardup" -> Q(
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

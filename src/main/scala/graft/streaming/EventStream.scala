@@ -68,6 +68,16 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // a straggler more than gap BEFORE the open session's
+                // start cannot belong to it (t - s.last <= gapMs alone
+                // would merge arbitrarily old events across a silence
+                // wider than the gap) — close it as its own single-event
+                // session, leave the open session untouched. Best-effort
+                // vs batch sessionization: in-between events that could
+                // have bridged arrived in an earlier batch or not at all.
+                case Some(s) if t < s.start - gapMs =>
+                  closed += Session(userId, new Timestamp(t),
+                    new Timestamp(t), 1, e.value)
                 // within gap of the open session. A later batch can
                 // carry events OLDER than the restored state (late but
                 // inside the watermark) — extend with min/max so the

@@ -86,54 +86,66 @@ object Dedup {
           .as("bh")))
   }
 
-  /** Candidate near-duplicate pairs via LSH: explode band hashes, self
-    * equi-join on (band, bh), id-ordered to halve the pairs, distinct
-    * pairs first, THEN one est-Jaccard per pair. The signature relation
-    * is persisted so the self-join and the two signature re-joins don't
-    * recompute it (at cluster scale this is the standard "materialize
-    * the signature table" step). No cartesian product anywhere. */
+  /** The LSH candidate plan over a signature relation: explode band
+    * hashes, self equi-join on (band, bh), id-ordered to halve the
+    * pairs, distinct pairs first, THEN one est-Jaccard per pair. No
+    * cartesian product anywhere. */
+  private def candidatePlan(sigd: DataFrame, k: Int, bands: Int): DataFrame = {
+    val exploded = sigd
+      .select(col("id"), explode(bandHashes(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val pairs = exploded.select(col("id").as("id_a"), col("band"), col("bh"))
+      .join(exploded.select(col("id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
+  /** Candidate near-duplicate pairs via LSH (see [[candidatePlan]]).
+    *
+    * With `materialize` (the default) this call EAGERLY runs the LSH
+    * job: the signature relation is persisted so the self-join and the
+    * two score re-joins don't recompute it (the standard cluster-scale
+    * "materialize the signature table" step), the scored pair set —
+    * tiny relative to the corpus, it IS the near-dup output — is
+    * captured via localCheckpoint while the signatures are hot, and the
+    * signature cache is released before returning, so repeated corpus
+    * runs never accumulate cached blocks. (The checkpoint's blocks are
+    * plain RDD blocks, GC'd by the ContextCleaner once the caller drops
+    * the DataFrame — unlike CacheManager entries, which outlive every
+    * reference.)
+    *
+    * `materialize = false` returns the raw lazy plan (no persist, no
+    * checkpoint) — for plan inspection and for callers composing their
+    * own caching. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-                     w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+                     w: Int = 3, k: Int = 64, bands: Int = 16,
+                     materialize: Boolean = true): DataFrame = {
     val based = df.select(col(idCol).as("id"),
       tokenHashes(col(textCol)).as("th"))
       .select(col("id"), shingleHashesFromTokenHashes(col("th"), w).as("bh0"))
-    // Materialize the signature table once (the standard cluster-scale
-    // "signature table" step): computing MinHash costs |tokens| string
-    // hashes per doc and the relation is read three more times below
-    // (both self-join sides + two score re-joins). The cache's lifetime
-    // is bounded INSIDE this call: the scored pair set — tiny relative
-    // to the corpus, it's the near-dup output — is materialized eagerly
-    // while the signatures are hot, then the signature cache is
-    // released. The checkpointed result's blocks are plain RDD blocks,
-    // GC'd by the ContextCleaner once the caller drops the DataFrame
-    // (unlike CacheManager entries, which outlive every reference).
-    val sigd = based
+    val sig = based
       .select(col("id"), minhashFromBaseHashes(col("bh0"), k).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val exploded = sigd
-        .select(col("id"), explode(bandHashes(col("sig"), k, bands)).as("b"))
-        .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      val pairs = exploded.select(col("id").as("id_a"), col("band"), col("bh"))
-        .join(exploded.select(col("id").as("id_b"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-      pairs
-        .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-        .localCheckpoint(true)
-    } finally sigd.unpersist(false)
+    if (!materialize) candidatePlan(sig, k, bands)
+    else {
+      val sigd = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try candidatePlan(sigd, k, bands).localCheckpoint(true)
+      finally sigd.unpersist(false)
+    }
   }
 
   /** Near-duplicate pairs above an estimated-Jaccard threshold. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.7, w: Int = 3,
-                     k: Int = 64, bands: Int = 16): DataFrame =
-    candidatePairs(df, idCol, textCol, w, k, bands)
+                     k: Int = 64, bands: Int = 16,
+                     materialize: Boolean = true): DataFrame =
+    candidatePairs(df, idCol, textCol, w, k, bands, materialize)
       .filter(col("est_jaccard") >= threshold)
 
   /** The production near-dup shape: LSH candidates (recall from

@@ -49,16 +49,16 @@ object Ann {
     concat(self, d1, d2)
   }
 
-  /** Brute-force exact top-k against one literal query vector. */
+  /** Brute-force exact top-k against one literal query vector. The
+    * native cosine yields NaN for a zero-norm row (an explicit Column
+    * division would throw DIVIDE_BY_ZERO under ANSI mode); NaN rows are
+    * dropped — a direction-less vector has no defined rank. */
   def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame =
     data.select(col(idCol),
-      least(greatest(
-        VectorFunctions.dot(VectorFunctions.toDoubleArray(col(vecCol)),
-          VectorFunctions.vectorLit(query))
-          / (VectorFunctions.norm(VectorFunctions.toDoubleArray(col(vecCol)))
-            * math.sqrt(query.map(x => x * x).sum)),
-        lit(-1.0)), lit(1.0)).as("sim"))
+      VectorFunctions.cosine(col(vecCol), VectorFunctions.vectorLit(query))
+        .as("sim"))
+      .filter(!isnan(col("sim")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
@@ -142,6 +142,10 @@ object Ann {
     val normed = data
       .withColumn("__vd", VectorFunctions.toDoubleArray(col(vecCol)))
       .withColumn("__vn", VectorFunctions.norm(col("__vd")))
+      // drop zero-norm (and NaN-norm) rows BEFORE the division — under
+      // ANSI mode x / 0.0 throws, and a direction-less vector cannot be
+      // a near-duplicate of anything
+      .filter(col("__vn") > 0)
       .withColumn("__nv", transform(col("__vd"), x => x / col("__vn")))
       .select(col(idCol), col("__nv"))
     val bucketed = normed.select(col(idCol), col("__nv"),
@@ -176,6 +180,10 @@ object Ann {
       .select(col("cid"), VectorFunctions.toDoubleArray(col(vecCol)))
       .collect().toSeq
       .map(r => (r.get(0), r.getSeq[Double](1)))
+      // a zero-norm centroid has no direction to probe toward, and its
+      // cnorm would turn the scoring division into an ANSI
+      // DIVIDE_BY_ZERO — drop it from the centroid set
+      .filter { case (_, cv) => cv.map(x => x * x).sum > 0 }
 
     // Probe list of the `keep` nearest centroids as a pure projection:
     // the vector's double form and norm are bound through NAMED columns
@@ -194,6 +202,8 @@ object Ann {
       }
       df.withColumn("__vd", VectorFunctions.toDoubleArray(col(vecCol)))
         .withColumn("__vnorm", VectorFunctions.norm(col("__vd")))
+        // zero-norm rows cannot be assigned (ANSI: the division throws)
+        .filter(col("__vnorm") > 0)
         .withColumn("cid",
           explode(transform(slice(sort_array(array(scored: _*)), 1, keep),
             s => s("cid"))))

@@ -39,11 +39,15 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("LSH plan contains no cartesian product") {
+    // materialize=false: the default localCheckpoint collapses the
+    // visible plan to a checkpoint scan, which would make these
+    // assertions vacuously true forever
     val df = (0 until 20).map(i => (i.toLong, s"$base t$i")).toDF("doc_id", "text")
-    val plan = Dedup.nearDuplicates(df, "doc_id", "text")
+    val plan = Dedup.nearDuplicates(df, "doc_id", "text", materialize = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join"), plan) // and the assertion sees real joins
   }
 
   test("exact dedup keeps the smallest id per normalized fingerprint") {

@@ -118,6 +118,19 @@ class IngestSpec extends AnyFunSuite {
     assert(pipe.target.read().count() == 2)
   }
 
+  test("resumed-checkpoint re-run keeps committed rows (retry never under-loads)") {
+    val tmp = Files.createTempDirectory("ing-resume")
+    writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5", "2,bob,2.5"))
+    val (pipe, runner) = build(tmp, feed(tmp.resolve("src").toString))
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    assert(pipe.target.read().count() == 2)
+    // SAME checkpoint — what runOnceWithRetry does after a failure. The
+    // committed batch will NOT replay, so the pre-load daily delete must
+    // be skipped or its rows are silently lost.
+    new StreamRunner(spark, pipe).runOnce(tmp.resolve("ckpt").toString)
+    assert(pipe.target.read().count() == 2)
+  }
+
   test("headerless csv: positional schema, no phantom _cN drift") {
     val tmp = Files.createTempDirectory("ing-nohdr")
     writeCsv(tmp, "f.csv", Seq("1,ann,1.5", "2,bob,2.5")) // no header row

@@ -73,6 +73,11 @@ class MergeSpec extends AnyFunSuite {
     // and without the flag the historical fan-out behavior is unchanged
     assert(Merge.merge(target, dupSource, Seq("id"),
       whenMatchedUpdate = Map("bal" -> Merge.src("bal"))).count() == 4)
+    // duplicate keys that match NO target row insert like Delta, no error
+    val insertOnlyDups = Seq((99, "x", 1.0), (99, "y", 2.0)).toDF("id", "name", "bal")
+    assert(Merge.merge(target, insertOnlyDups, Seq("id"),
+      whenMatchedUpdate = Map("bal" -> Merge.src("bal")),
+      requireUniqueSourceKeys = true).filter(col("id") === 99).count() == 2)
   }
 
   test("upsertOnly equals full merge minus the by-source clause") {

@@ -117,6 +117,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("straggler older than start minus gap closes as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "60 minutes")
+      .writeStream.format("memory").queryName("sess_stray")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts("2024-03-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // 09:40 is 20 min before the open session's start with a 5 min
+      // gap: merging it would bridge a silence wider than the gap, so
+      // it must close as its own single-event session
+      input.addData(Event(1, ts("2024-03-01 09:40:00"), "click", 2.0))
+      q.processAllAvailable()
+      val strays = spark.table("sess_stray").as[Session].collect()
+      assert(strays.length == 1, strays.toSeq)
+      assert(strays.head.start == ts("2024-03-01 09:40:00")
+        && strays.head.end == ts("2024-03-01 09:40:00")
+        && strays.head.n_events == 1, strays.head)
+      // and the open session was untouched: a far-future event closes it
+      input.addData(Event(1, ts("2024-03-01 11:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_stray").as[Session].collect()
+        .sortBy(_.start.getTime)
+      assert(all.length == 2, all.toSeq)
+      assert(all(1).start == ts("2024-03-01 10:00:00")
+        && all(1).n_events == 1 && all(1).total_value == 1.0, all(1))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("batch sessionization closes every session at end of input") {
     val events = Seq(
       Event(1, ts("2024-03-01 09:00:00"), "a", 1.0),
