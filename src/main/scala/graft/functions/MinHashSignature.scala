@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -120,6 +120,72 @@ case class MinHashSignature(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** `graft_sig_agreement(sigA, sigB)` — the fraction of signature slots
+  * where both sides are non-null and equal, over `size(sigA)`: the
+  * MinHash estimate of Jaccard similarity. One candidate pair pays one
+  * evaluation, and candidate counts scale with the corpus, so this is
+  * the per-pair hot path of LSH dedup; the generated loop replaces an
+  * interpreted 64-slot zip_with + conditional + aggregate chain.
+  *
+  * Semantics mirror that chain exactly: a slot where either side is
+  * NULL contributes 0 (`when(x === y, 1).otherwise(0)` sends the null
+  * comparison to the otherwise branch), slots past the shorter array's
+  * end contribute 0 (zip_with's null padding), the denominator is
+  * always `size(sigA)`, and a NULL array yields NULL. (One divergence:
+  * an empty sigA gives NaN where the HOF's ANSI division would throw —
+  * unreachable from graft_minhash, whose signatures always have k
+  * slots.) */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_sig_agreement"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> signatures, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var equal = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        equal += 1
+      i += 1
+    }
+    equal.toDouble / a.numElements()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val eq = ctx.freshName("equal")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) { $eq++; }
+         |}
+         |${ev.value} = ((double) $eq) / $a.numElements();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignatureAgreement =
+    copy(left = newLeft, right = newRight)
 }
 
 object MinHashSignature {

@@ -8,13 +8,20 @@ import org.apache.spark.sql.types.IntegerType
 object TextExpressions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (args: Seq[Expression]) => args match {
-        case Seq(bh) => MinHashSignature(bh, 64)
-        case Seq(bh, Literal(k: Int, IntegerType)) => MinHashSignature(bh, k)
-        case _ => throw new IllegalArgumentException(
-          "graft_minhash expects (baseHashes array<bigint>[, k integer literal])")
-      }))
+    Seq(
+      (FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+        (args: Seq[Expression]) => args match {
+          case Seq(bh) => MinHashSignature(bh, 64)
+          case Seq(bh, Literal(k: Int, IntegerType)) => MinHashSignature(bh, k)
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash expects (baseHashes array<bigint>[, k integer literal])")
+        }),
+      (FunctionIdentifier("graft_sig_agreement"),
+        new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agreement"),
+        (args: Seq[Expression]) => args match {
+          case Seq(a, b) => SignatureAgreement(a, b)
+          case _ => throw new IllegalArgumentException(
+            "graft_sig_agreement expects (sigA array<bigint>, sigB array<bigint>)")
+        }))
 }

@@ -69,11 +69,12 @@ object Dedup {
         xxhash64((0 until w).map(o => element_at(th, i + lit(o))): _*)))
       .otherwise(array().cast("array<bigint>"))
 
-  /** Estimated Jaccard similarity from two MinHash signatures. */
+  /** Estimated Jaccard similarity from two MinHash signatures — the
+    * native [[graft.functions.SignatureAgreement]] loop (one candidate
+    * pair pays one evaluation; candidate counts scale with the
+    * corpus). */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB,
-      (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
-      lit(0.0), (acc, x) => acc + x) / size(sigA)
+    call_function("graft_sig_agreement", sigA, sigB)
 
   /** LSH banding: the signature split into `bands` bands of `k/bands`
     * rows, each band hashed to a bucket key. Docs sharing any band

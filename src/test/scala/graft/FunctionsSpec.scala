@@ -98,6 +98,29 @@ class FunctionsSpec extends AnyFunSuite {
       r.getSeq[Any](0).length == 8 && r.getSeq[Any](0).forall(_ == null)))
   }
 
+  test("graft_sig_agreement is bit-identical to the zip_with formulation") {
+    def hofAgreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b,
+        (x, y) => when(x === y, lit(1.0)).otherwise(lit(0.0))),
+        lit(0.0), (acc, x) => acc + x) / size(a)
+    val rnd = new scala.util.Random(23)
+    val sigs = (0 until 200).map { i =>
+      val a = Seq.fill(64)(rnd.nextInt(8).toLong) // small range → real overlaps
+      val b = if (i % 3 == 0) a else Seq.fill(64)(rnd.nextInt(8).toLong)
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+    val native = call_function("graft_sig_agreement", col("a"), col("b"))
+    assert(sigs.filter(not(native <=> hofAgreement(col("a"), col("b")))).count() === 0)
+    // null array → NULL; null slots count as disagreement
+    val deg = Seq(
+      (1L, null, Seq[java.lang.Long](1L, 2L)),
+      (2L, Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, null))
+    ).toDF("id", "a", "b")
+      .select(call_function("graft_sig_agreement", col("a"), col("b")).as("s"))
+      .collect()
+    assert(deg(0).isNullAt(0) && deg(1).getDouble(0) === 0.5)
+  }
+
   test("expressions survive codegen with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
