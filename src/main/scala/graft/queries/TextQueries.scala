@@ -171,6 +171,56 @@ object TextQueries {
               |  CASE WHEN un = 0 THEN 0.0 ELSE inter / un END AS jaccard
               |FROM scored
               |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Near-dup CLUSTERING: connected components over the verified pair
+    // graph, every doc labeled with its component's min id (what a
+    // training pipeline dedupes ON — transitive copies a→b→c collapse
+    // even when (a, c) never met the threshold). Spark side: iterative
+    // min-label propagation, one shuffle join per round. The oracle
+    // recomputes the closure with a recursive CTE over the exact
+    // all-pairs graph (oracle scale only).
+    "q_neardup_components" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        Dedup.nearDupComponents(planted, "doc_id", "text", threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE docs2 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
+              |  FROM documents WHERE doc_id < 20),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs2),
+              |grams AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+              |    i -> array_to_string(t[i:i+2], ' '))) AS g
+              |  FROM toks),
+              |scored AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
+              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM scored
+              |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+              |comp AS (
+              |  SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+              |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
+              |FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -192,6 +192,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair graph (id_a, id_b)
+    * by iterative min-label propagation: every node repeatedly adopts
+    * the smallest label among itself and its neighbors until no label
+    * changes. The minimum flows one hop per iteration, so rounds are
+    * bounded by the component diameter — near-dup components are
+    * clusters of copies (diameter a few hops); `maxIter` guards the
+    * pathological chain. Labels are localCheckpoint'ed each round so
+    * the plan never grows with the iteration count, and each round is
+    * ONE shuffle join + partial agg. (At extreme diameters the
+    * two-phase large-star/small-star algorithm halves rounds; the
+    * simple propagation is the right trade for dup clusters.)
+    *
+    * Only ids appearing in a pair participate — callers join the
+    * (tiny) result back to the corpus and default singletons to their
+    * own id. Returns (id, comp) with comp = min id of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true) // read every round; tiny (dup docs only)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin.select(col("u").as("id"), col("ncomp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clustering: every document labeled with its
+    * component id (min doc id of its exact-verified near-dup cluster;
+    * singletons label themselves). The component structure is what a
+    * training-data pipeline dedupes ON — transitive copies a→b→c must
+    * collapse to one survivor even when (a, c) itself never met the
+    * threshold. */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.7, w: Int = 3,
+                        k: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = verifiedNearDuplicates(df, idCol, textCol, threshold, w, k, bands)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp_id"))
+  }
+
+  /** Rows that survive near-dup clustering: the minimum-id document of
+    * every component (singletons survive trivially). */
+  def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.7, w: Int = 3,
+                       k: Int = 64, bands: Int = 16): DataFrame = {
+    val keep = nearDupComponents(df, idCol, textCol, threshold, w, k, bands)
+      .filter(col(idCol) === col("comp_id"))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash per document: tokens explode once, each token is
     * hashed ONCE, then 64 conditional-sum bit votes aggregate per doc
     * (codegen'd hash aggregate, one shuffle on the id), and the votes

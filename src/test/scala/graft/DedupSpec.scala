@@ -50,6 +50,32 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan) // and the assertion sees real joins
   }
 
+  test("connected components: transitive chains collapse, singletons survive") {
+    // chain 1-2-3 (1 and 3 never share an edge), isolated pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L), comps)
+  }
+
+  test("nearDupSurvivors keeps one doc per near-dup cluster") {
+    // doc 0's copies 100 and 200 form a transitive cluster through 100
+    // (0~100 and 100~200 overlap strongly; dissimilar docs untouched)
+    val df = Seq(
+      (0L, s"$base alpha"),
+      (100L, s"$base alpha extra"),
+      (200L, s"$base alpha extra more"),
+      (7L, "completely different text about other things entirely " +
+        "with none of the shared words present at all here")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.nearDupSurvivors(df, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 7L), survivors)
+    val comps = Dedup.nearDupComponents(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(100L) == 0L && comps(200L) == 0L && comps(7L) == 7L, comps)
+  }
+
   test("exact dedup keeps the smallest id per normalized fingerprint") {
     val df = Seq(
       (1L, "Hello  world"), (2L, "  hello world "), (3L, "different"))
