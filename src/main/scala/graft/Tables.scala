@@ -39,6 +39,13 @@ object Tables {
       .appName(appName)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // LOCAL profile: the test tables are single few-MB parquet files,
+      // and the default 128 MB split gives 1-partition scans — every
+      // per-row-expensive map stage (regex, hashing, signatures) runs
+      // on one of the 32 cores. Smaller splits engage them all. On a
+      // real cluster sessions are user-built (configure()) and TB
+      // inputs already split into thousands of default-size partitions.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
