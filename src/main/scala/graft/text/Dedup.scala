@@ -247,8 +247,16 @@ object Dedup {
     val pairs = verifiedNearDuplicates(df, idCol, textCol, threshold, w, k, bands)
       .select(col("id_a"), col("id_b"))
     val comps = connectedComponents(pairs)
+    // Attach labels: comps has one row per doc WITH a near-dup. In the
+    // common case that set broadcasts (it is already materialized, so
+    // the count is free) and labeling is MAP-SIDE — the corpus never
+    // shuffles. A heavily-duplicated corpus falls back to the shuffle
+    // join; AQE cannot make this call itself because a checkpointed
+    // RDD scan carries no size statistics.
+    val compsSide =
+      if (comps.count() <= 1000000L) broadcast(comps) else comps
     df.select(col(idCol).as("id"))
-      .join(comps, Seq("id"), "left")
+      .join(compsSide, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp_id"))
   }
 

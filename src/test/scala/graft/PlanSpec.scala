@@ -29,6 +29,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("near-dup component labeling broadcasts the component side") {
+    // the corpus must not shuffle just to pick up labels from the
+    // (small) set of docs that have a near-dup
+    val comps = SparkEntry.queries("q_neardup_components")(spark, sf)
+    comps.collect() // finalize the adaptive plan
+    val plan = comps.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("interval join stays an equi join with a range residual") {
     val plan = planOf("q_interval_join")
     // equi key keeps it hash/sort-merge — never a nested-loop on range
