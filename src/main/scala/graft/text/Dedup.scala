@@ -207,7 +207,7 @@ object Dedup {
     * Only ids appearing in a pair participate — callers join the
     * (tiny) result back to the corpus and default singletons to their
     * own id. Returns (id, comp) with comp = min id of the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -221,17 +221,24 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
         .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
+      // carry the previous label through so convergence is read off the
+      // checkpointed result directly — no extra join or re-scan per round
       val next = labels
         .join(neighborMin.select(col("u").as("id"), col("ncomp")), Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.drop("prev")
       it += 1
     }
+    if (changed > 0)
+      // never silent: non-converged labels split true clusters
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — components wider than " +
+          s"$maxIter hops are split; raise maxIter")
     labels
   }
 
@@ -261,14 +268,22 @@ object Dedup {
   }
 
   /** Rows that survive near-dup clustering: the minimum-id document of
-    * every component (singletons survive trivially). */
+    * every component (singletons survive trivially). Phrased as an
+    * ANTI join against the LOSERS — the non-minimum members of each
+    * cluster, a strict subset of the (tiny) dup set — so the filter is
+    * map-side when the dup set broadcasts and the corpus never
+    * shuffles. (A semi join on the KEEP set would be corpus-sized —
+    * every singleton survives — and could never broadcast.) */
   def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double = 0.7, w: Int = 3,
                        k: Int = 64, bands: Int = 16): DataFrame = {
-    val keep = nearDupComponents(df, idCol, textCol, threshold, w, k, bands)
-      .filter(col(idCol) === col("comp_id"))
-      .select(col(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val pairs = verifiedNearDuplicates(df, idCol, textCol, threshold, w, k, bands)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    val losersSide =
+      if (comps.count() <= 1000000L) broadcast(losers) else losers
+    df.join(losersSide, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash per document: tokens explode once, each token is

@@ -58,6 +58,15 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L), comps)
   }
 
+  test("connected components: a 30-link chain converges to one component") {
+    // diameter 29 — worse than any real dup cluster; min-label needs a
+    // round per hop, so this also guards the maxIter default
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain).collect()
+    assert(comps.length == 30 && comps.forall(_.getLong(1) == 0L),
+      comps.toSeq.take(5).toString)
+  }
+
   test("nearDupSurvivors keeps one doc per near-dup cluster") {
     // doc 0's copies 100 and 200 form a transitive cluster through 100
     // (0~100 and 100~200 overlap strongly; dissimilar docs untouched)

@@ -131,8 +131,10 @@ class FunctionsSpec extends AnyFunSuite {
       assert(!s.isNullAt(0) && !s.isNullAt(1))
       val m = Seq((1L, Seq(3L, 9L, 27L))).toDF("id", "bh")
         .select(call_function("graft_minhash", col("bh"), lit(16)).as("sig"))
-        .head.getSeq[Long](0)
-      assert(m.length == 16)
+        .select(col("sig"),
+          call_function("graft_sig_agreement", col("sig"), col("sig")).as("agree"))
+        .head
+      assert(m.getSeq[Long](0).length == 16 && m.getDouble(1) === 1.0)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
