@@ -96,6 +96,24 @@ class AnnSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.98))
   }
 
+  test("vector near-dup pairs cluster through the generic connected components") {
+    // the clustering operator is modality-agnostic: cosine pairs feed
+    // the same component labeling the text path uses — each planted
+    // center and its 10 copies collapse to one component
+    val (data, _) = planted
+    val pairs = Ann.cosineNearDuplicates(data, "vec_id", "embedding",
+      threshold = 0.98, probes = 2)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.text.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every copy c*1000+j labels back to a member of center c's cluster;
+    // with min-labeling that is the center id itself (c < c*1000+j)
+    val copies = comps.keys.filter(_ >= 1000L)
+    assert(copies.nonEmpty)
+    assert(copies.forall(id => comps(id) == id / 1000),
+      copies.toSeq.sorted.take(5).map(id => id -> comps(id)).toString)
+  }
+
   test("brute-force top-k: the query vector itself ranks first with sim 1.0") {
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .first().getSeq[Float](0).map(_.toDouble)
