@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -148,6 +149,63 @@ object Core {
              |ON e.user_id = w.w_user AND e.ts BETWEEN w.start_ts AND w.end_ts
              |WHERE e.event_type = 'purchase'
              |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+
+    // Beyond-parity J-family: backward as-of join (graft.plans.AsofJoin)
+    // — each purchase picks up the most recent prior view by the same
+    // user. One shuffle, no row expansion; oracled by DuckDB's native
+    // ASOF LEFT JOIN.
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        // unique (key, ts) on the right side so the as-of winner is
+        // well-defined (AsofJoin contract)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("view_value"))
+          .withColumnRenamed("ts", "view_ts")
+        graft.plans.AsofJoin.backward(purchases, views, "user_id", "ts", "view_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts, p.value, v.view_ts, v.view_value
+             |FROM (SELECT event_id, user_id, ts, value FROM events
+             |      WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts AS view_ts, max(value) AS view_value
+             |                FROM events WHERE event_type = 'view'
+             |                GROUP BY user_id, ts) v
+             |ON p.user_id = v.user_id AND p.ts >= v.view_ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Analytic window functions: row numbering, lag/lead, running sum,
+    // ntile — the per-key sequence features a training pipeline derives
+    // from event history. One shuffle (partition by user), sorted once,
+    // all five functions share the frame.
+    "q_window_funcs" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          // unique total sort (ts, event_id) fixes the accumulation order,
+          // so the double running sum is bit-identical to DuckDB's
+          round(sum(col("value")).over(run), 2).as("running_value"),
+          ntile(4).over(w).as("quartile"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type,
+             |  CAST(row_number() OVER w AS INT) AS rn,
+             |  lag(value, 1) OVER w AS prev_value,
+             |  lead(event_type, 1) OVER w AS next_type,
+             |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
 
     // A3/U2/A5/F*: the run-window pivot — the reference does
     // UNION-then-MAX (Autoloader_daily_log_report.sql:99-124); conditional

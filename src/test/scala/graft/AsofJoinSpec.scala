@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.AsofJoin
+
+/** As-of join semantics on hand-built fixtures: nearest-at-or-before
+  * (backward) / at-or-after (forward) match, inclusive ties, null on no
+  * match, left-outer row preservation — plus the plan-shape rule that
+  * the whole operator is one shuffle with no join node at all. */
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  // key 1: quotes at 10, 20, 30; key 2: one quote at 50; key 3: none
+  private lazy val quotes = Seq(
+    (1L, ts(10), 100.0), (1L, ts(20), 200.0), (1L, ts(30), 300.0),
+    (2L, ts(50), 500.0))
+    .toDF("k", "q_ts", "price")
+
+  private lazy val trades = Seq(
+    (1L, 1L, ts(5)),   // before any quote -> null
+    (2L, 1L, ts(20)),  // tie -> the 20-quote (inclusive)
+    (3L, 1L, ts(25)),  // between -> the 20-quote
+    (4L, 1L, ts(99)),  // after all -> the 30-quote
+    (5L, 2L, ts(49)),  // just before the only quote -> null
+    (6L, 3L, ts(10)))  // key with no quotes -> null
+    .toDF("t_id", "k", "t_ts")
+
+  test("backward: nearest at-or-before quote, inclusive tie, null when none") {
+    val got = AsofJoin.backward(trades, quotes, "k", "t_ts", "q_ts")
+      .orderBy("t_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(4)).map(_ => r.getDouble(4))))
+    assert(got.toSeq == Seq(
+      1L -> None, 2L -> Some(200.0), 3L -> Some(200.0),
+      4L -> Some(300.0), 5L -> None, 6L -> None))
+  }
+
+  test("forward: nearest at-or-after quote, inclusive tie") {
+    val got = AsofJoin.forward(trades, quotes, "k", "t_ts", "q_ts")
+      .orderBy("t_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(4)).map(_ => r.getDouble(4))))
+    assert(got.toSeq == Seq(
+      1L -> Some(100.0), 2L -> Some(200.0), 3L -> Some(300.0),
+      4L -> None, 5L -> Some(500.0), 6L -> None))
+  }
+
+  test("matched right timestamp rides along with the payload") {
+    val got = AsofJoin.backward(trades, quotes, "k", "t_ts", "q_ts")
+      .filter(col("t_id") === 4L).collect().head
+    assert(got.getTimestamp(got.fieldIndex("q_ts")) == ts(30))
+  }
+
+  test("all left rows are preserved (left-outer semantics)") {
+    assert(AsofJoin.backward(trades, quotes, "k", "t_ts", "q_ts").count() ==
+      trades.count())
+  }
+
+  test("null right-payload fields do not make the match skip to an older row") {
+    val q = Seq((1L, ts(10), Some(1.0)), (1L, ts(20), Option.empty[Double]))
+      .toDF("k", "q_ts", "price")
+    val t = Seq((1L, 1L, ts(25))).toDF("t_id", "k", "t_ts")
+    val row = AsofJoin.backward(t, q, "k", "t_ts", "q_ts").collect().head
+    // the 20-row matches even though its price is null
+    assert(row.getTimestamp(row.fieldIndex("q_ts")) == ts(20))
+    assert(row.isNullAt(row.fieldIndex("price")))
+  }
+
+  test("colliding right column names are refused") {
+    val bad = quotes.withColumnRenamed("q_ts", "t_ts")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(trades, bad, "k", "t_ts", "t_ts")
+    }
+  }
+
+  test("plan: no join node, no cartesian — one shuffle + window") {
+    val qe = AsofJoin.backward(trades, quotes, "k", "t_ts", "q_ts").queryExecution
+    val logical = qe.optimizedPlan.toString
+    assert(!"\\bJoin\\b".r.findAllIn(logical).hasNext, logical)
+    assert("\\bWindow\\b".r.findAllIn(logical).size == 1, logical)
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+}
