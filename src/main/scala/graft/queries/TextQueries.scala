@@ -120,14 +120,41 @@ object TextQueries {
               |  GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
               |ORDER BY doc_id""".stripMargin)),
 
-    // SimHash fingerprints (64-bit, expression-only) — not expressible
-    // in the oracle; covered by DedupSpec invariants.
+    // SimHash fingerprints, oracle-checked end to end: the vote/pack
+    // machinery is hash-agnostic, so this entry runs it on the portable
+    // md5-derived 60-bit token hash (Dedup.md5Hash60) that DuckDB can
+    // recompute bit-identically — token split, per-bit votes, tie→0 and
+    // all. The xxhash64 default (the production fast path) is pinned by
+    // DedupSpec invariants instead.
     "q_simhash" -> Q(
       (s, dir) => Dedup.withSimhash(
         Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text")
+        "doc_id", "text", hashFn = Dedup.md5Hash60)
         .select(col("doc_id"), col("simhash"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id")),
+      Some {
+        val votes = (0 until 60)
+          .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n    ")
+        val pack = (0 until 60)
+          .map(i => s"CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0 END")
+          .mkString(" +\n    ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+           |  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+           |), votes AS (
+           |  SELECT doc_id,
+           |    $votes
+           |  FROM toks GROUP BY doc_id
+           |), packed AS (
+           |  SELECT doc_id,
+           |    $pack AS simhash
+           |  FROM votes
+           |)
+           |SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
+           |FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
 
     // MinHash-LSH near-duplicate pairs over planted near-dups (one
     // trailing token appended). Candidates come from band-bucket

@@ -286,15 +286,27 @@ object Dedup {
     df.join(losersSide, Seq(idCol), "left_anti")
   }
 
+  /** Portable 60-bit token hash: the top 15 hex digits of md5, read as
+    * an integer. Slower than xxhash64 but computable bit-identically by
+    * any engine with md5 (DuckDB: `('0x' || substr(md5(t),1,15))::BIGINT`)
+    * — the hash the oracle-checked SimHash entry runs on. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash per document: tokens explode once, each token is
     * hashed ONCE, then 64 conditional-sum bit votes aggregate per doc
     * (codegen'd hash aggregate, one shuffle on the id), and the votes
-    * pack into a long. Scales linearly in corpus size. */
+    * pack into a long. Scales linearly in corpus size.
+    *
+    * The vote machinery is hash-agnostic: `hashFn` defaults to the fast
+    * xxhash64 but any Column→long-Column hash works (md5Hash60 gives a
+    * cross-engine-reproducible fingerprint at ~2× the hash cost). */
   def withSimhash(df: DataFrame, idCol: String, textCol: String,
-                  out: String = "simhash"): DataFrame = {
+                  out: String = "simhash",
+                  hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val hashed = df
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
-      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
+      .select(col(idCol), hashFn(col("__tok")).as("__h"))
     val votes = (0 until 64).map { i =>
       sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
         .as(s"__b$i")
