@@ -406,6 +406,23 @@ object Core {
              |GROUP BY o_orderstatus, o_orderpriority
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
+    // Training-pipeline profiling: one-pass per-column null rate +
+    // cardinality over events (graft.plans.Profiler, exact mode — the
+    // approx/HLL scale path is spec-gated in ProfilerSpec).
+    "q_profile" -> Q(
+      (s, dir) => graft.plans.Profiler.profile(
+        t(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+        .orderBy(col("column")),
+      Some {
+        val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+        cols.map { c =>
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct
+             |FROM events""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
     // §2.12-adjacent: binary/multimodal metadata — byte length + sha256
     // digest of an opaque payload column (here the document text bytes).
     "q_binary_meta" -> Q(

@@ -99,6 +99,27 @@ object TextQueries {
              |    AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test assignment (graft.plans.Splits):
+    // md5-bucket hashing keyed on doc_id — stable across runs, engines
+    // and repartitioning, fully map-side. The whole assignment is
+    // value-checked against DuckDB recomputing the same salted hash.
+    "q_split_assign" -> Q(
+      (s, dir) => graft.plans.Splits.assign(
+        Tables.load(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = "graft",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 8000 THEN 'train'
+             |       WHEN bucket < 9000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('graft:' || doc_id), 1, 15))::BIGINT % 10000
+             |      AS bucket
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Exact dedup groups (md5 of normalized text) over planted dups.
     "q_dedup_exact" -> Q(
       (s, dir) => Dedup.exactGroups(withPlantedDups(s, dir), "doc_id", "text")

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.Splits
+
+/** Deterministic-split guarantees: fractions land near target, the
+  * assignment is a pure function of (seed, key) — stable across runs,
+  * repartitioning and corpus growth — and different seeds decorrelate. */
+class SplitsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val keys = spark.range(10000).withColumnRenamed("id", "k")
+
+  test("fractions land within 2% of target") {
+    val n = Splits.assign(keys, "k", "s1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(n("train") - 8000L) < 200, n)
+    assert(math.abs(n("val") - 1000L) < 200, n)
+    assert(math.abs(n("test") - 1000L) < 200, n)
+  }
+
+  test("assignment is stable across runs and repartitioning") {
+    val a = Splits.assign(keys, "k", "s1", Seq("train" -> 0.5, "test" -> 0.5))
+      .select("k", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Splits.assign(keys.repartition(13), "k", "s1", Seq("train" -> 0.5, "test" -> 0.5))
+      .select("k", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("membership is fixed as the corpus grows (subset keeps its splits)") {
+    val full = Splits.assign(keys, "k", "s1", Seq("train" -> 0.8, "test" -> 0.2))
+      .select("k", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sub = Splits.assign(keys.filter(col("k") < 100), "k", "s1",
+      Seq("train" -> 0.8, "test" -> 0.2))
+      .select("k", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (k, s) => full(k) == s })
+  }
+
+  test("different seeds decorrelate") {
+    val joined = Splits.assign(keys, "k", "s1", Seq("a" -> 0.5, "b" -> 0.5))
+      .select(col("k"), col("split").as("s1"))
+      .join(Splits.assign(keys, "k", "s2", Seq("a" -> 0.5, "b" -> 0.5))
+        .select(col("k"), col("split").as("s2")), Seq("k"))
+    val agree = joined.filter(col("s1") === col("s2")).count()
+    assert(math.abs(agree - 5000L) < 300, agree) // ~50% agreement if independent
+  }
+
+  test("plan: assignment is map-side — no shuffle, no join") {
+    val plan = Splits.assign(keys, "k", "s1", Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("fractions summing over 1 are refused") {
+    intercept[IllegalArgumentException] {
+      Splits.assign(keys, "k", "s1", Seq("a" -> 0.8, "b" -> 0.3))
+    }
+  }
+}
