@@ -406,6 +406,24 @@ object Core {
              |GROUP BY o_orderstatus, o_orderpriority
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
+    // Distribution profiling: exact percentiles per group (type-7
+    // linear interpolation — the same method DuckDB's quantile_cont
+    // uses, so the values agree to the double grid; round(4) guards the
+    // comparison like every other double aggregate here).
+    "q_percentiles" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.9), 4) AS p90,
+             |  round(quantile_cont(value, 0.99), 4) AS p99
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Training-pipeline profiling: one-pass per-column null rate +
     // cardinality over events (graft.plans.Profiler, exact mode — the
     // approx/HLL scale path is spec-gated in ProfilerSpec).
