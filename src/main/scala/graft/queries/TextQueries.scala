@@ -99,6 +99,35 @@ object TextQueries {
              |    AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Greedy sequence packing (graft.text.Packing): docs → 512-token
+    // training bins, sharded by id range; the whole deterministic
+    // assignment is recomputed by the oracle's recursive CTE.
+    "q_pack_bins" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.text.Packing.packGreedy(docs, "doc_id", col("n_tokens"),
+          budget = 512, shardSize = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE seq AS (
+             |  SELECT doc_id, doc_id // 100 AS shard,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             |    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |pack AS (
+             |  SELECT shard, rn, doc_id, n_tokens, 0 AS bin, n_tokens AS acc
+             |  FROM seq WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+             |    CASE WHEN p.acc + s.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+             |    CASE WHEN p.acc + s.n_tokens <= 512 THEN p.acc + s.n_tokens
+             |         ELSE s.n_tokens END
+             |  FROM seq s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1)
+             |SELECT doc_id, shard, CAST(bin AS INT) AS bin, n_tokens
+             |FROM pack ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test assignment (graft.plans.Splits):
     // md5-bucket hashing keyed on doc_id — stable across runs, engines
     // and repartitioning, fully map-side. The whole assignment is
