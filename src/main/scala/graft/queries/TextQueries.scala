@@ -99,6 +99,62 @@ object TextQueries {
              |    AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Fixed-window chunking (graft.text.Chunking): long docs split into
+    // overlapping 64-token windows (step 48) — shuffle-free explode.
+    "q_chunk_docs" -> Q(
+      (s, dir) => graft.text.Chunking.chunk(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", budget = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_index")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             |    len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, t, n,
+             |    unnest(range(CAST(greatest(ceil((n - 64) / 48.0) + 1, 1) AS INT)))
+             |      AS chunk_index
+             |  FROM toks)
+             |SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
+             |  array_to_string(list_slice(t, chunk_index*48 + 1, chunk_index*48 + 64), ' ')
+             |    AS chunk_text,
+             |  CAST(least(n - chunk_index*48, 64) AS INT) AS n_tokens
+             |FROM chunks ORDER BY doc_id, chunk_index""".stripMargin)),
+
+    // PII scrubbing (TextFunctions.scrubPII): email/IPv4/phone spans
+    // masked before text leaves the pipeline; PII planted into the
+    // first 20 docs, fingerprints + mask counts value-checked.
+    "q_scrub" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.withColumn("text",
+          when(col("doc_id") < 20,
+            concat(col("text"), lit(" Contact user"), col("doc_id"),
+              lit("@example.com or +1 555-0100 via 192.168.0.1")))
+            .otherwise(col("text")))
+        val scrubbed = TextFunctions.scrubPII(col("text"))
+        planted.select(col("doc_id"),
+          md5(scrubbed).as("scrub_fp"),
+          TextFunctions.piiCount(scrubbed).as("n_pii"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 20 THEN
+             |      concat(text, ' Contact user', doc_id,
+             |             '@example.com or +1 555-0100 via 192.168.0.1')
+             |    ELSE text END AS text
+             |  FROM documents),
+             |scrubbed AS (
+             |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS s
+             |  FROM planted)
+             |SELECT doc_id, md5(s) AS scrub_fp,
+             |  CAST(len(regexp_extract_all(s, '<EMAIL>|<IP>|<PHONE>')) AS INT) AS n_pii
+             |FROM scrubbed ORDER BY doc_id""".stripMargin)),
+
     // Greedy sequence packing (graft.text.Packing): docs → 512-token
     // training bins, sharded by id range; the whole deterministic
     // assignment is recomputed by the oracle's recursive CTE.

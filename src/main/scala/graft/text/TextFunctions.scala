@@ -80,4 +80,28 @@ object TextFunctions {
     * text — the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** PII scrub patterns: (regex, replacement token), applied in order.
+    * Conservative ASCII regexes with identical semantics in Java regex
+    * and RE2, so any engine reproduces the scrub byte-for-byte. Email
+    * first (its local part would otherwise partly match the phone
+    * pattern's digit runs). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d() -]{7,}\\d" -> "<PHONE>")
+
+  /** Mask emails, IPv4 addresses and phone-like digit runs — the text
+    * hygiene pass run before training text leaves the pipeline. Pure
+    * codegen'd regexp_replace chain. */
+  def scrubPII(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** How many PII spans the scrub masked — counted on the SCRUBBED text
+    * (counting the raw patterns independently would double-count spans
+    * that match more than one pattern, e.g. an email's digit run). */
+  def piiCount(scrubbed: Column): Column =
+    regexp_count(scrubbed, lit("<EMAIL>|<IP>|<PHONE>"))
 }
