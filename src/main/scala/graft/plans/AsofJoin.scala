@@ -56,35 +56,43 @@ object AsofJoin {
 
     // One relation, both sides. Right rows carry their payload as a single
     // non-null struct (so a legitimately-null payload field can't make the
-    // ignoreNulls window skip past the row); left rows carry null.
+    // ignoreNulls window skip past the row); left rows carry null. A right
+    // row with a NULL timestamp can never be "at or before/after" anything
+    // (ASOF comparison semantics) — drop it rather than letting it sort to
+    // an end and shadow real matches.
     val leftSide = left.select(
       left.columns.map(col).toSeq ++ Seq(
         col(leftTs).as("__asof_ts"),
-        // Backward: right sorts before left at equal ts so the window sees it.
-        // Forward: left sorts before right so the frame starting at the left
-        // row still includes an equal-ts right row. Inclusive ties both ways.
-        lit(if (forward) 0 else 1).as("__asof_side"),
+        // The scan order below puts right before left at equal timestamps,
+        // so ties are inclusive in both directions.
+        lit(1).as("__asof_side"),
         lit(null).cast(payloadType).as("__asof_payload")): _*)
-    val rightSide = right.select(
+    val rightSide = right.filter(col(rightTs).isNotNull).select(
       left.schema.fields.map { f =>
         if (f.name == key) col(key) else lit(null).cast(f.dataType).as(f.name)
       }.toSeq ++ Seq(
         col(rightTs).as("__asof_ts"),
-        lit(if (forward) 1 else 0).as("__asof_side"),
+        lit(0).as("__asof_side"),
         struct(payloadCols.map(col): _*).as("__asof_payload")): _*)
 
-    val base = Window.partitionBy(col(key)).orderBy(col("__asof_ts"), col("__asof_side"))
-    val (frame, pick) =
-      if (forward)
-        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-         (c: org.apache.spark.sql.Column) => first(c, ignoreNulls = true))
-      else
-        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-         (c: org.apache.spark.sql.Column) => last(c, ignoreNulls = true))
+    // Both directions use the INCREMENTAL running frame
+    // [unboundedPreceding, currentRow] + last(ignoreNulls) — O(n) per key.
+    // Backward scans time ascending; forward scans time DESCENDING, where
+    // "most recently seen right row" is exactly the earliest at-or-after
+    // match. (first() over [currentRow, unboundedFollowing] computes the
+    // same thing but re-aggregates the whole suffix per row — O(n²) on a
+    // hot key.) NULL left timestamps sort to the START of the scan in
+    // both directions (nulls_first) — before any right row has been
+    // seen — so they match nothing, like the SQL comparison would.
+    val (tsOrder, sideOrder) =
+      if (forward) (col("__asof_ts").desc_nulls_first, col("__asof_side").asc)
+      else (col("__asof_ts").asc_nulls_first, col("__asof_side").asc)
+    val frame = Window.partitionBy(col(key)).orderBy(tsOrder, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     leftSide.unionByName(rightSide)
-      .withColumn("__asof_match", pick(col("__asof_payload")).over(frame))
-      .filter(col("__asof_side") === lit(if (forward) 0 else 1))
+      .withColumn("__asof_match", last(col("__asof_payload"), ignoreNulls = true).over(frame))
+      .filter(col("__asof_side") === 1)
       .select(left.columns.map(col).toSeq ++
         payloadCols.map(c => col(s"__asof_match.$c").as(c)): _*)
   }

@@ -25,16 +25,22 @@ object Profiler {
   def profile(df: DataFrame, cols: Seq[String],
               approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile of zero columns")
+    // backtick-quote every reference: `cols` names top-level columns
+    // verbatim, so a dot in a name must not parse as field access
+    val qcol = (c: String) => col(s"`$c`")
     val distinctOf =
-      if (approx) (c: String) => approx_count_distinct(col(c))
-      else (c: String) => countDistinct(col(c))
+      if (approx) (c: String) => approx_count_distinct(qcol(c))
+      else (c: String) => countDistinct(qcol(c))
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"), distinctOf(c).as(s"__nd_$c"))
+      Seq(count(qcol(c)).as(s"__nn_$c"), distinctOf(c).as(s"__nd_$c"))
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // backtick-quote the synthesized names: a profiled column named
+    // "a.b" aliases fine, but a bare col("__nn_a.b") would re-parse the
+    // dot as struct-field access
     val entries = cols.map { c =>
       struct(lit(c).as("column"), col("__n").as("n_rows"),
-        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"))
+        col(s"`__nn_$c`").as("n_nonnull"), col(s"`__nd_$c`").as("n_distinct"))
     }
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }

@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
 object Splits {
 
   /** Deterministic bucket in [0, buckets) for a key: uniform, stable,
-    * engine-reproducible. */
+    * engine-reproducible. The hash is the single shared md5-prefix
+    * construction ([[graft.text.Dedup.md5Hash60]]) — its bit-exact
+    * definition is load-bearing for the DuckDB oracles, so it lives in
+    * exactly one place. */
   def bucketOf(key: Column, seed: String, buckets: Int = 10000): Column =
     pmod(
-      conv(substring(md5(concat(lit(s"$seed:"), key.cast("string"))), 1, 15),
-        16, 10).cast("long"),
+      graft.text.Dedup.md5Hash60(concat(lit(s"$seed:"), key.cast("string"))),
       lit(buckets.toLong))
 
   /** Add `bucket` and `split` columns assigning every row to one of the

@@ -127,32 +127,36 @@ object TextQueries {
     "q_scrub" -> Q(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        // coalesce pins the planted concat: Spark's concat is
+        // null-propagating, DuckDB's skips nulls — with it both engines
+        // produce the suffix even if a text row is ever null
         val planted = docs.withColumn("text",
           when(col("doc_id") < 20,
-            concat(col("text"), lit(" Contact user"), col("doc_id"),
+            concat(coalesce(col("text"), lit("")), lit(" Contact user"), col("doc_id"),
               lit("@example.com or +1 555-0100 via 192.168.0.1")))
             .otherwise(col("text")))
-        val scrubbed = TextFunctions.scrubPII(col("text"))
         planted.select(col("doc_id"),
-          md5(scrubbed).as("scrub_fp"),
-          TextFunctions.piiCount(scrubbed).as("n_pii"))
+          md5(TextFunctions.scrubPII(col("text"))).as("scrub_fp"),
+          TextFunctions.piiCount(col("text")).as("n_pii"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH planted AS (
              |  SELECT doc_id,
              |    CASE WHEN doc_id < 20 THEN
-             |      concat(text, ' Contact user', doc_id,
+             |      concat(coalesce(text, ''), ' Contact user', doc_id,
              |             '@example.com or +1 555-0100 via 192.168.0.1')
              |    ELSE text END AS text
              |  FROM documents),
              |scrubbed AS (
-             |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+             |  SELECT doc_id, text, regexp_replace(regexp_replace(regexp_replace(text,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS s
              |  FROM planted)
              |SELECT doc_id, md5(s) AS scrub_fp,
-             |  CAST(len(regexp_extract_all(s, '<EMAIL>|<IP>|<PHONE>')) AS INT) AS n_pii
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b|\+?\d[\d() -]{7,}\d'))
+             |    AS INT) AS n_pii
              |FROM scrubbed ORDER BY doc_id""".stripMargin)),
 
     // Greedy sequence packing (graft.text.Packing): docs → 512-token

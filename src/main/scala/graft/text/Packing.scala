@@ -46,10 +46,13 @@ object Packing {
     require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val ds = df.select(
-      col(idCol).cast("long").as("id"),
-      floor(col(idCol).cast("long") / lit(shardSize)).cast("long").as("shard"),
-      weight.cast("long").as("w")).as[DocW]
+    // integral `div`, not double division: a long→double cast loses
+    // precision past 2^53, which would put snowflake-scale ids in the
+    // wrong shard (and diverge from an oracle's integer `//`). Ids are
+    // assumed non-negative (truncating and flooring division agree).
+    val ds = df.select(col(idCol).cast("long").as("id"), weight.cast("long").as("w"))
+      .select(col("id"), expr(s"id div ${shardSize}L").as("shard"), col("w"))
+      .as[DocW]
     ds.groupByKey(_.shard)
       .flatMapSortedGroups(col("id")) { (shard, docs) =>
         var bin = 0

@@ -85,7 +85,15 @@ object TextFunctions {
     * Conservative ASCII regexes with identical semantics in Java regex
     * and RE2, so any engine reproduces the scrub byte-for-byte. Email
     * first (its local part would otherwise partly match the phone
-    * pattern's digit runs). */
+    * pattern's digit runs).
+    *
+    * The phone pattern is deliberately AGGRESSIVE: any ≥9-character run
+    * of digits/spaces/dashes/parens masks, which also hits year ranges
+    * ("2020-2021") and spaced number columns. For a training-data
+    * hygiene pass that is the right side of the trade — over-masking a
+    * digit run loses little signal; leaking a phone number is
+    * unrecoverable. RE2 has no lookaround, so a more surgical pattern
+    * cannot be expressed engine-portably. */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
@@ -99,9 +107,14 @@ object TextFunctions {
       regexp_replace(c, pat, repl)
     }
 
-  /** How many PII spans the scrub masked — counted on the SCRUBBED text
-    * (counting the raw patterns independently would double-count spans
-    * that match more than one pattern, e.g. an email's digit run). */
-  def piiCount(scrubbed: Column): Column =
-    regexp_count(scrubbed, lit("<EMAIL>|<IP>|<PHONE>"))
+  /** How many PII spans a scrub of `text` would mask: one left-to-right
+    * scan of the ordered pattern alternation over the RAW text. Counting
+    * each pattern independently would double-count spans matching more
+    * than one pattern (an email's digit run also looks phone-like), and
+    * counting sentinel tokens in the scrubbed output would miscount
+    * documents that already contain the literal string `<EMAIL>` etc.
+    * Both Java regex and RE2 alternate leftmost-first, so the count is
+    * engine-reproducible. */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(piiPatterns.map(_._1).mkString("|")))
 }

@@ -71,6 +71,24 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(row.isNullAt(row.fieldIndex("price")))
   }
 
+  test("null timestamps: null-ts right rows never match, null-ts left rows match nothing") {
+    val q = Seq((1L, Option.empty[Timestamp], 5.0), (1L, Some(ts(10)), 100.0))
+      .toDF("k", "q_ts", "price")
+    val t = Seq((1L, 1L, Some(ts(5))), (2L, 1L, Option.empty[Timestamp]),
+      (3L, 1L, Some(ts(20)))).toDF("t_id", "k", "t_ts")
+    def prices(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("t_id").collect()
+        .map(r => Option(r.get(r.fieldIndex("price"))).map(_ => r.getDouble(r.fieldIndex("price"))))
+        .toSeq
+    // backward: 5 has no real quote at-or-before (the null-ts one must NOT
+    // stand in); the null-ts trade matches nothing; 20 sees the 10-quote
+    assert(prices(AsofJoin.backward(t, q, "k", "t_ts", "q_ts")) ==
+      Seq(None, None, Some(100.0)))
+    // forward: 5 sees the 10-quote; null-ts trade nothing; 20 has nothing after
+    assert(prices(AsofJoin.forward(t, q, "k", "t_ts", "q_ts")) ==
+      Seq(Some(100.0), None, None))
+  }
+
   test("colliding right column names are refused") {
     val bad = quotes.withColumnRenamed("q_ts", "t_ts")
     intercept[IllegalArgumentException] {

@@ -56,15 +56,24 @@ class ChunkingSpec extends AnyFunSuite {
       (1L, "write to alice.smith+x@corp.example.org today"),
       (2L, "server at 10.0.42.7 answered"),
       (3L, "call +1 555-010-9999 now"),
-      (4L, "a perfectly clean sentence"))
+      (4L, "a perfectly clean sentence"),
+      // a pre-existing literal sentinel is NOT counted as masked PII
+      (5L, "fill in <EMAIL> here"))
       .toDF("id", "text")
     val got = df.select(col("id"),
-      TextFunctions.scrubPII(col("text")).as("s"))
-      .withColumn("n", TextFunctions.piiCount(col("s")))
+      TextFunctions.scrubPII(col("text")).as("s"),
+      TextFunctions.piiCount(col("text")).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     assert(got.contains((1L, "write to <EMAIL> today", 1)))
     assert(got.contains((2L, "server at <IP> answered", 1)))
     assert(got.contains((3L, "call <PHONE> now", 1)))
     assert(got.contains((4L, "a perfectly clean sentence", 0)))
+    assert(got.contains((5L, "fill in <EMAIL> here", 0)))
+  }
+
+  test("phone masking is documented-aggressive: long benign digit runs mask too") {
+    val df = Seq((1L, "revenue grew 2020-2021 strongly")).toDF("id", "text")
+    val s = df.select(TextFunctions.scrubPII(col("text"))).collect().head.getString(0)
+    assert(s == "revenue grew <PHONE> strongly") // the accepted over-masking trade
   }
 }

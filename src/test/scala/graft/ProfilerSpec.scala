@@ -28,6 +28,13 @@ class ProfilerSpec extends AnyFunSuite {
     assert(got("s") == 7L, got) // small cardinalities are exact under HLL
   }
 
+  test("column names containing dots profile fine") {
+    val dotted = df.withColumnRenamed("k", "a.b")
+    val got = Profiler.profile(dotted, Seq("a.b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a.b", 5L, 4L, 4L)))
+  }
+
   test("plan: exact mode expands, approx mode stays a narrow single pass") {
     val exact = Profiler.profile(df, Seq("k", "s")).queryExecution
       .optimizedPlan.toString
