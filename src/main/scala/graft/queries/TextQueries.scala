@@ -99,6 +99,59 @@ object TextQueries {
              |    AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // The operators composed the way a training pipeline actually runs
+    // them — scrub → quality-gate → exact dedup (keep min id per
+    // fingerprint) → deterministic split — as ONE declarative plan
+    // (Catalyst fuses the scalar stages into a single codegen'd pass;
+    // the only shuffles are the dedup aggregate and its semi join).
+    // The oracle recomputes the whole pipeline end to end.
+    "q_corpus_pipeline" -> Q(
+      (s, dir) => {
+        // planted whitespace-mangled copies exercise the dedup stage,
+        // and the 0.8 gate drops ~30% of docs — every stage of the
+        // composition provably does work
+        val scored = withPlantedDups(s, dir).select(col("doc_id"),
+          TextFunctions.scrubPII(col("text")).as("s"))
+          .select(col("doc_id"),
+            TextFunctions.fingerprint(col("s")).as("fp"),
+            TextFunctions.qualityScore(col("s")).as("quality"))
+        val kept = scored.filter(col("quality") >= 0.8)
+        val keepIds = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        val deduped = kept.join(keepIds, Seq("fp", "doc_id"), "left_semi")
+        graft.plans.Splits.assign(deduped, "doc_id", seed = "corpus",
+          Seq("train" -> 0.9, "val" -> 0.1))
+          .select(col("doc_id"), col("fp"), col("quality"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH docs2 AS ($plantedCte),
+             |scrubbed AS (
+             |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             |    '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g') AS s
+             |  FROM docs2),
+             |scored AS (
+             |  SELECT doc_id,
+             |    md5(lower(regexp_replace(trim(s), '\\s+', ' ', 'g'))) AS fp,
+             |    round((least(CAST(length(s) AS DOUBLE) / 500.0, 1.0)
+             |      + (CASE WHEN length(regexp_replace(trim(s), '\\s+', '', 'g')) /
+             |           greatest(CAST(len(string_split_regex(trim(s), '\\s+')) AS DOUBLE), 1.0)
+             |           BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+             |      + (1.0 - least(len(regexp_extract_all(s, '[.,;:!?]')) /
+             |           greatest(CAST(length(s) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)
+             |      AS quality
+             |  FROM scrubbed),
+             |kept AS (SELECT * FROM scored WHERE quality >= 0.8),
+             |deduped AS (
+             |  SELECT k.* FROM kept k
+             |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp) m
+             |  ON k.fp = m.fp AND k.doc_id = m.doc_id)
+             |SELECT doc_id, fp, quality,
+             |  CASE WHEN ('0x' || substr(md5('corpus:' || doc_id), 1, 15))::BIGINT
+             |         % 10000 < 9000
+             |       THEN 'train' ELSE 'val' END AS split
+             |FROM deduped ORDER BY doc_id""".stripMargin)),
+
     // Fixed-window chunking (graft.text.Chunking): long docs split into
     // overlapping 64-token windows (step 48) — shuffle-free explode.
     "q_chunk_docs" -> Q(
