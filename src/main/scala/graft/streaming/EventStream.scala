@@ -30,6 +30,24 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: drop every record whose key columns
+    * were already seen within the watermark horizon — the continuous
+    * form of the batch fingerprint dedup, for deduping a document/event
+    * feed AS it is ingested.
+    *
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its event time + delay, so state is BOUNDED at
+    * any scale (a plain streaming dropDuplicates would retain every key
+    * forever). The documented trade: a duplicate arriving later than
+    * the watermark horizon after its first occurrence is not caught —
+    * cross-horizon dedup belongs to the batch pass
+    * ([[graft.text.Dedup]]). */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String],
+                    tsCol: String = "ts",
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, events: Int, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -148,6 +148,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupedStream(input.toDF(),
+      keyCols = Seq("user_id", "event_type"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:00:00"), "click", 1.0),
+        Event(1, ts("2024-03-01 10:00:30"), "click", 1.0), // same-batch dup
+        Event(2, ts("2024-03-01 10:01:00"), "view", 2.0))
+      q.processAllAvailable()
+      // next batch: (1, click) again inside the horizon → dropped;
+      // (2, click) is a new key → kept
+      input.addData(
+        Event(1, ts("2024-03-01 10:02:00"), "click", 9.0),
+        Event(2, ts("2024-03-01 10:03:00"), "click", 3.0))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out")
+        .collect().map(r => (r.getLong(r.fieldIndex("user_id")),
+          r.getString(r.fieldIndex("event_type")))).toSeq
+      assert(keys.sorted == Seq((1L, "click"), (2L, "click"), (2L, "view")))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("batch sessionization closes every session at end of input") {
     val events = Seq(
       Event(1, ts("2024-03-01 09:00:00"), "a", 1.0),
