@@ -394,6 +394,28 @@ object Core {
              |ORDER BY o_orderstatus ASC NULLS FIRST,
              |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // Beyond-parity: CUBE with grouping() markers — all four aggregation
+    // levels in one pass (rollup's sibling; subtotal provenance made
+    // explicit so consumers can tell a real NULL group from a subtotal).
+    "q_cube" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first,
+          col("g_status"), col("g_priority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST,
+             |  o_orderpriority ASC NULLS FIRST, g_status, g_priority""".stripMargin)),
+
     // P6: isin membership filter (config_checking.py:28,39,50).
     "q_isin" -> Q(
       (s, dir) => t(s, dir, "orders")
