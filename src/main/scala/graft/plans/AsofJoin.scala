@@ -36,18 +36,25 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
-  /** Most recent right row at-or-before each left row's timestamp. */
+  /** Most recent right row at-or-before each left row's timestamp.
+    * `tolerance` (an interval literal like "5 minutes") bounds the
+    * staleness: a match older than leftTs - tolerance is discarded —
+    * the row keeps left-outer nulls instead of a stale lookup. */
   def backward(left: DataFrame, right: DataFrame,
-               key: String, leftTs: String, rightTs: String): DataFrame =
-    asof(left, right, key, leftTs, rightTs, forward = false)
+               key: String, leftTs: String, rightTs: String,
+               tolerance: Option[String] = None): DataFrame =
+    asof(left, right, key, leftTs, rightTs, forward = false, tolerance)
 
-  /** Earliest right row at-or-after each left row's timestamp. */
+  /** Earliest right row at-or-after each left row's timestamp;
+    * `tolerance` bounds how far into the future the match may be. */
   def forward(left: DataFrame, right: DataFrame,
-              key: String, leftTs: String, rightTs: String): DataFrame =
-    asof(left, right, key, leftTs, rightTs, forward = true)
+              key: String, leftTs: String, rightTs: String,
+              tolerance: Option[String] = None): DataFrame =
+    asof(left, right, key, leftTs, rightTs, forward = true, tolerance)
 
   private def asof(left: DataFrame, right: DataFrame, key: String,
-                   leftTs: String, rightTs: String, forward: Boolean): DataFrame = {
+                   leftTs: String, rightTs: String, forward: Boolean,
+                   tolerance: Option[String] = None): DataFrame = {
     val payloadCols = right.columns.filterNot(_ == key).toSeq
     val collisions = payloadCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
@@ -90,8 +97,27 @@ object AsofJoin {
     val frame = Window.partitionBy(col(key)).orderBy(tsOrder, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    leftSide.unionByName(rightSide)
-      .withColumn("__asof_match", last(col("__asof_payload"), ignoreNulls = true).over(frame))
+    // bind the window result through a NAMED column so the tolerance
+    // check reads it instead of re-evaluating the window expression
+    val matched = leftSide.unionByName(rightSide)
+      .withColumn("__asof_raw",
+        last(col("__asof_payload"), ignoreNulls = true).over(frame))
+    // tolerance: discard a match whose timestamp is farther from the
+    // left row than the interval — the row reverts to left-outer nulls.
+    // Evaluated on the matched struct's own ts field, so it composes
+    // with the single-window plan (still no join node).
+    val matchCol = tolerance match {
+      case None => col("__asof_raw")
+      case Some(tol) =>
+        val iv = expr(s"INTERVAL $tol")
+        if (forward)
+          when(col(s"__asof_raw.$rightTs") <= col("__asof_ts") + iv, col("__asof_raw"))
+        else
+          when(col(s"__asof_raw.$rightTs") >= col("__asof_ts") - iv, col("__asof_raw"))
+    }
+
+    matched
+      .withColumn("__asof_match", matchCol)
       .filter(col("__asof_side") === 1)
       .select(left.columns.map(col).toSeq ++
         payloadCols.map(c => col(s"__asof_match.$c").as(c)): _*)

@@ -89,6 +89,26 @@ class AsofJoinSpec extends AnyFunSuite {
       Seq(Some(100.0), None, None))
   }
 
+  test("tolerance bounds staleness: too-old matches revert to nulls") {
+    // trade at 99 matched the 30-quote without tolerance; with a
+    // 30-second bound that match is 69s stale -> dropped
+    val got = AsofJoin.backward(trades, quotes, "k", "t_ts", "q_ts",
+      tolerance = Some("30 seconds"))
+      .orderBy("t_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(4)).map(_ => r.getDouble(4))))
+    assert(got.toSeq == Seq(
+      1L -> None, 2L -> Some(200.0), 3L -> Some(200.0),
+      4L -> None, 5L -> None, 6L -> None))
+    // forward with a 1-second bound: only the exact tie survives
+    val fwd = AsofJoin.forward(trades, quotes, "k", "t_ts", "q_ts",
+      tolerance = Some("1 second"))
+      .orderBy("t_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(4)).map(_ => r.getDouble(4))))
+    assert(fwd.toSeq == Seq(
+      1L -> None, 2L -> Some(200.0), 3L -> None,
+      4L -> None, 5L -> Some(500.0), 6L -> None))
+  }
+
   test("colliding right column names are refused") {
     val bad = quotes.withColumnRenamed("q_ts", "t_ts")
     intercept[IllegalArgumentException] {
