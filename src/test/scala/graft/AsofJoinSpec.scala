@@ -116,6 +116,40 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized equivalence vs brute-force reference (seeded)") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 5).foreach { round =>
+      // duplicate timestamps across keys, ties between sides, multiple keys
+      val qs = Seq.fill(40)((rnd.nextInt(5).toLong, ts(rnd.nextInt(50).toLong),
+        rnd.nextInt(1000).toDouble))
+        // unique (key, ts) per the operator contract
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val trs = Seq.tabulate(60)(i =>
+        (i.toLong, rnd.nextInt(5).toLong, ts(rnd.nextInt(50).toLong)))
+      val quotesDf = qs.toDF("k", "q_ts", "price")
+      val tradesDf = trs.toDF("t_id", "k", "t_ts")
+
+      def expected(fwd: Boolean): Map[Long, Option[Double]] =
+        trs.map { case (id, k, t) =>
+          val cands = qs.filter(q => q._1 == k &&
+            (if (fwd) !q._2.before(t) else !q._2.after(t)))
+          id -> (if (cands.isEmpty) None
+                 else Some((if (fwd) cands.minBy(_._2.getTime)
+                            else cands.maxBy(_._2.getTime))._3))
+        }.toMap
+
+      def got(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+        df.collect().map(r => r.getLong(0) ->
+          Option(r.get(r.fieldIndex("price")))
+            .map(_ => r.getDouble(r.fieldIndex("price")))).toMap
+
+      assert(got(AsofJoin.backward(tradesDf, quotesDf, "k", "t_ts", "q_ts")) ==
+        expected(fwd = false), s"backward round $round")
+      assert(got(AsofJoin.forward(tradesDf, quotesDf, "k", "t_ts", "q_ts")) ==
+        expected(fwd = true), s"forward round $round")
+    }
+  }
+
   test("plan: no join node, no cartesian — one shuffle + window") {
     val qe = AsofJoin.backward(trades, quotes, "k", "t_ts", "q_ts").queryExecution
     val logical = qe.optimizedPlan.toString
