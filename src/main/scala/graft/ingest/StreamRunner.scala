@@ -94,7 +94,8 @@ final class StreamRunner(val spark: SparkSession, val pipeline: IngestPipeline) 
         if (feed.SourceFileDelimiter.nonEmpty) r = r.option("sep", feed.SourceFileDelimiter)
         r.csv(feed.SourceFilePath).schema
       case "json" => spark.read.json(feed.SourceFilePath).schema
-      case _ => spark.read.parquet(feed.SourceFilePath).schema
+      // parquet, orc, and any other self-describing columnar format
+      case other => spark.read.format(other).load(feed.SourceFilePath).schema
     }
     val known = pipeline.columns.map(_.SourceColumnName).toSet
     val extras = observed.fields.toSeq.filterNot(f => known.contains(f.name))

@@ -158,6 +158,22 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("score") == 2.5)
   }
 
+  test("orc feed format ingests with drift preflight through the generic path") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ing-orc")
+    val src = tmp.resolve("src")
+    Seq((1, "ann", 1.5), (2, "bob", 2.5)).toDF("id", "name", "score")
+      .coalesce(1).write.orc(src.toString)
+    val f = feed(src.toString).copy(SourceFileFormat = "orc",
+      SourceFileHeader = 0, SourceFileDelimiter = "")
+    val (pipe, runner) = build(tmp, f)
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    val rows = pipe.target.read().orderBy("person_id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows(1).getAs[Double]("score") == 2.5)
+    assert(rows.head.getAs[Int]("BatchId") == 1)
+  }
+
   test("continuous mode: ProcessingTime trigger drains and can be stopped") {
     val tmp = Files.createTempDirectory("ing-cont")
     writeCsv(tmp, "a.csv", Seq("id,name,score", "1,ann,1.5"))
