@@ -101,10 +101,13 @@ object TextQueries {
 
     // The operators composed the way a training pipeline actually runs
     // them — scrub → quality-gate → exact dedup (keep min id per
-    // fingerprint) → deterministic split — as ONE declarative plan
-    // (Catalyst fuses the scalar stages into a single codegen'd pass;
-    // the only shuffles are the dedup aggregate and its semi join).
-    // The oracle recomputes the whole pipeline end to end.
+    // fingerprint) → deterministic split — as ONE declarative plan.
+    // Dedup is a WINDOW (row_number over fp, keep rank 1), not an
+    // agg + semi join: a self-join would re-evaluate the expensive
+    // scrub/quality scalar stage once per branch (measured 4× slower
+    // at sf0.1), while the window consumes the single scored pass and
+    // adds exactly one shuffle. The oracle recomputes the whole
+    // pipeline end to end.
     "q_corpus_pipeline" -> Q(
       (s, dir) => {
         // planted whitespace-mangled copies exercise the dedup stage,
@@ -116,8 +119,10 @@ object TextQueries {
             TextFunctions.fingerprint(col("s")).as("fp"),
             TextFunctions.qualityScore(col("s")).as("quality"))
         val kept = scored.filter(col("quality") >= 0.8)
-        val keepIds = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        val deduped = kept.join(keepIds, Seq("fp", "doc_id"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))
+        val deduped = kept.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
         graft.plans.Splits.assign(deduped, "doc_id", seed = "corpus",
           Seq("train" -> 0.9, "val" -> 0.1))
           .select(col("doc_id"), col("fp"), col("quality"), col("split"))
