@@ -78,7 +78,7 @@ object FeedConfig {
     val dupNames = feed.Columns.groupBy(_.TargetColumnName).filter(_._2.size > 1).keys
     if (dupNames.nonEmpty)
       errs += s"feed ${feed.HeaderID}: duplicate target column ${dupNames.mkString(",")}"
-    if (!Set("csv", "json", "parquet").contains(feed.SourceFileFormat.toLowerCase))
+    if (!Set("csv", "json", "parquet", "orc").contains(feed.SourceFileFormat.toLowerCase))
       errs += s"feed ${feed.HeaderID}: unsupported format ${feed.SourceFileFormat}"
     feed.Columns.foreach { c =>
       try org.apache.spark.sql.types.DataType.fromDDL(c.TargetDataType)

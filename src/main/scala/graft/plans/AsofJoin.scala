@@ -106,20 +106,23 @@ object AsofJoin {
     // left row than the interval — the row reverts to left-outer nulls.
     // Evaluated on the matched struct's own ts field, so it composes
     // with the single-window plan (still no join node).
+    // getField, not col("a.b") string parsing: a payload column whose
+    // NAME contains a dot must never be misread as nested access
     val matchCol = tolerance match {
       case None => col("__asof_raw")
       case Some(tol) =>
         val iv = expr(s"INTERVAL $tol")
+        val matchedTs = col("__asof_raw").getField(rightTs)
         if (forward)
-          when(col(s"__asof_raw.$rightTs") <= col("__asof_ts") + iv, col("__asof_raw"))
+          when(matchedTs <= col("__asof_ts") + iv, col("__asof_raw"))
         else
-          when(col(s"__asof_raw.$rightTs") >= col("__asof_ts") - iv, col("__asof_raw"))
+          when(matchedTs >= col("__asof_ts") - iv, col("__asof_raw"))
     }
 
     matched
       .withColumn("__asof_match", matchCol)
       .filter(col("__asof_side") === 1)
       .select(left.columns.map(col).toSeq ++
-        payloadCols.map(c => col(s"__asof_match.$c").as(c)): _*)
+        payloadCols.map(c => col("__asof_match").getField(c).as(c)): _*)
   }
 }

@@ -44,9 +44,11 @@ object EventStream {
     * ([[graft.text.Dedup]]). */
   def dedupedStream(events: DataFrame, keyCols: Seq[String],
                     tsCol: String = "ts",
-                    watermarkDelay: String = "10 minutes"): DataFrame =
+                    watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupedStream needs at least one key column")
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, events: Int, value: Double)

@@ -26,10 +26,18 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Rows that survive exact dedup (first id per fingerprint wins). */
+  /** Rows that survive exact dedup (first id per fingerprint wins).
+    * A window (row_number per fingerprint, keep rank 1) rather than a
+    * groupBy-min + semi join: the join form gives the input TWO
+    * consumers, so any expensive upstream stage (scrub, scoring)
+    * re-evaluates per branch — measured 3.3× slower on the composed
+    * corpus pipeline. The window consumes one pass and adds exactly
+    * one shuffle on the fingerprint. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Word w-shingles of the text (empty array when too short). */
