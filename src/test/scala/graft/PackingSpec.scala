@@ -54,6 +54,27 @@ class PackingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("randomized equivalence vs a scalar greedy reference (seeded)") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 3).foreach { round =>
+      val docs = Seq.tabulate(300)(i => (i.toLong, (rnd.nextInt(120) + 1).toLong))
+      val got = Packing.packGreedy(docs.toDF("doc_id", "w"), "doc_id", col("w"),
+        budget = 100, shardSize = 64)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+      // reference: greedy scan per shard in id order
+      val expected = docs.groupBy(_._1 / 64).flatMap { case (shard, ds) =>
+        var bin = 0; var acc = -1L
+        ds.sortBy(_._1).map { case (id, w) =>
+          if (acc < 0) acc = w
+          else if (acc + w <= 100) acc += w
+          else { bin += 1; acc = w }
+          id -> (shard, bin)
+        }
+      }
+      assert(got == expected, s"round $round")
+    }
+  }
+
   test("plan: one exchange, and only the narrow (id, shard, w) projection shuffles") {
     val wide = spark.range(100).select(col("id").as("doc_id"),
       lit(7L).as("w"), concat(lit("x"), col("id")).as("payload"))

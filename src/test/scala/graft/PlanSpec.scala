@@ -81,6 +81,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!qe.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("corpus pipeline: no join — the dedup consumes the scored pass once") {
+    // the window dedup must keep the plan single-branch: a groupBy-min +
+    // semi join would add a Join node and re-evaluate the expensive
+    // scalar stage per branch (3.3× slower). The two Relation scans that
+    // DO appear come from the planted-dup union, not the dedup.
+    val qe = SparkEntry.queries("q_corpus_pipeline")(spark, sf).queryExecution
+    val logical = qe.optimizedPlan.toString
+    assert(!"\\bJoin\\b".r.findAllIn(logical).hasNext, logical)
+    assert("Relation \\[".r.findAllIn(logical).size == 2, logical) // union branches only
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     val df = SparkEntry.queries("q_pricing_summary")(spark, sf)
     df.collect() // AQE finalizes the plan only after execution
