@@ -394,6 +394,41 @@ object Core {
              |ORDER BY o_orderstatus ASC NULLS FIRST,
              |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // Per-group top-k: the windowed rank ≤ k idiom (top 3 orders per
+    // status) — rank, not row_number, so price ties are kept and the
+    // result is deterministic without a tiebreak column.
+    "q_topk_per_group" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rk", rank().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select(col("o_orderstatus"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderstatus"), col("rk"))
+      },
+      Some("""SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+             |FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    rank() OVER (PARTITION BY o_orderstatus
+             |                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders)
+             |WHERE rk <= 3
+             |ORDER BY o_orderstatus, rk""".stripMargin)),
+
+    // Edit distance — fuzzy string matching for entity resolution;
+    // levenshtein is exact-integer in both engines.
+    "q_edit_distance" -> Q(
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).as("dist_bt"),
+          levenshtein(lower(col("p_type")), lower(col("p_name"))).as("dist_tn"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  CAST(levenshtein(p_brand, p_type) AS INT) AS dist_bt,
+             |  CAST(levenshtein(lower(p_type), lower(p_name)) AS INT) AS dist_tn
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Beyond-parity: CUBE with grouping() markers — all four aggregation
     // levels in one pass (rollup's sibling; subtotal provenance made
     // explicit so consumers can tell a real NULL group from a subtotal).
