@@ -207,6 +207,70 @@ object Core {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // Batch sessionization (graft.plans.Sessionize): gap-islands over
+    // per-user event history — lag flags gap starts, a running sum
+    // numbers the islands, a group-agg summarizes each session. One
+    // shuffle: the agg clusters on (user, session), a superset of the
+    // window's user partitioning. 12h gap ≈ p70 of the per-user
+    // inter-event spacing, so sessions genuinely merge AND split.
+    "q_sessionize" -> Q(
+      (s, dir) => graft.plans.Sessionize.batch(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        gapSeconds = 12 * 3600)
+        .orderBy(col("user_id"), col("session_id")),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |numbered AS (
+             |  SELECT user_id, ts, value,
+             |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             |      AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id,
+             |  min(ts) AS session_start, max(ts) AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM numbered GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Time-series gap fill (graft.plans.Resample): hourly per-type
+    // grid densified from each group's own span, zero-filled counts +
+    // LOCF value — the dense axis is generated distributed
+    // (sequence+explode), never a driver loop.
+    "q_gapfill" -> Q(
+      (s, dir) => graft.plans.Resample.gapFill(
+        t(s, dir, "events"), "event_type", "ts", "value", unit = "hour")
+        .orderBy(col("event_type"), col("bucket")),
+      Some("""WITH agg AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    round(sum(value), 2) AS bucket_value
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+             |  FROM agg GROUP BY 1),
+             |axis AS (
+             |  SELECT event_type,
+             |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+             |  FROM bounds),
+             |j AS (
+             |  SELECT a.event_type, a.bucket, g.n_events, g.bucket_value
+             |  FROM axis a LEFT JOIN agg g
+             |    ON a.event_type = g.event_type AND a.bucket = g.bucket)
+             |SELECT event_type, bucket,
+             |  coalesce(n_events, 0) AS n_events,
+             |  coalesce(bucket_value, 0.0) AS bucket_value,
+             |  coalesce(last_value(bucket_value IGNORE NULLS) OVER (
+             |    PARTITION BY event_type ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             |    AS value_locf
+             |FROM j ORDER BY event_type, bucket""".stripMargin)),
+
     // A3/U2/A5/F*: the run-window pivot — the reference does
     // UNION-then-MAX (Autoloader_daily_log_report.sql:99-124); conditional
     // aggregation is the shuffle-free equivalent (one pass, no union).

@@ -267,6 +267,52 @@ object TextQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF top terms (graft.text.TfIdf): per-doc salient keywords —
+    // explode → tf/df aggs → term join → windowed top-k; corpus size N
+    // rides a broadcast one-row scalar. Scores rounded BEFORE ranking
+    // so the order is a pure function of emitted values.
+    "q_tfidf" -> Q(
+      (s, dir) => graft.text.TfIdf.topTerms(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rk")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             |    round(tf.tf * (ln((n.n_docs + 1) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 4)
+             |      AS tfidf
+             |  FROM tf JOIN dfreq USING (term), n),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, term, tf, df, tfidf
+             |FROM ranked WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin)),
+
+    // Stratified sampling (graft.plans.Sampling): deterministic
+    // hash-threshold keep per language stratum (downsample dominant
+    // 'en' to 20%) — map-side, engine-recomputable, stable under
+    // repartitioning; the whole sample is value-checked by the oracle.
+    "q_stratified_sample" -> Q(
+      (s, dir) => graft.plans.Sampling.stratified(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", rates = Seq("en" -> 0.2), defaultRate = 1.0,
+        seed = "strat")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substr(md5('strat:' || doc_id), 1, 15))::BIGINT % 10000
+             |      < CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // Exact dedup groups (md5 of normalized text) over planted dups.
     "q_dedup_exact" -> Q(
       (s, dir) => Dedup.exactGroups(withPlantedDups(s, dir), "doc_id", "text")

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{Resample, Sampling, Sessionize}
+import graft.text.TfIdf
+
+/** Handcrafted-fixture semantics for the batch time-series / sampling /
+  * keyword operators (their end-to-end values are oracle-checked by
+  * q_sessionize / q_gapfill / q_stratified_sample / q_tfidf; these pin
+  * the edge cases small fixtures show best). */
+class PlanOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: gap merges and splits, ties broken by tie column") {
+    import spark.implicits._
+    // user 1: two sessions (06:00 jump > 1h gap); user 2: one session
+    // with two equal-timestamp events (tie on event_id keeps both)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, 1.0),
+      (1L, ts("2024-01-01 00:30:00"), 11L, 2.0),
+      (1L, ts("2024-01-01 06:00:00"), 12L, 4.0),
+      (2L, ts("2024-01-01 01:00:00"), 20L, 1.5),
+      (2L, ts("2024-01-01 01:00:00"), 21L, 2.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Sessionize.batch(ev, "user_id", "ts", "event_id", "value",
+      gapSeconds = 3600)
+      .orderBy("user_id", "session_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out === Seq(
+      (1L, 1, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"), 2L, 3.0),
+      (1L, 2, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:00:00"), 1L, 4.0),
+      (2L, 1, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00"), 2L, 4.0)))
+  }
+
+  test("sessionize: boundary gap exactly equal to the threshold merges") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, 1.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val n = Sessionize.batch(ev, "user_id", "ts", "event_id", "value", 3600)
+      .count()
+    assert(n === 1L)
+  }
+
+  test("gapFill: holes zero-filled, LOCF carries last seen value") {
+    import spark.implicits._
+    // group 'a': hours 00,01,03 present -> hour 02 synthesized
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 1.0),
+      ("a", ts("2024-01-01 01:20:00"), 2.0),
+      ("a", ts("2024-01-01 03:30:00"), 4.0),
+      ("b", ts("2024-01-01 05:00:00"), 9.0)
+    ).toDF("g", "ts", "value")
+    val out = Resample.gapFill(ev, "g", "ts", "value", "hour")
+      .orderBy("g", "bucket")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 13),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out === Seq(
+      ("a", "00", 1L, 1.0, 1.0),
+      ("a", "01", 1L, 2.0, 2.0),
+      ("a", "02", 0L, 0.0, 2.0), // synthesized: zero count, LOCF value
+      ("a", "03", 1L, 4.0, 4.0),
+      ("b", "05", 1L, 9.0, 9.0)))
+  }
+
+  test("stratified: rates hit per stratum, subset stable as corpus grows") {
+    val base = spark.range(10000)
+      .select(col("id"),
+        when(pmod(col("id"), lit(2)) === 0, "en").otherwise("fr").as("lang"))
+    val kept = Sampling.stratified(base, "id", "lang",
+      Seq("en" -> 0.2), defaultRate = 1.0, seed = "t")
+    val n = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(n("en") - 1000L) < 150, n)   // 5000 * 0.2
+    assert(n("fr") === 5000L)                    // default keeps all
+    // determinism: the kept set over a prefix equals the prefix of the kept set
+    val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    val sub = Sampling.stratified(base.filter(col("id") < 1000), "id", "lang",
+      Seq("en" -> 0.2), 1.0, "t").select("id").collect().map(_.getLong(0)).toSet
+    assert(sub === keptIds.filter(_ < 1000))
+  }
+
+  test("tfidf: common term ranks below distinctive terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple cherry"),
+      (3L, "apple date date")
+    ).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", k = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    // 'apple' is in every doc (lowest idf) -> never the top term
+    assert(top === Seq(1L -> "banana", 2L -> "cherry", 3L -> "date"))
+  }
+
+  test("tfidf: k bounds output and ranks are dense from 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(docs, "doc_id", "text", k = 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out === Seq((1L, 3L, 1, 3), (2L, 2L, 1, 2)))
+  }
+}
