@@ -92,6 +92,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Relation \\[".r.findAllIn(logical).size == 2, logical) // union branches only
   }
 
+  test("sessionize is one shuffle: the session agg reuses the window's user partitioning") {
+    // groupBy(user, session_id) clusters on a superset of the window's
+    // hash(user) partitioning, so Catalyst must NOT add a second hash
+    // exchange between the window and the aggregate
+    val qe = graft.plans.Sessionize.batch(
+      Tables.load(spark, sf, "events"), "user_id", "ts", "event_id", "value",
+      gapSeconds = 12 * 3600).queryExecution
+    val plan = qe.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     val df = SparkEntry.queries("q_pricing_summary")(spark, sf)
     df.collect() // AQE finalizes the plan only after execution
