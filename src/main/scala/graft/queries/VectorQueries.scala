@@ -20,6 +20,48 @@ object VectorQueries {
 
   val defs: Seq[(String, Q)] = Seq(
 
+    // Deterministic k-means (graft.vector.KMeans): 2 Lloyd rounds over
+    // integer-quantized embeddings, hash-picked seeds, map-side argmin
+    // assignment — the ENTIRE final assignment is value-checked by the
+    // oracle recomputing both rounds (quantization keeps every sum on
+    // exact integers, so the result is partitioning- and
+    // engine-independent; a float k-means could never be hash-compared).
+    "q_kmeans" -> Q(
+      (s, dir) => graft.vector.KMeans.fit(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .orderBy(col("vec_id")),
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |                   x -> floor(x * 1000)) AS e
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT vec_id AS cid, e FROM q
+             |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
+             |    vec_id
+             |  LIMIT 4),
+             |a1 AS (
+             |  SELECT vec_id, e, cid FROM (
+             |    SELECT q.vec_id, q.e, s.cid,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
+             |          + list_dot_product(s.e, s.e), s.cid) AS rn
+             |    FROM q, seeds s) WHERE rn = 1),
+             |c1 AS (
+             |  SELECT cid, list(m ORDER BY i) AS e FROM (
+             |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
+             |    FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+             |a2 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT q.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.e)
+             |          + list_dot_product(c.e, c.e), c.cid) AS rn
+             |    FROM q, c1 c) WHERE rn = 1)
+             |SELECT vec_id, CAST(cid AS INT) AS cluster
+             |FROM a2 ORDER BY vec_id""".stripMargin)),
+
     // Brute-force cosine top-10 against the vec_id=0 embedding. The
     // query vector is a one-row driver fetch (O3 scalar lookup); the
     // scan itself is one narrow pass + TakeOrdered.
