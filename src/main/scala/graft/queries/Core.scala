@@ -63,6 +63,23 @@ object Core {
       Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
+    // Skew mitigation (graft.plans.Skew): two-phase salted aggregation
+    // — partial agg on (key, salt), final on key — value-checked
+    // against the plain one-phase GROUP BY it must equal. l_returnflag
+    // is a genuinely hot key (3 values over the whole table), the exact
+    // shape salting exists for.
+    "q_skew_salted_agg" -> Q(
+      (s, dir) => graft.plans.Skew.saltedSum(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", saltFactor = 16)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // A2: scalar MAX subquery (insert_config.py:97 `(SELECT MAX(ColumnOrder) …)`).
     "q_scalar_subquery" -> Q(
       (s, dir) => {
