@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * driver-side loop), then left-joined back onto the aggregated
   * buckets. Missing buckets surface as count 0 / value 0.0, plus a
   * last-observation-carried-forward column for consumers that want a
-  * step function instead of zeros. The axis join and the LOCF window
-  * cluster on the same leading group key, so the plan keeps one
-  * partitioning across agg → join → window.
+  * step function instead of zeros. Scale shape: the input is touched
+  * by exactly ONE full-data shuffle (the bucket aggregation, with
+  * map-side partials); everything after — the axis join and the LOCF
+  * window — runs on the aggregated grid, whose size is
+  * groups × buckets, orders of magnitude below the event count.
   */
 object Resample {
 
@@ -31,7 +33,7 @@ object Resample {
         col(valueCol))
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 2).as("bucket_value"))
+        sum(col(valueCol)).as("bucket_value"))
     val axis = agg
       .groupBy(col(groupCol))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))

@@ -40,6 +40,6 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 2).as("total_value"))
+        sum(col(valueCol)).as("total_value"))
   }
 }

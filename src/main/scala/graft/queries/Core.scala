@@ -234,6 +234,9 @@ object Core {
       (s, dir) => graft.plans.Sessionize.batch(
         t(s, dir, "events"), "user_id", "ts", "event_id", "value",
         gapSeconds = 12 * 3600)
+        // parity rounding is a query-layer concern (header note above);
+        // the operator itself returns exact sums
+        .withColumn("total_value", round(col("total_value"), 2))
         .orderBy(col("user_id"), col("session_id")),
       Some("""WITH g AS (
              |  SELECT user_id, event_id, ts, value,
@@ -262,6 +265,10 @@ object Core {
     "q_gapfill" -> Q(
       (s, dir) => graft.plans.Resample.gapFill(
         t(s, dir, "events"), "event_type", "ts", "value", unit = "hour")
+        // query-layer parity rounding; LOCF picks elements, so
+        // round∘locf = locf∘round and the oracle's order is equivalent
+        .withColumn("bucket_value", round(col("bucket_value"), 2))
+        .withColumn("value_locf", round(col("value_locf"), 2))
         .orderBy(col("event_type"), col("bucket")),
       Some("""WITH agg AS (
              |  SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -476,26 +483,28 @@ object Core {
              |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
     // Per-group top-k: the windowed rank ≤ k idiom (top 3 orders per
-    // status) — rank, not row_number, so price ties are kept and the
-    // result is deterministic without a tiebreak column.
+    // status) — rank over the price ALONE, so equal-price rows share a
+    // rank and all of them are kept (can yield > 3 rows in a tied
+    // group); the outer ORDER BY carries the orderkey tiebreak that
+    // makes the output total.
     "q_topk_per_group" -> Q(
       (s, dir) => {
         val w = Window.partitionBy(col("o_orderstatus"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .orderBy(col("o_totalprice").desc)
         t(s, dir, "orders")
           .withColumn("rk", rank().over(w).cast("int"))
           .filter(col("rk") <= 3)
           .select(col("o_orderstatus"), col("rk"), col("o_orderkey"), col("o_totalprice"))
-          .orderBy(col("o_orderstatus"), col("rk"))
+          .orderBy(col("o_orderstatus"), col("rk"), col("o_orderkey"))
       },
       Some("""SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
              |FROM (
              |  SELECT o_orderstatus, o_orderkey, o_totalprice,
              |    rank() OVER (PARTITION BY o_orderstatus
-             |                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |                 ORDER BY o_totalprice DESC) AS rk
              |  FROM orders)
              |WHERE rk <= 3
-             |ORDER BY o_orderstatus, rk""".stripMargin)),
+             |ORDER BY o_orderstatus, rk, o_orderkey""".stripMargin)),
 
     // Edit distance — fuzzy string matching for entity resolution;
     // levenshtein is exact-integer in both engines.

@@ -29,8 +29,8 @@ object TfIdf {
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3): DataFrame = {
     val toks = docs
-      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+"))
-        .as("term"))
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))

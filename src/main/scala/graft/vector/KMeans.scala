@@ -90,11 +90,19 @@ object KMeans {
   private def trained(q: DataFrame, idCol: String, k: Int, iters: Int,
                       seed: String): Seq[(Long, Seq[Double])] = {
     require(iters >= 1, "need at least one assignment round")
-    var cents = seedCentroids(q, idCol, k, seed)
-    for (_ <- 1 until iters)
-      cents = updateCentroids(
-        q.withColumn("cluster", assignExpr(col("__e"), col("__ee"), cents)))
-    cents
+    // the training loop runs one job per round over the same prepared
+    // relation — persist it so quantization + the source scan happen
+    // once, not once per round (the final assignment a caller
+    // materializes later is its own single pass either way)
+    val cached = q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = seedCentroids(cached, idCol, k, seed)
+      for (_ <- 1 until iters)
+        cents = updateCentroids(
+          cached.withColumn("cluster",
+            assignExpr(col("__e"), col("__ee"), cents)))
+      cents
+    } finally cached.unpersist(false)
   }
 
   /** Run `iters` assignment rounds (with a centroid update between
