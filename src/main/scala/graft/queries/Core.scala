@@ -224,6 +224,76 @@ object Core {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // Full-outer join with a coalesced using-key: unmatched rows
+    // survive on BOTH sides (customers under 500 without qualifying
+    // orders; order custkeys at or above 500).
+    "q_full_outer" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_custkey") < 500)
+          .select(col("c_custkey").as("custkey"), col("c_name"))
+        val ords = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumnRenamed("o_custkey", "custkey")
+        cust.join(ords, Seq("custkey"), "full_outer")
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT coalesce(c.custkey, o.custkey) AS custkey,
+             |  c.c_name, o.n_orders, o.sum_price
+             |FROM (SELECT c_custkey AS custkey, c_name FROM customer
+             |      WHERE c_custkey < 500) c
+             |FULL OUTER JOIN
+             |     (SELECT o_custkey AS custkey,
+             |        CAST(count(*) AS BIGINT) AS n_orders,
+             |        round(sum(o_totalprice), 2) AS sum_price
+             |      FROM orders GROUP BY 1) o
+             |ON c.custkey = o.custkey
+             |ORDER BY custkey""".stripMargin)),
+
+    // Native relational pivot: one pass, explicit value list (required
+    // at scale — an unlisted-values pivot needs an extra distinct scan
+    // to discover columns), absent cells zero-filled.
+    "q_pivot" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+             |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+             |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+             |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+             |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // Rank-family semantics under REAL ties: the 5-value priority
+    // within each status gives dense_rank gaps-free numbering,
+    // percent_rank/cume_dist as exact integer ratios (bit-identical
+    // across engines — no rounding needed).
+    "q_rank_family" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderpriority"))
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          dense_rank().over(w).cast("int").as("drk"),
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cd"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             |  CAST(dense_rank() OVER w AS INT) AS drk,
+             |  percent_rank() OVER w AS prk,
+             |  cume_dist() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Batch sessionization (graft.plans.Sessionize): gap-islands over
     // per-user event history — lag flags gap starts, a running sum
     // numbers the islands, a group-agg summarizes each session. One
