@@ -224,6 +224,52 @@ object Core {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // Array function family: collect_set → sort_array → array_join.
+    // The output is the JOINED STRING, not the array — the driver's
+    // checker hashes scalars only (the q_job_specs lesson), and the
+    // sort inside the array makes the collect order-insensitive.
+    "q_array_funcs" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          size(collect_set(col("o_orderpriority"))).as("n_priorities"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+             |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             |    AS priorities,
+             |  CAST(len(list_distinct(list(o_orderpriority))) AS INT)
+             |    AS n_priorities
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // JSON extraction from the events.props payload column
+    // (get_json_object path syntax ≍ DuckDB json_extract) — parse,
+    // cast, aggregate by the extracted field.
+    "q_json_funcs" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             |  count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // Fixed-width histogram: floor(x / width) bucketing — integral
+    // boundary values divide exactly in both engines, so the bucket
+    // edges are deterministic.
+    "q_histogram" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000).cast("int").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Full-outer join with a coalesced using-key: unmatched rows
     // survive on BOTH sides (customers under 500 without qualifying
     // orders; order custkeys at or above 500).
