@@ -313,6 +313,83 @@ object TextQueries {
              |      < CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // The FULL training-data flow as one declarative plan: scrub PII →
+    // quality gate → exact dedup (window) → stratified language
+    // rebalance (en halved) → token count → greedy packing into
+    // 512-token bins. Every stage is an operator verified on its own
+    // elsewhere; this entry proves the COMPOSITION — the oracle
+    // recomputes all six stages end to end, so any inter-stage
+    // contract drift (column loss, order sensitivity, hash mismatch)
+    // turns the row red.
+    "q_training_pipeline" -> Q(
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.scrubPII(col("text")).as("s"))
+          .select(col("doc_id"), col("lang"), col("s"),
+            TextFunctions.fingerprint(col("s")).as("fp"),
+            TextFunctions.qualityScore(col("s")).as("quality"))
+        val kept = scored.filter(col("quality") >= 0.8)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))
+        val deduped = kept.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val sampled = graft.plans.Sampling.stratified(
+          deduped, "doc_id", "lang", rates = Seq("en" -> 0.5),
+          defaultRate = 1.0, seed = "train")
+        val counted = sampled.select(col("doc_id"),
+          TextFunctions.tokenCount(col("s")).cast("long").as("n_tokens"))
+        graft.text.Packing.packGreedy(counted, "doc_id", col("n_tokens"),
+          budget = 512, shardSize = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE scrubbed AS (
+             |  SELECT doc_id, lang,
+             |    regexp_replace(regexp_replace(regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |      '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS s
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id, lang, s,
+             |    md5(lower(regexp_replace(trim(s), '\s+', ' ', 'g'))) AS fp,
+             |    round((least(CAST(length(s) AS DOUBLE) / 500.0, 1.0)
+             |      + (CASE WHEN length(regexp_replace(trim(s), '\s+', '', 'g')) /
+             |           greatest(CAST(len(string_split_regex(trim(s), '\s+')) AS DOUBLE), 1.0)
+             |           BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+             |      + (1.0 - least(len(regexp_extract_all(s, '[.,;:!?]')) /
+             |           greatest(CAST(length(s) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)
+             |      AS quality
+             |  FROM scrubbed),
+             |kept AS (SELECT * FROM scored WHERE quality >= 0.8),
+             |deduped AS (
+             |  SELECT k.* FROM kept k
+             |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp) m
+             |  ON k.fp = m.fp AND k.doc_id = m.doc_id),
+             |sampled AS (
+             |  SELECT * FROM deduped
+             |  WHERE ('0x' || substr(md5('train:' || doc_id), 1, 15))::BIGINT % 10000
+             |        < CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END),
+             |counted AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM sampled),
+             |seq AS (
+             |  SELECT doc_id, doc_id // 100 AS shard, n_tokens,
+             |    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+             |  FROM counted),
+             |pack AS (
+             |  SELECT shard, rn, doc_id, n_tokens, 0 AS bin, n_tokens AS acc
+             |  FROM seq WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+             |    CASE WHEN p.acc + s.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+             |    CASE WHEN p.acc + s.n_tokens <= 512 THEN p.acc + s.n_tokens
+             |         ELSE s.n_tokens END
+             |  FROM seq s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1)
+             |SELECT doc_id, shard, CAST(bin AS INT) AS bin, n_tokens
+             |FROM pack ORDER BY doc_id""".stripMargin)),
+
     // Exact dedup groups (md5 of normalized text) over planted dups.
     "q_dedup_exact" -> Q(
       (s, dir) => Dedup.exactGroups(withPlantedDups(s, dir), "doc_id", "text")
