@@ -29,10 +29,30 @@ object Bench {
       name -> (if (timings.exists(_ < 0)) -1.0 else timings.min)
     }
     val ok = results.filter(_._2 >= 0)
-    val qsJson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"sf":"$sfDir","failed":${results.size - ok.size}}""")
+    // The driver keeps only the last ~2000 chars of stdout (plus sbt's
+    // trailing "[success]" line) when parsing this JSON — full-precision
+    // timings for 70+ queries overflow that window and the line is lost.
+    // Round to ms and, if still too long, keep the slowest entries and
+    // report how many cheap ones were elided (their cost is in "value").
+    def fmt(v: Double) = f"$v%.3f"
+    def toJson(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qsJson = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir","count":${results.size},"omitted":$omitted,"failed":${results.size - ok.size}}"""
+    }
+    val full = toJson(results, 0)
+    val line =
+      if (full.length <= 1500) full
+      else {
+        // Failed entries (-1.0) always stay visible; fill the rest with
+        // the slowest passing queries, preserving registry order.
+        val keep = (results.filter(_._2 < 0) ++
+          results.filter(_._2 >= 0).sortBy(-_._2).take(40)).map(_._1).toSet
+        val kept = results.filter(r => keep(r._1))
+        toJson(kept, results.size - kept.size)
+      }
+    println(line)
     spark.stop()
   }
 }
