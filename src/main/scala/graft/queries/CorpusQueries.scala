@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{CorpusStats, Decontaminate}
+
+/** Corpus-curation operators over `documents`: benchmark
+  * decontamination, per-source occurrence caps, boilerplate-phrase
+  * ratios, vocabulary coverage, repetition signals and token entropy —
+  * the filter battery a training-data pipeline runs between ingest and
+  * packing. Every entry is recomputed end-to-end by its DuckDB oracle.
+  */
+object CorpusQueries {
+
+  /** Five-token phrase planted into both sides of the decontamination
+    * entry so the overlap path provably fires (the natural corpus has
+    * almost no cross-document 5-grams). */
+  private val evalPhrase = "alpha beta gamma delta epsilon"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // Benchmark decontamination: training docs sharing any 5-gram with
+    // the eval slice (doc_id % 97 == 0, plus one synthetic eval doc
+    // carrying the planted phrase). Docs 1..9 get the phrase appended →
+    // provably contaminated; every remaining hit is a natural 5-gram
+    // collision the oracle recomputes identically.
+    "q_decontam" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") < 10,
+              concat(coalesce(col("text"), lit("")), lit(" " + evalPhrase)))
+              .otherwise(col("text")))
+        val evalSet = docs.filter(col("doc_id") % 97 === 0)
+          .unionByName(s.range(1).select(
+            lit(900000L).as("doc_id"), lit(evalPhrase + " zeta").as("text")))
+        Decontaminate.overlap(corpus, evalSet, "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id < 10
+              |      THEN concat(coalesce(text, ''), ' $evalPhrase')
+              |      ELSE text END AS text
+              |  FROM documents WHERE doc_id % 97 <> 0),
+              |ev AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+              |  UNION ALL SELECT 900000, '$evalPhrase zeta'),
+              |ctoks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM corpus),
+              |cgrams AS (
+              |  SELECT doc_id, unnest(list_distinct(list_transform(
+              |    range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))))
+              |    AS gram
+              |  FROM ctoks),
+              |etoks AS (
+              |  SELECT string_split_regex(trim(text), '\\s+') AS t FROM ev),
+              |eg AS (
+              |  SELECT DISTINCT gram FROM (
+              |    SELECT unnest(list_transform(range(1, len(t) - 3),
+              |      i -> array_to_string(t[i:i+4], ' '))) AS gram
+              |    FROM etoks)),
+              |hits AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              |  FROM cgrams JOIN eg USING (gram) GROUP BY 1)
+              |SELECT c.doc_id,
+              |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+              |  CAST(CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END
+              |    AS INT) AS contaminated
+              |FROM corpus c LEFT JOIN hits h USING (doc_id)
+              |ORDER BY c.doc_id""".stripMargin)),
+
+    // Per-source occurrence cap (the per-domain cap of a web corpus):
+    // first 10 docs per source survive, everything ranked + flagged.
+    "q_source_cap" -> Q(
+      (s, dir) => graft.plans.Sampling.capPerStratum(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", cap = 10)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, rk,
+             |  CAST(CASE WHEN rk <= 10 THEN 1 ELSE 0 END AS INT) AS kept
+             |FROM (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             |      AS INT) AS rk
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Boilerplate share: fraction of each doc's distinct 2-grams that
+    // are corpus-frequent (appear in ≥ 30 docs) — the phrase-level
+    // chrome detector.
+    "q_boilerplate" -> Q(
+      (s, dir) => CorpusStats.boilerplateRatio(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 2, minDf = 30)
+        .orderBy(col("doc_id")),
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |gx AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))))
+             |    AS phrase
+             |  FROM t0),
+             |freq AS (
+             |  SELECT phrase FROM gx GROUP BY 1 HAVING count(*) >= 30),
+             |st AS (
+             |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |    CAST(sum(CASE WHEN f.phrase IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_boiler
+             |  FROM gx g LEFT JOIN freq f USING (phrase) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(st.n_grams, 0) AS n_grams,
+             |  coalesce(st.n_boiler, 0) AS n_boiler,
+             |  round(CAST(coalesce(st.n_boiler, 0) AS DOUBLE) /
+             |    greatest(CAST(coalesce(st.n_grams, 0) AS DOUBLE), 1.0), 4)
+             |    AS boiler_ratio
+             |FROM documents d LEFT JOIN st USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Vocabulary coverage: per-doc OOV rate against the top-20 corpus
+    // vocabulary (count desc, term asc tiebreak).
+    "q_vocab_oov" -> Q(
+      (s, dir) => CorpusStats.oovRate(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", v = 20)
+        .orderBy(col("doc_id")),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |    FROM documents)
+             |  WHERE length(tok) > 0),
+             |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+             |vv AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+             |    FROM tc)
+             |  WHERE r <= 20),
+             |st AS (
+             |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_oov
+             |  FROM tf t LEFT JOIN vv v USING (tok) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(st.n_tokens, 0) AS n_tokens,
+             |  coalesce(st.n_oov, 0) AS n_oov,
+             |  round(CAST(coalesce(st.n_oov, 0) AS DOUBLE) /
+             |    greatest(CAST(coalesce(st.n_tokens, 0) AS DOUBLE), 1.0), 4)
+             |    AS oov_rate
+             |FROM documents d LEFT JOIN st USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Gopher-style repetition signals: type-token ratio, top-token
+    // share, top-2-gram share — all exact integer ratios.
+    "q_repetition" -> Q(
+      (s, dir) => CorpusStats.repetitionStats(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |    FROM documents)
+             |  WHERE length(tok) > 0),
+             |tc AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM tf GROUP BY 1, 2),
+             |ts AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS n_distinct,
+             |    CAST(max(c) AS BIGINT) AS max_tok
+             |  FROM tc GROUP BY 1),
+             |b0 AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |bx AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |    i -> array_to_string(t[i:i+1], ' '))) AS bg
+             |  FROM b0),
+             |bc AS (
+             |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+             |  FROM bx GROUP BY 1, 2),
+             |bs AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |    CAST(max(c) AS BIGINT) AS max_bg
+             |  FROM bc GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(ts.n_tokens, 0) AS n_tokens,
+             |  coalesce(ts.n_distinct, 0) AS n_distinct,
+             |  round(CAST(coalesce(ts.n_distinct, 0) AS DOUBLE) /
+             |    greatest(CAST(coalesce(ts.n_tokens, 0) AS DOUBLE), 1.0), 4)
+             |    AS ttr,
+             |  round(CAST(coalesce(ts.max_tok, 0) AS DOUBLE) /
+             |    greatest(CAST(coalesce(ts.n_tokens, 0) AS DOUBLE), 1.0), 4)
+             |    AS top_tok_share,
+             |  round(CAST(coalesce(bs.max_bg, 0) AS DOUBLE) /
+             |    greatest(CAST(coalesce(bs.n_bigrams, 0) AS DOUBLE), 1.0), 4)
+             |    AS top_bigram_share
+             |FROM documents d
+             |LEFT JOIN ts USING (doc_id)
+             |LEFT JOIN bs USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Token-distribution entropy per doc (nats), with the Σ c·ln c term
+    // quantized to integer micro-units so the aggregation is exact
+    // under any partitioning (see CorpusStats.tokenEntropy).
+    "q_token_entropy" -> Q(
+      (s, dir) => CorpusStats.tokenEntropy(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |    FROM documents)
+             |  WHERE length(tok) > 0),
+             |tc AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM tf GROUP BY 1, 2),
+             |st AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+             |      * 1000000.0) AS BIGINT)) AS BIGINT) AS q
+             |  FROM tc GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(st.n_tokens, 0) AS n_tokens,
+             |  CASE WHEN coalesce(st.n_tokens, 0) = 0 THEN 0.0
+             |    ELSE round(ln(CAST(st.n_tokens AS DOUBLE)) -
+             |      (CAST(st.q AS DOUBLE) / 1000000.0) /
+             |        CAST(st.n_tokens AS DOUBLE), 4) END AS entropy
+             |FROM documents d LEFT JOIN st USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
+  )
+}

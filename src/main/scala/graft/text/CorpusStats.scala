@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics for training-data curation: frequent
+  * boilerplate phrases, vocabulary coverage, per-document repetition
+  * signals (the Gopher-style quality rules) and token-distribution
+  * entropy.
+  *
+  * Everything is declarative explode → hash-aggregate → (broadcast)
+  * join: the corpus text is scanned once per statistic family, term
+  * relations shuffle on the term (never the document text), and the
+  * small derived sets — frequent phrases, the top-V vocabulary — are
+  * broadcast back so the per-document pass stays map-side.
+  *
+  * Determinism stance (what makes these oracle-checkable): every emitted
+  * ratio is a SINGLE division of two exact integers (correctly rounded,
+  * engine-independent), and the one floating aggregation (entropy's
+  * Σ c·ln c) is quantized to integer micro-units per term before
+  * summing, so the sum is exact under any partitioning and evaluation
+  * order.
+  */
+object CorpusStats {
+
+  /** Lowercased whitespace tokens, one row per token occurrence —
+    * the corpus tokenizer convention shared with [[TfIdf]]. */
+  private def tokenRows(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Word n-gram phrases that occur in at least `minDf` distinct
+    * documents — the corpus boilerplate set (headers, license blurbs,
+    * navigation chrome). One distinct-per-doc pass then one term-keyed
+    * count: cost scales with distinct (doc, phrase), never pairs. */
+  def frequentPhrases(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 4, minDf: Long = 20): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(Dedup.shingles(lower(col(textCol)), n)))
+        .as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Per-document boilerplate ratio: the fraction of the document's
+    * distinct n-grams that belong to the corpus-frequent phrase set.
+    * The phrase set is broadcast (high `minDf` keeps it enum-sized even
+    * on a web corpus — it shrinks as the threshold rises), so the
+    * per-document pass adds no corpus shuffle beyond the final
+    * id-keyed aggregation. */
+  def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 4, minDf: Long = 20): DataFrame = {
+    val phrases = broadcast(
+      frequentPhrases(df, idCol, textCol, n, minDf).select(col("phrase")))
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(Dedup.shingles(lower(col(textCol)), n)))
+        .as("phrase"))
+    val stats = grams
+      .join(phrases.withColumn("__hit", lit(1)), Seq("phrase"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_boiler"))
+    df.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)).cast("double"), lit(1.0)),
+          4).as("boiler_ratio"))
+  }
+
+  /** The top-`v` corpus vocabulary by total occurrence count, term
+    * string as total tiebreak. An orderBy + limit — Catalyst runs it as
+    * TakeOrdered over the term-count aggregate, no global sort. */
+  def vocab(df: DataFrame, idCol: String, textCol: String,
+            v: Int = 100): DataFrame =
+    tokenRows(df, idCol, textCol)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(v)
+
+  /** Per-document out-of-vocabulary rate against the top-`v` corpus
+    * vocabulary — the coverage signal that sizes a tokenizer's vocab
+    * and flags documents whose token distribution is off-corpus. The
+    * vocabulary is v rows — broadcast, map-side probe. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              v: Int = 100): DataFrame = {
+    val inVocab = broadcast(
+      vocab(df, idCol, textCol, v).select(col("tok")).withColumn("__in", lit(1)))
+    val stats = tokenRows(df, idCol, textCol)
+      .join(inVocab, Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+    df.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tokens"), lit(0L)).cast("double"), lit(1.0)),
+          4).as("oov_rate"))
+  }
+
+  /** Per-document repetition signals (the Gopher quality-filter family):
+    * type-token ratio, the share of the most frequent token, and the
+    * share of the most frequent 2-gram. All three are exact integer
+    * ratios — no floating aggregation anywhere — so the output is
+    * bit-stable under repartitioning and recomputable by any engine. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokCounts = tokenRows(df, idCol, textCol)
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_tok"))
+    val bgStats = df.select(col(idCol).as("id"),
+      explode(Dedup.shingles(lower(col(textCol)), 2)).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bg"))
+    df.select(col(idCol).as("id"))
+      .join(tokStats, Seq("id"), "left")
+      .join(bgStats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(coalesce(col("n_distinct"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tokens"), lit(0L)).cast("double"), lit(1.0)),
+          4).as("ttr"),
+        round(coalesce(col("max_tok"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tokens"), lit(0L)).cast("double"), lit(1.0)),
+          4).as("top_tok_share"),
+        round(coalesce(col("max_bg"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)).cast("double"), lit(1.0)),
+          4).as("top_bigram_share"))
+  }
+
+  /** Per-document Shannon entropy of the token distribution (nats),
+    * via H = ln N − (Σ c·ln c)/N over per-token counts c.
+    *
+    * The per-term contribution c·ln c is quantized to integer
+    * micro-units (floor(x·1e6)) BEFORE the per-document sum: a plain
+    * double sum's value depends on partition/evaluation order, which
+    * would make the 4-decimal output flap across runs and engines; the
+    * quantized sum is an exact BIGINT under any ordering. The ~1e-6
+    * quantization bias is far below the rounding precision. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = tokenRows(df, idCol, textCol)
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e6)).cast("long")).as("q"))
+    df.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(
+            log(col("n_tokens").cast("double")) -
+              (col("q").cast("double") / lit(1e6)) /
+                col("n_tokens").cast("double"),
+            4)).as("entropy"))
+  }
+}
