@@ -254,6 +254,86 @@ object CatalogQueries {
               |SELECT c.HeaderID, c.JobID, h.SLA, h.TableName
               |FROM ctl c LEFT JOIN hdr h ON c.HeaderID = h.HeaderID
               |WHERE c.StatusID = 1 AND '09:00' > h.SLA
-              |ORDER BY c.HeaderID""".stripMargin))
+              |ORDER BY c.HeaderID""".stripMargin)),
+
+    // SCD Type-2 dimension maintenance (graft.catalog.Scd2): a change
+    // batch against a versioned customer dimension — changed keys close
+    // out and reopen at asOf, no-op changes pass through, brand-new
+    // keys insert, pre-existing history is untouched. The change-side
+    // joins all broadcast; the dimension is never shuffled.
+    "q_scd2" -> Q(
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val dim = cust.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"),
+          lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("eff_from"),
+          lit(null).cast("timestamp").as("eff_to"), lit(1).as("is_current"))
+          .unionByName(cust.filter(col("c_custkey") < 10)
+            .select(col("c_custkey").as("k"), lit("OLD").as("seg"),
+              col("c_acctbal").as("bal"),
+              lit(Timestamp.valueOf("2023-01-01 00:00:00")).as("eff_from"),
+              lit(Timestamp.valueOf("2024-01-01 00:00:00")).cast("timestamp")
+                .as("eff_to"),
+              lit(0).as("is_current")))
+        val changes = cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            (col("c_acctbal") + 100.0).as("bal"))
+          .unionByName(cust.filter(col("c_custkey") % 7 === 1)
+            .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+              col("c_acctbal").as("bal"))) // no-op rows
+          .unionByName(cust.filter(col("c_custkey") < 5)
+            .select((col("c_custkey") + 1000000L).as("k"),
+              lit("NEW").as("seg"), lit(0.0).as("bal")))
+        graft.catalog.Scd2.applyChanges(dim, changes, Seq("k"),
+          Seq("seg", "bal"),
+          asOf = lit(Timestamp.valueOf("2024-06-01 00:00:00")))
+          .orderBy(col("k"), col("eff_from"), col("is_current"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+             |    TIMESTAMP '2024-01-01' AS eff_from,
+             |    CAST(NULL AS TIMESTAMP) AS eff_to, 1 AS is_current
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, 'OLD', c_acctbal,
+             |    TIMESTAMP '2023-01-01', TIMESTAMP '2024-01-01', 0
+             |  FROM customer WHERE c_custkey < 10),
+             |changes AS (
+             |  SELECT c_custkey AS k, c_mktsegment AS seg,
+             |    c_acctbal + 100.0 AS bal
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey % 7 = 1
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'NEW', 0.0
+             |  FROM customer WHERE c_custkey < 5),
+             |cur AS (SELECT * FROM dim WHERE is_current = 1),
+             |hist AS (SELECT * FROM dim WHERE is_current <> 1),
+             |j AS (
+             |  SELECT c.k, c.seg, c.bal, c.eff_from, c.eff_to, c.is_current,
+             |    ch.k AS sk, ch.seg AS sseg, ch.bal AS sbal
+             |  FROM cur c LEFT JOIN changes ch ON c.k = ch.k),
+             |cls AS (
+             |  SELECT *, (sk IS NOT NULL AND NOT
+             |    (seg IS NOT DISTINCT FROM sseg AND
+             |     bal IS NOT DISTINCT FROM sbal)) AS changed
+             |  FROM j)
+             |SELECT k, seg, bal, eff_from, eff_to, is_current FROM hist
+             |UNION ALL
+             |SELECT k, seg, bal, eff_from,
+             |  CASE WHEN changed THEN TIMESTAMP '2024-06-01' ELSE eff_to END,
+             |  CASE WHEN changed THEN 0 ELSE is_current END
+             |FROM cls
+             |UNION ALL
+             |SELECT k, sseg, sbal, TIMESTAMP '2024-06-01',
+             |  CAST(NULL AS TIMESTAMP), 1
+             |FROM cls WHERE changed
+             |UNION ALL
+             |SELECT ch.k, ch.seg, ch.bal, TIMESTAMP '2024-06-01',
+             |  CAST(NULL AS TIMESTAMP), 1
+             |FROM changes ch LEFT JOIN cur c ON ch.k = c.k
+             |WHERE c.k IS NULL
+             |ORDER BY k, eff_from, is_current""".stripMargin))
   )
 }
