@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layout levers that matter at cluster scale, exercised
+  * end-to-end on real parquet: bucketed tables co-locate a join with
+  * NO exchange on either side, a partitioned layout prunes at the scan,
+  * and dynamic partition pruning turns a dim filter into a runtime
+  * fact-scan filter. These are layout contracts (what a 100 TB
+  * deployment relies on), gated here so a regression in how the engine
+  * writes or reads breaks the build, not the cluster. */
+class StorageLayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath + "/data"
+
+  /** Run `body` with broadcast joins disabled so the exchange-vs-bucket
+    * decision is actually exercised (the fixtures are tiny; a real
+    * deployment's fact tables are far past any broadcast threshold). */
+  private def withoutBroadcast[A](body: => A): A = {
+    val orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    val dir1 = tmp("bkt1"); val dir2 = tmp("bkt2")
+    val left = spark.range(10000)
+      .select(col("id").as("k"), (col("id") % 97).as("v1"))
+    val right = spark.range(10000)
+      .select(col("id").as("k"), (col("id") % 31).as("v2"))
+    left.write.format("parquet").option("path", dir1)
+      .bucketBy(8, "k").sortBy("k").saveAsTable("bkt_left")
+    right.write.format("parquet").option("path", dir2)
+      .bucketBy(8, "k").sortBy("k").saveAsTable("bkt_right")
+    try withoutBroadcast {
+      val j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(j.count() == 10000)
+      val plan = j.queryExecution.executedPlan.toString
+      // same bucketing on the join key on both sides → SMJ reads the
+      // buckets directly; an Exchange here means co-location was lost
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+      // bucket-pruning bonus: an equality filter on the bucket column
+      // selects 1 of 8 buckets at the scan (autoBucketedScan turns the
+      // bucketed layout off for scans with no downstream distribution
+      // requirement, so pin it on for this read)
+      val origAuto = spark.conf
+        .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      try {
+        val pruned = spark.table("bkt_left").filter(col("k") === 42)
+          .queryExecution.executedPlan.toString
+        assert(pruned.contains("SelectedBucketsCount: 1 out of 8"), pruned)
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", origAuto)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val dir = tmp("part")
+    Seq(("en", 1L), ("en", 2L), ("de", 3L), ("fr", 4L))
+      .toDF("lang", "doc_id")
+      .write.partitionBy("lang").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(scan.count() == 2)
+    val plan = scan.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (metadata pruning), not
+    // as a post-scan Filter over all partitions
+    assert("PartitionFilters: \\[[^\\]]*lang#\\d+ = en".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    val dir = tmp("dpp")
+    spark.range(1000)
+      .select(col("id").as("fact_id"), (col("id") % 10).as("part_key"),
+        (col("id") * 2).as("measure"))
+      .write.partitionBy("part_key").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(10)
+      .select(col("id").as("part_key"), concat(lit("d"), col("id")).as("name"))
+    val origStats =
+      spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val q = fact.join(dim, "part_key").filter(col("name") === "d3")
+      assert(q.count() == 100)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan)
+    } finally {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", origStats)
+    }
+  }
+}
