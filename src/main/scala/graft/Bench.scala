@@ -8,7 +8,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session("graft-bench")
-    val qs = graft.queries.Registry.benchNames
+    // optional args: bench only the named queries (dev loop)
+    val qs =
+      if (args.isEmpty) graft.queries.Registry.benchNames
+      else graft.queries.Registry.benchNames.filter(args.toSet)
     // One warm-up action so JVM/codegen startup isn't billed to the
     // first query in the list.
     Tables.load(spark, sfDir, "nation").count()

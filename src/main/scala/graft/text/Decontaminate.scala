@@ -19,14 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct word n-grams per document, exploded to one row each.
-    * Documents shorter than `n` tokens contribute nothing (and are
-    * therefore never flagged — a document that cannot contain the
-    * window cannot match it). */
+  /** Distinct word n-grams per document as 64-bit shingle hashes,
+    * exploded to one row each. Gram STRINGS are never materialized —
+    * each n-gram hashes straight off the per-token hashes
+    * ([[Dedup.shingleHashesFromTokenHashes]]), so probe rows are fixed
+    * 8-byte words and no text-sized data ever moves. Overlap counts
+    * match the string semantics modulo a 64-bit collision between a
+    * corpus gram and an eval gram (P ≈ |corpus grams|·|eval grams|·2⁻⁶⁴
+    * — vanishing). Documents shorter than `n` tokens contribute nothing
+    * (and are therefore never flagged — a document that cannot contain
+    * the window cannot match it). */
   private def docGrams(df: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+      Dedup.tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"), explode(array_distinct(
+        Dedup.shingleHashesFromTokenHashes(col("__th"), n))).as("gram"))
 
   /** Every corpus document with the number of distinct eval n-grams it
     * shares and a 0/1 contaminated flag. Clean documents are kept in
