@@ -261,7 +261,78 @@ object VectorQueries {
               |    ORDER BY sim DESC, vec_id) AS rn
               |  FROM cand)
               |SELECT qid, vec_id, CAST(rn AS INT) AS rank
-              |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin))
+              |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Semantic dedup keep-set: the surviving embeddings after dropping
+    // every vector with a SMALLER near-duplicate (cos ≥ 0.98) — the
+    // "keep first occurrence" dedup a training pipeline runs over
+    // embedding space. Pairs come from the LSH-bucketed near-dup
+    // operator (no cross join); the loser set is tiny (dups only) so
+    // the keep filter is a broadcast anti join — the corpus never
+    // shuffles. The oracle recomputes survivors from the exact
+    // all-pairs cosine graph.
+    "q_semantic_dedup" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val planted = emb.select(col("vec_id"), col("embedding")).unionByName(
+          emb.filter(col("vec_id") % 25 === 0).select(
+            (col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + lit(0.002f) * ((i * 7 + col("vec_id")) % 5 - 2).cast("float"))
+              .as("embedding")))
+        val losers = graft.vector.Ann.cosineNearDuplicates(
+          planted, "vec_id", "embedding", threshold = 0.98, probes = 1)
+          .select(col("id_b").as("vec_id")).distinct()
+        planted.join(broadcast(losers), Seq("vec_id"), "left_anti")
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id,
+             |    list_transform(range(len(embedding)), i ->
+             |      embedding[i+1] + CAST(0.002 AS FLOAT)
+             |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
+             |  FROM embeddings WHERE vec_id % 25 = 0),
+             |losers AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])) >= 0.98)
+             |SELECT vec_id FROM corpus
+             |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Symmetric int8 quantization (graft.vector.Quantize): per-vector
+    // scale + code array, summarized to integer-exact aggregates so
+    // the driver compare is bit-exact. Pure map-side expression work.
+    "q_embed_quantize" -> Q(
+      (s, dir) => {
+        val q = graft.vector.Quantize.int8(
+          Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          "embedding")
+        q.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, v,
+             |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+             |      THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+             |      ELSE 0.0 END AS scale
+             |  FROM d)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  CAST(list_sum(list_transform(v, x -> floor(x * scale))) AS BIGINT)
+             |    AS q_sum,
+             |  CAST(list_min(list_transform(v, x -> floor(x * scale))) AS INT)
+             |    AS q_min,
+             |  CAST(list_max(list_transform(v, x -> floor(x * scale))) AS INT)
+             |    AS q_max
+             |FROM s ORDER BY vec_id""".stripMargin))
   )
 
   /** row_number() is int on both engines, but keep the cast explicit
