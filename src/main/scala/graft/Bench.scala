@@ -11,7 +11,14 @@ object Bench {
     // optional args: bench only the named queries (dev loop)
     val qs =
       if (args.isEmpty) graft.queries.Registry.benchNames
-      else graft.queries.Registry.benchNames.filter(args.toSet)
+      else {
+        val known = graft.queries.Registry.benchNames.toSet
+        val unknown = args.filterNot(known)
+        // a typo'd name must not print a green zero-total line
+        require(unknown.isEmpty,
+          s"unknown bench queries: ${unknown.mkString(", ")}")
+        graft.queries.Registry.benchNames.filter(args.toSet)
+      }
     // One warm-up action so JVM/codegen startup isn't billed to the
     // first query in the list.
     Tables.load(spark, sfDir, "nation").count()
@@ -38,7 +45,10 @@ object Bench {
     // timings for 70+ queries overflow that window and the line is lost.
     // Round to ms and, if still too long, keep the slowest entries and
     // report how many cheap ones were elided (their cost is in "value").
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f interpolator honors the JVM default locale,
+    // and a comma-decimal locale would emit invalid JSON
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(entries: Seq[(String, Double)], omitted: Int): String = {
       val qsJson = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -48,10 +58,12 @@ object Bench {
     val line =
       if (full.length <= 1500) full
       else {
-        // Failed entries (-1.0) always stay visible; fill the rest with
-        // the slowest passing queries, preserving registry order.
+        // Failed entries (-1.0) come first, then the slowest passing
+        // queries; the combined list is capped so a failure-heavy run
+        // cannot overflow the output window either ("failed" still
+        // reports the full count).
         val keep = (results.filter(_._2 < 0) ++
-          results.filter(_._2 >= 0).sortBy(-_._2).take(40)).map(_._1).toSet
+          results.filter(_._2 >= 0).sortBy(-_._2)).take(40).map(_._1).toSet
         val kept = results.filter(r => keep(r._1))
         toJson(kept, results.size - kept.size)
       }

@@ -49,8 +49,11 @@ object Scd2 {
                    effFrom: String = "eff_from", effTo: String = "eff_to",
                    isCurrent: String = "is_current"): DataFrame = {
     val outCols = dim.columns.toSeq
-    val history = dim.filter(col(isCurrent) =!= 1)
-    val current = dim.filter(col(isCurrent) === 1).alias("__t")
+    // null-safe split: a row with NULL is_current fails BOTH a === 1
+    // and a =!= 1 filter and would silently vanish from the output —
+    // route anything not provably current into the history branch
+    val history = dim.filter(!(col(isCurrent) <=> 1))
+    val current = dim.filter(col(isCurrent) <=> 1).alias("__t")
     val ch = broadcast(changes.withColumn("__spresent", lit(true))).alias("__s")
 
     def tcol(c: String) = col(s"__t.$c")

@@ -18,6 +18,37 @@ object VectorQueries {
       s"($j, [${p.mkString(",")}])"
     }.mkString(",\n    ")
 
+  /** The near-dup fixture shared by `q_embed_neardup` and
+    * `q_semantic_dedup`: embeddings plus perturbed copies of every 25th
+    * vector (deterministic ±0.004 pattern — cosine vs the original stays
+    * ≥ 0.98). ONE definition on each engine side so the two entries can
+    * never drift onto different planted sets. Both inherit the same
+    * exact-oracle validity argument: hashes/planes are
+    * seeded-deterministic over the driver's fixed tables, so
+    * LSH-candidate completeness vs the oracle's all-pairs graph is a
+    * reproducible dataset property (verified at sf0.001/sf0.01); a
+    * borderline pair split by every plane would surface as a red
+    * correctness row, never silently. */
+  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.filter(col("vec_id") % 25 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.002f) * ((i * 7 + col("vec_id")) % 5 - 2).cast("float"))
+          .as("embedding")))
+  }
+
+  private val plantedCte =
+    """SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(range(len(embedding)), i ->
+      |      embedding[i+1] + CAST(0.002 AS FLOAT)
+      |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Deterministic k-means (graft.vector.KMeans): 2 Lloyd rounds over
@@ -146,26 +177,13 @@ object VectorQueries {
     // hyperplanes would show as a red correctness row, not silently.
     "q_embed_neardup" -> Q(
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val planted = emb.select(col("vec_id"), col("embedding")).unionByName(
-          emb.filter(col("vec_id") % 25 === 0).select(
-            (col("vec_id") + 100000).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              x + lit(0.002f) * ((i * 7 + col("vec_id")) % 5 - 2).cast("float"))
-              .as("embedding")))
         graft.vector.Ann.cosineNearDuplicates(
-          planted, "vec_id", "embedding", threshold = 0.98, probes = 1)
+          plantedEmbeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.98, probes = 1)
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH corpus AS (
-             |  SELECT vec_id, embedding FROM embeddings
-             |  UNION ALL
-             |  SELECT vec_id + 100000 AS vec_id,
-             |    list_transform(range(len(embedding)), i ->
-             |      embedding[i+1] + CAST(0.002 AS FLOAT)
-             |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
-             |  FROM embeddings WHERE vec_id % 25 = 0)
+      Some(s"""WITH corpus AS ($plantedCte)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b
              |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -273,27 +291,14 @@ object VectorQueries {
     // all-pairs cosine graph.
     "q_semantic_dedup" -> Q(
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val planted = emb.select(col("vec_id"), col("embedding")).unionByName(
-          emb.filter(col("vec_id") % 25 === 0).select(
-            (col("vec_id") + 100000).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              x + lit(0.002f) * ((i * 7 + col("vec_id")) % 5 - 2).cast("float"))
-              .as("embedding")))
+        val planted = plantedEmbeddings(s, dir)
         val losers = graft.vector.Ann.cosineNearDuplicates(
           planted, "vec_id", "embedding", threshold = 0.98, probes = 1)
           .select(col("id_b").as("vec_id")).distinct()
         planted.join(broadcast(losers), Seq("vec_id"), "left_anti")
           .select(col("vec_id")).orderBy(col("vec_id"))
       },
-      Some("""WITH corpus AS (
-             |  SELECT vec_id, embedding FROM embeddings
-             |  UNION ALL
-             |  SELECT vec_id + 100000 AS vec_id,
-             |    list_transform(range(len(embedding)), i ->
-             |      embedding[i+1] + CAST(0.002 AS FLOAT)
-             |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
-             |  FROM embeddings WHERE vec_id % 25 = 0),
+      Some(s"""WITH corpus AS ($plantedCte),
              |losers AS (
              |  SELECT DISTINCT b.vec_id
              |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -326,12 +331,12 @@ object VectorQueries {
              |      ELSE 0.0 END AS scale
              |  FROM d)
              |SELECT vec_id, round(scale, 6) AS scale,
-             |  CAST(list_sum(list_transform(v, x -> floor(x * scale))) AS BIGINT)
-             |    AS q_sum,
-             |  CAST(list_min(list_transform(v, x -> floor(x * scale))) AS INT)
-             |    AS q_min,
-             |  CAST(list_max(list_transform(v, x -> floor(x * scale))) AS INT)
-             |    AS q_max
+             |  CAST(list_sum(list_transform(v,
+             |    x -> greatest(floor(x * scale), -127))) AS BIGINT) AS q_sum,
+             |  CAST(list_min(list_transform(v,
+             |    x -> greatest(floor(x * scale), -127))) AS INT) AS q_min,
+             |  CAST(list_max(list_transform(v,
+             |    x -> greatest(floor(x * scale), -127))) AS INT) AS q_max
              |FROM s ORDER BY vec_id""".stripMargin))
   )
 

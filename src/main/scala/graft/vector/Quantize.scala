@@ -18,7 +18,13 @@ object Quantize {
 
   /** Add (`scaleCol`, `qCol`) to every row: the per-vector scale and
     * the int8 code array. Zero (and all-zero) vectors get scale 0 and
-    * an all-zero code — they carry no direction to preserve. */
+    * an all-zero code — they carry no direction to preserve.
+    *
+    * The floor is clamped at -127: when the max-magnitude component is
+    * negative, the double product x·(127/max|x|) can round to just
+    * past -127 (measured for ~18% of magnitudes) and floor would emit
+    * -128, breaking the symmetric range symmetric-int8 kernels
+    * assume. */
   def int8(df: DataFrame, vecCol: String,
            scaleCol: String = "scale", qCol: String = "q"): DataFrame =
     df.withColumn("__vd", VectorFunctions.toDoubleArray(col(vecCol)))
@@ -27,6 +33,7 @@ object Quantize {
       .withColumn(scaleCol,
         when(col("__mx") > 0, lit(127.0) / col("__mx")).otherwise(lit(0.0)))
       .withColumn(qCol,
-        transform(col("__vd"), x => floor(x * col(scaleCol)).cast("int")))
+        transform(col("__vd"), x =>
+          greatest(floor(x * col(scaleCol)), lit(-127L)).cast("int")))
       .drop("__vd", "__mx")
 }

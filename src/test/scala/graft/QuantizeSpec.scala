@@ -13,7 +13,10 @@ class QuantizeSpec extends AnyFunSuite {
   private lazy val vecs = Seq(
     (0L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
     (1L, Array(-0.003f, 0.001f, 0.002f, -0.001f)),
-    (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+    // negative max-magnitude: -3.0 * (127/3.0) rounds past -127 in
+    // doubles and an unclamped floor would emit -128
+    (3L, Array(-3.0f, 1.0f, 0.0f, 0.5f))
   ).toDF("vec_id", "embedding")
 
   test("codes stay in [-127, 127] and the max-magnitude component hits 127") {
@@ -22,6 +25,9 @@ class QuantizeSpec extends AnyFunSuite {
     assert(q0.max == 127 && q0.forall(c => c >= -127 && c <= 127), q0)
     // scale = 127/2.0 = 63.5; 0.5*63.5 = 31.75 → 31; -1.0*63.5 → -64
     assert(q0 == Seq(31, -64, 15, 127), q0)
+    // the negative-max vector clamps at -127, never -128
+    val q3 = rows(3).getSeq[Int](3)
+    assert(q3.min == -127 && q3.forall(_ >= -127), q3)
   }
 
   test("dequantization error is bounded by 1/scale per component") {

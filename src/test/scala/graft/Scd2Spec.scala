@@ -74,6 +74,16 @@ class Scd2Spec extends AnyFunSuite {
     assert(perKey.forall(_._2.length == 1))
   }
 
+  test("a NULL is_current row routes to history instead of vanishing") {
+    val nullRow = Seq((7L, "limbo", 70.0, t0, null.asInstanceOf[Timestamp]))
+      .toDF("k", "seg", "bal", "eff_from", "eff_to")
+      .withColumn("is_current", lit(null).cast("int"))
+    val withNull = dim.unionByName(nullRow)
+    val r = Scd2.applyChanges(withNull, changes, Seq("k"),
+      Seq("seg", "bal"), lit(asOf)).filter(col("k") === 7L).collect()
+    assert(r.length == 1 && r(0).getString(1) == "limbo", r.toSeq)
+  }
+
   test("plan: the dimension side never shuffles — change joins broadcast") {
     val plan = Scd2.applyChanges(dim, changes, Seq("k"), Seq("seg", "bal"),
       lit(asOf)).queryExecution.executedPlan.toString

@@ -15,8 +15,25 @@ class StorageLayoutSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def tmp(prefix: String) =
-    Files.createTempDirectory(prefix).toFile.getAbsolutePath + "/data"
+  private val tmpRoots = scala.collection.mutable.ListBuffer.empty[java.io.File]
+
+  private def tmp(prefix: String) = {
+    val root = Files.createTempDirectory(prefix).toFile
+    tmpRoots += root
+    root.getAbsolutePath + "/data"
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
+  // DROP TABLE on a path-based external table leaves the parquet data
+  // behind, and the partitioned/DPP fixtures are plain directories —
+  // sweep everything this suite wrote out of the system temp dir.
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test)
+    finally { tmpRoots.foreach(deleteRec); tmpRoots.clear() }
 
   /** Run `body` with broadcast joins disabled so the exchange-vs-bucket
     * decision is actually exercised (the fixtures are tiny; a real
