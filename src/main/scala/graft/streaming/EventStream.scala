@@ -50,6 +50,32 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Watermarked stream-stream interval join — attribute each left
+    * event to the right-side events of the same key that happen within
+    * `horizon` AFTER it (the click-to-conversion / view-to-click
+    * attribution shape). Both sides carry the same watermark and the
+    * join condition time-bounds the right side relative to the left,
+    * which is exactly what lets the engine reclaim join state: a
+    * buffered row is dropped once the watermark passes its horizon.
+    * Without the interval bound a stream-stream join would buffer both
+    * streams forever. Runs identically on batch frames (tests drive
+    * both ways). */
+  def joinWithinHorizon(left: DataFrame, right: DataFrame,
+                        keyCol: String = "user_id",
+                        horizon: String = "10 minutes",
+                        watermarkDelay: String = "20 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("__l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("__r")
+    l.join(r,
+      col(s"__l.$keyCol") === col(s"__r.$keyCol") &&
+        col("__r.ts") >= col("__l.ts") &&
+        col("__r.ts") <= col("__l.ts") + expr(s"INTERVAL $horizon"))
+      .select(col(s"__l.$keyCol").as(keyCol),
+        col("__l.ts").as("left_ts"), col("__l.event_type").as("left_type"),
+        col("__r.ts").as("right_ts"), col("__r.event_type").as("right_type"),
+        col("__r.value").as("right_value"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, events: Int, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -185,4 +185,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
       Seq((1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0)))
   }
+
+  test("stream-stream interval join attributes within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.joinWithinHorizon(
+      views.toDF(), clicks.toDF(), horizon = "10 minutes",
+      watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      views.addData(Event(1, ts("2024-03-01 10:00:00"), "view", 0.0),
+        Event(2, ts("2024-03-01 10:00:00"), "view", 0.0))
+      // user 1 clicks inside the horizon (cross micro-batch), user 2
+      // clicks 40 min later — outside it; user 3 clicks with no view
+      clicks.addData(Event(1, ts("2024-03-01 10:04:00"), "click", 7.0),
+        Event(2, ts("2024-03-01 10:40:00"), "click", 1.0),
+        Event(3, ts("2024-03-01 10:05:00"), "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getString(4),
+          r.getDouble(5))).toSet
+      assert(rows == Set((1L, "view", "click", 7.0)), rows)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("interval join gives identical rows on the batch path") {
+    val views = Seq(Event(1, ts("2024-03-01 10:00:00"), "view", 0.0)).toDF()
+    val clicks = Seq(
+      Event(1, ts("2024-03-01 10:09:59"), "click", 5.0),
+      Event(1, ts("2024-03-01 10:10:01"), "click", 6.0)).toDF()
+    val out = EventStream.joinWithinHorizon(views, clicks)
+      .collect().map(r => (r.getLong(0), r.getDouble(5))).toSeq
+    assert(out == Seq((1L, 5.0)), out) // boundary: ≤ horizon joins, > does not
+  }
 }
