@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Star-schema analytics over the full TPC-H-ish join graph, plus
+  * event-time window bucketing — the "would a warehouse user switch?"
+  * suite. Each query exercises a join topology the optimizer must get
+  * right at 100 TB:
+  *
+  *  - `q_shipping_priority`  fact ⋈ fact ⋈ filtered dim (TPC-H Q3 shape):
+  *    the segment filter prunes customer BEFORE the join, top-k is a
+  *    TakeOrdered, never a global sort.
+  *  - `q_order_priority`     semi join with a residual inequality
+  *    (TPC-H Q4 shape): EXISTS compiles to LeftSemi — lineitem is never
+  *    row-expanded into the output.
+  *  - `q_local_supplier_volume`  5-table snowflake (TPC-H Q5 shape):
+  *    region/nation broadcast, the c_nationkey = s_nationkey residual
+  *    closes the cycle without a second shuffle of lineitem.
+  *  - `q_returned_items`     selective fact filter then customer rollup
+  *    (TPC-H Q10 shape): the `l_returnflag = 'R'` predicate is pushed to
+  *    the parquet scan (1/3 of rows survive) before any join.
+  *  - `q_time_windows` / `q_hop_windows`  tumbling and hopping event-time
+  *    windows — the batch twin of the streaming `EventStream` aggs; hopping
+  *    windows row-expand by window/slide (2× here), which the plan keeps
+  *    AFTER the scan-level time filter.
+  *
+  * Parity conventions as in [[Core]]: money sums rounded to 2 decimals
+  * **before** any ranking (so order is engine-portable), unique-key
+  * tiebreaks on every ORDER BY, total ordering on every output.
+  *
+  * Reference scope: the reference's report queries join at most 3 tables
+  * (job_header ⋈ job_control ⋈ log); this suite extends the same join
+  * machinery to the deeper topologies a warehouse migration needs.
+  */
+object AnalyticsQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** round(sum(extendedprice·(1−discount)), 2) — the TPC-H revenue term.
+    * Computed in exact DECIMAL arithmetic: the inputs are 2-decimal
+    * money values, so casting back to DECIMAL(12,2) is lossless, the
+    * 4-decimal products sum exactly, and the result is independent of
+    * partitioning/accumulation order — a double sum can land on a
+    * half-cent rounding boundary and flip the last digit between
+    * engines (observed at sf0.01). Final cast to double for a stable
+    * output dtype. */
+  private val revenue =
+    round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))), 2)
+      .cast("double")
+
+  private val revenueSql =
+    """CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      | * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)""".stripMargin
+      .replace("\n", "")
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // TPC-H Q3 shape: unshipped-order revenue for one market segment.
+    // Join order matters at scale: customer is filtered to 1/5 then
+    // joined to orders (both small vs lineitem), and lineitem — the
+    // 100 TB side — is filtered on shipdate at the scan and joined LAST,
+    // so the big table is shuffled exactly once on its join key.
+    "q_shipping_priority" -> Q(
+      (s, dir) => {
+        val cutoff = lit("1999-06-30").cast("timestamp")
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < cutoff)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(revenue.as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  $revenueSql AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1999-06-30'
+             |  AND l_shipdate  > TIMESTAMP '1999-06-30'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q4 shape: orders with at least one late line (shipped >90
+    // days after the order date), counted by priority. EXISTS = LeftSemi
+    // with the inequality as a residual on the equi key: lineitem
+    // contributes membership only — no row expansion, no dedup needed.
+    "q_order_priority" -> Q(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q5 shape: revenue by nation for one region-year, customer and
+    // supplier in the SAME nation. region ⋈ nation ⋈ supplier collapse to
+    // a broadcast map on the lineitem side; the c_nationkey = s_nationkey
+    // cycle closes as a residual on the final (already key-partitioned)
+    // join — lineitem shuffles once, on l_orderkey.
+    "q_local_supplier_volume" -> Q(
+      (s, dir) => {
+        val nations = t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = t(s, dir, "supplier")
+          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey") &&
+                        col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(revenue.as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+             |  $revenueSql AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // TPC-H Q10 shape: top returners in a quarter. The returnflag filter
+    // reaches the parquet scan (PushedFilters) so only 'R' rows ever join;
+    // top-20 on the ROUNDED revenue (then unique key) is engine-portable
+    // and compiles to TakeOrderedAndProject.
+    "q_returned_items" -> Q(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        ord.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(revenue.as("revenue"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, revenue FROM (
+             |  SELECT o_custkey,
+             |    $revenueSql AS revenue
+             |  FROM orders
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate <  TIMESTAMP '1996-04-01'
+             |    AND l_returnflag = 'R'
+             |  GROUP BY o_custkey) r
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Tumbling 1-day event-time windows: the batch twin of
+    // EventStream.windowedCounts. window() is a map-side bucket
+    // computation — one shuffle, on (window, event_type).
+    "q_time_windows" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT date_trunc('day', ts) AS window_start, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS total
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Hopping windows (1 day long, sliding 12 h): each event lands in
+    // exactly 2 windows. Spark's window() does the 2× expansion AFTER the
+    // pruned scan; the oracle reproduces it as an explicit 2-bucket unnest.
+    "q_hop_windows" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("n"))
+        .orderBy(col("window_start")),
+      Some("""SELECT ws AS window_start, count(*) AS n FROM (
+             |  SELECT time_bucket(INTERVAL '12 hours', ts)
+             |           - g.g * INTERVAL '12 hours' AS ws
+             |  FROM events, range(2) g(g)) b
+             |GROUP BY ws
+             |ORDER BY window_start""".stripMargin))
+  )
+}

@@ -18,9 +18,9 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[(String, Q)] =
-    Core.defs ++ CatalogQueries.defs ++ ReportQueries.defs ++
-      TextQueries.defs ++ CorpusQueries.defs ++ VectorQueries.defs ++
-      PipelineQueries.defs
+    Core.defs ++ AnalyticsQueries.defs ++ CatalogQueries.defs ++
+      ReportQueries.defs ++ TextQueries.defs ++ CorpusQueries.defs ++
+      VectorQueries.defs ++ PipelineQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) =>

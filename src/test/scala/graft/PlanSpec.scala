@@ -103,6 +103,31 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("shipping-priority (Q3 shape): pushed segment filter, top-k never sorts globally") {
+    val df = SparkEntry.queries("q_shipping_priority")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)   // scan-level prune
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)           // fact filter pushed
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("order-priority (Q4 shape): EXISTS compiles to a semi join, no row expansion") {
+    val plan = planOf("q_order_priority")
+    assert(plan.contains("LeftSemi"), plan)
+    // membership probe reads only the two lineitem columns it needs
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"), plan)
+  }
+
+  test("local-supplier-volume (Q5 shape): snowflake dims broadcast, lineitem shuffles once") {
+    val df = SparkEntry.queries("q_local_supplier_volume")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     val df = SparkEntry.queries("q_pricing_summary")(spark, sf)
     df.collect() // AQE finalizes the plan only after execution
