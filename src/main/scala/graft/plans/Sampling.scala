@@ -36,6 +36,45 @@ object Sampling {
     df.filter(Splits.bucketOf(key, seed, buckets) < cut)
   }
 
+  /** Temperature-scaled mixture rebalancing — the multilingual-corpus
+    * sampling rule (`p_s ∝ n_s^τ`, τ ∈ [0,1]): at τ=1 the natural
+    * distribution is kept; as τ→0 every stratum is downsampled toward
+    * the size of the SMALLEST one. Sampling can only remove rows, so
+    * rates are normalized to keep the smallest stratum whole:
+    * `rate_s = (n_min / n_s)^(1−τ)`.
+    *
+    * Unlike [[stratified]], the rates are DERIVED from the data, so one
+    * tiny aggregation runs first: per-stratum counts (map-side
+    * combined, enum-sized result) joined against the global min. That
+    * rate table is broadcast back and the keep decision is the same
+    * salted-hash threshold as everywhere else — the corpus itself never
+    * shuffles, and the sample is deterministic, stable under
+    * repartitioning, and recomputable by any engine. The per-stratum
+    * cut is floored onto the bucket grid so the float `pow` never
+    * decides a row's fate by less than a full bucket. */
+  def temperatureMixture(df: DataFrame, keyCol: String, strataCol: String,
+                         temperature: Double, seed: String,
+                         buckets: Int = 10000): DataFrame = {
+    require(temperature >= 0 && temperature <= 1,
+      s"temperature $temperature outside [0, 1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // global min via an unpartitioned window over the ENUM-SIZED counts
+    // frame — the counts agg is evaluated once (a separate agg+join
+    // would duplicate it into two shuffles of the corpus)
+    val minN = min(col("__n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val rates = counts
+      .select(col(strataCol), floor(lit(buckets) *
+        pow(minN.cast("double") / col("__n"),
+          lit(1.0 - temperature))).as("__cut"))
+    // same null-key sentinel as stratified(); cut = buckets (rate 1.0)
+    // keeps every row since bucketOf < buckets by construction
+    val key = coalesce(col(keyCol).cast("string"), lit("\u0000null-key"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(Splits.bucketOf(key, seed, buckets) < col("__cut"))
+      .drop("__cut")
+  }
+
   /** Occurrence cap per stratum — the per-domain/per-source document
     * cap a web-scale pipeline applies so no single origin dominates the
     * training mix (the Common-Crawl URL-cap rule). Every row is kept in

@@ -313,6 +313,26 @@ object TextQueries {
              |      < CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-scaled mixture rebalance (τ = 0.5): per-language keep
+    // rates DERIVED from corpus counts — rate_l = sqrt(n_min / n_l), so
+    // the dominant language is downsampled hardest and the smallest is
+    // kept whole. The oracle recomputes the counts, the rate grid, and
+    // the full salted-hash keep set.
+    "q_mixture_sample" -> Q(
+      (s, dir) => graft.plans.Sampling.temperatureMixture(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", temperature = 0.5, seed = "mix")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |m AS (SELECT min(n) AS nmin FROM c),
+             |r AS (SELECT lang,
+             |        floor(10000 * pow(CAST(nmin AS DOUBLE) / n, 0.5)) AS cut
+             |      FROM c, m)
+             |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+             |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 10000 < cut
+             |ORDER BY doc_id""".stripMargin)),
+
     // The FULL training-data flow as one declarative plan: scrub PII →
     // quality gate → exact dedup (window) → stratified language
     // rebalance (en halved) → token count → greedy packing into

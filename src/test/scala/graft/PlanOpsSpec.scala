@@ -88,6 +88,30 @@ class PlanOpsSpec extends AnyFunSuite {
     assert(sub === keptIds.filter(_ < 1000))
   }
 
+  test("temperature mixture: τ=1 keeps all, τ=0.5 evens the mix, corpus path has one shuffle") {
+    val base = spark.range(10000)
+      .select(col("id"),
+        // 80/20 split: en dominates 4:1
+        when(pmod(col("id"), lit(5)) < 4, "en").otherwise("fr").as("lang"))
+    // τ=1 → natural mixture untouched
+    assert(Sampling.temperatureMixture(base, "id", "lang", 1.0, "t").count() === 10000L)
+    // τ=0.5 → rate_en = sqrt(2000/8000) = 0.5, rate_fr = 1.0
+    val kept = Sampling.temperatureMixture(base, "id", "lang", 0.5, "t")
+    val n = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("fr") === 2000L, n)                  // smallest stratum whole
+    assert(math.abs(n("en") - 4000L) < 300, n)    // 8000 * 0.5
+    // deterministic: same call, same keep set
+    val again = Sampling.temperatureMixture(base, "id", "lang", 0.5, "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("id").collect().map(_.getLong(0)).toSet)
+    // plan: the only hash exchange is the tiny per-stratum count agg —
+    // the corpus data path is scan → broadcast join → filter
+    val plan = kept.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("tfidf: common term ranks below distinctive terms") {
     import spark.implicits._
     val docs = Seq(
