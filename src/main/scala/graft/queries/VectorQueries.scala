@@ -337,7 +337,57 @@ object VectorQueries {
              |    x -> greatest(floor(x * scale), -127))) AS INT) AS q_min,
              |  CAST(list_max(list_transform(v,
              |    x -> greatest(floor(x * scale), -127))) AS INT) AS q_max
-             |FROM s ORDER BY vec_id""".stripMargin))
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
+    // Two-stage SQ8 retrieval: int8 coarse scan (exact integer dot,
+    // corpus-side scale correction) → float cosine rerank of the top-50
+    // survivors → top-10. The oracle recomputes BOTH stages: the int8
+    // codes, every integer coarse score, the coarse cut, and the float
+    // rerank — the full retrieval pipeline is value-checked end to end.
+    "q_ann_rerank" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        Ann.sq8RerankTopK(emb, queries, "vec_id", "embedding", "qid",
+            k = 10, coarseK = 50)
+          .select(col("qid"), col("vec_id"), col("sim"), cast_rank)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH d AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, v,
+             |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+             |      THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+             |      ELSE 0.0 END AS scale
+             |  FROM d),
+             |c AS (
+             |  SELECT vec_id, v, scale,
+             |    list_transform(v, x -> greatest(floor(x * scale), -127)) AS q
+             |  FROM s),
+             |p AS (
+             |  SELECT qs.vec_id AS qid, db.vec_id AS vec_id,
+             |    db.v AS dv, qs.v AS qv,
+             |    CASE WHEN db.scale > 0 THEN
+             |      CAST(list_sum(list_transform(range(len(db.q)),
+             |        i -> db.q[i+1] * qs.q[i+1])) AS BIGINT) / db.scale
+             |      ELSE -1.7976931348623157e308 END AS cscore
+             |  FROM c db, c qs
+             |  WHERE qs.vec_id % 100 = 0 AND db.vec_id <> qs.vec_id),
+             |r AS (
+             |  SELECT qid, vec_id, dv, qv,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY cscore DESC, vec_id) AS crank
+             |  FROM p)
+             |SELECT qid, vec_id, list_cosine_similarity(dv, qv) AS sim,
+             |  CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY list_cosine_similarity(dv, qv) DESC, vec_id) AS INT)
+             |    AS rank
+             |FROM r WHERE crank <= 50
+             |QUALIFY rank <= 10
+             |ORDER BY qid, rank""".stripMargin))
   )
 
   /** row_number() is int on both engines, but keep the cast explicit

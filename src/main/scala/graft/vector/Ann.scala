@@ -101,6 +101,49 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Two-stage SQ8 retrieval: int8 coarse scan, exact float rerank —
+    * the memory-bandwidth play for a flat scan over a 100 TB float32
+    * corpus. Stage 1 ranks candidates on the integer dot product of the
+    * [[Quantize.int8]] codes (4× less data read than float32, and the
+    * int accumulation is exact, so the coarse ranking is deterministic
+    * on every engine); per-query scale is constant so only the
+    * CORPUS-side scale correction `iscore / dscale` matters for rank
+    * order. Stage 2 recomputes true float cosine for the top-`coarseK`
+    * survivors only and reranks. coarseK ≫ k absorbs quantization rank
+    * noise (coarseK/k = 5 keeps recall ≈ 1 at int8 precision).
+    *
+    * The coarse stage is a deliberate flat scan (same stance as
+    * [[exactTopK]]: broadcast query side, narrow int codes, no shuffle
+    * of the corpus) — for sub-linear candidate generation feed the
+    * probed cells of [[ivfTopK]] as `data` instead; the rerank
+    * machinery is unchanged. */
+  def sq8RerankTopK(data: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, qidCol: String,
+                    k: Int, coarseK: Int = 50): DataFrame = {
+    val dq = Quantize.int8(data.select(col(idCol), col(vecCol)),
+      vecCol, "dscale", "dq")
+    val qq = Quantize.int8(
+      queries.select(col(qidCol), col(vecCol).as("qvec")),
+      "qvec", "qscale", "qq")
+    val scored = dq.crossJoin(broadcast(qq))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol), col(vecCol), col("qvec"),
+        when(col("dscale") > 0,
+          aggregate(zip_with(col("dq"), col("qq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x) / col("dscale"))
+          .otherwise(lit(Double.MinValue)).as("cscore"))
+    val wc = Window.partitionBy(col(qidCol))
+      .orderBy(col("cscore").desc, col(idCol))
+    val cands = scored.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= coarseK)
+    val wr = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol))
+    cands.select(col(qidCol), col(idCol),
+        VectorFunctions.cosine(col(vecCol), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+  }
+
   /** Buckets needed so expected occupancy stays near `targetOccupancy`
     * as the corpus grows: bits ≈ log2(n / occupancy), clamped to
     * [4, 24]. A fixed bucket count makes the LSH self-join's per-bucket

@@ -114,6 +114,15 @@ class AnnSpec extends AnyFunSuite {
       copies.toSeq.sorted.take(5).map(id => id -> comps(id)).toString)
   }
 
+  test("SQ8 rerank: recall@10 ≈ 1 vs exact top-k on the natural table") {
+    // int8 coarse + float rerank is a full (quantized) scan, so unlike
+    // sublinear LSH/IVF it must hold recall even on near-random data —
+    // the coarseK=5k margin absorbs int8 rank noise.
+    val approx = Ann.sq8RerankTopK(emb, queries, "vec_id", "embedding",
+      "qid", k = K, coarseK = 5 * K)
+    assert(recallOf(approx) >= 0.95)
+  }
+
   test("brute-force top-k: the query vector itself ranks first with sim 1.0") {
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .first().getSeq[Float](0).map(_.toDouble)
