@@ -76,6 +76,17 @@ object EventStream {
         col("__r.value").as("right_value"))
   }
 
+  /** Stream-static enrichment: join each streaming event against a
+    * slowly-changing dimension snapshot. The static side is explicitly
+    * broadcast — per micro-batch the dimension is a map-side hash
+    * lookup, so the stream NEVER shuffles and no join state is kept
+    * (unlike a stream-stream join there is nothing to watermark; the
+    * static side is re-resolved per batch, which is what picks up
+    * dimension updates between batches). Left join: an event with no
+    * dimension row must flow through, not vanish. */
+  def enrich(events: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left")
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, events: Int, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

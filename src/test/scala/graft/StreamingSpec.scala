@@ -174,6 +174,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("stream-static enrich: broadcast dim lookup, unmatched events flow through") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStream.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:01:00"), "click", 1.0),
+        Event(9, ts("2024-03-01 10:02:00"), "view", 2.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select("user_id", "event_type", "tier")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)))).toSet
+      assert(rows === Set((1L, "click", Some("gold")),
+        (9L, "view", None)))
+      // plan: the dim side is a broadcast hash lookup — the stream
+      // itself must not shuffle for the join (batch twin, same plan)
+      val bplan = EventStream.enrich(
+        Seq(Event(1, ts("2024-03-01 10:01:00"), "c", 1.0)).toDF(), dim,
+        "user_id").queryExecution.executedPlan.toString
+      assert(bplan.contains("BroadcastHashJoin"), bplan)
+      assert(!bplan.contains("Exchange hashpartitioning"), bplan)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("batch sessionization closes every session at end of input") {
     val events = Seq(
       Event(1, ts("2024-03-01 09:00:00"), "a", 1.0),
