@@ -120,4 +120,35 @@ class StorageLayoutSpec extends AnyFunSuite {
         "spark.sql.optimizer.dynamicPartitionPruning.useStats", origStats)
     }
   }
+
+  test("runtime bloom filter: selective dim filter prunes the fact scan pre-shuffle") {
+    // The non-partitioned sibling of DPP: when the join key is NOT the
+    // partition column, a bloom filter built from the filtered dim side
+    // is injected under the fact scan, discarding non-joining rows
+    // BEFORE the shuffle. At 100 TB this is the difference between
+    // shuffling the full fact table and shuffling the ~1% that joins.
+    val dir = tmp("bloom")
+    spark.range(200000)
+      .select(col("id").as("fact_id"), (col("id") % 1000).as("join_key"),
+        (col("id") * 2).as("measure"))
+      .write.parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dimDir = tmp("bloomdim")
+    spark.range(1000)
+      .select(col("id").as("join_key"),
+        concat(lit("d"), col("id")).as("name"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("name") === "d7")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val orig = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try withoutBroadcast {
+      val q = fact.join(dim, "join_key")
+      assert(q.count() == 200)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan)
+    } finally orig.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
