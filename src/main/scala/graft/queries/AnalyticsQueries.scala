@@ -199,6 +199,33 @@ object AnalyticsQueries {
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // Sketch accuracy contract: HLL++ distinct counts and quantile
+    // sketches vs their exact twins, emitted as within-tolerance flags
+    // the oracle can verify (the sketch VALUES are engine-specific, the
+    // GUARANTEE is not — a sketch drifting past its bound turns the row
+    // red). At 100 TB the approx side is the production mode: no Expand
+    // for multi-distinct, fixed-size state per group for quantiles.
+    "q_sketch_error" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"),
+          expr("percentile(value, 0.5D)").as("p_exact"),
+          expr("approx_percentile(value, 0.5D, 10000)").as("p_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact"))
+            <= col("n_exact") * lit(0.05)).as("distinct_ok"),
+          (abs(col("p_approx") - col("p_exact"))
+            <= (abs(col("p_exact")) + lit(1.0)) * lit(0.01)).as("p50_ok"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS n_exact,
+             |  true AS distinct_ok,
+             |  true AS p50_ok
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // Tumbling 1-day event-time windows: the batch twin of
     // EventStream.windowedCounts. window() is a map-side bucket
     // computation — one shuffle, on (window, event_type).
