@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -198,6 +199,73 @@ object AnalyticsQueries {
              |  GROUP BY o_custkey) r
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Time-RANGE window frame: trailing 1-hour moving average per user —
+    // the frame is defined by event-time distance, not row count (the
+    // telemetry/feature-engineering shape). Epoch seconds keep the
+    // frame bound integer-exact on both engines.
+    "q_moving_avg" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-3600L, 0L)
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_in_hour"),
+          round(avg(col("value")).over(w), 4).as("mov_avg"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER w AS n_in_hour,
+             |  round(avg(value) OVER w, 4) AS mov_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Typed Aggregator (custom partial/merge aggregation): quantity-
+    // weighted mean price per return flag, accumulated in exact integer
+    // cents so partial merges are order-independent — the custom-UDAF
+    // API surface, verified against a plain SQL recomputation.
+    "q_weighted_mean" -> Q(
+      (s, dir) => {
+        // a tuple-input Aggregator flattens to one SQL parameter per
+        // tuple field
+        val wm = udaf(new graft.functions.Aggregators.WeightedMean)
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(wm(
+            round(col("l_extendedprice") * 100).cast("long"),
+            col("l_quantity").cast("long")).as("wmean_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |     * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0)
+             |   / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             |   AS wmean_price
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Explicit GROUPING SETS (beyond ROLLUP/CUBE): exactly the two
+    // summary grains a report needs, nothing else — at scale this is
+    // one Expand×2 pass instead of two scans or a CUBE's 2^n grains.
+    "q_grouping_sets" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_rf
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
     // Sketch accuracy contract: HLL++ distinct counts and quantile
     // sketches vs their exact twins, emitted as within-tolerance flags
