@@ -267,6 +267,43 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
+    // Declarative data-quality gate (the dbt-test/Deequ shape): all
+    // row-level constraints in ONE conditional-agg pass, uniqueness as
+    // one count-per-key agg, referential integrity as a column-pruned
+    // anti join — five checks, two of which genuinely fire on this data.
+    "q_dq_checks" -> Q(
+      (s, dir) => {
+        import graft.plans.Quality
+        val li = t(s, dir, "lineitem")
+        Quality.report(
+          Quality.rowChecks(li, Seq(
+            Quality.notNull("l_orderkey"),
+            Quality.accepted("l_returnflag", Seq("A", "N", "R")),
+            Quality.RowCheck("l_quantity_le_30", col("l_quantity") > 30))),
+          Quality.unique(li, "lineitem_pk_unique",
+            Seq("l_orderkey", "l_linenumber")),
+          Quality.refIntegrity(t(s, dir, "orders"), "orders_custkey_ri",
+            "o_custkey", t(s, dir, "customer"), "c_custkey"))
+          .orderBy(col("check_name"))
+      },
+      Some("""SELECT 'l_orderkey_not_null' AS check_name,
+             |  count(*) FILTER (WHERE l_orderkey IS NULL) AS violations
+             |FROM lineitem
+             |UNION ALL SELECT 'l_returnflag_accepted',
+             |  count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')
+             |                      OR l_returnflag IS NULL)
+             |FROM lineitem
+             |UNION ALL SELECT 'l_quantity_le_30',
+             |  count(*) FILTER (WHERE l_quantity > 30)
+             |FROM lineitem
+             |UNION ALL SELECT 'lineitem_pk_unique',
+             |  CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+             |FROM (SELECT count(*) AS c FROM lineitem
+             |      GROUP BY l_orderkey, l_linenumber)
+             |UNION ALL SELECT 'orders_custkey_ri', count(*)
+             |FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+             |ORDER BY check_name""".stripMargin)),
+
     // Sketch accuracy contract: HLL++ distinct counts and quantile
     // sketches vs their exact twins, emitted as within-tolerance flags
     // the oracle can verify (the sketch VALUES are engine-specific, the

@@ -419,6 +419,46 @@ object TextQueries {
               |  min(doc_id) AS keep_id, count(*) AS dup_count
               |FROM docs2 GROUP BY 1 ORDER BY fp""".stripMargin)),
 
+    // Incremental exact dedup — the daily-ingest form: the new batch is
+    // deduped within itself, then anti-joined against the HISTORICAL
+    // fingerprint set. Fixture plants both failure modes: copies of
+    // historical docs (must be dropped by the cross-check) and
+    // within-batch copies (must lose to the smaller id).
+    "q_incremental_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val hist = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(lit(" "), col("text")).as("text")))
+          .unionByName(docs.filter(col("doc_id").between(260, 264)).select(
+            (col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" ")).as("text")))
+        Dedup.incrementalDedup(batch, hist, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |hist AS (
+             |  SELECT DISTINCT
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM base WHERE doc_id < 250),
+             |batch AS (
+             |  SELECT doc_id, text FROM base WHERE doc_id >= 250
+             |  UNION ALL SELECT doc_id + 100000, concat(' ', text)
+             |    FROM base WHERE doc_id < 20
+             |  UNION ALL SELECT doc_id + 200000, concat(text, ' ')
+             |    FROM base WHERE doc_id BETWEEN 260 AND 264),
+             |bf AS (
+             |  SELECT doc_id,
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM batch),
+             |surv AS (SELECT fp, min(doc_id) AS doc_id FROM bf GROUP BY fp)
+             |SELECT doc_id FROM surv
+             |WHERE fp NOT IN (SELECT fp FROM hist)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Surviving rows after exact dedup (left-semi keep-first).
     "q_dedup_surviving" -> Q(
       (s, dir) => Dedup.exactDedup(withPlantedDups(s, dir), "doc_id", "text")

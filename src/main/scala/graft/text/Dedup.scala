@@ -40,6 +40,23 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup — the daily-ingest form: dedup the new
+    * batch within itself (first id per fingerprint wins), then drop
+    * every survivor whose fingerprint already exists in the historical
+    * corpus. The historical side enters as a compact fingerprint-only
+    * relation (16 bytes a row at any corpus size — the running state a
+    * pipeline persists between loads); the anti join is an equi join on
+    * the fingerprint: broadcastable while history is small, a shuffled
+    * hash join at 100 TB — never a cartesian. */
+  def incrementalDedup(batch: DataFrame, historical: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val hist = historical
+      .select(TextFunctions.fingerprint(col(textCol)).as("__hfp")).distinct()
+    exactDedup(batch, idCol, textCol)
+      .join(hist,
+        TextFunctions.fingerprint(col(textCol)) === col("__hfp"), "left_anti")
+  }
+
   /** Word w-shingles of the text (empty array when too short). */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
