@@ -267,6 +267,31 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
+    // EXCEPT / INTERSECT set semantics (distinct-set, both engines):
+    // customers who ordered in one status class and not/also the other.
+    // Both compile to aggregated joins (LeftAnti / LeftSemi over
+    // distinct), never a row-by-row comparison.
+    "q_set_ops" -> Q(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val f = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
+        val o = ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+        f.except(o).select(lit("except").as("op"), col("o_custkey"))
+          .unionByName(
+            f.intersect(o).select(lit("intersect").as("op"), col("o_custkey")))
+          .orderBy(col("op"), col("o_custkey"))
+      },
+      Some("""SELECT 'except' AS op, o_custkey FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |UNION ALL
+             |SELECT 'intersect' AS op, o_custkey FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |ORDER BY op, o_custkey""".stripMargin)),
+
     // Declarative data-quality gate (the dbt-test/Deequ shape): all
     // row-level constraints in ONE conditional-agg pass, uniqueness as
     // one count-per-key agg, referential integrity as a column-pruned

@@ -419,6 +419,42 @@ object TextQueries {
               |  min(doc_id) AS keep_id, count(*) AS dup_count
               |FROM docs2 GROUP BY 1 ORDER BY fp""".stripMargin)),
 
+    // Pattern EXTRACTION (the harvest twin of scrub's replacement):
+    // regexp_extract_all → explode → per-domain rollup, the
+    // contact-surface / outlink-domain census a web-corpus pipeline
+    // runs. Same RE2-compatible email pattern as the scrubber; emails
+    // planted across 3 domains so the rollup has real groups.
+    "q_extract_domains" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = docs.withColumn("text",
+          when(col("doc_id") < 30,
+            concat(coalesce(col("text"), lit("")), lit(" mail: u"),
+              col("doc_id"), lit("@h"), pmod(col("doc_id"), lit(3)),
+              lit(".example.org")))
+            .otherwise(col("text")))
+        planted
+          .select(explode(regexp_extract_all(col("text"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+            .as("email"))
+          .select(substring_index(col("email"), "@", -1).as("domain"))
+          .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT CASE WHEN doc_id < 30 THEN
+             |      concat(coalesce(text, ''), ' mail: u', doc_id, '@h',
+             |             doc_id % 3, '.example.org')
+             |    ELSE text END AS text
+             |  FROM documents),
+             |emails AS (
+             |  SELECT unnest(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email
+             |  FROM planted)
+             |SELECT split_part(email, '@', -1) AS domain, count(*) AS n
+             |FROM emails GROUP BY domain ORDER BY domain""".stripMargin)),
+
     // Incremental exact dedup — the daily-ingest form: the new batch is
     // deduped within itself, then anti-joined against the HISTORICAL
     // fingerprint set. Fixture plants both failure modes: copies of

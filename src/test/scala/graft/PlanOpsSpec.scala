@@ -112,6 +112,44 @@ class PlanOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("quality checks: exact violation counts, row checks in one scan") {
+    import spark.implicits._
+    import graft.plans.Quality
+    val df = Seq(
+      (Some(1L), "A", 10.0), (Some(1L), "A", 40.0), // dup key, one q>30
+      (Some(2L), "X", 5.0),                         // bad enum
+      (None, "N", 31.0)                             // null key, q>30
+    ).toDF("k", "flag", "q")
+    val rows = Quality.rowChecks(df, Seq(
+      Quality.notNull("k"),
+      Quality.accepted("flag", Seq("A", "N", "R")),
+      Quality.RowCheck("q_le_30", col("q") > 30)))
+    val dim = Seq(1L).toDF("dk")
+    val out = Quality.report(rows,
+      Quality.unique(df.filter(col("k").isNotNull), "k_unique", Seq("k")),
+      Quality.refIntegrity(df.filter(col("k").isNotNull), "k_ri", "k", dim, "dk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("k_not_null" -> 1L, "flag_accepted" -> 1L,
+      "q_le_30" -> 2L, "k_unique" -> 1L, "k_ri" -> 1L))
+    // the three row checks must share ONE pass over the input
+    val plan = rows.queryExecution.optimizedPlan.toString
+    assert("LocalRelation|Relation".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("incremental dedup: in-batch keep-first plus historical anti join") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, " alpha "),   // dup of history (normalized) — dropped
+      (11L, "beta"), (12L, "beta  "), // in-batch dup — 11 survives
+      (13L, "gamma")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup.incrementalDedup(batch, hist, "doc_id", "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(11L, 13L))
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("tfidf: common term ranks below distinctive terms") {
     import spark.implicits._
     val docs = Seq(
