@@ -267,6 +267,39 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
+    // Incremental aggregate maintenance: a per-(day, type) rollup kept
+    // current by MERGING each new batch's partial aggregate into the
+    // existing table — the materialized-view pattern that turns a
+    // 100 TB re-aggregation into a delta-sized upsert. Totals
+    // accumulate in exact DECIMAL so incremental == full recompute
+    // BIT-EXACTLY, which is precisely what the oracle asserts: it
+    // recomputes the rollup over ALL events in one pass and the hash
+    // must match the two-step merge.
+    "q_incremental_agg" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          to_date(col("ts")).as("day"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("v"))
+        def rollup(df: DataFrame) = df.groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+        val existing = rollup(ev.filter(col("day") < lit("2024-01-15")))
+        val delta = rollup(ev.filter(col("day") >= lit("2024-01-15")))
+        graft.catalog.Merge.upsertOnly(existing, delta,
+            keys = Seq("day", "event_type"),
+            whenMatchedUpdate = Map(
+              "n" -> (graft.catalog.Merge.tgt("n") + graft.catalog.Merge.src("n")),
+              "total" -> (graft.catalog.Merge.tgt("total") + graft.catalog.Merge.src("total"))))
+          .select(col("day"), col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY day, event_type""".stripMargin)),
+
     // EXCEPT / INTERSECT set semantics (distinct-set, both engines):
     // customers who ordered in one status class and not/also the other.
     // Both compile to aggregated joins (LeftAnti / LeftSemi over
