@@ -267,6 +267,26 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
+    // Error-tolerant casts under ANSI mode: try_cast/try_divide return
+    // NULL where a plain cast would kill a 100 TB job on one malformed
+    // row — the quarantine-friendly projection for untrusted inputs.
+    // Exercises parse failure, numeric overflow, and divide-by-zero.
+    "q_try_cast" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio"),
+          expr("try_cast(o_totalprice AS DECIMAL(5,2))").as("overflowed"),
+          expr("try_divide(o_totalprice, o_orderkey % 2)").as("odd_div"))
+        .orderBy(col("o_orderkey")).limit(500),
+      Some("""SELECT o_orderkey,
+             |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
+             |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio,
+             |  TRY_CAST(o_totalprice AS DECIMAL(5,2)) AS overflowed,
+             |  o_totalprice / nullif(o_orderkey % 2, 0) AS odd_div
+             |FROM orders
+             |ORDER BY o_orderkey LIMIT 500""".stripMargin)),
+
     // Incremental aggregate maintenance: a per-(day, type) rollup kept
     // current by MERGING each new batch's partial aggregate into the
     // existing table — the materialized-view pattern that turns a

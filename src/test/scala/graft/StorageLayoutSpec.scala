@@ -151,4 +151,32 @@ class StorageLayoutSpec extends AnyFunSuite {
       assert(plan.contains("might_contain"), plan)
     } finally orig.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("AQE skew join: a hot key is split at runtime instead of one giant task") {
+    // 90% of the left side lands on ONE key. With AQE skew handling the
+    // sort-merge join marks the skewed partition and splits it across
+    // tasks — the runtime answer to hot keys when a manual salt
+    // (plans/Skew) isn't already in place.
+    val dirL = tmp("skewL"); val dirR = tmp("skewR")
+    spark.range(200000)
+      .select(when(col("id") % 10 < 9, 7L).otherwise(col("id") % 1000)
+        .as("k"), col("id").as("v"))
+      .write.parquet(dirL)
+    spark.range(1000).select(col("id").as("k"), col("id").as("w"))
+      .write.parquet(dirR)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val orig = confs.map { case (c, _) => c -> spark.conf.get(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try withoutBroadcast {
+      val q = spark.read.parquet(dirL).join(spark.read.parquet(dirR), Seq("k"))
+      // collect on q itself: AQE only finalizes (and marks skew on) the
+      // plan of the query that actually ran
+      assert(q.collect().length == 200000)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally orig.foreach { case (c, v) => spark.conf.set(c, v) }
+  }
 }
