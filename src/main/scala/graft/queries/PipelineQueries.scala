@@ -128,6 +128,42 @@ object PipelineQueries {
              |ORDER BY ColumnOrder""".stripMargin),
       bench = false),
 
+    // Streaming == batch parity for event-time aggregation: the SAME
+    // windowed count/sum (streaming/EventStream.windowedCounts) runs as
+    // a REAL Structured-Streaming query (file stream → AvailableNow →
+    // complete mode → memory sink) and must equal the oracle's batch
+    // recomputation. This is the contract that lets a user move an agg
+    // between batch and streaming without re-validating semantics.
+    "q_stream_windows" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-win")
+        val srcDir = Files.createDirectories(tmp.resolve("src"))
+        Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        // the raw schema (ts is a nanos long under nanosAsLong) feeds the
+        // stream source; the micros truncation mirrors Tables.load
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(srcDir.toString)
+        val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val name = s"stream_win_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = graft.streaming.EventStream
+          .windowedCounts(ev, windowLen = "1 day", watermark = "1 minute")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("window_start"), col("event_type"), col("n"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('day', ts) AS window_start, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
     // S1 at scale: one-shot parquet ingest of the whole events table —
     // the throughput-relevant ingest bench (streaming scan → project →
     // sink, no shuffle).
