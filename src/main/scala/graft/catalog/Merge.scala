@@ -125,7 +125,13 @@ object Merge {
 
   /** Update+insert MERGE without the BY SOURCE clause: expressed as the
     * union of (target rows not in source) and (source-driven rows), so
-    * the target side needs no full-outer shuffle when source is small. */
+    * the target side needs no full-outer shuffle when source is small.
+    *
+    * Both inputs are consumed by TWO branches (anti + semi/merge). When
+    * either side is an expensive derivation rather than a table scan —
+    * e.g. a per-batch partial aggregate feeding incremental-view
+    * maintenance — persist it first, or the derivation re-evaluates per
+    * branch; a stored table pays only a second (column-pruned) scan. */
   def upsertOnly(
       target: DataFrame,
       source: DataFrame,

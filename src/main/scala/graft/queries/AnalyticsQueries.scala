@@ -267,6 +267,57 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other — the semantics a plain equi join silently
+    // drops. Exercised on a derived nullable key so both engines route
+    // the same rows through the null bucket.
+    "q_null_safe_join" -> Q(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          // key is NULL for ~1/7 of rows on both sides
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 =!= 0, col("o_orderkey") % 5).as("k"))
+        val dim = s.range(5).select(col("id").as("k"))
+          .unionByName(s.range(1).select(lit(null).cast("long").as("k")))
+        ord.join(dim, ord("k") <=> dim("k"))
+          .groupBy(coalesce(ord("k"), lit(-1L)).as("key_bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("key_bucket"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey % 5 END AS k
+             |  FROM orders),
+             |dim AS (SELECT * FROM range(5) t(k)
+             |        UNION ALL SELECT NULL),
+             |j AS (SELECT ord.k FROM ord JOIN dim
+             |      ON ord.k IS NOT DISTINCT FROM dim.k)
+             |SELECT coalesce(k, -1) AS key_bucket, count(*) AS n
+             |FROM j GROUP BY 1 ORDER BY key_bucket""".stripMargin)),
+
+    // UNPIVOT/melt — the inverse of q_pivot: per-flag measure columns
+    // back to (flag, measure, value) rows. Spark's native unpivot is a
+    // zero-shuffle Expand over the input, not a per-column union of
+    // scans.
+    "q_unpivot" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          count(lit(1)).cast("double").as("rows"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("rows")),
+          "measure", "val")
+        .orderBy(col("l_returnflag"), col("measure")),
+      Some("""SELECT l_returnflag, measure, val FROM (
+             |  SELECT l_returnflag,
+             |    sum(l_quantity) AS qty,
+             |    round(sum(l_extendedprice), 2) AS price,
+             |    CAST(count(*) AS DOUBLE) AS "rows"
+             |  FROM lineitem GROUP BY l_returnflag)
+             |UNPIVOT (val FOR measure IN (qty, price, "rows"))
+             |ORDER BY l_returnflag, measure""".stripMargin)),
+
     // Error-tolerant casts under ANSI mode: try_cast/try_divide return
     // NULL where a plain cast would kill a 100 TB job on one malformed
     // row — the quarantine-friendly projection for untrusted inputs.
