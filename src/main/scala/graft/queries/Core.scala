@@ -730,6 +730,32 @@ object Core {
              |  octet_length(encode(text)) AS byte_len,
              |  sha256(text) AS digest,
              |  lower(hex(encode(substring(text, 1, 8)))) AS magic
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Media featurization that needs NO stub: per-payload byte-value
+    // histogram (content sniffing / corruption screens) — the
+    // fixed-width-vector-out kernel shape of any media featurizer,
+    // recomputed byte-for-byte by the oracle. Restricted to the first
+    // 100 docs: the hex explode is ~2 rows/byte, and the operator under
+    // test is the kernel, not the volume.
+    "q_media_histogram" -> Q(
+      (s, dir) => graft.multimodal.Binary.byteHistogram(
+        graft.multimodal.Binary.mediaTable(
+          t(s, dir, "documents").filter(col("doc_id") < 100)))
+        .orderBy(col("doc_id"), col("bucket")),
+      Some("""WITH media AS (
+             |  SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+             |    octet_length(CAST(text AS BLOB)) AS n
+             |  FROM documents WHERE doc_id < 100),
+             |bytes AS (
+             |  SELECT doc_id, h, unnest(range(1, n + 1)) AS i FROM media),
+             |b2 AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(h, CAST(2*i - 1 AS INT), 2))::BIGINT // 16
+             |      AS bucket
+             |  FROM bytes)
+             |SELECT doc_id, bucket, count(*) AS cnt
+             |FROM b2 GROUP BY doc_id, bucket
+             |ORDER BY doc_id, bucket""".stripMargin))
   )
 }
