@@ -455,6 +455,54 @@ object TextQueries {
              |SELECT split_part(email, '@', -1) AS domain, count(*) AS n
              |FROM emails GROUP BY domain ORDER BY domain""".stripMargin)),
 
+    // Segment-level dedup (the RefinedWeb-style boilerplate remover):
+    // a shared footer sentence is planted on the first 50 docs; it must
+    // survive ONLY in the earliest doc while every doc keeps its own
+    // content. The oracle rebuilds every deduped document and compares
+    // the md5 of the reassembled text — position order, global
+    // first-occurrence rule and all.
+    "q_paragraph_dedup" -> Q(
+      (s, dir) => {
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 50,
+              concat(col("text"), lit(". Subscribe to our newsletter today")))
+              .otherwise(col("text")).as("text"))
+        Dedup.paragraphDedup(planted, "doc_id", "text")
+          // a doc that loses EVERY segment has no text to fingerprint —
+          // NULL on both engines (DuckDB's filtered string_agg is NULL)
+          .select(col("doc_id"),
+            when(col("n_kept") > 0, md5(col("deduped_text"))).as("text_fp"),
+            col("n_kept"), col("n_segs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 50
+             |      THEN concat(text, '. Subscribe to our newsletter today')
+             |      ELSE text END AS text
+             |  FROM documents),
+             |lists AS (
+             |  SELECT doc_id, string_split_regex(text, '\.') AS l FROM planted),
+             |seg AS (
+             |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM lists),
+             |s2 AS (
+             |  SELECT doc_id, pos, l[CAST(pos AS INT)] AS seg FROM seg
+             |  WHERE trim(l[CAST(pos AS INT)]) <> ''),
+             |ranked AS (
+             |  SELECT doc_id, pos, seg,
+             |    row_number() OVER (
+             |      PARTITION BY md5(lower(regexp_replace(trim(seg), '\s+', ' ', 'g')))
+             |      ORDER BY doc_id, pos) AS rn
+             |  FROM s2)
+             |SELECT doc_id,
+             |  md5(string_agg(seg, '.' ORDER BY pos) FILTER (WHERE rn = 1))
+             |    AS text_fp,
+             |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+             |  count(*) AS n_segs
+             |FROM ranked GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Incremental exact dedup — the daily-ingest form: the new batch is
     // deduped within itself, then anti-joined against the HISTORICAL
     // fingerprint set. Fixture plants both failure modes: copies of

@@ -57,6 +57,44 @@ object Dedup {
         TextFunctions.fingerprint(col(textCol)) === col("__hfp"), "left_anti")
   }
 
+  /** Segment-level (paragraph/sentence) dedup — the boilerplate
+    * remover: split every document on `sepRegex`, fingerprint each
+    * normalized segment, keep only the GLOBALLY FIRST occurrence
+    * (order = (doc id, position)), and reassemble the survivors in
+    * document order. A shared footer/header paragraph survives in the
+    * earliest document and disappears from every later one, while each
+    * document keeps its unique content — removal is segment-wise, never
+    * whole-document.
+    *
+    * Two shuffles at any scale: one on the segment fingerprint (the
+    * first-occurrence window), one on the doc id (reassembly). Segment
+    * rows carry (id, pos, segment) only, and the rebuilt text is
+    * emitted alongside a count of kept/total segments. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sepRegex: String = "\\.", joiner: String = "."): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "seg")))
+      .filter(trim(col("seg")) =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.fingerprint(col("seg")))
+      .orderBy(col("id"), col("pos"))
+    segs
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(
+        // collect_list skips nulls, so the when() keeps only the
+        // first-occurrence segments; array_sort on (pos, seg) structs
+        // restores document order deterministically
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), joiner).as("deduped_text"),
+        count(when(col("__rn") === 1, 1)).as("n_kept"),
+        count(lit(1)).as("n_segs"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Word w-shingles of the text (empty array when too short). */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)

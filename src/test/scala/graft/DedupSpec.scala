@@ -15,6 +15,30 @@ class DedupSpec extends AnyFunSuite {
     "the quick brown fox jumps over the lazy dog while the cat sleeps " +
     "in the warm sun and the birds sing in the tall green trees today"
 
+  test("paragraph dedup: shared footer survives only in the earliest doc") {
+    val docs = Seq(
+      (1L, "alpha unique one. SHARED FOOTER. more alpha"),
+      (2L, "beta unique two. SHARED FOOTER"),
+      (3L, "gamma three. shared  footer. gamma end") // same normalized fp
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, "alpha unique one. SHARED FOOTER. more alpha", 3L, 3L)))
+    assert(out(1) === ((2L, "beta unique two", 1L, 2L)))      // footer dropped
+    assert(out(2) === ((3L, "gamma three. gamma end", 2L, 3L))) // case/ws-insensitive
+  }
+
+  test("incremental dedup with empty history equals plain exact dedup") {
+    val batch = Seq((1L, "x"), (2L, "x "), (3L, "y")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val inc = graft.text.Dedup.incrementalDedup(batch, empty, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val plain = graft.text.Dedup.exactDedup(batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(inc === plain && (inc sameElements Array(1L, 3L)))
+  }
+
   test("LSH finds every planted near-duplicate, estimates high Jaccard") {
     val docs = (0 until 40).map(i => (i.toLong, s"$base variant token$i"))
     val dups = (0 until 10).map(i => (1000L + i, s"$base variant token$i extra"))
