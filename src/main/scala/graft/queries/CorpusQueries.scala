@@ -235,6 +235,31 @@ object CorpusQueries {
              |      (CAST(st.q AS DOUBLE) / 1000000.0) /
              |        CAST(st.n_tokens AS DOUBLE), 4) END AS entropy
              |FROM documents d LEFT JOIN st USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Unigram log-probability per doc — the LM quality proxy: each
+    // ln(C/N) term floored to micro-units before summing, so the score
+    // is exact under any partitioning and recomputed in full by the
+    // oracle (corpus counts, the global N, every per-token term).
+    "q_unigram_logprob" -> Q(
+      (s, dir) => CorpusStats.unigramLogProb(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |    FROM documents)
+             |  WHERE length(tok) > 0),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tf),
+             |c AS (
+             |  SELECT doc_id, count(*) OVER (PARTITION BY tok) AS c
+             |  FROM tf)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(CAST(floor(1e6 * (ln(CAST(c AS DOUBLE)) - ln(n.n)))
+             |    AS BIGINT)) AS BIGINT) AS logprob_micro
+             |FROM c, n GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

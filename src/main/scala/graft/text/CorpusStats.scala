@@ -39,6 +39,34 @@ object CorpusStats {
         t => length(t) > 0),
       t => xxhash64(t))
 
+  /** Per-document unigram log-probability — the language-model quality
+    * proxy: score(d) = Σ_tok ln(C(tok)/N) over the document's token
+    * occurrences, where C is the corpus count and N the corpus token
+    * total. Low (very negative) averages flag rare-token noise;
+    * near-zero averages flag degenerate high-frequency repetition.
+    *
+    * Shape: one NARROW pass computes N (no explode — just a token
+    * count per row, broadcast as a scalar), one explode pass gets per-
+    * token corpus counts via a window over the token key (no join, no
+    * second tokenize — the [[boilerplateRatio]] lesson), then the doc
+    * rollup. Each ln term is floored to integer micro-units before the
+    * sum, so aggregation is exact under any partitioning and the whole
+    * output is engine-recomputable. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.agg(
+      sum(size(filter(TextFunctions.tokens(lower(col(textCol))),
+        t => length(t) > 0))).cast("double").as("__N"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    tokenRows(df, idCol, textCol)
+      .withColumn("__c", count(lit(1)).over(w))
+      .crossJoin(broadcast(n))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(floor(lit(1e6) * (log(col("__c")) - log(col("__N"))))
+          .cast("long")).as("logprob_micro"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Word n-gram phrases that occur in at least `minDf` distinct
     * documents — the corpus boilerplate set (headers, license blurbs,
     * navigation chrome). One distinct-per-doc pass then one term-keyed
