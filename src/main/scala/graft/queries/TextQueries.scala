@@ -503,6 +503,82 @@ object TextQueries {
              |FROM ranked GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // Curation pipeline v2 — this round's operators composed the way a
+    // web-corpus pass actually runs them: segment-level boilerplate
+    // removal → quality gate ON THE CLEANED TEXT → temperature mixture
+    // rebalance whose rates come from the POST-GATE language counts
+    // (stage order matters: rates derived before the gate would
+    // overweight languages the gate then prunes). One declarative
+    // plan; the oracle recomputes every stage including each rebuilt
+    // document, the quality formula over it, the post-gate counts, the
+    // rate grid, and the final keep set.
+    "q_curation_v2" -> Q(
+      (s, dir) => {
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") < 50,
+              concat(col("text"), lit(". Subscribe to our newsletter today")))
+              .otherwise(col("text")).as("text"))
+        val cleaned = Dedup.paragraphDedup(planted, "doc_id", "text",
+          carryCols = Seq("lang"))
+        val gated = cleaned
+          .withColumn("quality",
+            TextFunctions.qualityScore(col("deduped_text")))
+          .filter(col("quality") >= 0.6)
+        graft.plans.Sampling.temperatureMixture(gated, "doc_id", "lang",
+            temperature = 0.5, seed = "cv2")
+          .select(col("doc_id"), col("lang"),
+            md5(col("deduped_text")).as("text_fp"),
+            col("n_kept"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id < 50
+             |      THEN concat(text, '. Subscribe to our newsletter today')
+             |      ELSE text END AS text
+             |  FROM documents),
+             |lists AS (
+             |  SELECT doc_id, lang, string_split_regex(text, '\.') AS l
+             |  FROM planted),
+             |seg AS (
+             |  SELECT doc_id, lang, unnest(range(1, len(l) + 1)) AS pos, l
+             |  FROM lists),
+             |s2 AS (
+             |  SELECT doc_id, lang, pos, l[CAST(pos AS INT)] AS seg FROM seg
+             |  WHERE trim(l[CAST(pos AS INT)]) <> ''),
+             |ranked AS (
+             |  SELECT doc_id, lang, pos, seg,
+             |    row_number() OVER (
+             |      PARTITION BY md5(lower(regexp_replace(trim(seg), '\s+', ' ', 'g')))
+             |      ORDER BY doc_id, pos) AS rn
+             |  FROM s2),
+             |rebuilt AS (
+             |  SELECT doc_id, max(lang) AS lang,
+             |    string_agg(seg, '.' ORDER BY pos) FILTER (WHERE rn = 1) AS t,
+             |    count(*) FILTER (WHERE rn = 1) AS n_kept
+             |  FROM ranked GROUP BY doc_id),
+             |scored AS (
+             |  SELECT doc_id, lang, t, n_kept,
+             |    round((least(CAST(length(t) AS DOUBLE) / 500.0, 1.0)
+             |      + (CASE WHEN length(regexp_replace(trim(t), '\s+', '', 'g')) /
+             |           greatest(CAST(len(string_split_regex(trim(t), '\s+')) AS DOUBLE), 1.0)
+             |           BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+             |      + (1.0 - least(len(regexp_extract_all(t, '[.,;:!?]')) /
+             |           greatest(CAST(length(t) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)
+             |      AS quality
+             |  FROM rebuilt WHERE t IS NOT NULL),
+             |gated AS (SELECT * FROM scored WHERE quality >= 0.6),
+             |cnt AS (SELECT lang, count(*) AS n FROM gated GROUP BY lang),
+             |m AS (SELECT min(n) AS nmin FROM cnt),
+             |r AS (SELECT lang,
+             |        floor(10000 * pow(CAST(nmin AS DOUBLE) / n, 0.5)) AS cut
+             |      FROM cnt, m)
+             |SELECT doc_id, lang, md5(t) AS text_fp, n_kept, quality
+             |FROM gated JOIN r USING (lang)
+             |WHERE ('0x' || substr(md5('cv2:' || doc_id), 1, 15))::BIGINT % 10000 < cut
+             |ORDER BY doc_id""".stripMargin)),
+
     // Incremental exact dedup — the daily-ingest form: the new batch is
     // deduped within itself, then anti-joined against the HISTORICAL
     // fingerprint set. Fixture plants both failure modes: copies of

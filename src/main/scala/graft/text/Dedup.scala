@@ -71,10 +71,11 @@ object Dedup {
     * rows carry (id, pos, segment) only, and the rebuilt text is
     * emitted alongside a count of kept/total segments. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
-                     sepRegex: String = "\\.", joiner: String = "."): DataFrame = {
+                     sepRegex: String = "\\.", joiner: String = ".",
+                     carryCols: Seq[String] = Nil): DataFrame = {
     val segs = df
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "seg")))
+      .select(col(idCol).as("id") +: carryCols.map(col) :+
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "seg")): _*)
       .filter(trim(col("seg")) =!= "")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(TextFunctions.fingerprint(col("seg")))
@@ -90,8 +91,10 @@ object Dedup {
           array_sort(collect_list(
             when(col("__rn") === 1, struct(col("pos"), col("seg"))))),
           x => x.getField("seg")), joiner).as("deduped_text"),
-        count(when(col("__rn") === 1, 1)).as("n_kept"),
-        count(lit(1)).as("n_segs"))
+        (count(when(col("__rn") === 1, 1)).as("n_kept") +:
+          count(lit(1)).as("n_segs") +:
+          // per-doc constants ride the rollup (max = the value)
+          carryCols.map(c => max(col(c)).as(c))): _*)
       .withColumnRenamed("id", idCol)
   }
 
