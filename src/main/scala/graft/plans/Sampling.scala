@@ -51,7 +51,12 @@ object Sampling {
     * shuffles, and the sample is deterministic, stable under
     * repartitioning, and recomputable by any engine. The per-stratum
     * cut is floored onto the bucket grid so the float `pow` never
-    * decides a row's fate by less than a full bucket. */
+    * decides a row's fate by less than a full bucket.
+    *
+    * The input is consumed TWICE (the counts aggregation and the keep
+    * filter). Fine over a table scan; when `df` is an expensive
+    * derivation (a cleaned/scored pipeline stage), persist it first or
+    * the derivation re-evaluates per branch. */
   def temperatureMixture(df: DataFrame, keyCol: String, strataCol: String,
                          temperature: Double, seed: String,
                          buckets: Int = 10000): DataFrame = {

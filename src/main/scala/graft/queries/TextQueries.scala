@@ -525,6 +525,11 @@ object TextQueries {
           .withColumn("quality",
             TextFunctions.qualityScore(col("deduped_text")))
           .filter(col("quality") >= 0.6)
+          // the mixture stage consumes its input twice (rate counts +
+          // keep filter); persist the cleaned corpus so the expensive
+          // dedup/quality stages run once — in production this is the
+          // materialized cleaned table between pipeline stages
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.plans.Sampling.temperatureMixture(gated, "doc_id", "lang",
             temperature = 0.5, seed = "cv2")
           .select(col("doc_id"), col("lang"),
