@@ -322,8 +322,12 @@ object AnalyticsQueries {
     // NULL where a plain cast would kill a 100 TB job on one malformed
     // row — the quarantine-friendly projection for untrusted inputs.
     // Exercises parse failure, numeric overflow, and divide-by-zero.
+    // Scan-pruned to a key slice: each FAILING try costs a caught JVM
+    // exception per row (~8 µs), so an always-failing column over the
+    // full table would bench the exception path, not the operator.
     "q_try_cast" -> Q(
       (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
         .select(col("o_orderkey"),
           expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio"),
@@ -336,6 +340,7 @@ object AnalyticsQueries {
              |  TRY_CAST(o_totalprice AS DECIMAL(5,2)) AS overflowed,
              |  o_totalprice / nullif(o_orderkey % 2, 0) AS odd_div
              |FROM orders
+             |WHERE o_orderkey <= 2000
              |ORDER BY o_orderkey LIMIT 500""".stripMargin)),
 
     // Incremental aggregate maintenance: a per-(day, type) rollup kept
