@@ -267,6 +267,88 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
+    // Blocked fuzzy join (entity resolution): a "dirty" feed with one
+    // planted character typo per name is matched back to the clean
+    // customer table. Candidates come from an EQUI join on a blocking
+    // key (name prefix — typos are planted past it, as real-world
+    // blocking assumes stable prefixes), then the edit-distance filter
+    // runs per candidate pair only — never all-pairs. At 100 TB the
+    // block key is what turns O(n²) matching into a hash join.
+    "q_fuzzy_join" -> Q(
+      (s, dir) => {
+        val clean = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        // deterministic typo in the LAST character, past the 16-char
+        // block prefix. The prefix must be long enough to partition the
+        // key space (names are 'Customer#' + 9 digits: a 9-char prefix
+        // would be one giant block = all-pairs — the exact failure
+        // blocking exists to prevent)
+        val dirty = clean.select(
+          col("c_custkey").as("d_key"),
+          concat(substring(col("c_name"), 1, 17), lit("X")).as("d_name"))
+        clean.join(dirty,
+            substring(col("c_name"), 1, 16) === substring(col("d_name"), 1, 16) &&
+              levenshtein(col("c_name"), col("d_name")) <= 1)
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("d_key")).as("best_match"))
+          .orderBy(col("c_custkey")).limit(1000)
+      },
+      Some("""WITH clean AS (SELECT c_custkey, c_name FROM customer),
+             |dirty AS (
+             |  SELECT c_custkey AS d_key,
+             |    concat(substring(c_name, 1, 17), 'X') AS d_name
+             |  FROM customer)
+             |SELECT c_custkey, count(*) AS n_matches, min(d_key) AS best_match
+             |FROM clean JOIN dirty
+             |  ON substring(c_name, 1, 16) = substring(d_name, 1, 16)
+             | AND levenshtein(c_name, d_name) <= 1
+             |GROUP BY c_custkey
+             |ORDER BY c_custkey LIMIT 1000""".stripMargin)),
+
+    // Window frame value functions: first/last/nth within an explicit
+    // frame — last_value needs the full-partition frame spelled out (the
+    // default frame ends at CURRENT ROW, a classic silent-wrong-answer).
+    "q_frame_funcs" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          first(col("event_type")).over(full).as("first_type"),
+          last(col("event_type")).over(full).as("last_type"),
+          nth_value(col("event_type"), 2).over(full).as("second_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  first_value(event_type) OVER w AS first_type,
+             |  last_value(event_type) OVER w AS last_type,
+             |  nth_value(event_type, 2) OVER w AS second_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Bivariate statistics: stddev / covariance / correlation per
+    // group. Double sums of products accumulate in engine-specific
+    // order; the outputs are ratios in [-1,1]-ish ranges where the
+    // relative error is ~1e-12, so rounding to 6 decimals is stable
+    // across engines and partitionings (validated at 3 SFs).
+    "q_corr_stats" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the semantics a plain equi join silently
     // drops. Exercised on a derived nullable key so both engines route
