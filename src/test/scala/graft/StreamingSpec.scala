@@ -203,6 +203,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("exactly-once upsert sink: merges batches, redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("upsert-sink")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val table = graft.catalog.ParquetTable(spark, "upsert_t", s"$root/table", schema)
+    val sink = new graft.streaming.UpsertSink(table, Seq("k"),
+      Map("v" -> graft.catalog.Merge.src("v")), s"$root/marker")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "v")
+      .writeStream.foreachBatch(sink.apply _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((2L, "B"), (3L, "c")); q.processAllAvailable()
+      def state() = table.read().collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state() === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+      val committed = sink.lastCommitted
+      assert(committed >= 1L)
+      // redeliver an old batch (the at-least-once case): must be a no-op
+      sink.apply(Seq((2L, "ZZZ")).toDF("k", "v"), batchId = 0L)
+      assert(state() === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+      assert(sink.lastCommitted === committed)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("batch sessionization closes every session at end of input") {
     val events = Seq(
       Event(1, ts("2024-03-01 09:00:00"), "a", 1.0),
