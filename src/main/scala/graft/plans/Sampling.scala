@@ -56,7 +56,11 @@ object Sampling {
     * The input is consumed TWICE (the counts aggregation and the keep
     * filter). Fine over a table scan; when `df` is an expensive
     * derivation (a cleaned/scored pipeline stage), persist it first or
-    * the derivation re-evaluates per branch. */
+    * the derivation re-evaluates per branch.
+    *
+    * Rows with a NULL stratum are DROPPED (the rate join is an inner
+    * equi join, and a null stratum has no meaningful rate); map nulls
+    * to a sentinel stratum first if they must survive. */
   def temperatureMixture(df: DataFrame, keyCol: String, strataCol: String,
                          temperature: Double, seed: String,
                          buckets: Int = 10000): DataFrame = {

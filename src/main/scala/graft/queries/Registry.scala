@@ -17,10 +17,16 @@ final case class Q(
     bench: Boolean = true)
 
 object Registry {
-  lazy val all: Seq[(String, Q)] =
-    Core.defs ++ AnalyticsQueries.defs ++ CatalogQueries.defs ++
+  lazy val all: Seq[(String, Q)] = {
+    val xs = Core.defs ++ AnalyticsQueries.defs ++ CatalogQueries.defs ++
       ReportQueries.defs ++ TextQueries.defs ++ CorpusQueries.defs ++
       VectorQueries.defs ++ PipelineQueries.defs
+    // the .toMap below would silently shadow a duplicated name — make
+    // a collision a build-time failure instead of a vanished entry
+    val dups = xs.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    xs
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) =>
