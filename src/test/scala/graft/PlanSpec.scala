@@ -128,6 +128,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("fuzzy join candidates come from the blocking equi key, never a cartesian") {
+    // levenshtein must be a residual on the block-prefix equi join; a
+    // degenerate block key (or a lost equi conjunct) would surface as a
+    // nested-loop/cartesian over all pairs
+    val plan = planOf("q_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     val df = SparkEntry.queries("q_pricing_summary")(spark, sf)
     df.collect() // AQE finalizes the plan only after execution
