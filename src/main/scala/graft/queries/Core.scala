@@ -374,6 +374,40 @@ object Core {
              |FROM numbered GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Native session windows (session_window): the built-in twin of
+    // plans/Sessionize — one shuffle, merge-on-overlap state handled by
+    // the engine, and the same aggregation runs unchanged on a stream.
+    // Session end = last event + gap (Spark's half-open contract); a
+    // new session starts when the inter-event gap is >= the timeout.
+    "q_session_window" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |numbered AS (
+             |  SELECT user_id, ts, value,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 6 HOUR AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM numbered GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // Time-series gap fill (graft.plans.Resample): hourly per-type
     // grid densified from each group's own span, zero-filled counts +
     // LOCF value — the dense axis is generated distributed
