@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, session_window}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStream
@@ -200,6 +201,34 @@ class StreamingSpec extends AnyFunSuite {
         "user_id").queryExecution.executedPlan.toString
       assert(bplan.contains("BroadcastHashJoin"), bplan)
       assert(!bplan.contains("Exchange hashpartitioning"), bplan)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("native session_window aggregates on a stream: session closes past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("start"), col("n"))
+      .writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-03-01 10:00:00"), "click", 1.0),
+        Event(1, ts("2024-03-01 10:05:00"), "view", 1.0), // merges: gap < 10m
+        Event(2, ts("2024-03-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // event time far past the sessions' end + watermark → emit
+      input.addData(Event(3, ts("2024-03-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_win_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(rows.contains((1L, "2024-03-01 10:00:00.0", 2L)), rows) // merged session
+      assert(rows.contains((2L, "2024-03-01 10:00:00.0", 1L)), rows)
     } finally { q.stop(); q.awaitTermination() }
   }
 
