@@ -267,6 +267,52 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
+    // Ratio-to-report: each group's share of a windowed total (the
+    // contribution-percent column every report wants). The quantity
+    // sums are integral doubles (exact), so the single division is the
+    // only float op — rounded to an engine-stable 6 decimals.
+    "q_ratio_to_report" -> Q(
+      (s, dir) => {
+        val byFlag = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("qty"))
+        val w = Window.partitionBy(col("l_returnflag"))
+        byFlag.select(col("l_returnflag"), col("l_linestatus"), col("qty"),
+          round(col("qty") / sum(col("qty")).over(w), 6).as("share_of_flag"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, qty,
+             |  round(qty / sum(qty) OVER (PARTITION BY l_returnflag), 6)
+             |    AS share_of_flag
+             |FROM (
+             |  SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+             |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // §2.8 extended string family: pad/translate/reverse/repeat and
+    // left/right slicing — the formatting ops a report/export layer
+    // leans on, all codegen'd builtins on both engines.
+    "q_string_funcs2" -> Q(
+      (s, dir) => t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          lpad(col("n_name"), 12, "_").as("padded"),
+          rpad(col("n_name"), 12, ".").as("rpadded"),
+          translate(col("n_name"), "AEIOU", "aeiou").as("translated"),
+          reverse(col("n_name")).as("reversed"),
+          expr("repeat(substring(n_name, 1, 2), 2)").as("repeated"),
+          expr("left(n_name, 3)").as("l3"),
+          expr("right(n_name, 3)").as("r3"))
+        .orderBy(col("n_nationkey")),
+      Some("""SELECT n_nationkey,
+             |  lpad(n_name, 12, '_') AS padded,
+             |  rpad(n_name, 12, '.') AS rpadded,
+             |  translate(n_name, 'AEIOU', 'aeiou') AS translated,
+             |  reverse(n_name) AS reversed,
+             |  repeat(substring(n_name, 1, 2), 2) AS repeated,
+             |  left(n_name, 3) AS l3,
+             |  right(n_name, 3) AS r3
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // Blocked fuzzy join (entity resolution): a "dirty" feed with one
     // planted character typo per name is matched back to the clean
     // customer table. Candidates come from an EQUI join on a blocking
