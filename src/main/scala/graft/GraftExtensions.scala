@@ -19,17 +19,25 @@ import graft.functions.{TextExpressions, VectorExpressions}
   * (`SELECT graft_cosine(a, b)`) as well as via `call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.allFunctions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
+  }
 }
 
 object GraftExtensions {
   private def allFunctions =
     VectorExpressions.functions ++ TextExpressions.functions
 
-  /** Register the library's functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the library's functions and optimizer rules on an
+    * existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     allFunctions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinLengthGuard))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.LevenshteinLengthGuard)
+  }
 }

@@ -128,6 +128,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("levenshtein length-guard rule: guard added, sound, idempotent, threshold form untouched") {
+    // parquet-backed input: a literal LocalRelation would be constant-
+    // folded away before the rule could show up in the plan
+    val nat = Tables.load(spark, sf, "nation").select("n_name")
+    val filtered = nat.filter(expr("levenshtein(n_name, 'NATION_5') <= 1"))
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // guard present exactly once (idempotent under the fixed-point loop,
+    // including after constant folding rewrites length('NATION_5') to 8)
+    assert("abs\\(\\(length".r.findAllIn(optimized.toLowerCase).size == 1, optimized)
+    // soundness vs an independent reference implementation
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = nat.collect().map(_.getString(0))
+      .filter(n => lev(n, "NATION_5") <= 1).toSet
+    assert(expected.contains("NATION_5"))
+    assert(filtered.collect().map(_.getString(0)).toSet === expected)
+    // the 3-arg threshold form returns -1 past the threshold — guarding
+    // it would change semantics, so the rule must leave it alone
+    val thresholded = nat.filter(expr("levenshtein(n_name, 'NATION_5', 1) <= 1"))
+    assert(!thresholded.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("abs((length"),
+      thresholded.queryExecution.optimizedPlan.toString)
+    // ALL rows pass: past-threshold rows return -1 <= 1
+    assert(thresholded.count() === 25)
+  }
+
   test("fuzzy join candidates come from the blocking equi key, never a cartesian") {
     // levenshtein must be a residual on the block-prefix equi join; a
     // degenerate block key (or a lost equi conjunct) would surface as a
