@@ -87,6 +87,43 @@ class MergeSpec extends AnyFunSuite {
     assert(a.toSeq == Seq((1, 10.0), (2, 200.0), (3, 30.0), (4, 40.0)))
   }
 
+  test("seeded randomized merge equivalence vs a plain-Scala reference model") {
+    // 25 random scenarios: key spaces overlap partially, clause config
+    // varies, and the reference model applies Delta MERGE semantics
+    // row by row. Any divergence in the join rewrite (matched /
+    // source-only / target-only routing, clause application order)
+    // surfaces as a set mismatch with the seed in the failure message.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val tKeys = (0 until 8).filter(_ => rnd.nextBoolean())
+      val sKeys = (0 until 8).filter(_ => rnd.nextBoolean())
+      val insert = rnd.nextBoolean()
+      val retire = rnd.nextBoolean()
+      val tgt = tKeys.map(k => (k, s"t$k", 1))
+      val srcRows = sKeys.map(k => (k, s"s$k", 1))
+      val out = Merge.merge(
+        tgt.toDF("id", "name", "flag"),
+        srcRows.toDF("id", "name", "flag"),
+        Seq("id"),
+        whenMatchedUpdate = Map("name" -> Merge.src("name")),
+        whenNotMatchedInsert = insert,
+        whenNotMatchedBySourceSet =
+          if (retire) Map("flag" -> lit(0)) else Map.empty)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+      val sSet = sKeys.toSet
+      val expected =
+        tKeys.map { k =>
+          if (sSet.contains(k)) (k, s"s$k", 1)                  // matched
+          else (k, s"t$k", if (retire) 0 else 1)                // by-source
+        }.toSet ++
+          (if (insert) sKeys.filterNot(tKeys.contains)
+            .map(k => (k, s"s$k", 1)).toSet
+          else Set.empty)
+      assert(out === expected,
+        s"trial $trial: tKeys=$tKeys sKeys=$sKeys insert=$insert retire=$retire")
+    }
+  }
+
   test("ParquetTable: update / deleteWhere / truncate / append round-trip") {
     val dir = Files.createTempDirectory("pt-spec").toString
     val pt = ParquetTable(spark, "t", s"$dir/t", target.schema)
