@@ -29,6 +29,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2) === ((3L, "gamma three. gamma end", 2L, 3L))) // case/ws-insensitive
   }
 
+  test("seeded randomized paragraph dedup equivalence vs a Scala model") {
+    val rnd = new scala.util.Random(7)
+    val sentences = Vector("red fox", "blue sky", "tall tree", "old door",
+      "warm sun", "wet rain", "red  fox", " blue sky ") // ws/dup variants
+    val docs = (0 until 30).map { id =>
+      (id.toLong, (0 until 1 + rnd.nextInt(4))
+        .map(_ => sentences(rnd.nextInt(sentences.size))).mkString("."))
+    }
+    import spark.implicits._
+    val out = graft.text.Dedup.paragraphDedup(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // reference model: global first occurrence by (doc, pos) of the
+    // whitespace-normalized lowercase segment
+    val norm = (s: String) => s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val segs = text.split("\\.", -1).filter(_.trim.nonEmpty)
+      val kept = segs.filter(s => seen.add(norm(s)))
+      id -> (kept.mkString("."), kept.length.toLong)
+    }.toMap
+    expected.foreach { case (id, (txt, n)) =>
+      if (n > 0) assert(out(id) === ((txt, n)), s"doc $id")
+      else assert(out(id)._2 === 0L, s"doc $id")
+    }
+  }
+
   test("incremental dedup with empty history equals plain exact dedup") {
     val batch = Seq((1L, "x"), (2L, "x "), (3L, "y")).toDF("doc_id", "text")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
