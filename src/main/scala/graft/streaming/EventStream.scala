@@ -76,6 +76,30 @@ object EventStream {
         col("__r.value").as("right_value"))
   }
 
+  /** LEFT OUTER variant of [[joinWithinHorizon]] — unattributed left
+    * events must still flow through (a click with no conversion is a
+    * data point, not a dropped row). The engine can only emit the
+    * null-padded row once the watermark proves no matching right event
+    * can still arrive, so unmatched results trail by the watermark
+    * delay — the correctness/latency trade every outer stream join
+    * makes. Same state reclamation as the inner form. */
+  def leftJoinWithinHorizon(left: DataFrame, right: DataFrame,
+                            keyCol: String = "user_id",
+                            horizon: String = "10 minutes",
+                            watermarkDelay: String = "20 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("__l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("__r")
+    l.join(r,
+        col(s"__l.$keyCol") === col(s"__r.$keyCol") &&
+          col("__r.ts") >= col("__l.ts") &&
+          col("__r.ts") <= col("__l.ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col(s"__l.$keyCol").as(keyCol),
+        col("__l.ts").as("left_ts"), col("__l.event_type").as("left_type"),
+        col("__r.ts").as("right_ts"), col("__r.event_type").as("right_type"),
+        col("__r.value").as("right_value"))
+  }
+
   /** Stream-static enrichment: join each streaming event against a
     * slowly-changing dimension snapshot. The static side is explicitly
     * broadcast — per micro-batch the dimension is a map-side hash

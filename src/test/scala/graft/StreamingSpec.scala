@@ -204,6 +204,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val convs = MemoryStream[Event]
+    val q = EventStream.leftJoinWithinHorizon(
+      clicks.toDF(), convs.toDF(),
+      horizon = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("louter_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-03-01 10:00:00"), "click", 1.0),  // will match
+        Event(2, ts("2024-03-01 10:00:00"), "click", 1.0))  // never matches
+      convs.addData(Event(1, ts("2024-03-01 10:05:00"), "conv", 9.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past click+horizon+delay so the
+      // engine can prove user 2 has no conversion coming
+      clicks.addData(Event(9, ts("2024-03-01 11:00:00"), "click", 0.0))
+      convs.addData(Event(9, ts("2024-03-01 11:00:00"), "conv", 0.0))
+      q.processAllAvailable()
+      clicks.addData(Event(9, ts("2024-03-01 11:30:00"), "click", 0.0))
+      convs.addData(Event(9, ts("2024-03-01 11:30:00"), "conv", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("louter_out")
+        .collect().map(r => (r.getLong(0), Option(r.getString(4)))).toSet
+      assert(rows.contains((1L, Some("conv"))), rows)   // matched pair
+      assert(rows.contains((2L, None)), rows)           // null-padded
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("native session_window aggregates on a stream: session closes past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
