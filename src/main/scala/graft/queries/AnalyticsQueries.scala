@@ -267,6 +267,42 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)),
 
+    // Calendar dimension generation — the date spine every warehouse
+    // keeps: span derived from the data, densified DISTRIBUTED via
+    // sequence+explode (never a driver loop), ISO weekday math so both
+    // engines agree on weekend flags.
+    "q_date_dim" -> Q(
+      (s, dir) => {
+        val span = t(s, dir, "orders").agg(
+          min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        span
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 DAY"))).as("d"))
+          .select(col("d"),
+            (weekday(col("d")) + 1).as("isodow"),
+            month(col("d")).as("m"),
+            quarter(col("d")).as("q"),
+            (weekday(col("d")) >= 5).as("is_weekend"),
+            date_format(col("d"), "yyyy-MM").as("ym"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH span AS (
+             |  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+             |         max(CAST(o_orderdate AS DATE)) AS hi
+             |  FROM orders),
+             |days AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+             |    AS DATE) AS d
+             |  FROM span)
+             |SELECT d,
+             |  CAST(isodow(d) AS INT) AS isodow,
+             |  CAST(month(d) AS INT) AS m,
+             |  CAST(quarter(d) AS INT) AS q,
+             |  isodow(d) >= 6 AS is_weekend,
+             |  strftime(d, '%Y-%m') AS ym
+             |FROM days ORDER BY d""".stripMargin)),
+
     // Ratio-to-report: each group's share of a windowed total (the
     // contribution-percent column every report wants). The quantity
     // sums are integral doubles (exact), so the single division is the
