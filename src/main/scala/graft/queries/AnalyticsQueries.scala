@@ -565,6 +565,54 @@ object AnalyticsQueries {
              |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
              |ORDER BY op, o_custkey""".stripMargin)),
 
+    // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities (5 minus 2 occurrences = 3 rows), which the
+    // distinct-set forms in q_set_ops silently collapse — the
+    // difference matters for reconciliation-style comparisons.
+    "q_set_ops_all" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_suppkey"))
+        val a = li.filter(col("l_suppkey") % 3 === 0)
+        val b = li.filter(col("l_suppkey") % 2 === 0)
+        a.exceptAll(b)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+          .select(lit("except_all").as("op"), col("l_suppkey"), col("n"))
+          .unionByName(
+            a.intersectAll(b)
+              .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+              .select(lit("intersect_all").as("op"), col("l_suppkey"), col("n")))
+          .orderBy(col("op"), col("l_suppkey"))
+      },
+      Some("""SELECT 'except_all' AS op, l_suppkey, count(*) AS n FROM (
+             |  SELECT l_suppkey FROM lineitem WHERE l_suppkey % 3 = 0
+             |  EXCEPT ALL
+             |  SELECT l_suppkey FROM lineitem WHERE l_suppkey % 2 = 0)
+             |GROUP BY l_suppkey
+             |UNION ALL
+             |SELECT 'intersect_all', l_suppkey, count(*) FROM (
+             |  SELECT l_suppkey FROM lineitem WHERE l_suppkey % 3 = 0
+             |  INTERSECT ALL
+             |  SELECT l_suppkey FROM lineitem WHERE l_suppkey % 2 = 0)
+             |GROUP BY l_suppkey
+             |ORDER BY op, l_suppkey""".stripMargin)),
+
+    // Boolean aggregates: every / any / count_if — the assertion-style
+    // rollups quality reports read directly.
+    "q_bool_aggs" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("every(l_quantity < 50)").as("all_under_50"),
+          expr("any(l_discount > 0.09)").as("some_big_discount"),
+          expr("count_if(l_tax = 0)").as("zero_tax_rows"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  bool_and(l_quantity < 50) AS all_under_50,
+             |  bool_or(l_discount > 0.09) AS some_big_discount,
+             |  CAST(count_if(l_tax = 0) AS BIGINT) AS zero_tax_rows
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Declarative data-quality gate (the dbt-test/Deequ shape): all
     // row-level constraints in ONE conditional-agg pass, uniqueness as
     // one count-per-key agg, referential integrity as a column-pruned
