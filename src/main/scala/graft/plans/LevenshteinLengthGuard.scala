@@ -16,13 +16,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * computations toward the scans. Catalyst has no such rule of its
   * own (it special-cases `LIKE`, not bounded edit distance).
   *
-  * Soundness: guard AND original ⇔ original, because guard is implied.
+  * Soundness: the guard is attached IN PLACE — the matched predicate
+  * `pred` is rewritten to `And(guard, pred)` inside whatever boolean
+  * context it sits in. Because `pred ⇒ guard` (and both are null on
+  * exactly the null-operand rows), `And(guard, pred) ⇔ pred` as an
+  * expression, so the rewrite is equivalence-preserving under OR and
+  * NOT too. ANDing the guard at the TOP of the condition instead
+  * would be wrong for `lev(a,b) <= k OR other` — the guard is not
+  * implied by the disjunction and would drop `other`-only rows.
+  *
   * Idempotency (required for the optimizer's fixed-point loop): a
-  * predicate already carrying its guard is left untouched —
-  * [[withGuards]] checks for a semantically-equal guard before adding
-  * one.
+  * predicate whose conjunctive scope already contains a length guard
+  * mentioning one of its operands is left untouched — this survives
+  * constant folding (`length('CANADA')` → `6`) and And-reassociation
+  * between optimizer iterations.
   */
-object LevenshteinLengthGuard extends Rule[LogicalPlan] {
+object LevenshteinLengthGuard extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The guard expression for `levenshtein(a, b) <= k`. */
   private def guardFor(lev: Levenshtein, k: Expression): Expression =
@@ -51,9 +60,9 @@ object LevenshteinLengthGuard extends Rule[LogicalPlan] {
       case _         => false
     }
 
-  /** Any existing length-difference guard mentioning either operand. */
-  private def hasGuardFor(cond: Expression, lev: Levenshtein): Boolean =
-    cond.exists {
+  /** Is `g` a length-difference guard mentioning either lev operand? */
+  private def isGuardExpr(g: Expression, lev: Levenshtein): Boolean =
+    g match {
       case LessThanOrEqual(a: Abs, _) =>
         a.child match {
           case s: Subtract =>
@@ -64,24 +73,39 @@ object LevenshteinLengthGuard extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  private def withGuards(cond: Expression): Expression = {
-    // collect the guards missing from this condition, then AND them on
-    val needed = scala.collection.mutable.ArrayBuffer.empty[Expression]
-    cond.foreach { e =>
-      boundedLev(e).foreach { case (lev, k) =>
-        if (!hasGuardFor(cond, lev)) {
-          val g = guardFor(lev, k)
-          if (!needed.exists(_.semanticEquals(g))) needed += g
-        }
+  /** Rewrite bounded-lev predicates to `And(guard, pred)` in place.
+    *
+    * `scope` carries every conjunct visible at this point (outer
+    * conjunctive scopes accumulate through nested Ands and pass
+    * unchanged through Or branches — an outer-ANDed guard still covers
+    * a predicate inside a disjunct). Recursion stops at any node that
+    * is not And/Or: wrapping inside other expression trees (CaseWhen
+    * arms, aggregate arguments) buys nothing and risks corners. */
+  private def rewrite(e: Expression, scope: Seq[Expression]): Expression =
+    boundedLev(e) match {
+      case Some((lev, k)) =>
+        if (scope.exists(isGuardExpr(_, lev))) e
+        else And(guardFor(lev, k), e)
+      case None => e match {
+        case a: And =>
+          val conjScope = scope ++ splitConjunctivePredicates(a)
+          val nl = rewrite(a.left, conjScope)
+          val nr = rewrite(a.right, conjScope)
+          if ((nl eq a.left) && (nr eq a.right)) a else And(nl, nr)
+        case o: Or =>
+          val nl = rewrite(o.left, scope)
+          val nr = rewrite(o.right, scope)
+          if ((nl eq o.left) && (nr eq o.right)) o else Or(nl, nr)
+        case other => other
       }
     }
-    needed.foldLeft(cond)((acc, g) => And(g, acc))
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case f @ Filter(cond, _) if withGuards(cond) ne cond =>
-      f.copy(condition = withGuards(cond))
-    case j @ Join(_, _, _, Some(cond), _) if withGuards(cond) ne cond =>
-      j.copy(condition = Some(withGuards(cond)))
+    case f @ Filter(cond, _) =>
+      val g = rewrite(cond, Nil)
+      if (g eq cond) f else f.copy(condition = g)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      val g = rewrite(cond, Nil)
+      if (g eq cond) j else j.copy(condition = Some(g))
   }
 }

@@ -44,11 +44,15 @@ object Quality {
       .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("violations"))
       .select(lit(name).as("check_name"), col("violations"))
 
-  /** Fact keys with no matching dimension row (orphans). */
+  /** Fact keys with no matching dimension row (orphans). Both sides are
+    * aliased before the join: surrogate keys often carry the SAME name
+    * in fact and dimension, and unaliased `col(key) === col(key)` would
+    * be ambiguous and fail analysis. */
   def refIntegrity(fact: DataFrame, name: String, keyCol: String,
                    dim: DataFrame, dimKey: String): DataFrame =
-    fact.select(col(keyCol))
-      .join(dim.select(col(dimKey)), col(keyCol) === col(dimKey), "left_anti")
+    fact.select(col(keyCol).as("__fk"))
+      .join(dim.select(col(dimKey).as("__dk")), col("__fk") === col("__dk"),
+        "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit(name).as("check_name"), col("violations"))
 

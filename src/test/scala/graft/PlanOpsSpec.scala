@@ -131,6 +131,12 @@ class PlanOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("k_not_null" -> 1L, "flag_accepted" -> 1L,
       "q_le_30" -> 2L, "k_unique" -> 1L, "k_ri" -> 1L))
+    // same-named surrogate keys (fact.customer_id vs dim.customer_id)
+    // must not trip an ambiguous-reference AnalysisException
+    val sameName = Quality.refIntegrity(
+      df.filter(col("k").isNotNull), "k_ri2", "k", Seq(1L).toDF("k"), "k")
+      .collect().head
+    assert((sameName.getString(0), sameName.getLong(1)) === ("k_ri2", 1L))
     // the three row checks must share ONE pass over the input
     val plan = rows.queryExecution.optimizedPlan.toString
     assert("LocalRelation|Relation".r.findAllIn(plan).size == 1, plan)

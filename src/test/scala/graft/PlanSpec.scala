@@ -149,6 +149,15 @@ class PlanSpec extends AnyFunSuite {
       .filter(n => lev(n, "NATION_5") <= 1).toSet
     assert(expected.contains("NATION_5"))
     assert(filtered.collect().map(_.getString(0)).toSet === expected)
+    // guard under OR: the guard must be attached IN PLACE (And(guard,
+    // pred) inside the disjunct), never ANDed at the top of the
+    // condition. Here the guard (length(n_name) <= 2) is false for all
+    // 25 names while the second disjunct is true for all — a top-level
+    // guard would drop every row
+    val disjunct =
+      nat.filter(expr("levenshtein(n_name, 'N') <= 1 OR length(n_name) > 2"))
+    assert(disjunct.count() === 25,
+      disjunct.queryExecution.optimizedPlan.toString)
     // the 3-arg threshold form returns -1 past the threshold — guarding
     // it would change semantics, so the rule must leave it alone
     val thresholded = nat.filter(expr("levenshtein(n_name, 'NATION_5', 1) <= 1"))

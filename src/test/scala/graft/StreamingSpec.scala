@@ -273,7 +273,7 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StringType)))
     val table = graft.catalog.ParquetTable(spark, "upsert_t", s"$root/table", schema)
     val sink = new graft.streaming.UpsertSink(table, Seq("k"),
-      Map("v" -> graft.catalog.Merge.src("v")), s"$root/marker")
+      Map("v" -> graft.catalog.Merge.src("v")), s"$root/ckpt")
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("k", "v")
       .writeStream.foreachBatch(sink.apply _)
@@ -291,7 +291,40 @@ class StreamingSpec extends AnyFunSuite {
       sink.apply(Seq((2L, "ZZZ")).toDF("k", "v"), batchId = 0L)
       assert(state() === Map(1L -> "a", 2L -> "B", 3L -> "c"))
       assert(sink.lastCommitted === committed)
+      // the marker lives INSIDE the table dir — published by the same
+      // rename as the merged data, so data and marker cannot diverge
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/table/_graft_txn")))
     } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("upsert sink: checkpoint reset rotates the epoch — restarted batch ids apply") {
+    val root = java.nio.file.Files.createTempDirectory("upsert-epoch")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val table = graft.catalog.ParquetTable(spark, "upsert_e", s"$root/table", schema)
+    def mkSink() = new graft.streaming.UpsertSink(table, Seq("k"),
+      Map("v" -> graft.catalog.Merge.src("v")), s"$root/ckpt")
+    def v1() = table.read().filter(col("k") === 1L).collect().head.getString(1)
+    val sink = mkSink()
+    sink.apply(Seq((1L, "a")).toDF("k", "v"), 0L)
+    sink.apply(Seq((1L, "b")).toDF("k", "v"), 1L)
+    assert(sink.lastCommitted === 1L && v1() === "b")
+    // wipe the checkpoint: Structured Streaming restarts batch ids at 0.
+    // A free-standing marker would silently swallow every batch until
+    // the id climbed past the stale high-water mark; the epoch rotation
+    // must make the new generation's batch 0 apply
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/ckpt"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    val sink2 = mkSink()
+    assert(sink2.lastCommitted === -1L)
+    sink2.apply(Seq((1L, "fresh")).toDF("k", "v"), 0L)
+    assert(v1() === "fresh")
   }
 
   test("batch sessionization closes every session at end of input") {
