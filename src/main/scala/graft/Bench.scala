@@ -22,6 +22,20 @@ object Bench {
     // One warm-up action so JVM/codegen startup isn't billed to the
     // first query in the list.
     Tables.load(spark, sfDir, "nation").count()
+    // Reset session state between timed attempts (outside the timed
+    // region): the ingest/dedup entries leave behind memory-sink temp
+    // views, localCheckpoint RDD blocks and cached relations, and over
+    // a 100+-query suite that accumulation inflated late queries 3-5x
+    // vs isolated runs (round-4 finding) — the suite was measuring JVM
+    // debris, not the query.
+    def resetState(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
     // Two timed runs per query, keep the minimum: one local[32] JVM
     // shares cores with the OS, and min-of-2 strips scheduler noise
     // without hiding real cost.
@@ -30,11 +44,15 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val timings = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        val t = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0 }
+          -1.0
+        }
+        resetState()
+        t
       }
       name -> (if (timings.exists(_ < 0)) -1.0 else timings.min)
     }

@@ -45,20 +45,67 @@ final class ParquetTable(
     val spark: SparkSession,
     val name: String,
     val path: String,
-    val schema: StructType) {
+    val schema: StructType,
+    val partitionCols: Seq[String] = Nil) {
+
+  require(partitionCols.forall(schema.fieldNames.contains),
+    s"partition columns ${partitionCols.mkString(",")} must be in the schema")
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dest = new Path(path)
   private def stagePath = new Path(path + ".__stage")
   private def oldPath = new Path(path + ".__old")
+  // Underscore prefix: invisible to Spark's file listing and partition
+  // discovery, so in-flight partition stages never pollute a read.
+  private def partStageRoot = new Path(dest, "_pstage")
+  private def partOldRoot = new Path(dest, "_pold")
+
+  /** Schema of the data FILES: partition column values live in the
+    * directory names, not in the files (hive layout). */
+  private def dataSchema: StructType =
+    StructType(schema.filterNot(f => partitionCols.contains(f.name)))
 
   /** Roll back an interrupted swap: live dir absent + `.__old` present
-    * means the crash hit between the two renames — restore `.__old`. */
+    * means the crash hit between the two renames — restore `.__old`.
+    * Same per partition: a copy parked under `_pold` whose live
+    * partition dir is absent is restored; one whose live dir exists was
+    * superseded and is dropped. */
   private def recover(): Unit = {
     val f = fs
     if (!f.exists(dest) && f.exists(oldPath) && !f.rename(oldPath, dest))
       throw new java.io.IOException(s"swap recovery failed for $path")
+    if (partitionCols.nonEmpty && f.exists(partOldRoot)) {
+      val rootStr = partOldRoot.toString
+      dirsAtDepth(partOldRoot, partitionCols.size).foreach { parked =>
+        val rel = parked.toString.stripPrefix(rootStr).stripPrefix("/")
+        val live = new Path(dest, rel)
+        if (!f.exists(live)) {
+          f.mkdirs(live.getParent)
+          if (!f.rename(parked, live))
+            throw new java.io.IOException(s"partition recovery failed for $live")
+        } else f.delete(parked, true)
+      }
+    }
+  }
+
+  private def dirsAtDepth(root: Path, depth: Int): Seq[Path] =
+    if (depth == 0) Seq(root)
+    else if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(s => dirsAtDepth(s.getPath, depth - 1))
+
+  /** `col=value[/col=value…]` path for a leading subset of the partition
+    * columns. Values must not need hive path-escaping (true for the
+    * date/int partition values this engine writes). */
+  private def partitionRel(values: Seq[(String, String)]): String = {
+    require(values.nonEmpty && values.map(_._1) == partitionCols.take(values.size),
+      s"partition spec ${values.map(_._1)} must be a prefix of $partitionCols")
+    values.map { case (c, v) =>
+      require(v.nonEmpty && !v.exists(ch => ch < ' ' || "\"#%'*/:=?\\{}[]^".contains(ch)),
+        s"partition value '$v' would need hive escaping")
+      s"$c=$v"
+    }.mkString("/")
   }
 
   def exists: Boolean = { recover(); fs.exists(dest) }
@@ -82,9 +129,14 @@ final class ParquetTable(
     this
   }
 
+  private def writer(df: DataFrame) = {
+    val w = align(df).write
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+
   def append(df: DataFrame): Unit = {
     recover()
-    align(df).write.mode("append").parquet(path)
+    writer(df).mode("append").parquet(path)
   }
 
   def overwrite(df: DataFrame): Unit = overwrite(df, None)
@@ -95,7 +147,7 @@ final class ParquetTable(
     recover()
     val f = fs
     val carried = readTxns() // before any mutation of dest
-    align(df).write.mode("overwrite").parquet(stagePath.toString)
+    writer(df).mode("overwrite").parquet(stagePath.toString)
     val txns = txn.fold(carried)(carried + _)
     if (txns.nonEmpty) writeTxns(stagePath, txns)
     if (f.exists(oldPath)) f.delete(oldPath, true) // stale garbage only
@@ -132,6 +184,66 @@ final class ParquetTable(
     finally out.close()
   }
 
+  /** Partition-level DELETE: atomically unhooks the matching partition
+    * directory (rename into a hidden trash, then reclaim) — an O(1)
+    * metadata operation however large the partition. `values` may be a
+    * leading subset of [[partitionCols]]. At 100 TB this is the ONLY
+    * acceptable shape for "delete day X": the predicate form rewrites
+    * the whole table. No-op if the partition is absent. */
+  def deletePartitions(values: Seq[(String, String)]): Unit = {
+    recover()
+    val f = fs
+    val live = new Path(dest, partitionRel(values))
+    if (f.exists(live)) {
+      val trash = new Path(partStageRoot, "trash/" + partitionRel(values))
+      f.delete(trash, true)
+      f.mkdirs(trash.getParent)
+      if (!f.rename(live, trash))
+        throw new java.io.IOException(s"partition delete failed for $live")
+      f.delete(trash, true)
+    }
+  }
+
+  /** Replace ONE partition's contents (full partition spec). The data
+    * frame must carry [[dataSchema]]'s columns (partition values are
+    * implied by the spec). Same crash-safe stage→park→rename→reclaim
+    * dance as the whole-table swap, scoped to the partition dir. */
+  def overwritePartition(values: Seq[(String, String)], df: DataFrame): Unit = {
+    require(values.size == partitionCols.size,
+      "overwritePartition needs the full partition spec")
+    recover()
+    val f = fs
+    val rel = partitionRel(values)
+    val stage = new Path(partStageRoot, rel)
+    val parked = new Path(partOldRoot, rel)
+    val live = new Path(dest, rel)
+    alignTo(dataSchema, df).write.mode("overwrite").parquet(stage.toString)
+    if (f.exists(parked)) f.delete(parked, true)
+    f.mkdirs(parked.getParent)
+    if (f.exists(live) && !f.rename(live, parked))
+      throw new java.io.IOException(s"partition set-aside failed for $live")
+    f.mkdirs(live.getParent)
+    if (!f.rename(stage, live))
+      throw new java.io.IOException(s"partition swap failed for $live")
+    f.delete(parked, true)
+  }
+
+  /** DELETE within one partition: reads and rewrites ONLY that
+    * partition's files. `pred` must reference data columns only — the
+    * partition columns are fixed by `values`. This is the compensating-
+    * delete shape: pull batch N back out of today's partition without
+    * touching any other day. */
+  def deleteWhereInPartition(values: Seq[(String, String)], pred: Column): Unit = {
+    require(values.size == partitionCols.size,
+      "deleteWhereInPartition needs the full partition spec")
+    recover()
+    val live = new Path(dest, partitionRel(values))
+    if (fs.exists(live)) {
+      val cur = spark.read.schema(dataSchema).parquet(live.toString)
+      overwritePartition(values, cur.filter(!coalesce(pred, lit(false))))
+    }
+  }
+
   /** UPDATE t SET <set> WHERE <pred> — read-modify-rewrite. */
   def update(pred: Column, set: Map[String, Column]): Unit = {
     val cur = read()
@@ -162,23 +274,44 @@ final class ParquetTable(
     overwrite(Merge.merge(read(), source, keys, whenMatchedUpdate,
       whenNotMatchedInsert, insertDefaults, whenNotMatchedBySourceSet), txn)
 
+  /** Total bytes currently stored under the table directory. */
+  def tableBytes: Long = {
+    recover()
+    if (fs.exists(dest)) fs.getContentSummary(dest).getLength else 0L
+  }
+
   /** OPTIMIZE [ZORDER BY cols] equivalent: compact small files and
     * cluster rows so min/max parquet stats prune on the z columns
     * (modules/auto_loader_steps.py:481-498). On a cluster the
     * repartitionByRange gives range-partitioned files whose column stats
-    * are disjoint — the parquet-native analogue of z-ordering. */
-  def compact(zorderCols: Seq[String] = Nil, targetPartitions: Int = 1): Unit = {
+    * are disjoint — the parquet-native analogue of z-ordering.
+    *
+    * `targetPartitions <= 0` (the default) derives the output partition
+    * count from the CURRENT table size — one task/file per
+    * `targetFileBytes` — so a 100 TB table compacts to ~800k properly
+    * sized files instead of one task writing one giant file. */
+  def compact(zorderCols: Seq[String] = Nil, targetPartitions: Int = 0,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val parts =
+      if (targetPartitions > 0) targetPartitions
+      else math.max(1, math.ceil(tableBytes.toDouble / targetFileBytes).toInt)
     val cur = read()
+    // Partitioned writes require rows ordered by the partition columns
+    // within each task; sorting by (partitionCols ++ zorderCols) meets
+    // that requirement so the writer adds no extra (non-stable) sort
+    // that would scramble the z-clustering inside each partition dir.
     val arranged =
       if (zorderCols.nonEmpty)
-        cur.repartitionByRange(math.max(targetPartitions, 1), zorderCols.map(col): _*)
-          .sortWithinPartitions(zorderCols.map(col): _*)
-      else cur.coalesce(math.max(targetPartitions, 1))
+        cur.repartitionByRange(parts, zorderCols.map(col): _*)
+          .sortWithinPartitions((partitionCols ++ zorderCols).map(col): _*)
+      else cur.coalesce(parts)
     overwrite(arranged)
   }
 
-  private def align(df: DataFrame): DataFrame = {
-    val cols = schema.fields.map(f =>
+  private def align(df: DataFrame): DataFrame = alignTo(schema, df)
+
+  private def alignTo(s: StructType, df: DataFrame): DataFrame = {
+    val cols = s.fields.map(f =>
       (if (df.columns.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name))
     df.select(cols.toSeq: _*)
@@ -186,6 +319,7 @@ final class ParquetTable(
 }
 
 object ParquetTable {
-  def apply(spark: SparkSession, name: String, path: String, schema: StructType): ParquetTable =
-    new ParquetTable(spark, name, path, schema)
+  def apply(spark: SparkSession, name: String, path: String, schema: StructType,
+            partitionCols: Seq[String] = Nil): ParquetTable =
+    new ParquetTable(spark, name, path, schema, partitionCols)
 }

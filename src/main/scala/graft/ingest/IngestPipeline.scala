@@ -39,11 +39,17 @@ final class IngestPipeline(
   @volatile var columns: Seq[ColumnSpec] = feed.Columns
   @volatile var driftEvents: Seq[String] = Nil
 
+  /** The ingest target is hive-partitioned by `InsertDate`: the daily
+    * idempotent re-run delete and the per-batch compensating delete then
+    * touch ONE day's directory instead of rewriting the whole table —
+    * at 100 TB the unpartitioned form is a full-table rewrite per day. */
   def target: ParquetTable =
-    ParquetTable(spark, feed.TargetTableName, targetPath, SchemaTools.targetSchema(columns))
+    ParquetTable(spark, feed.TargetTableName, targetPath,
+      SchemaTools.targetSchema(columns), partitionCols = Seq("InsertDate"))
 
   def piiTarget: Option[ParquetTable] = piiPath.map(p =>
-    ParquetTable(spark, feed.PIITableName, p, SchemaTools.targetSchema(columns)))
+    ParquetTable(spark, feed.PIITableName, p,
+      SchemaTools.targetSchema(columns), partitionCols = Seq("InsertDate")))
 
   /** CREATE OR REPLACE TABLE from column config
     * (modules/delta_table_create_tables.py:91-114). */
@@ -54,12 +60,14 @@ final class IngestPipeline(
 
   /** Idempotent daily re-run: delete today's rows before re-ingesting
     * (delete_table_records_step, Data Ingestion Helper.py:139-142), so
-    * replaying the same day's files never duplicates. */
+    * replaying the same day's files never duplicates. With the
+    * InsertDate-partitioned target this drops one partition directory —
+    * an O(1) metadata operation, never a table rewrite. */
   def deleteToday(): Unit = {
-    val today = new Date(clock().getTime)
-    if (target.exists) target.deleteWhere(col("InsertDate") === lit(today))
+    val today = new Date(clock().getTime).toString
+    if (target.exists) target.deletePartitions(Seq("InsertDate" -> today))
     piiTarget.filter(_.exists)
-      .foreach(_.deleteWhere(col("InsertDate") === lit(today)))
+      .foreach(_.deletePartitions(Seq("InsertDate" -> today)))
   }
 
   private def log(batchId: Long, entryType: String, desc: String,
@@ -147,10 +155,13 @@ final class IngestPipeline(
     // alone is not enough: it restarts at 0 with every fresh checkpoint,
     // so an unscoped delete would also remove same-BatchId rows loaded
     // by earlier runs; the batch's own InsertDate/ModifiedDateTime
-    // stamps pin it to this run.
+    // stamps pin it to this run. The InsertDate half is the PARTITION
+    // spec, so the compensating rewrite touches one day's directory.
+    val batchPartition = Seq("InsertDate" -> new Date(now.getTime).toString)
     val thisBatch = col("BatchId") === lit(batchId.toInt + 1) &&
-      col("InsertDate") === lit(new Date(now.getTime)) &&
       col("ModifiedDateTime") === lit(now)
+    def compensate(): Unit =
+      target.deleteWhereInPartition(batchPartition, thisBatch)
     val obs = org.apache.spark.sql.Observation()
     val corruptMetric =
       if (observeCorrupt)
@@ -177,7 +188,7 @@ final class IngestPipeline(
     if (corruptRows > 0) {
       // compensate: pull this batch's rows back out of the target, then
       // quarantine
-      target.deleteWhere(thisBatch)
+      compensate()
       quarantine(stamped, batchId, corruptRows)
     }
 
@@ -199,7 +210,7 @@ final class IngestPipeline(
       // append cannot double-load (append mode only: an overwrite
       // replay replaces the contents wholesale anyway).
       case e: Throwable =>
-        if (mode == "append") target.deleteWhere(thisBatch)
+        if (mode == "append") compensate()
         throw e
     }
     rows

@@ -307,8 +307,9 @@ class IngestSpec extends AnyFunSuite {
     val (pipe, runner) = build(tmp, f)
     runner.runOnce(tmp.resolve("ckpt").toString)
     // two micro-batches wrote >=2 files; post-load compaction leaves 1
+    // (inside the single InsertDate partition directory)
     import scala.jdk.CollectionConverters._
-    val partFiles = Files.list(tmp.resolve("target")).iterator().asScala
+    val partFiles = Files.walk(tmp.resolve("target")).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSeq
     assert(partFiles.size == 1, partFiles)
@@ -316,5 +317,37 @@ class IngestSpec extends AnyFunSuite {
     val ids = pipe.target.read().select("person_id")
       .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().toSeq
     assert(ids == ids.sorted, ids)
+  }
+
+  test("daily delete drops one partition directory; other days' files untouched") {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("ing-daypart")
+    writeCsv(tmp, "d1.csv", Seq("id,name,score", "1,ann,1.5"))
+    val meta = new MetaStore(spark, tmp.resolve("meta").toString).bootstrap()
+    var day = Timestamp.valueOf("2024-03-01 12:00:00")
+    val pipe = new IngestPipeline(spark, feed(tmp.resolve("src").toString), meta,
+      tmp.resolve("target").toString, clock = () => day)
+    val runner = new StreamRunner(spark, pipe)
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    // day 2: one more file lands; same checkpoint → only the new file
+    writeCsv(tmp, "d2.csv", Seq("id,name,score", "2,bob,2.5"))
+    day = Timestamp.valueOf("2024-03-02 12:00:00")
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    val targetDir = tmp.resolve("target")
+    assert(Files.exists(targetDir.resolve("InsertDate=2024-03-01")))
+    assert(Files.exists(targetDir.resolve("InsertDate=2024-03-02")))
+    // snapshot day 1's data files (path + mtime): the day-2 delete must
+    // be a partition-directory drop, not a table rewrite
+    def day1Files() = Files.walk(targetDir.resolve("InsertDate=2024-03-01"))
+      .iterator().asScala.filter(Files.isRegularFile(_))
+      .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    val before = day1Files()
+    assert(before.nonEmpty)
+    pipe.deleteToday() // clock is day 2
+    assert(!Files.exists(targetDir.resolve("InsertDate=2024-03-02")))
+    assert(day1Files() === before) // byte-for-byte untouched
+    val rows = pipe.target.read().collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1))
+    assert(rows.head.getAs[java.sql.Date]("InsertDate").toString == "2024-03-01")
   }
 }

@@ -149,4 +149,31 @@ class MergeSpec extends AnyFunSuite {
     assert(pt.read().count() == 3)
     assert(pt.read().agg(round(sum(col("bal")), 2)).as[Double].head() == 60.0)
   }
+
+  test("ParquetTable.compact sizes its output from the table bytes") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("pt-csize")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val pt = ParquetTable(spark, "csize", s"$dir/csize", schema)
+    pt.overwrite(spark.range(20000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    def files() = Files.walk(dir.resolve("csize")).iterator().asScala
+      .count(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+    val bytes = pt.tableBytes
+    assert(bytes > 0L)
+    // a target file size of ~1/4 the table must yield 4 output files —
+    // the partition count scales with the data instead of collapsing a
+    // large table into one single-task file
+    pt.compact(zorderCols = Seq("k"), targetFileBytes = bytes / 4 + 1)
+    assert(files() === 4, s"bytes=$bytes")
+    assert(pt.read().count() === 20000)
+    // and a table far below the default 128 MB compacts to one file
+    pt.compact(zorderCols = Seq("k"))
+    assert(files() === 1)
+  }
 }
