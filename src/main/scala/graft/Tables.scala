@@ -28,6 +28,30 @@ object Tables {
     else df
   }
 
+  /** Row count of a table from its parquet FOOTERS only — a driver-side
+    * metadata read (no Spark job, no data pages). This is how operators
+    * that only need the corpus SIZE (e.g. deriving an LSH bucket count
+    * ~ log2(n)) avoid paying a full count() pass over a 100 TB input
+    * before the real job starts. */
+  def parquetRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isFile) Seq(root)
+      else fs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.sum
+  }
+
   /** Shared local session config for every entry point (Verify/Bench/tests).
     * Shuffle partitions sized to cores: at 100 TB on a real cluster this is
     * AQE-coalesced from a much larger initial number; locally 32 avoids

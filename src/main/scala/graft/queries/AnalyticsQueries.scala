@@ -359,16 +359,19 @@ object AnalyticsQueries {
     "q_fuzzy_join" -> Q(
       (s, dir) => {
         val clean = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-        // deterministic typo in the LAST character, past the 16-char
-        // block prefix. The prefix must be long enough to partition the
-        // key space (names are 'Customer#' + 9 digits: a 9-char prefix
-        // would be one giant block = all-pairs — the exact failure
-        // blocking exists to prevent)
+        // deterministic typo in the LAST character (18), past the
+        // 17-char block prefix. The prefix must be long enough to
+        // partition the key space (names are 'Customer#' + 9 digits: a
+        // 9-char prefix would be one giant block = all-pairs — the
+        // exact failure blocking exists to prevent). Block size is the
+        // quadratic knob: 17 chars leaves ONE free digit → ~10-row
+        // blocks → ~10 edit-distance evaluations per row; the earlier
+        // 16-char prefix left 100-row blocks and 10× the kernel cost.
         val dirty = clean.select(
           col("c_custkey").as("d_key"),
           concat(substring(col("c_name"), 1, 17), lit("X")).as("d_name"))
         clean.join(dirty,
-            substring(col("c_name"), 1, 16) === substring(col("d_name"), 1, 16) &&
+            substring(col("c_name"), 1, 17) === substring(col("d_name"), 1, 17) &&
               levenshtein(col("c_name"), col("d_name")) <= 1)
           .groupBy(col("c_custkey"))
           .agg(count(lit(1)).as("n_matches"),
@@ -382,7 +385,7 @@ object AnalyticsQueries {
              |  FROM customer)
              |SELECT c_custkey, count(*) AS n_matches, min(d_key) AS best_match
              |FROM clean JOIN dirty
-             |  ON substring(c_name, 1, 16) = substring(d_name, 1, 16)
+             |  ON substring(c_name, 1, 17) = substring(d_name, 1, 17)
              | AND levenshtein(c_name, d_name) <= 1
              |GROUP BY c_custkey
              |ORDER BY c_custkey LIMIT 1000""".stripMargin)),

@@ -40,6 +40,14 @@ object VectorQueries {
           .as("embedding")))
   }
 
+  /** Size of [[plantedEmbeddings]] from parquet footers only (no Spark
+    * job): corpus + one perturbed copy per 25 rows. Feeds the LSH bits
+    * derivation, which needs log2(n), not an exact count. */
+  private def plantedSize(s: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val n = Tables.parquetRowCount(s, dir, "embeddings")
+    n + n / 25
+  }
+
   private val plantedCte =
     """SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
@@ -179,7 +187,7 @@ object VectorQueries {
       (s, dir) => {
         graft.vector.Ann.cosineNearDuplicates(
           plantedEmbeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.98, probes = 1)
+          threshold = 0.98, probes = 1, n = plantedSize(s, dir))
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -192,17 +200,22 @@ object VectorQueries {
 
     // IVF-style ANN: centroid assignment + nprobe probing — better on
     // clustered corpora than hyperplane LSH; recall gated in AnnSpec.
-    // The oracle REIMPLEMENTS the whole IVF pipeline in SQL (centroid
-    // pick, argmax assignment, nprobe probing, windowed re-rank) — the
-    // centroid set derives from the data, so no literals are needed.
+    // The centroids are TRAINED (KMeans.fitCentroids, k=16, 2 Lloyd
+    // rounds — the full train→index→query path, not a modulo sample),
+    // and the oracle REIMPLEMENTS the whole pipeline in SQL: the
+    // quantized k-means rounds (as q_kmeans proved DuckDB can), then
+    // argmax assignment, nprobe probing and the windowed re-rank.
     "q_ann_ivf" -> Q(
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding"))
-        val centroids = emb.filter(col("vec_id") % 31 === 0)
-          .orderBy(col("vec_id")).limit(16) // ordered: deterministic set
-          .select(col("vec_id").as("cid"), col("embedding"))
+        // quantized centroid coordinates feed cosine directly: scale
+        // cancels in cosine, and the integer coords are engine-exact
+        val cents = graft.vector.KMeans.fitCentroids(
+          emb, "vec_id", "embedding", k = 16, iters = 2)
+        import s.implicits._
+        val centroids = cents.toDF("cid", "embedding")
         Ann.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
           k = 5, centroids = centroids, nprobe = 4)
           .select(col("qid"), col("vec_id"), cast_rank)
@@ -210,19 +223,37 @@ object VectorQueries {
       },
       Some("""WITH data AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |                   x -> floor(x * 1000)) AS e
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT vec_id AS cid, e FROM q
+             |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
+             |    vec_id
+             |  LIMIT 16),
+             |a1 AS (
+             |  SELECT vec_id, e, cid FROM (
+             |    SELECT q.vec_id, q.e, s.cid,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
+             |          + list_dot_product(s.e, s.e), s.cid) AS rn
+             |    FROM q, seeds s) WHERE rn = 1),
              |cents AS (
-             |  SELECT vec_id AS cid, v AS cv FROM data
-             |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
-             |assigned AS (
-             |  SELECT d.vec_id, c.cid, row_number() OVER (PARTITION BY d.vec_id
-             |    ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS crank
-             |  FROM data d, cents c),
-             |dassign AS (SELECT vec_id, cid FROM assigned WHERE crank = 1),
+             |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
+             |    FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+             |dassign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT d.vec_id, c.cid, row_number() OVER (PARTITION BY d.vec_id
+             |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS crank
+             |    FROM data d, cents c) WHERE crank = 1),
              |qs AS (SELECT vec_id AS qid, v AS qv FROM data WHERE vec_id % 100 = 0),
              |qassign AS (
-             |  SELECT q.qid, q.qv, c.cid, row_number() OVER (PARTITION BY q.qid
-             |    ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS crank
-             |  FROM qs q, cents c),
+             |  SELECT s2.qid, s2.qv, c.cid, row_number() OVER (PARTITION BY s2.qid
+             |    ORDER BY list_cosine_similarity(s2.qv, c.cv) DESC, c.cid) AS crank
+             |  FROM qs s2, cents c),
              |cand AS (
              |  SELECT p.qid, da.vec_id, list_cosine_similarity(d.v, p.qv) AS sim
              |  FROM (SELECT qid, qv, cid FROM qassign WHERE crank <= 4) p
@@ -293,7 +324,8 @@ object VectorQueries {
       (s, dir) => {
         val planted = plantedEmbeddings(s, dir)
         val losers = graft.vector.Ann.cosineNearDuplicates(
-          planted, "vec_id", "embedding", threshold = 0.98, probes = 1)
+          planted, "vec_id", "embedding", threshold = 0.98, probes = 1,
+          n = plantedSize(s, dir))
           .select(col("id_b").as("vec_id")).distinct()
         planted.join(broadcast(losers), Seq("vec_id"), "left_anti")
           .select(col("vec_id")).orderBy(col("vec_id"))

@@ -174,8 +174,11 @@ object Ann {
   def cosineNearDuplicates(data: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.95, bits: Int = 0,
                            probes: Int = 1, dim: Int = 64,
-                           seed: Long = 42L): DataFrame = {
-    val b = if (bits > 0) bits else bitsFor(data.count())
+                           seed: Long = 42L, n: Long = 0L): DataFrame = {
+    // `n` (approximate corpus size) spares the derivation count() — a
+    // full extra pass over the corpus before the real job. bitsFor only
+    // needs log2(n), so a footer/metadata estimate is plenty.
+    val b = if (bits > 0) bits else bitsFor(if (n > 0) n else data.count())
     val planes = hyperplanes(b, dim, seed)
     // Normalize ONCE per row (bound through named columns so the HOF
     // lambdas don't re-evaluate): each bucket meeting then pays a

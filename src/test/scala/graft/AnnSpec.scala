@@ -85,6 +85,27 @@ class AnnSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("cosineNearDuplicates with known n plans without running any job") {
+    // the `n` parameter replaces the bits-derivation count() — building
+    // the (lazy) result plan must not fire a single Spark job, so the
+    // 100 TB corpus is scanned exactly once, by the LSH job itself
+    val (data, _) = planted
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Ann.cosineNearDuplicates(data, "vec_id", "embedding",
+        threshold = 0.98, probes = 2, n = 220)
+      assert(df.columns.toSeq == Seq("id_a", "id_b", "cos_sim"))
+      Thread.sleep(300) // let any stray job-start events drain
+      assert(jobs.get === 0, s"${jobs.get} jobs ran during plan construction")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cosine near-dup finds every planted copy and nothing below threshold") {
     val (data, _) = planted
     val pairs = Ann.cosineNearDuplicates(data, "vec_id", "embedding",
