@@ -118,6 +118,31 @@ class DedupSpec extends AnyFunSuite {
       comps.toSeq.take(5).toString)
   }
 
+  test("star components: 64-link chain converges in <= log2 rounds") {
+    // diameter 63: min-label propagation needs ~63 rounds here; the
+    // large-star/small-star contraction must need at most log2(64) = 6
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsStarRounds(chain, maxIter = 50)
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 64 && comps.forall(_._2 == 0L),
+      comps.sortBy(_._1).take(8).toSeq.toString)
+    assert(rounds <= 6, s"took $rounds rounds")
+  }
+
+  test("star components agree with min-label propagation on a random graph") {
+    val rnd = new scala.util.Random(20240813L)
+    // ~80 nodes, 70 random edges + a few self-pairs → mixed component
+    // sizes, singletons, duplicate edges
+    val pairs = ((1 to 70).map { _ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)
+    } ++ Seq((90L, 90L), (91L, 91L))).toDF("id_a", "id_b")
+    val expected = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("nearDupSurvivors keeps one doc per near-dup cluster") {
     // doc 0's copies 100 and 200 form a transitive cluster through 100
     // (0~100 and 100~200 overlap strongly; dissimilar docs untouched)
