@@ -764,6 +764,34 @@ object TextQueries {
               |  SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
               |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
               |FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // HIGH-DIAMETER components: each user's events chained in time
+    // order give one long path per user — exactly the graph shape where
+    // min-label propagation needs a round per hop and the large-star/
+    // small-star contraction needs O(log) rounds. The oracle exploits
+    // the construction: a user's chain spans ALL their events, so the
+    // component label must equal min(event_id) per user (users with one
+    // event have no edge and don't participate). bench=false: the cost
+    // is the iterative driver loop, not a per-row kernel.
+    "q_star_components" -> Q(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = ev.select(col("event_id"),
+            lead(col("event_id"), 1).over(w).as("next"))
+          .filter(col("next").isNotNull)
+          .select(col("event_id").as("id_a"), col("next").as("id_b"))
+        Dedup.connectedComponentsStar(edges).orderBy(col("id"))
+      },
+      Some("""WITH counted AS (
+             |  SELECT user_id, event_id,
+             |    count(*) OVER (PARTITION BY user_id) AS n,
+             |    min(event_id) OVER (PARTITION BY user_id) AS comp
+             |  FROM events)
+             |SELECT event_id AS id, comp
+             |FROM counted WHERE n >= 2 ORDER BY id""".stripMargin),
+      bench = false)
   )
 }
