@@ -76,9 +76,11 @@ final class ParquetTable(
     if (!f.exists(dest) && f.exists(oldPath) && !f.rename(oldPath, dest))
       throw new java.io.IOException(s"swap recovery failed for $path")
     if (partitionCols.nonEmpty && f.exists(partOldRoot)) {
-      val rootStr = partOldRoot.toString
+      // listStatus paths come back scheme-qualified; relativize against
+      // the equally-qualified root or the relative path is garbage
+      val qRoot = f.makeQualified(partOldRoot).toUri
       dirsAtDepth(partOldRoot, partitionCols.size).foreach { parked =>
-        val rel = parked.toString.stripPrefix(rootStr).stripPrefix("/")
+        val rel = qRoot.relativize(f.makeQualified(parked).toUri).getPath
         val live = new Path(dest, rel)
         if (!f.exists(live)) {
           f.mkdirs(live.getParent)
@@ -244,12 +246,32 @@ final class ParquetTable(
     }
   }
 
-  /** UPDATE t SET <set> WHERE <pred> — read-modify-rewrite. */
+  /** UPDATE t SET <set> WHERE <pred> — read-modify-rewrite. On a
+    * partitioned table, prefer [[updateInPartition]] when the update is
+    * partition-scoped: this form rewrites the whole table. */
   def update(pred: Column, set: Map[String, Column]): Unit = {
     val cur = read()
     overwrite(cur.select(cur.columns.map { c =>
       set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
     }.toSeq: _*))
+  }
+
+  /** UPDATE scoped to one partition: reads and rewrites ONLY that
+    * partition's files. `pred` and `set` must reference data columns
+    * only. The 100 TB shape for "fix day X": the other days' files are
+    * never opened. */
+  def updateInPartition(values: Seq[(String, String)], pred: Column,
+                        set: Map[String, Column]): Unit = {
+    require(values.size == partitionCols.size,
+      "updateInPartition needs the full partition spec")
+    recover()
+    val live = new Path(dest, partitionRel(values))
+    if (fs.exists(live)) {
+      val cur = spark.read.schema(dataSchema).parquet(live.toString)
+      overwritePartition(values, cur.select(cur.columns.map { c =>
+        set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+      }.toSeq: _*))
+    }
   }
 
   /** DELETE FROM t WHERE <pred> — anti-filter + rewrite. */

@@ -150,6 +150,79 @@ class MergeSpec extends AnyFunSuite {
     assert(pt.read().agg(round(sum(col("bal")), 2)).as[Double].head() == 60.0)
   }
 
+  test("ParquetTable: interrupted swap recovers the pre-swap contents") {
+    val dir = Files.createTempDirectory("pt-crash")
+    val pt = ParquetTable(spark, "cr", s"$dir/cr", target.schema)
+    pt.overwrite(target)
+    // simulate a crash BETWEEN the two swap renames: the live dir has
+    // been set aside, the stage was never published
+    Files.move(dir.resolve("cr"), dir.resolve("cr.__old"))
+    assert(pt.read().count() === 3) // recover() rolled the swap back
+    assert(Files.exists(dir.resolve("cr")) && !Files.exists(dir.resolve("cr.__old")))
+    // and the table stays fully functional after recovery
+    pt.deleteWhere(col("id") === 1)
+    assert(pt.read().count() === 2)
+  }
+
+  test("partitioned ParquetTable: interrupted partition swap recovers") {
+    val dir = Files.createTempDirectory("pt-pcrash")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.StringType)))
+    val pt = ParquetTable(spark, "crp", s"$dir/crp", schema,
+      partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "d"))
+    // crash between the partition renames: d=a parked under _pold,
+    // live partition dir gone
+    Files.createDirectories(dir.resolve("crp/_pold"))
+    Files.move(dir.resolve("crp/d=a"), dir.resolve("crp/_pold/d=a"))
+    assert(pt.read().count() === 3) // partition recovery restored d=a
+    assert(Files.exists(dir.resolve("crp/d=a")))
+    assert(!Files.exists(dir.resolve("crp/_pold/d=a")))
+  }
+
+  test("partitioned ParquetTable: partition-scoped update touches one day only") {
+    val dir = Files.createTempDirectory("pt-pupd")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.StringType)))
+    val pt = ParquetTable(spark, "pu", s"$dir/pu", schema,
+      partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"))
+      .toDF("k", "v", "d"))
+    import scala.jdk.CollectionConverters._
+    def bFiles() = Files.walk(dir.resolve("pu/d=b")).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    val before = bFiles()
+    pt.updateInPartition(Seq("d" -> "a"), col("k") === 2L,
+      Map("v" -> lit(99.0)))
+    assert(bFiles() === before) // d=b files untouched
+    val got = pt.read().orderBy("k").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.toSeq === Seq(1L -> 1.0, 2L -> 99.0, 3L -> 3.0))
+  }
+
+  test("ParquetTable: txn markers survive markerless rewrites") {
+    val dir = Files.createTempDirectory("pt-txn")
+    val pt = ParquetTable(spark, "tx", s"$dir/tx", target.schema)
+    pt.overwrite(target)
+    pt.upsert(staging.withColumn("IsCurrent", lit(1)), Seq("id"),
+      Map("bal" -> graft.catalog.Merge.src("bal")), txn = Some("app" -> 5L))
+    assert(pt.lastTxn("app") === Some(5L))
+    // a compaction (or any markerless overwrite) between stream batches
+    // must not reset the stream's dedup state
+    pt.compact()
+    assert(pt.lastTxn("app") === Some(5L))
+    pt.update(col("id") === 2, Map("bal" -> lit(0.0)))
+    assert(pt.lastTxn("app") === Some(5L))
+  }
+
   test("ParquetTable.compact sizes its output from the table bytes") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("pt-csize")
