@@ -330,6 +330,34 @@ final class ParquetTable(
     overwrite(arranged)
   }
 
+  /** OPTIMIZE one partition: compact and z-cluster ONLY that
+    * partition's files (sized from the PARTITION's bytes). The daily
+    * post-load compaction shape — at 100 TB, re-optimizing the whole
+    * InsertDate-partitioned target after loading one day is a
+    * full-table rewrite per day. */
+  def compactPartition(values: Seq[(String, String)],
+                       zorderCols: Seq[String] = Nil,
+                       targetPartitions: Int = 0,
+                       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(values.size == partitionCols.size,
+      "compactPartition needs the full partition spec")
+    recover()
+    val live = new Path(dest, partitionRel(values))
+    if (fs.exists(live)) {
+      val bytes = fs.getContentSummary(live).getLength
+      val parts =
+        if (targetPartitions > 0) targetPartitions
+        else math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val cur = spark.read.schema(dataSchema).parquet(live.toString)
+      val arranged =
+        if (zorderCols.nonEmpty)
+          cur.repartitionByRange(parts, zorderCols.map(col): _*)
+            .sortWithinPartitions(zorderCols.map(col): _*)
+        else cur.coalesce(parts)
+      overwritePartition(values, arranged)
+    }
+  }
+
   private def align(df: DataFrame): DataFrame = alignTo(schema, df)
 
   private def alignTo(s: StructType, df: DataFrame): DataFrame = {

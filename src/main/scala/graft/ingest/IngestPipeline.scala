@@ -218,14 +218,18 @@ final class IngestPipeline(
 
   /** Post-load OPTIMIZE ZORDER (auto_loader_steps.py:481-498): compact
     * the target (and PII shadow) clustering on the config's ZOrder
-    * columns. Run once per completed load — NOT per micro-batch, a
-    * per-batch full-table rewrite would be quadratic in stream length. */
+    * columns. Run once per completed load — NOT per micro-batch (a
+    * per-batch full-table rewrite would be quadratic in stream length)
+    * — and scoped to TODAY'S partition: the load only fragmented the
+    * day it wrote, and re-optimizing every historical day would be a
+    * full-table rewrite per load at 100 TB. */
   def compactTargets(): Unit = {
     val zcols = columns.filter(_.ZOrder == 1).sortBy(_.ColumnOrder)
       .map(_.TargetColumnName)
     if (zcols.nonEmpty) {
-      if (target.exists) target.compact(zcols)
-      piiTarget.filter(_.exists).foreach(_.compact(zcols))
+      val today = Seq("InsertDate" -> new Date(clock().getTime).toString)
+      if (target.exists) target.compactPartition(today, zcols)
+      piiTarget.filter(_.exists).foreach(_.compactPartition(today, zcols))
     }
   }
 }

@@ -208,6 +208,36 @@ class MergeSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L -> 1.0, 2L -> 99.0, 3L -> 3.0))
   }
 
+  test("compactPartition rewrites one partition's files; others untouched") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("pt-pcomp")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.StringType)))
+    val pt = ParquetTable(spark, "pc", s"$dir/pc", schema,
+      partitionCols = Seq("d"))
+    pt.overwrite(spark.range(100)
+      .select(col("id").as("k"),
+        when(col("id") % 2 === 0, "a").otherwise("b").as("d"))
+      .repartition(4))
+    def files(p: String) = Files.walk(dir.resolve(s"pc/d=$p")).iterator().asScala
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    assert(files("a").size > 1) // fragmented by the 4-way write
+    val bBefore = files("b")
+    pt.compactPartition(Seq("d" -> "a"), zorderCols = Seq("k"))
+    assert(files("a").size === 1)   // compacted
+    assert(files("b") === bBefore)  // never opened
+    assert(pt.read().count() === 100)
+    // z-clustered within the compacted partition
+    val ks = pt.read().filter(col("d") === "a").select("k")
+      .as[Long].collect().toSeq
+    assert(ks == ks.sorted)
+  }
+
   test("ParquetTable: txn markers survive markerless rewrites") {
     val dir = Files.createTempDirectory("pt-txn")
     val pt = ParquetTable(spark, "tx", s"$dir/tx", target.schema)
