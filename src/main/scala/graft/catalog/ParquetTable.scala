@@ -330,6 +330,47 @@ final class ParquetTable(
     overwrite(arranged)
   }
 
+  /** MERGE that rewrites ONLY the partitions the source touches. The
+    * source must carry the partition columns, and a row's partition
+    * value must equal that of the target row it updates (true whenever
+    * the partition column is part of the key or functionally dependent
+    * on it — the standard partitioned-MERGE contract). Each touched
+    * partition is merged and swapped independently: a CDC batch that
+    * touches 2 of 800 days reads and rewrites 2 directories, where
+    * [[upsert]] rewrites the table.
+    *
+    * NOT atomic across partitions (one swap per partition) — callers
+    * needing cross-partition exactly-once must use idempotent updates
+    * or the whole-table [[upsert]] with its txn marker. */
+  def upsertInPartitions(source: DataFrame, keys: Seq[String],
+      whenMatchedUpdate: Map[String, Column],
+      whenNotMatchedInsert: Boolean = true,
+      insertDefaults: Map[String, Column] = Map.empty): Unit = {
+    require(partitionCols.nonEmpty, "upsertInPartitions needs a partitioned table")
+    require(partitionCols.forall(source.columns.contains),
+      s"source must carry partition columns ${partitionCols.mkString(",")}")
+    val effectiveKeys = keys.filterNot(partitionCols.contains)
+    require(effectiveKeys.nonEmpty,
+      "keys must include at least one non-partition column")
+    recover()
+    // touched partitions: a small driver fetch (days in a CDC batch)
+    val touched = source
+      .select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partitionCols.zipWithIndex.map { case (c, i) => c -> r.getString(i) })
+    touched.foreach { values =>
+      val slice = values.foldLeft(source) { case (df, (c, v)) =>
+        df.filter(col(c).cast("string") === v)
+      }.drop(partitionCols: _*)
+      val live = new Path(dest, partitionRel(values.toSeq))
+      val cur =
+        if (fs.exists(live)) spark.read.schema(dataSchema).parquet(live.toString)
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+      overwritePartition(values.toSeq, Merge.merge(cur, slice, effectiveKeys,
+        whenMatchedUpdate, whenNotMatchedInsert, insertDefaults))
+    }
+  }
+
   /** OPTIMIZE one partition: compact and z-cluster ONLY that
     * partition's files (sized from the PARTITION's bytes). The daily
     * post-load compaction shape — at 100 TB, re-optimizing the whole
