@@ -23,5 +23,12 @@ object TextExpressions {
           case Seq(a, b) => SignatureAgreement(a, b)
           case _ => throw new IllegalArgumentException(
             "graft_sig_agreement expects (sigA array<bigint>, sigB array<bigint>)")
+        }),
+      (FunctionIdentifier("graft_repetition"),
+        new ExpressionInfo(classOf[RepetitionStatsKernel].getName, "graft_repetition"),
+        (args: Seq[Expression]) => args match {
+          case Seq(th) => RepetitionStatsKernel(th)
+          case _ => throw new IllegalArgumentException(
+            "graft_repetition expects (tokenHashes array<bigint>)")
         }))
 }

@@ -157,42 +157,31 @@ object CorpusStats {
     * ratios — no floating aggregation anywhere — so the output is
     * bit-stable under repartitioning and recomputable by any engine.
     *
-    * Counting runs on 64-bit token/shingle hashes, never materialized
-    * gram strings (counts are identical modulo a 64-bit collision
-    * inside one document — P ≈ tokens²·2⁻⁶⁴, vanishing), so the
-    * explode rows are fixed 8-byte words and the shuffles never carry
-    * text. */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokCounts = df.select(col(idCol).as("id"),
-      explode(hashedTokens(textCol)).as("tok"))
-      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
-    val tokStats = tokCounts.groupBy(col("id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_tok"))
-    val bgStats = df.select(col(idCol).as("id"),
-      hashedTokens(textCol).as("__th"))
-      .select(col("id"),
-        explode(Dedup.shingleHashesFromTokenHashes(col("__th"), 2)).as("bg"))
-      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("id"))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bg"))
-    df.select(col(idCol).as("id"))
-      .join(tokStats, Seq("id"), "left")
-      .join(bgStats, Seq("id"), "left")
+    * Every output statistic is a function of the document's OWN token
+    * stream, so this is a map-only single scan: the native
+    * [[graft.functions.RepetitionStatsKernel]] expression reads all
+    * five counters off one sorted pass over the per-row token-hash
+    * array. No explode, no groupBy, no join — the corpus token
+    * explosion never shuffles (the previous declarative shape paid
+    * three doc-keyed shuffles for per-row arithmetic). Counting runs
+    * on 64-bit token/bigram hashes, never materialized gram strings
+    * (counts identical modulo a within-document 64-bit collision,
+    * P ≈ tokens²·2⁻⁶⁴, vanishing). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      call_function("graft_repetition", hashedTokens(textCol)).as("__r"))
       .select(col("id").as(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        round(coalesce(col("n_distinct"), lit(0L)).cast("double") /
-          greatest(coalesce(col("n_tokens"), lit(0L)).cast("double"), lit(1.0)),
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.n_distinct").as("n_distinct"),
+        round(col("__r.n_distinct").cast("double") /
+          greatest(col("__r.n_tokens").cast("double"), lit(1.0)),
           4).as("ttr"),
-        round(coalesce(col("max_tok"), lit(0L)).cast("double") /
-          greatest(coalesce(col("n_tokens"), lit(0L)).cast("double"), lit(1.0)),
+        round(col("__r.max_tok").cast("double") /
+          greatest(col("__r.n_tokens").cast("double"), lit(1.0)),
           4).as("top_tok_share"),
-        round(coalesce(col("max_bg"), lit(0L)).cast("double") /
-          greatest(coalesce(col("n_bigrams"), lit(0L)).cast("double"), lit(1.0)),
+        round(col("__r.max_bg").cast("double") /
+          greatest(col("__r.n_bigrams").cast("double"), lit(1.0)),
           4).as("top_bigram_share"))
-  }
 
   /** Per-document Shannon entropy of the token distribution (nats),
     * via H = ln N − (Σ c·ln c)/N over per-token counts c.

@@ -92,6 +92,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Relation \\[".r.findAllIn(logical).size == 2, logical) // union branches only
   }
 
+  test("repetition stats are map-only: no hash exchange, no join, one scan") {
+    // every stat is per-document, so the kernel must stay a projection
+    // over the documents scan — the only exchange allowed is the final
+    // orderBy's range partitioning (output determinism for the dump)
+    val qe = SparkEntry.queries("q_repetition")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!"\\bJoin\\b".r.findAllIn(qe.optimizedPlan.toString).hasNext, plan)
+    assert("Relation \\[".r.findAllIn(qe.optimizedPlan.toString).size == 1, plan)
+  }
+
   test("sessionize is one shuffle: the session agg reuses the window's user partitioning") {
     // groupBy(user, session_id) clusters on a superset of the window's
     // hash(user) partitioning, so Catalyst must NOT add a second hash
