@@ -70,7 +70,11 @@ final class ParquetTable(
     * means the crash hit between the two renames — restore `.__old`.
     * Same per partition: a copy parked under `_pold` whose live
     * partition dir is absent is restored; one whose live dir exists was
-    * superseded and is dropped. */
+    * superseded and is dropped. Finally sweep `_pstage`: anything under
+    * it (half-written stages, trash parked by [[deletePartitions]]) is
+    * garbage from an interrupted op — single-writer means no other op
+    * is mid-flight when recover() runs — and left alone it accumulates
+    * dead bytes forever at 100 TB scale. */
   private def recover(): Unit = {
     val f = fs
     if (!f.exists(dest) && f.exists(oldPath) && !f.rename(oldPath, dest))
@@ -88,7 +92,52 @@ final class ParquetTable(
             throw new java.io.IOException(s"partition recovery failed for $live")
         } else f.delete(parked, true)
       }
+      f.delete(partOldRoot, true)
     }
+    if (partitionCols.nonEmpty && f.exists(partStageRoot))
+      f.delete(partStageRoot, true)
+    checkLayout(f)
+  }
+
+  /** A partitioned table must not have plain data files at its root: a
+    * table written by an older unpartitioned build would make
+    * [[deletePartitions]] silently no-op (the daily idempotency delete
+    * stops deleting → duplicates) and the first partitioned append
+    * would create a mixed flat+hive layout that breaks reads. Fail
+    * loudly BEFORE any mutation instead; [[migrateToHiveLayout]] is the
+    * one-time fix. */
+  private def checkLayout(f: org.apache.hadoop.fs.FileSystem): Unit =
+    if (partitionCols.nonEmpty && f.exists(dest) &&
+        f.listStatus(dest).exists(st => st.isFile && isDataFile(st.getPath)))
+      throw new IllegalStateException(
+        s"table $name at $path is partitioned by ${partitionCols.mkString(",")} " +
+          "but has flat data files at its root (legacy unpartitioned layout); " +
+          "run migrateToHiveLayout() once before using it")
+
+  private def isDataFile(p: Path): Boolean =
+    !p.getName.startsWith("_") && !p.getName.startsWith(".")
+
+  /** One-time migration of a legacy flat (unpartitioned) layout into
+    * the hive layout [[partitionCols]] demands: rewrite the flat files
+    * — which carry the partition columns as ordinary data columns —
+    * into partition directories, staged + swapped like any other
+    * mutation. No-op when the layout is already hive. */
+  def migrateToHiveLayout(): Unit = {
+    val f = fs
+    if (partitionCols.isEmpty || !f.exists(dest) ||
+        !f.listStatus(dest).exists(st => st.isFile && isDataFile(st.getPath)))
+      return
+    val carried = readTxns(dest)
+    val cur = spark.read.schema(schema).parquet(path)
+    align(cur).write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(stagePath.toString)
+    if (carried.nonEmpty) writeTxns(stagePath, carried)
+    if (f.exists(oldPath)) f.delete(oldPath, true)
+    if (!f.rename(dest, oldPath))
+      throw new java.io.IOException(s"swap set-aside failed for $path")
+    if (!f.rename(stagePath, dest))
+      throw new java.io.IOException(s"atomic swap failed for $path")
+    f.delete(oldPath, true)
   }
 
   private def dirsAtDepth(root: Path, depth: Int): Seq[Path] =
@@ -148,7 +197,7 @@ final class ParquetTable(
   def overwrite(df: DataFrame, txn: Option[(String, Long)]): Unit = {
     recover()
     val f = fs
-    val carried = readTxns() // before any mutation of dest
+    val carried = readTxns(dest) // before any mutation of dest
     writer(df).mode("overwrite").parquet(stagePath.toString)
     val txns = txn.fold(carried)(carried + _)
     if (txns.nonEmpty) writeTxns(stagePath, txns)
@@ -162,11 +211,18 @@ final class ParquetTable(
 
   /** Highest batch id atomically committed with the data for `appId`,
     * if any batch from that writer has committed. */
-  def lastTxn(appId: String): Option[Long] = { recover(); readTxns().get(appId) }
+  def lastTxn(appId: String): Option[Long] = { recover(); readTxns(dest).get(appId) }
 
-  private def readTxns(): Map[String, Long] = {
+  /** Highest batch id committed atomically with ONE partition's data —
+    * the per-partition marker [[upsertInPartitions]] publishes. */
+  def lastTxnInPartition(values: Seq[(String, String)], appId: String): Option[Long] = {
+    recover()
+    readTxns(new Path(dest, partitionRel(values))).get(appId)
+  }
+
+  private def readTxns(dir: Path): Map[String, Long] = {
     val f = fs
-    val file = new Path(dest, "_graft_txn")
+    val file = new Path(dir, "_graft_txn")
     if (!f.exists(file)) Map.empty
     else {
       val in = f.open(file)
@@ -202,15 +258,22 @@ final class ParquetTable(
       f.mkdirs(trash.getParent)
       if (!f.rename(live, trash))
         throw new java.io.IOException(s"partition delete failed for $live")
-      f.delete(trash, true)
+      // sweep the whole stage root: the trash copy plus the now-empty
+      // scaffolding dirs (single writer — nothing else is in flight)
+      f.delete(partStageRoot, true)
     }
   }
 
   /** Replace ONE partition's contents (full partition spec). The data
     * frame must carry [[dataSchema]]'s columns (partition values are
     * implied by the spec). Same crash-safe stage→park→rename→reclaim
-    * dance as the whole-table swap, scoped to the partition dir. */
-  def overwritePartition(values: Seq[(String, String)], df: DataFrame): Unit = {
+    * dance as the whole-table swap, scoped to the partition dir.
+    * Partition-local `_graft_txn` markers are carried forward (and
+    * extended with `txn` if given) so a compaction or update between
+    * stream batches never resets [[upsertInPartitions]]' dedup state —
+    * the same contract [[overwrite]] keeps for the table-level marker. */
+  def overwritePartition(values: Seq[(String, String)], df: DataFrame,
+                         txn: Option[(String, Long)] = None): Unit = {
     require(values.size == partitionCols.size,
       "overwritePartition needs the full partition spec")
     recover()
@@ -219,7 +282,10 @@ final class ParquetTable(
     val stage = new Path(partStageRoot, rel)
     val parked = new Path(partOldRoot, rel)
     val live = new Path(dest, rel)
+    val carried = readTxns(live) // before any mutation of the partition
     alignTo(dataSchema, df).write.mode("overwrite").parquet(stage.toString)
+    val txns = txn.fold(carried)(carried + _)
+    if (txns.nonEmpty) writeTxns(stage, txns)
     if (f.exists(parked)) f.delete(parked, true)
     f.mkdirs(parked.getParent)
     if (f.exists(live) && !f.rename(live, parked))
@@ -246,14 +312,101 @@ final class ParquetTable(
     }
   }
 
-  /** UPDATE t SET <set> WHERE <pred> — read-modify-rewrite. On a
-    * partitioned table, prefer [[updateInPartition]] when the update is
-    * partition-scoped: this form rewrites the whole table. */
+  /** Equality conjuncts on partition columns inside `pred`, extracted
+    * so generic DML can prune like Delta does: the reference issues
+    * `DELETE … WHERE InsertDate = CURRENT_DATE()` as a plain predicate
+    * (`notebooks/Data Ingestion Helper.py:140`) and expects the engine —
+    * not the caller — to turn it into a partition-scoped operation.
+    * Returns the pinned `(col, value)` pairs in [[partitionCols]] order
+    * plus whether the WHOLE predicate was consumed by those pins (no
+    * residual → the partition directory itself is the delete target).
+    * Conservative: anything unrecognizable (OR at top level, casts
+    * around the attribute, conflicting pins, values needing hive
+    * escaping) yields None and the caller falls back to the full
+    * rewrite — routing must never change semantics. */
+  private def pinnedSpec(pred: Column): Option[(Seq[(String, String)], Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
+    import org.apache.spark.sql.graft.{AttrEqLit, ColumnBridge}
+    if (partitionCols.isEmpty) return None
+    // The literal rendered exactly as the hive directory name renders
+    // it. Only two shapes are trusted: a literal already OF the
+    // partition column's type, or a string literal (which comparison
+    // coercion would cast to the column type anyway) — normalized
+    // through the column type so "2026-8-13" and "2026-08-13" land on
+    // the same directory. Any other type (e.g. a timestamp literal
+    // against a date column, whose equality semantics are NOT
+    // date-truncation) refuses to route.
+    def litString(c: String, l: CLit): Option[String] = {
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      val colType = schema(c).dataType
+      val typed =
+        if (l.dataType == colType) Some(l)
+        else if (l.dataType == org.apache.spark.sql.types.StringType)
+          Option(Cast(l, colType, tz).eval(null)).map(CLit(_, colType))
+        else None
+      typed.flatMap(t =>
+        Option(Cast(t, org.apache.spark.sql.types.StringType, tz).eval(null))
+          .map(_.toString))
+    }
+    val cs = ColumnBridge.conjuncts(pred)
+    val pins = scala.collection.mutable.Map.empty[String, String]
+    var consumed = 0
+    cs.foreach {
+      case AttrEqLit(name, l) =>
+        partitionCols.find(_.equalsIgnoreCase(name)).foreach { c =>
+          litString(c, l).foreach { v =>
+            if (pins.get(c).exists(_ != v)) return None // contradiction
+            pins(c) = v; consumed += 1
+          }
+        }
+      case _ => ()
+    }
+    if (pins.isEmpty) return None
+    // pins must form a leading prefix of partitionCols for a directory path
+    val ordered = partitionCols.takeWhile(pins.contains).map(c => c -> pins(c))
+    if (ordered.size != pins.size) return None
+    if (scala.util.Try(partitionRel(ordered)).isFailure) return None
+    Some((ordered, consumed == cs.size))
+  }
+
+  /** The partition's files with the partition-column values synthesized
+    * back as columns (hive reads do the same from the dir name) — lets
+    * a generic predicate that mentions partition columns evaluate
+    * against a single partition's data. */
+  private def readPartitionWithValues(values: Seq[(String, String)]): DataFrame =
+    values.foldLeft(
+      spark.read.schema(dataSchema).parquet(new Path(dest, partitionRel(values)).toString)) {
+      case (df, (c, v)) =>
+        df.withColumn(c, lit(v).cast(schema(c).dataType))
+    }
+
+  /** UPDATE t SET <set> WHERE <pred> — read-modify-rewrite. When `pred`
+    * pins every partition column with an equality (`InsertDate = X AND
+    * …`) and `set` leaves the partition columns alone, only that
+    * partition is read and rewritten — Delta's partition pruning for
+    * generic DML, so callers don't have to know about
+    * [[updateInPartition]]. Anything else rewrites the whole table. */
   def update(pred: Column, set: Map[String, Column]): Unit = {
-    val cur = read()
-    overwrite(cur.select(cur.columns.map { c =>
-      set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-    }.toSeq: _*))
+    val routed = pinnedSpec(pred) match {
+      case Some((values, _))
+          if values.size == partitionCols.size &&
+            !set.keys.exists(k => partitionCols.exists(_.equalsIgnoreCase(k))) =>
+        recover()
+        if (fs.exists(new Path(dest, partitionRel(values)))) {
+          val cur = readPartitionWithValues(values)
+          overwritePartition(values, cur.select(cur.columns.map { c =>
+            set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+          }.toSeq: _*).drop(partitionCols: _*))
+        }
+        true
+      case _ => false
+    }
+    if (!routed) {
+      val cur = read()
+      overwrite(cur.select(cur.columns.map { c =>
+        set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+      }.toSeq: _*))
+    }
   }
 
   /** UPDATE scoped to one partition: reads and rewrites ONLY that
@@ -274,9 +427,28 @@ final class ParquetTable(
     }
   }
 
-  /** DELETE FROM t WHERE <pred> — anti-filter + rewrite. */
-  def deleteWhere(pred: Column): Unit =
-    overwrite(read().filter(!coalesce(pred, lit(false))))
+  /** DELETE FROM t WHERE <pred> — anti-filter + rewrite, with Delta-
+    * style partition pruning for generic predicates: a pred that IS a
+    * partition pin (`InsertDate = X`, possibly a leading prefix of the
+    * partition columns) becomes the O(1) directory unhook of
+    * [[deletePartitions]]; a pred that pins every partition column AND
+    * carries residual conditions rewrites only that partition. At
+    * 100 TB this is the difference between the reference's daily
+    * `DELETE … WHERE InsertDate = CURRENT_DATE()` touching one
+    * directory and rewriting the table. */
+  def deleteWhere(pred: Column): Unit = pinnedSpec(pred) match {
+    case Some((values, true)) =>
+      deletePartitions(values)
+    case Some((values, false)) if values.size == partitionCols.size =>
+      recover()
+      if (fs.exists(new Path(dest, partitionRel(values)))) {
+        val cur = readPartitionWithValues(values)
+        overwritePartition(values,
+          cur.filter(!coalesce(pred, lit(false))).drop(partitionCols: _*))
+      }
+    case _ =>
+      overwrite(read().filter(!coalesce(pred, lit(false))))
+  }
 
   /** TRUNCATE TABLE t. */
   def truncate(): Unit =
@@ -296,10 +468,18 @@ final class ParquetTable(
     overwrite(Merge.merge(read(), source, keys, whenMatchedUpdate,
       whenNotMatchedInsert, insertDefaults, whenNotMatchedBySourceSet), txn)
 
-  /** Total bytes currently stored under the table directory. */
+  /** Total DATA bytes currently stored under the table directory —
+    * `_`/`.`-prefixed sidecars (txn markers, in-flight stages, success
+    * files) are excluded so derived sizing (compaction file counts)
+    * reflects actual data, not bookkeeping. */
   def tableBytes: Long = {
     recover()
-    if (fs.exists(dest)) fs.getContentSummary(dest).getLength else 0L
+    def sum(p: Path): Long = fs.listStatus(p).map { st =>
+      if (!isDataFile(st.getPath)) 0L
+      else if (st.isDirectory) sum(st.getPath)
+      else st.getLen
+    }.sum
+    if (fs.exists(dest)) sum(dest) else 0L
   }
 
   /** OPTIMIZE [ZORDER BY cols] equivalent: compact small files and
@@ -339,13 +519,25 @@ final class ParquetTable(
     * touches 2 of 800 days reads and rewrites 2 directories, where
     * [[upsert]] rewrites the table.
     *
-    * NOT atomic across partitions (one swap per partition) — callers
-    * needing cross-partition exactly-once must use idempotent updates
-    * or the whole-table [[upsert]] with its txn marker. */
+    * NOT atomic across partitions (one swap per partition) — but WITH
+    * `txn`, exactly-once still holds end to end: the `(appId →
+    * batchId)` marker is committed into EACH partition's directory by
+    * that partition's own atomic swap, so a crash mid-batch leaves some
+    * partitions carrying the marker and some not, and the redelivered
+    * batch skips exactly the partitions already done. Non-idempotent
+    * (additive) merges therefore never double-apply — the partitioned
+    * counterpart of [[upsert]]'s table-level marker, used by
+    * [[graft.streaming.UpsertSink]] for CDC into a partitioned target.
+    *
+    * All partition specs are validated BEFORE the first swap (null
+    * partition values, values needing hive escaping), so an invalid
+    * source fails the whole call cleanly instead of after some
+    * partitions were already rewritten. */
   def upsertInPartitions(source: DataFrame, keys: Seq[String],
       whenMatchedUpdate: Map[String, Column],
       whenNotMatchedInsert: Boolean = true,
-      insertDefaults: Map[String, Column] = Map.empty): Unit = {
+      insertDefaults: Map[String, Column] = Map.empty,
+      txn: Option[(String, Long)] = None): Unit = {
     require(partitionCols.nonEmpty, "upsertInPartitions needs a partitioned table")
     require(partitionCols.forall(source.columns.contains),
       s"source must carry partition columns ${partitionCols.mkString(",")}")
@@ -358,16 +550,28 @@ final class ParquetTable(
       .select(partitionCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
       .map(r => partitionCols.zipWithIndex.map { case (c, i) => c -> r.getString(i) })
+    // validate every spec up front — fail before ANY partition swaps
     touched.foreach { values =>
-      val slice = values.foldLeft(source) { case (df, (c, v)) =>
-        df.filter(col(c).cast("string") === v)
-      }.drop(partitionCols: _*)
-      val live = new Path(dest, partitionRel(values.toSeq))
-      val cur =
-        if (fs.exists(live)) spark.read.schema(dataSchema).parquet(live.toString)
-        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
-      overwritePartition(values.toSeq, Merge.merge(cur, slice, effectiveKeys,
-        whenMatchedUpdate, whenNotMatchedInsert, insertDefaults))
+      values.foreach { case (c, v) => require(v != null,
+        s"null partition value for $c in upsertInPartitions source") }
+      partitionRel(values.toSeq) // throws on values needing hive escaping
+    }
+    touched.foreach { values =>
+      val alreadyApplied = txn.exists { case (appId, batchId) =>
+        readTxns(new Path(dest, partitionRel(values.toSeq)))
+          .get(appId).exists(batchId <= _)
+      }
+      if (!alreadyApplied) {
+        val slice = values.foldLeft(source) { case (df, (c, v)) =>
+          df.filter(col(c).cast("string") === v)
+        }.drop(partitionCols: _*)
+        val live = new Path(dest, partitionRel(values.toSeq))
+        val cur =
+          if (fs.exists(live)) spark.read.schema(dataSchema).parquet(live.toString)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+        overwritePartition(values.toSeq, Merge.merge(cur, slice, effectiveKeys,
+          whenMatchedUpdate, whenNotMatchedInsert, insertDefaults), txn)
+      }
     }
   }
 
@@ -385,10 +589,18 @@ final class ParquetTable(
     recover()
     val live = new Path(dest, partitionRel(values))
     if (fs.exists(live)) {
-      val bytes = fs.getContentSummary(live).getLength
+      val files = fs.listStatus(live).filter(st => st.isFile && isDataFile(st.getPath))
+      val bytes = files.map(_.getLen).sum
       val parts =
         if (targetPartitions > 0) targetPartitions
         else math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      // Already at (or under) the target file count → the rewrite would
+      // only re-cluster well-sized files; compaction exists to fix the
+      // many-small-files problem, and paying a full partition rewrite
+      // after every load when the load already wrote `parts` files makes
+      // the post-load OPTIMIZE pure overhead (round-5 finding: +41% on
+      // the ingest path for a no-op).
+      if (files.length <= parts) return
       val cur = spark.read.schema(dataSchema).parquet(live.toString)
       val arranged =
         if (zorderCols.nonEmpty)

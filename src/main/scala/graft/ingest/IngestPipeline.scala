@@ -52,8 +52,14 @@ final class IngestPipeline(
       SchemaTools.targetSchema(columns), partitionCols = Seq("InsertDate")))
 
   /** CREATE OR REPLACE TABLE from column config
-    * (modules/delta_table_create_tables.py:91-114). */
+    * (modules/delta_table_create_tables.py:91-114). A target written by
+    * a pre-partitioning build (flat files at the root) is migrated to
+    * the hive layout here, once — every other entry point fails fast on
+    * the legacy layout (mixed flat+hive reads are broken, and the daily
+    * partition delete would silently no-op → duplicate loads). */
   def createTargets(): Unit = {
+    target.migrateToHiveLayout()
+    piiTarget.foreach(_.migrateToHiveLayout())
     target.createIfNotExists()
     piiTarget.foreach(_.createIfNotExists())
   }
@@ -224,8 +230,12 @@ final class IngestPipeline(
     * day it wrote, and re-optimizing every historical day would be a
     * full-table rewrite per load at 100 TB. */
   def compactTargets(): Unit = {
+    // A config that z-orders on InsertDate (now a partition column, so
+    // absent from the data files) must not fail the compaction — the
+    // partition dir already "clusters" on it perfectly.
     val zcols = columns.filter(_.ZOrder == 1).sortBy(_.ColumnOrder)
       .map(_.TargetColumnName)
+      .filterNot(c => target.partitionCols.exists(_.equalsIgnoreCase(c)))
     if (zcols.nonEmpty) {
       val today = Seq("InsertDate" -> new Date(clock().getTime).toString)
       if (target.exists) target.compactPartition(today, zcols)

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame}
 import graft.catalog.ParquetTable
 
@@ -18,13 +17,25 @@ import graft.catalog.ParquetTable
   * pattern). There is no crash point where the merged data is visible
   * but the marker is not, so a redelivered batch can never re-apply.
   *
+  * A PARTITIONED target uses [[ParquetTable.upsertInPartitions]] with
+  * the same marker committed into each touched partition's directory by
+  * that partition's own swap: a crash mid-batch leaves the marker in
+  * exactly the partitions already merged, and the redelivered batch
+  * skips those — exactly-once per partition, which composes to
+  * exactly-once for the batch. This is how CDC lands in the 100 TB
+  * InsertDate-partitioned target without a whole-table rewrite per
+  * micro-batch.
+  *
   * The marker key is an EPOCH — a random id stored in
   * `<checkpointDir>/graft_epoch`, created together with the streaming
   * checkpoint and destroyed with it. Resetting the checkpoint (a
   * routine op that restarts batch ids at 0) therefore also rotates the
   * epoch: markers from the previous checkpoint generation can never
   * swallow the new stream's batches — the failure mode of a
-  * free-standing marker file.
+  * free-standing marker file. The epoch file lives wherever the
+  * checkpoint lives: it is resolved through the Hadoop FileSystem API,
+  * so an `hdfs://`/`s3a://` checkpointLocation — the normal production
+  * setting — works the same as a local path.
   *
   * This is the reference's BatchId bookkeeping
   * (modules/auto_loader_steps.py:397-418) hardened into the
@@ -36,33 +47,49 @@ final class UpsertSink(
     whenMatchedUpdate: Map[String, Column],
     checkpointDir: String) {
 
-  private def epochPath: Path = Paths.get(checkpointDir, "graft_epoch")
+  private def epochPath = new HPath(checkpointDir, "graft_epoch")
+  private def epochFs = epochPath.getFileSystem(
+    table.spark.sparkContext.hadoopConfiguration)
 
   /** Stable id of this checkpoint generation (created on first use,
     * wiped with the checkpoint). */
   private def epoch(): String = {
-    if (!Files.exists(epochPath)) {
-      Files.createDirectories(epochPath.getParent)
-      val tmp = epochPath.resolveSibling("graft_epoch.tmp")
-      Files.write(tmp, java.util.UUID.randomUUID().toString.getBytes(UTF_8))
-      try Files.move(tmp, epochPath, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp) // lost a benign race; the winner's id stands
-      }
+    val f = epochFs
+    if (!f.exists(epochPath)) {
+      f.mkdirs(epochPath.getParent)
+      val tmp = new HPath(checkpointDir,
+        s"graft_epoch.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      finally out.close()
+      // rename-if-absent: losing the race is benign — the winner's id
+      // stands (HDFS rename won't clobber an existing file)
+      if (!f.rename(tmp, epochPath)) f.delete(tmp, false)
     }
-    new String(Files.readAllBytes(epochPath), UTF_8).trim
+    val in = f.open(epochPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
   }
 
   /** Highest batch id already committed in this checkpoint generation,
-    * -1 before the first. */
+    * -1 before the first (table-level marker; partitioned targets track
+    * per partition instead). */
   def lastCommitted: Long = table.lastTxn(epoch()).getOrElse(-1L)
 
   /** The foreachBatch body: `stream.writeStream.foreachBatch(sink.apply _)`.
     * Pass the SAME directory as `option("checkpointLocation", …)`. */
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val ep = epoch()
-    if (table.lastTxn(ep).exists(batchId <= _)) return // redelivery
-    table.createIfNotExists()
-    table.upsert(batch, keys, whenMatchedUpdate, txn = Some(ep -> batchId))
+    if (table.partitionCols.nonEmpty) {
+      // per-partition markers: redelivery skips exactly the partitions
+      // the crashed attempt already swapped
+      table.createIfNotExists()
+      table.upsertInPartitions(batch, keys, whenMatchedUpdate,
+        txn = Some(ep -> batchId))
+    } else {
+      if (table.lastTxn(ep).exists(batchId <= _)) return // redelivery
+      table.createIfNotExists()
+      table.upsert(batch, keys, whenMatchedUpdate, txn = Some(ep -> batchId))
+    }
   }
 }

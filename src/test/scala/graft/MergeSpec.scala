@@ -279,4 +279,161 @@ class MergeSpec extends AnyFunSuite {
     pt.compact(zorderCols = Seq("k"))
     assert(files() === 1)
   }
+
+  private def dayShape = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("d",
+      org.apache.spark.sql.types.StringType)))
+
+  private def dayFiles(dir: java.nio.file.Path, p: String) = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir.resolve(p)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+  }
+
+  test("compactPartition is a no-op on an already-compact partition") {
+    val dir = Files.createTempDirectory("pt-noopc")
+    val pt = ParquetTable(spark, "nc", s"$dir/nc", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "a")).toDF("k", "v", "d").coalesce(1))
+    val before = dayFiles(dir, "nc/d=a")
+    assert(before.keys.count(_.endsWith(".parquet")) === 1)
+    // one well-sized file <= the derived target count: rewriting it per
+    // load would make the post-load OPTIMIZE pure overhead
+    pt.compactPartition(Seq("d" -> "a"), zorderCols = Seq("k"))
+    assert(dayFiles(dir, "nc/d=a") === before, "already-compact partition was rewritten")
+  }
+
+  test("generic deleteWhere with a pure partition pin is an O(1) directory drop") {
+    val dir = Files.createTempDirectory("pt-route1")
+    val pt = ParquetTable(spark, "r1", s"$dir/r1", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b")).toDF("k", "v", "d"))
+    val bBefore = dayFiles(dir, "r1/d=b")
+    // the reference's `DELETE ... WHERE InsertDate = CURRENT_DATE()` shape:
+    // a generic predicate the engine must prune, not the caller
+    pt.deleteWhere(col("d") === "a")
+    assert(!Files.exists(dir.resolve("r1/d=a")))
+    assert(dayFiles(dir, "r1/d=b") === bBefore) // untouched, not rewritten
+    assert(pt.read().select("k").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("generic deleteWhere pinning the partition plus a residual rewrites that partition only") {
+    val dir = Files.createTempDirectory("pt-route2")
+    val pt = ParquetTable(spark, "r2", s"$dir/r2", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b")).toDF("k", "v", "d"))
+    val bBefore = dayFiles(dir, "r2/d=b")
+    pt.deleteWhere(col("d") === "a" && col("k") === 1L)
+    assert(dayFiles(dir, "r2/d=b") === bBefore)
+    assert(pt.read().select("k").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("generic update with a partition-pinned predicate touches one partition only") {
+    val dir = Files.createTempDirectory("pt-route3")
+    val pt = ParquetTable(spark, "r3", s"$dir/r3", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b")).toDF("k", "v", "d"))
+    val bBefore = dayFiles(dir, "r3/d=b")
+    pt.update(col("d") === "a" && col("k") === 2L, Map("v" -> lit(99.0)))
+    assert(dayFiles(dir, "r3/d=b") === bBefore)
+    val got = pt.read().orderBy("k").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.toSeq === Seq(1L -> 1.0, 2L -> 99.0, 3L -> 3.0))
+    // a set that rewrites the partition column cannot route — and must
+    // still be correct (rows migrate between partition directories)
+    pt.update(col("d") === "a" && col("k") === 1L, Map("d" -> lit("b")))
+    assert(pt.read().filter(col("d") === "b").select("k").as[Long]
+      .collect().toSet === Set(1L, 3L))
+  }
+
+  test("unroutable predicates fall back to the full rewrite with identical semantics") {
+    val dir = Files.createTempDirectory("pt-route4")
+    val pt = ParquetTable(spark, "r4", s"$dir/r4", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b")).toDF("k", "v", "d"))
+    // OR across partitions: not a conjunctive pin
+    pt.deleteWhere(col("d") === "a" || col("k") === 3L)
+    assert(pt.read().count() === 0)
+  }
+
+  test("recover() sweeps stale _pstage garbage from interrupted partition ops") {
+    val dir = Files.createTempDirectory("pt-sweep")
+    val pt = ParquetTable(spark, "sw", s"$dir/sw", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (3L, 3.0, "b")).toDF("k", "v", "d"))
+    // simulate a crash between deletePartitions' trash-rename and the
+    // delete, plus a half-written stage from an interrupted overwrite
+    Files.createDirectories(dir.resolve("sw/_pstage/trash/d=x"))
+    Files.write(dir.resolve("sw/_pstage/trash/d=x/orphan.parquet"), Array[Byte](1))
+    Files.createDirectories(dir.resolve("sw/_pstage/d=y"))
+    Files.write(dir.resolve("sw/_pstage/d=y/partial.parquet"), Array[Byte](2))
+    val bytesWithGarbage = 3L // the two orphan bytes must never count
+    assert(pt.read().count() === 2) // any entry point triggers recover()
+    assert(!Files.exists(dir.resolve("sw/_pstage")), "stage garbage not swept")
+    // and tableBytes reflects data files only (sidecars excluded)
+    assert(pt.tableBytes > bytesWithGarbage)
+    pt.deletePartitions(Seq("d" -> "a"))
+    assert(!Files.exists(dir.resolve("sw/_pstage")))
+    assert(pt.read().count() === 1)
+  }
+
+  test("legacy flat layout fails fast; migrateToHiveLayout repairs it once") {
+    val dir = Files.createTempDirectory("pt-legacy")
+    // a previous build wrote the same table unpartitioned: flat files at root
+    val legacy = ParquetTable(spark, "lg", s"$dir/lg", dayShape)
+    legacy.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b")).toDF("k", "v", "d"))
+    val pt = ParquetTable(spark, "lg", s"$dir/lg", dayShape, partitionCols = Seq("d"))
+    // every entry point must refuse: a silent no-op delete or a mixed
+    // flat+hive append would corrupt the table
+    val e = intercept[IllegalStateException](pt.read())
+    assert(e.getMessage.contains("migrateToHiveLayout"))
+    intercept[IllegalStateException](pt.deletePartitions(Seq("d" -> "a")))
+    pt.migrateToHiveLayout()
+    assert(Files.exists(dir.resolve("lg/d=a")) && Files.exists(dir.resolve("lg/d=b")))
+    assert(pt.read().count() === 3)
+    pt.deletePartitions(Seq("d" -> "a")) // the daily delete prunes again
+    assert(pt.read().select("k").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("upsertInPartitions validates every partition spec before the first swap") {
+    val dir = Files.createTempDirectory("pt-val")
+    val pt = ParquetTable(spark, "vd", s"$dir/vd", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a")).toDF("k", "v", "d"))
+    // a null partition value anywhere in the source fails the whole call
+    // cleanly — no partition may have been swapped yet
+    val bad = Seq((1L, 9.0, "a"), (2L, 2.0, null.asInstanceOf[String]))
+      .toDF("k", "v", "d")
+    intercept[IllegalArgumentException] {
+      pt.upsertInPartitions(bad, Seq("k"), Map("v" -> Merge.src("v")))
+    }
+    val got = pt.read().collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.toSeq === Seq(1L -> 1.0), "partition swapped before validation")
+  }
+
+  test("per-partition txn markers make additive partitioned merges exactly-once") {
+    val dir = Files.createTempDirectory("pt-ptxn")
+    val pt = ParquetTable(spark, "px", s"$dir/px", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("k", "v", "d"))
+    val additive = Map("v" -> (Merge.tgt("v") + Merge.src("v")))
+    val batch = Seq((1L, 10.0, "a"), (2L, 10.0, "b")).toDF("k", "v", "d")
+    pt.upsertInPartitions(batch, Seq("k"), additive, txn = Some("app" -> 0L))
+    def state() = pt.read().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state() === Map(1L -> 11.0, 2L -> 12.0))
+    assert(pt.lastTxnInPartition(Seq("d" -> "a"), "app") === Some(0L))
+    // full redelivery of the same batch: every partition carries the
+    // marker, nothing re-applies (the non-idempotent update would show)
+    pt.upsertInPartitions(batch, Seq("k"), additive, txn = Some("app" -> 0L))
+    assert(state() === Map(1L -> 11.0, 2L -> 12.0))
+    // partial-crash redelivery: batch 1 landed in d=a but "crashed"
+    // before d=b — simulated by a batch-1 marker present only in d=a;
+    // the redelivered batch must skip d=a and apply d=b
+    val batch1 = Seq((1L, 100.0, "a"), (2L, 100.0, "b")).toDF("k", "v", "d")
+    pt.upsertInPartitions(batch1.filter(col("d") === "a"), Seq("k"), additive,
+      txn = Some("app" -> 1L))
+    assert(state() === Map(1L -> 111.0, 2L -> 12.0))
+    pt.upsertInPartitions(batch1, Seq("k"), additive, txn = Some("app" -> 1L))
+    assert(state() === Map(1L -> 111.0, 2L -> 112.0))
+    // markers survive a markerless partition rewrite between batches
+    // (compaction/update must not reset the stream's dedup state)
+    pt.updateInPartition(Seq("d" -> "a"), col("k") === 1L, Map("v" -> lit(111.0)))
+    assert(pt.lastTxnInPartition(Seq("d" -> "a"), "app") === Some(1L))
+  }
 }
