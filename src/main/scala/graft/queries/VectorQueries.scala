@@ -268,37 +268,49 @@ object VectorQueries {
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // LSH-bucketed ANN (random hyperplanes, multi-probe d≤1): the scale
-    // path — candidates from bucket equi-joins, exact re-rank. The
-    // oracle REIMPLEMENTS the pipeline in SQL with the hyperplanes
-    // embedded as round-trip-exact double literals: sign-bit bucketing,
-    // Hamming-1 probe expansion via xor, windowed re-rank.
+    // path — candidates from bucket equi-joins, exact re-rank. `bits`
+    // is derived from the corpus size via the parquet footers (the same
+    // bitsFor sizing story as cosineNearDuplicates — occupancy stays
+    // flat as n grows, and no extra count() pass). The oracle
+    // REIMPLEMENTS the pipeline in SQL with the hyperplanes embedded as
+    // round-trip-exact double literals up to the bitsFor clamp (24) and
+    // re-derives the SAME bit count from count(*) with integer-only ops
+    // (binary-digit length = ⌈log2⌉ — immune to float log drift):
+    // sign-bit bucketing, Hamming-1 probe expansion via xor, windowed
+    // re-rank.
     "q_ann_lsh" -> Q(
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding"))
         Ann.lshTopK(emb, queries, "vec_id", "embedding", "qid",
-          k = 5, bits = 8, probes = 1)
+          k = 5, bits = Ann.bitsFor(Tables.parquetRowCount(s, dir, "embeddings")),
+          probes = 1)
           .select(col("qid"), col("vec_id"), cast_rank)
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""WITH planes(j, p) AS (VALUES
-              |    ${planesValues(bits = 8, dim = 64, seed = 42L)}),
+              |    ${planesValues(bits = 24, dim = 64, seed = 42L)}),
+              |nb AS (
+              |  SELECT least(24, greatest(4,
+              |    CASE WHEN m <= 1 THEN 0 ELSE length(printf('%b', m - 1)) END)) AS bits
+              |  FROM (SELECT (count(*) + 15) // 16 AS m FROM embeddings)),
               |data AS (
               |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               |buckets AS (
               |  SELECT d.vec_id,
               |    CAST(sum(CASE WHEN list_inner_product(d.v, pl.p) >= 0
               |             THEN 1 << pl.j ELSE 0 END) AS INT) AS bucket
-              |  FROM data d, planes pl GROUP BY d.vec_id),
+              |  FROM data d, planes pl, nb WHERE pl.j < nb.bits
+              |  GROUP BY d.vec_id),
               |qs AS (
               |  SELECT d.vec_id AS qid, d.v AS qv, b.bucket AS qbucket
               |  FROM data d JOIN buckets b ON b.vec_id = d.vec_id
               |  WHERE d.vec_id % 100 = 0),
               |probes AS (
               |  SELECT qid, qv, unnest(list_prepend(qbucket,
-              |    list_transform(range(8), j -> xor(qbucket, CAST(1 << j AS INT))))) AS bucket
-              |  FROM qs),
+              |    list_transform(range(nb.bits), j -> xor(qbucket, CAST(1 << j AS INT))))) AS bucket
+              |  FROM qs, nb),
               |cand AS (
               |  SELECT p.qid, b.vec_id, list_cosine_similarity(d.v, p.qv) AS sim
               |  FROM probes p

@@ -145,13 +145,19 @@ object Ann {
   }
 
   /** Buckets needed so expected occupancy stays near `targetOccupancy`
-    * as the corpus grows: bits ≈ log2(n / occupancy), clamped to
+    * as the corpus grows: bits = ⌈log2(n / occupancy)⌉, clamped to
     * [4, 24]. A fixed bucket count makes the LSH self-join's per-bucket
     * quadratic cost grow linearly with n; scaling bits with log2(n)
-    * keeps it flat. */
+    * keeps it flat.
+    *
+    * Integer-only derivation (⌈log2⌈n/occ⌉⌉ — identical to the float
+    * form for every n, since no integer lies strictly between x and
+    * ⌈x⌉): a DuckDB oracle re-derives the same value from `count(*)`
+    * with integer ops, where `ceil(log(x)/log(2))` on doubles can land
+    * one off near exact powers of two. */
   def bitsFor(n: Long, targetOccupancy: Int = 16): Int = {
-    val raw = math.ceil(math.log(math.max(n, 1).toDouble / targetOccupancy)
-      / math.log(2.0)).toInt
+    val m = (math.max(n, 1L) + targetOccupancy - 1) / targetOccupancy
+    val raw = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(24, math.max(4, raw))
   }
 
