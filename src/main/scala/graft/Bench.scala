@@ -41,7 +41,9 @@ object Bench {
     // without hiding real cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = qs.map { name =>
-      val fn = SparkEntry.queries(name)
+      // the production-plan variant where one exists (correctness-only
+      // scaffolding like exact sketch twins stays out of the timings)
+      val fn = graft.queries.Registry.benchQueries(name)
       val timings = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val t = try {

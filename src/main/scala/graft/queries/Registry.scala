@@ -10,11 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param bench include in the Bench headline suite (skip entries whose
   *              cost is dominated by fixture file IO rather than the
   *              operator under test)
+  * @param benchFn production-plan variant the Bench suite times INSTEAD
+  *                of `fn`, for entries whose correctness form carries
+  *                verification-only work (e.g. exact twins beside
+  *                sketches to pin an accuracy contract) that the 100 TB
+  *                production plan never pays. Correctness always runs
+  *                `fn`; the variant must be the same operator minus the
+  *                oracle scaffolding, asserted so by a spec.
   */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    bench: Boolean = true)
+    bench: Boolean = true,
+    benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
 object Registry {
   lazy val all: Seq[(String, Q)] = {
@@ -36,8 +44,17 @@ object Registry {
     }.toMap
 
   lazy val oracleSql: Map[String, String] =
-    all.collect { case (n, Q(_, Some(o), _)) => n -> o }.toMap
+    all.collect { case (n, Q(_, Some(o), _, _)) => n -> o }.toMap
 
   lazy val benchNames: Seq[String] =
     all.collect { case (n, q) if q.bench => n }
+
+  /** What Bench times per name: the production-plan variant when one
+    * exists, the correctness fn otherwise. */
+  lazy val benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) =>
+      n -> { (s: SparkSession, dir: String) =>
+        q.benchFn.getOrElse(q.fn)(graft.Tables.configure(s), dir)
+      }
+    }.toMap
 }
