@@ -30,5 +30,15 @@ object TextExpressions {
           case Seq(th) => RepetitionStatsKernel(th)
           case _ => throw new IllegalArgumentException(
             "graft_repetition expects (tokenHashes array<bigint>)")
+        }),
+      (FunctionIdentifier("graft_subword"),
+        new ExpressionInfo(classOf[SubwordTokenCount].getName, "graft_subword"),
+        (args: Seq[Expression]) => args match {
+          // the vocab is the engine's canonical merge table, not a per-
+          // call argument — one definition shared with the SQL oracle
+          case Seq(text) =>
+            SubwordTokenCount(text, graft.text.TextFunctions.subwordVocab)
+          case _ => throw new IllegalArgumentException(
+            "graft_subword expects (text string)")
         }))
 }

@@ -43,6 +43,48 @@ object TextQueries {
              |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Subword-token accounting: greedy longest-match against the
+    // canonical vocab (TextFunctions.subwordVocab — the SAME Seq feeds
+    // the VALUES list below), one map-only native-kernel pass on the
+    // Spark side. The oracle replays the greedy walk as a recursive
+    // CTE: per DISTINCT word, step the cursor by the longest matching
+    // vocab token (max(length) over the matches at the position, char
+    // fallback), then weight by per-doc word multiplicity — same
+    // counts, different shape, which is what makes it an oracle and
+    // not a copy.
+    "q_subword_counts" -> Q(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.subwordStats(col("text")).as("__sw"))
+        .select(col("doc_id"),
+          col("__sw.n_words").as("n_words"),
+          col("__sw.n_subwords").as("n_subwords"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE vocab(tok) AS (VALUES
+             |    ${TextFunctions.subwordVocab.map(t => s"('$t')").mkString(", ")}),
+             |wordcounts AS (
+             |  SELECT doc_id, w, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+             |    FROM documents) u
+             |  WHERE w <> '' GROUP BY doc_id, w),
+             |dw(w) AS (SELECT DISTINCT w FROM wordcounts),
+             |steps AS (
+             |  SELECT w, 1 AS pos, 0 AS n FROM dw
+             |  UNION ALL
+             |  SELECT w, pos + coalesce((SELECT max(length(tok)) FROM vocab
+             |                            WHERE tok = substr(w, pos, length(tok))), 1),
+             |         n + 1
+             |  FROM steps WHERE pos <= length(w)),
+             |wtok AS (SELECT w, max(n) AS ntok FROM steps GROUP BY w),
+             |agg AS (
+             |  SELECT wc.doc_id, CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+             |         CAST(sum(wc.cnt * wt.ntok) AS BIGINT) AS n_subwords
+             |  FROM wordcounts wc JOIN wtok wt ON wt.w = wc.w
+             |  GROUP BY wc.doc_id)
+             |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+             |       coalesce(a.n_subwords, 0) AS n_subwords
+             |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Language-ID heuristic (stopword n-grams + CJK class).
     "q_lang_id" -> Q(
       (s, dir) => Tables.load(s, dir, "documents")

@@ -50,6 +50,33 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  /** The subword vocabulary for [[subwordStats]]: a BPE-ish merge
+    * table of common English subwords and corpus-domain words, longest
+    * matches taken greedily. ONE definition feeds both the native
+    * expression and the DuckDB oracle's VALUES list, so the two greedy
+    * walks can never drift onto different vocabularies. Order is
+    * irrelevant (the kernel re-sorts longest-first per first char). */
+  val subwordVocab: Seq[String] = Seq(
+    "the", "ing", "tion", "ation", "ment", "ness", "able", "con", "com",
+    "pro", "pre", "per", "and", "ent", "ion", "ter", "ate", "est", "ers",
+    "an", "in", "on", "at", "or", "re", "er", "es", "en", "ed", "st",
+    "ar", "al", "le", "it", "is", "to", "of", "ou", "th", "nd", "ve",
+    "se", "ne", "de", "co", "ro", "ra", "ri", "li", "la", "ta", "ti",
+    "ma", "me", "mo", "no", "ha", "he", "hi", "us", "un", "ur", "ut",
+    "om", "ol", "el", "il", "ca", "ce", "ch", "ck", "da", "do", "wi",
+    "wo", "ow", "sp", "str", "tr", "pl", "gr", "br", "bl", "cl", "fl",
+    "sh", "batch", "spark", "data", "join", "merge", "stream", "window",
+    "table", "group")
+
+  /** Subword-token accounting: struct(n_words, n_subwords) per
+    * document via the `graft_subword` native kernel — greedy
+    * longest-match against [[subwordVocab]], one generated pass, no
+    * UDF, no shuffle. Training pipelines budget in subword tokens;
+    * `n_subwords / n_words` is also a cheap fertility signal (high →
+    * vocabulary-miss-heavy text). */
+  def subwordStats(text: Column): Column =
+    call_function("graft_subword", text)
+
   /** Punctuation characters per character of text. */
   def punctRatio(text: Column): Column =
     regexp_count(text, lit("[.,;:!?]")).cast("double") /

@@ -121,6 +121,55 @@ class FunctionsSpec extends AnyFunSuite {
     assert(deg(0).isNullAt(0) && deg(1).getDouble(0) === 0.5)
   }
 
+  /** Transparent reference greedy tokenizer — the semantic spec for
+    * graft_subword, deliberately written the slow obvious way. */
+  private def refSubword(text: String): (Long, Long) = {
+    if (text == null) return (0L, 0L)
+    val vocab = graft.text.TextFunctions.subwordVocab.sortBy(-_.length)
+    val words = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    var toks = 0L
+    words.foreach { w =>
+      var i = 0
+      while (i < w.length) {
+        vocab.find(t => w.startsWith(t, i)) match {
+          case Some(t) => i += t.length
+          case None =>
+            i += (if (Character.isHighSurrogate(w.charAt(i)) &&
+              i + 1 < w.length) 2 else 1)
+        }
+        toks += 1
+      }
+    }
+    (words.length.toLong, toks)
+  }
+
+  test("graft_subword matches the reference greedy walk on edge shapes") {
+    val cases = Seq(
+      null, "", "   \t\n ", "the", "thethe", "xqz", "the xqz streaming",
+      "windowing", "s", "  leading and trailing  ", "a b", // NBSP is NOT ws
+      "prepreprocessing", "ingesting data streams",
+      "😀 emoji word") // surrogate pair = 1 fallback token
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+      call_function("graft_subword", col("text")).as("sw"))
+      .select(col("id"), col("sw.n_words"), col("sw.n_subwords"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === refSubword(t), s"case $i: ${Option(t)}")
+    }
+    // and on real corpus text
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"),
+        call_function("graft_subword", col("text")).as("sw"))
+      .select(col("doc_id"), col("text"),
+        col("sw.n_words"), col("sw.n_subwords")).collect()
+    docs.take(50).foreach { r =>
+      assert((r.getLong(2), r.getLong(3)) === refSubword(r.getString(1)),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("expressions survive codegen with fallback disabled") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")

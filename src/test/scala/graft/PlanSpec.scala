@@ -103,6 +103,19 @@ class PlanSpec extends AnyFunSuite {
     assert("Relation \\[".r.findAllIn(qe.optimizedPlan.toString).size == 1, plan)
   }
 
+  test("subword counting is map-only: vocab rides the plan, no join, no UDF, one scan") {
+    // the vocab is embedded in the native expression (shipped with the
+    // serialized plan like a broadcast literal) — the corpus must not
+    // shuffle or join to pick it up, and no python/scala UDF may appear
+    val qe = SparkEntry.queries("q_subword_counts")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"), plan)
+    assert(!"\\bJoin\\b".r.findAllIn(qe.optimizedPlan.toString).hasNext, plan)
+    assert("Relation \\[".r.findAllIn(qe.optimizedPlan.toString).size == 1, plan)
+    assert(plan.contains("graft_subword"), plan)
+  }
+
   test("sessionize is one shuffle: the session agg reuses the window's user partitioning") {
     // groupBy(user, session_id) clusters on a superset of the window's
     // hash(user) partitioning, so Catalyst must NOT add a second hash
