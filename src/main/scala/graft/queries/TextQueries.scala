@@ -27,6 +27,43 @@ object TextQueries {
       |  SELECT doc_id + 100000 AS doc_id, concat(' ', text, '  ') AS text
       |  FROM documents WHERE doc_id < 20""".stripMargin
 
+  /** The `q_bm25` query — ONE term list feeds both the Spark entry and
+    * the generated oracle below, so the two can never drift. */
+  private val bm25Terms = Seq("spark", "stream", "merge", "window")
+
+  /** BM25 oracle generated from [[bm25Terms]] with the same constants
+    * (k1=1.2, b=0.75, Lucene `+1` idf) and the same left-to-right
+    * arithmetic composition as [[graft.text.Bm25.topDocs]], so the
+    * doubles agree bit-for-bit before the 4-decimal rounding. */
+  private val bm25Oracle: String = {
+    val tfDefs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfDefs = bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(",\n    ")
+    val scoreSum = bm25Terms.indices.map { i =>
+      s"ln((g.n_docs - g.df_$i + 0.5) / (g.df_$i + 0.5) + 1.0)" +
+        s" * (d.tf_$i * 2.2) / (d.tf_$i + 1.2 * (0.25 + 0.75 * (d.dl / g.avgdl)))"
+    }.mkString("\n      + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    $tfDefs
+       |  FROM base),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    avg(CAST(dl AS DOUBLE)) AS avgdl,
+       |    $dfDefs
+       |  FROM d)
+       |SELECT d.doc_id, round($scoreSum, 4) AS score
+       |FROM d, g
+       |ORDER BY score DESC, d.doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Token counting (whitespace + BPE-ish regex) and fingerprinting.
@@ -339,6 +376,17 @@ object TextQueries {
              |SELECT doc_id, rk, term, tf, df, tfidf
              |FROM ranked WHERE rk <= 3
              |ORDER BY doc_id, rk""".stripMargin)),
+
+    // BM25 retrieval scoring (graft.text.Bm25): rank the corpus against
+    // a query term set — map-side per-term tf via array HOFs (the
+    // corpus never explodes or shuffles on terms), one-row stats
+    // broadcast, TakeOrdered top-k. Identical arithmetic composition on
+    // both sides; round-before-rank makes the ordering engine-stable.
+    "q_bm25" -> Q(
+      (s, dir) => graft.text.Bm25.topDocs(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", bm25Terms, k = 20),
+      Some(bm25Oracle)),
 
     // Stratified sampling (graft.plans.Sampling): deterministic
     // hash-threshold keep per language stratum (downsample dominant

@@ -103,6 +103,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Relation \\[".r.findAllIn(qe.optimizedPlan.toString).size == 1, plan)
   }
 
+  test("bm25 never explodes or shuffles the corpus; top-k is TakeOrdered") {
+    // per-term tf comes from map-side array HOFs (no Generate), corpus
+    // stats are a one-row broadcast, and the only wide op allowed is
+    // the TakeOrdered top-k — no hash exchange, no global sort
+    val plan = SparkEntry.queries("q_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("subword counting is map-only: vocab rides the plan, no join, no UDF, one scan") {
     // the vocab is embedded in the native expression (shipped with the
     // serialized plan like a broadcast literal) — the corpus must not
