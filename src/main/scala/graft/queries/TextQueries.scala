@@ -856,6 +856,76 @@ object TextQueries {
               |FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // Quality-keeper dedup: every near-dup cluster keeps its BEST
+    // document by quality score (ties → min id) instead of the minimum
+    // id — the curation-grade variant of q_dedup_surviving. Same
+    // fixture and threshold as q_neardup_components, so the oracle
+    // reuses that entry's exact all-pairs component construction and
+    // ranks within components by the recomputed quality score. The
+    // planted copies append " trailing", which lowers their quality via
+    // the length term only when the original is under the 500-char
+    // saturation — both keep decisions exercise deterministically.
+    "q_cluster_best" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        Dedup.nearDupBestSurvivors(planted, "doc_id", "text",
+          TextFunctions.qualityScore(col("text")), threshold = 0.5)
+          .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE docs2 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
+              |  FROM documents WHERE doc_id < 20),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs2),
+              |grams AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+              |    i -> array_to_string(t[i:i+2], ' '))) AS g
+              |  FROM toks),
+              |sc AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
+              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM sc
+              |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+              |comp AS (
+              |  SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+              |lab AS (
+              |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
+              |  FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id),
+              |q AS (
+              |  SELECT doc_id,
+              |    round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+              |      + (CASE WHEN length(regexp_replace(trim(text), '\\s+', '', 'g')) /
+              |           greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0)
+              |           BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+              |      + (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]')) /
+              |           greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)
+              |      AS quality
+              |  FROM docs2),
+              |rk AS (
+              |  SELECT l.doc_id, q.quality, row_number() OVER (
+              |    PARTITION BY l.comp_id ORDER BY q.quality DESC, l.doc_id) AS r
+              |  FROM lab l JOIN q USING (doc_id))
+              |SELECT doc_id, quality FROM rk WHERE r = 1
+              |ORDER BY doc_id""".stripMargin)),
+
     // HIGH-DIAMETER components: each user's events chained in time
     // order give one long path per user — exactly the graph shape where
     // min-label propagation needs a round per hop and the large-star/

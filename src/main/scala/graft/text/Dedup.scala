@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for document corpora at 100 TB scale.
@@ -445,6 +446,35 @@ object Dedup {
     val losersSide =
       if (comps.count() <= 1000000L) broadcast(losers) else losers
     df.join(losersSide, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-keeper dedup: like [[nearDupSurvivors]], but every
+    * cluster keeps its BEST document by `score` (ties → min id)
+    * instead of the minimum id — what a curation pipeline actually
+    * wants when near-duplicates differ in cleanliness. Same scale
+    * shape: only the (tiny) dup set is scored and ranked — the
+    * component labels broadcast against the corpus so scoring the dup
+    * docs is map-side, the window runs over dup docs only, and the
+    * final keep filter is a broadcast ANTI join against the losers.
+    * The corpus itself never shuffles. `score` must be deterministic
+    * and engine-recomputable (e.g. [[TextFunctions.qualityScore]],
+    * which rounds internally) for oracle checking. */
+  def nearDupBestSurvivors(df: DataFrame, idCol: String, textCol: String,
+                           score: Column, threshold: Double = 0.7,
+                           w: Int = 3, k: Int = 64,
+                           bands: Int = 16): DataFrame = {
+    val pairs = verifiedNearDuplicates(df, idCol, textCol, threshold, w, k, bands)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs)
+    val small = comps.count() <= 1000000L // materialized above — count is free
+    val compsSide = if (small) broadcast(comps) else comps
+    val dupScored = df.select(col(idCol).as("id"), score.as("__q"))
+      .join(compsSide, Seq("id"))
+    val wnd = Window.partitionBy(col("comp"))
+      .orderBy(col("__q").desc, col("id"))
+    val losers = dupScored.withColumn("__rk", row_number().over(wnd))
+      .filter(col("__rk") > 1).select(col("id").as(idCol))
+    df.join(if (small) broadcast(losers) else losers, Seq(idCol), "left_anti")
   }
 
   /** Portable 60-bit token hash: the top 15 hex digits of md5, read as

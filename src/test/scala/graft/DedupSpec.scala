@@ -161,6 +161,27 @@ class DedupSpec extends AnyFunSuite {
     assert(comps(100L) == 0L && comps(200L) == 0L && comps(7L) == 7L, comps)
   }
 
+  test("nearDupBestSurvivors keeps the best-scoring doc, not the min id") {
+    // same cluster fixture as above, but an injected score makes the
+    // HIGHEST id the cluster's best — the keeper must follow the score
+    val df = Seq(
+      (0L, s"$base alpha"),
+      (100L, s"$base alpha extra"),
+      (200L, s"$base alpha extra more"),
+      (7L, "completely different text about other things entirely " +
+        "with none of the shared words present at all here")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.nearDupBestSurvivors(df, "doc_id", "text",
+      score = col("doc_id").cast("double"), threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(200L, 7L), survivors)
+    // equal scores fall back to the min id — nearDupSurvivors semantics
+    val tied = Dedup.nearDupBestSurvivors(df, "doc_id", "text",
+      score = lit(1.0), threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(0L, 7L), tied)
+  }
+
   test("exact dedup keeps the smallest id per normalized fingerprint") {
     val df = Seq(
       (1L, "Hello  world"), (2L, "  hello world "), (3L, "different"))
