@@ -346,6 +346,71 @@ object TextQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Leakage-safe splitting: the split key is the near-dup CLUSTER
+    // label, not the doc id — every member of a cluster lands in the
+    // same split, so a train document can never have a near-duplicate
+    // in test (the eval-contamination failure mode plain per-doc
+    // hashing invites). Composition of two oracle-checked operators:
+    // components (broadcast label attach, corpus never shuffles) +
+    // deterministic md5-bucket assignment (map-side). SplitsSpec pins
+    // the invariant directly.
+    "q_leakage_split" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        val comps = Dedup.nearDupComponents(planted, "doc_id", "text", threshold = 0.5)
+        graft.plans.Splits.assign(comps, "comp_id", seed = "graft",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("comp_id"), col("bucket"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE docs2 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
+              |  FROM documents WHERE doc_id < 20),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs2),
+              |grams AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+              |    i -> array_to_string(t[i:i+2], ' '))) AS g
+              |  FROM toks),
+              |sc AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
+              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM sc
+              |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+              |comp AS (
+              |  SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+              |lab AS (
+              |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
+              |  FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id),
+              |bk AS (
+              |  SELECT doc_id, comp_id,
+              |    ('0x' || substr(md5('graft:' || comp_id), 1, 15))::BIGINT % 10000
+              |      AS bucket
+              |  FROM lab)
+              |SELECT doc_id, comp_id, bucket,
+              |  CASE WHEN bucket < 8000 THEN 'train'
+              |       WHEN bucket < 9000 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM bk
+              |ORDER BY doc_id""".stripMargin)),
+
     // TF-IDF top terms (graft.text.TfIdf): per-doc salient keywords —
     // explode → tf/df aggs → term join → windowed top-k; corpus size N
     // rides a broadcast one-row scalar. Scores rounded BEFORE ranking

@@ -53,6 +53,29 @@ class SplitsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("leakage-safe split: every near-dup cluster lands in ONE split") {
+    // hashing on the cluster label means no cluster can straddle
+    // train/test — the q_leakage_split contract, pinned directly
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" trailing")).as("text")))
+    val comps = graft.text.Dedup.nearDupComponents(
+      planted, "doc_id", "text", threshold = 0.5)
+    val assigned = Splits.assign(comps, "comp_id", "graft",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val straddlers = assigned.groupBy(col("comp_id"))
+      .agg(countDistinct(col("split")).as("ns"), count(lit(1)).as("members"))
+      .filter(col("ns") > 1)
+    assert(straddlers.count() === 0)
+    // the fixture really does contain multi-member clusters (else the
+    // invariant is vacuous)
+    assert(assigned.groupBy(col("comp_id")).count()
+      .filter(col("count") > 1).count() > 0)
+  }
+
   test("fractions summing over 1 are refused") {
     intercept[IllegalArgumentException] {
       Splits.assign(keys, "k", "s1", Seq("a" -> 0.8, "b" -> 0.3))
