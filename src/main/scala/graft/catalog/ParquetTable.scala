@@ -124,6 +124,15 @@ final class ParquetTable(
     * mutation. No-op when the layout is already hive. */
   def migrateToHiveLayout(): Unit = {
     val f = fs
+    // Roll a pending whole-table swap back FIRST (recover()'s opening
+    // move, inlined because recover() would also run checkLayout and
+    // throw on the very legacy layout this method exists to fix): a
+    // crash during a previous migrateToHiveLayout between its two
+    // renames leaves dest absent and the legacy tree parked at .__old —
+    // without this, the retry would see "no table" and silently skip
+    // the migration it was called to redo.
+    if (!f.exists(dest) && f.exists(oldPath) && !f.rename(oldPath, dest))
+      throw new java.io.IOException(s"recovery failed for $path")
     if (partitionCols.isEmpty || !f.exists(dest) ||
         !f.listStatus(dest).exists(st => st.isFile && isDataFile(st.getPath)))
       return
@@ -193,20 +202,49 @@ final class ParquetTable(
   def overwrite(df: DataFrame): Unit = overwrite(df, None)
 
   /** Overwrite, optionally publishing `txn = (appId, batchId)` in the
-    * same atomic rename as the data. */
+    * same atomic rename as the data. On a partitioned table the staged
+    * tree also inherits every live partition's local `_graft_txn`
+    * marker (for partitions that still exist after the rewrite): a
+    * whole-table compaction/UPDATE/DELETE between stream batches must
+    * not reset [[upsertInPartitions]]' per-partition dedup state — the
+    * same carry-forward contract the root marker and
+    * [[overwritePartition]] already keep. A partition the rewrite
+    * dropped entirely takes its marker with it (its data is explicitly
+    * gone; there is no state left to protect). */
   def overwrite(df: DataFrame, txn: Option[(String, Long)]): Unit = {
     recover()
     val f = fs
     val carried = readTxns(dest) // before any mutation of dest
+    val partCarried: Seq[(String, Map[String, Long])] =
+      if (partitionCols.isEmpty) Nil
+      else dirsAtDepth(dest, partitionCols.size).flatMap { live =>
+        val marks = readTxns(live)
+        if (marks.isEmpty) None else Some(relUnder(dest, live) -> marks)
+      }
     writer(df).mode("overwrite").parquet(stagePath.toString)
     val txns = txn.fold(carried)(carried + _)
     if (txns.nonEmpty) writeTxns(stagePath, txns)
+    partCarried.foreach { case (rel, marks) =>
+      val staged = new Path(stagePath, rel)
+      if (f.exists(staged)) writeTxns(staged, marks)
+    }
     if (f.exists(oldPath)) f.delete(oldPath, true) // stale garbage only
     if (f.exists(dest) && !f.rename(dest, oldPath))
       throw new java.io.IOException(s"swap set-aside failed for $path")
     if (!f.rename(stagePath, dest))
       throw new java.io.IOException(s"atomic swap failed for $path")
     f.delete(oldPath, true)
+  }
+
+  /** `a=1/b=2` relative path of a partition dir `depth` levels under
+    * `root` (inverse of [[dirsAtDepth]]'s walk). */
+  private def relUnder(root: Path, dir: Path): String = {
+    val segs = List.newBuilder[String]
+    var cur = dir
+    (0 until partitionCols.size).foreach { _ =>
+      segs += cur.getName; cur = cur.getParent
+    }
+    segs.result().reverse.mkString("/")
   }
 
   /** Highest batch id atomically committed with the data for `appId`,
@@ -218,6 +256,20 @@ final class ParquetTable(
   def lastTxnInPartition(values: Seq[(String, String)], appId: String): Option[Long] = {
     recover()
     readTxns(new Path(dest, partitionRel(values))).get(appId)
+  }
+
+  /** Highest batch id committed by `appId` ANYWHERE in the table: the
+    * root marker plus every partition-local marker. The monitoring
+    * answer to "how far has this stream gotten" regardless of whether
+    * batches landed via whole-table swaps or partition-scoped merges.
+    * O(#partitions) listing — a status probe, not a hot-path call. */
+  def lastTxnAcrossPartitions(appId: String): Option[Long] = {
+    recover()
+    val marks = readTxns(dest).get(appId).toSeq ++ (
+      if (partitionCols.isEmpty) Nil
+      else dirsAtDepth(dest, partitionCols.size)
+        .flatMap(d => readTxns(d).get(appId)))
+    marks.reduceOption(_ max _)
   }
 
   private def readTxns(dir: Path): Map[String, Long] = {
@@ -594,13 +646,17 @@ final class ParquetTable(
       val parts =
         if (targetPartitions > 0) targetPartitions
         else math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      // Already at (or under) the target file count → the rewrite would
-      // only re-cluster well-sized files; compaction exists to fix the
-      // many-small-files problem, and paying a full partition rewrite
-      // after every load when the load already wrote `parts` files makes
-      // the post-load OPTIMIZE pure overhead (round-5 finding: +41% on
-      // the ingest path for a no-op).
-      if (files.length <= parts) return
+      // PURE compaction already at (or under) the target file count is
+      // a no-op — the many-small-files problem it exists to fix isn't
+      // present, and paying a full partition rewrite after every load
+      // when the load already wrote `parts` files makes the post-load
+      // OPTIMIZE pure overhead (round-5 finding: +41% on the ingest
+      // path for a no-op). ZORDER is different: file count says nothing
+      // about row clustering (one merge-ordered file still has
+      // interleaved min/max stats on the z-columns), so an explicit
+      // zorder request always rewrites — Delta's OPTIMIZE ZORDER
+      // stance.
+      if (zorderCols.isEmpty && files.length <= parts) return
       val cur = spark.read.schema(dataSchema).parquet(live.toString)
       val arranged =
         if (zorderCols.nonEmpty)

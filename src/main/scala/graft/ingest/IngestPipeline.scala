@@ -230,13 +230,20 @@ final class IngestPipeline(
     * day it wrote, and re-optimizing every historical day would be a
     * full-table rewrite per load at 100 TB. */
   def compactTargets(): Unit = {
-    // A config that z-orders on InsertDate (now a partition column, so
-    // absent from the data files) must not fail the compaction — the
-    // partition dir already "clusters" on it perfectly.
-    val zcols = columns.filter(_.ZOrder == 1).sortBy(_.ColumnOrder)
+    // The config asking for ANY ZOrder column is what arms the
+    // post-load OPTIMIZE; whether each column still participates is a
+    // separate question: InsertDate is now a partition column (absent
+    // from the data files), so z-ordering on it is meaningless — the
+    // partition dir already clusters on it perfectly — and passing it
+    // would fail analysis. Filtering it from the SORT must not filter
+    // it from the DECISION: a config whose only z-column is InsertDate
+    // still gets plain small-file compaction (empty zorder), not a
+    // silent skip that lets micro-batch files pile up forever.
+    val configured = columns.filter(_.ZOrder == 1).sortBy(_.ColumnOrder)
       .map(_.TargetColumnName)
+    val zcols = configured
       .filterNot(c => target.partitionCols.exists(_.equalsIgnoreCase(c)))
-    if (zcols.nonEmpty) {
+    if (configured.nonEmpty) {
       val today = Seq("InsertDate" -> new Date(clock().getTime).toString)
       if (target.exists) target.compactPartition(today, zcols)
       piiTarget.filter(_.exists).foreach(_.compactPartition(today, zcols))

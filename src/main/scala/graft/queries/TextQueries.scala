@@ -27,6 +27,72 @@ object TextQueries {
       |  SELECT doc_id + 100000 AS doc_id, concat(' ', text, '  ') AS text
       |  FROM documents WHERE doc_id < 20""".stripMargin
 
+  /** documents ∪ 20 planted near-dups (" trailing" suffix) — the
+    * fixture shared by every component-based entry
+    * (q_neardup_components / q_cluster_best / q_leakage_split), defined
+    * ONCE so the entries and their oracles can never drift onto
+    * different planted sets. */
+  private[graft] def plantedTrailing(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" trailing")).as("text")))
+  }
+
+  /** The oracle-side construction every component-based entry shares:
+    * [[plantedTrailing]] as `docs2`, exact all-pairs token-2-gram
+    * Jaccard ≥ 0.5 edges, recursive transitive closure, and per-doc
+    * min-reachable component labels as CTE `lab(doc_id, comp_id)`.
+    * Callers append their own CTEs / final SELECT after this prefix
+    * (the string starts after a `WITH RECURSIVE`). ONE definition for
+    * three oracles — a threshold or shingle tweak lands everywhere or
+    * nowhere. */
+  private val componentsCtes: String =
+    """docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
+      |  FROM documents WHERE doc_id < 20),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM docs2),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS g
+      |  FROM toks),
+      |sc AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+      |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM sc
+      |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+      |comp AS (
+      |  SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+      |lab AS (
+      |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
+      |  FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id)""".stripMargin
+
+  /** [[graft.text.TextFunctions.qualityScore]] transcribed to DuckDB —
+    * shared by q_quality and q_cluster_best so the formula is pinned in
+    * exactly one SQL place. `text` must be in scope. */
+  private val qualityExprSql: String =
+    """round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      |    + (CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g')) /
+      |         greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+      |         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+      |    + (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]')) /
+      |         greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)""".stripMargin
+
   /** The `q_bm25` query — ONE term list feeds both the Spark entry and
     * the generated oracle below, so the two can never drift. */
   private val bm25Terms = Seq("spark", "stream", "merge", "window")
@@ -162,19 +228,14 @@ object TextQueries {
           round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
           TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+      Some(s"""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
              |  round(len(regexp_extract_all(text, '[.,;:!?]')) /
              |        greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
-             |  round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) /
-             |        greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0), 4)
+             |  round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) /
+             |        greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0), 4)
              |    AS stopword_ratio,
-             |  round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-             |    + (CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g')) /
-             |         greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
-             |         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
-             |    + (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]')) /
-             |         greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)
+             |  $qualityExprSql
              |    AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -356,49 +417,14 @@ object TextQueries {
     // the invariant directly.
     "q_leakage_split" -> Q(
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-        val planted = docs.unionByName(
-          docs.filter(col("doc_id") < 20).select(
-            (col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" trailing")).as("text")))
-        val comps = Dedup.nearDupComponents(planted, "doc_id", "text", threshold = 0.5)
+        val comps = Dedup.nearDupComponents(
+          plantedTrailing(s, dir), "doc_id", "text", threshold = 0.5)
         graft.plans.Splits.assign(comps, "comp_id", seed = "graft",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .select(col("doc_id"), col("comp_id"), col("bucket"), col("split"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE docs2 AS (
-              |  SELECT doc_id, text FROM documents
-              |  UNION ALL
-              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
-              |  FROM documents WHERE doc_id < 20),
-              |toks AS (
-              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-              |  FROM docs2),
-              |grams AS (
-              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-              |    i -> array_to_string(t[i:i+2], ' '))) AS g
-              |  FROM toks),
-              |sc AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
-              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
-              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
-              |pairs AS (
-              |  SELECT id_a, id_b FROM sc
-              |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
-              |edges AS (
-              |  SELECT id_a AS u, id_b AS v FROM pairs
-              |  UNION ALL SELECT id_b, id_a FROM pairs),
-              |reach AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-              |comp AS (
-              |  SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
-              |lab AS (
-              |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
-              |  FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id),
+      Some(s"""WITH RECURSIVE $componentsCtes,
               |bk AS (
               |  SELECT doc_id, comp_id,
               |    ('0x' || substr(md5('graft:' || comp_id), 1, 15))::BIGINT % 10000
@@ -879,47 +905,12 @@ object TextQueries {
     // recomputes the closure with a recursive CTE over the exact
     // all-pairs graph (oracle scale only).
     "q_neardup_components" -> Q(
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-        val planted = docs.unionByName(
-          docs.filter(col("doc_id") < 20).select(
-            (col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" trailing")).as("text")))
-        Dedup.nearDupComponents(planted, "doc_id", "text", threshold = 0.5)
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH RECURSIVE docs2 AS (
-              |  SELECT doc_id, text FROM documents
-              |  UNION ALL
-              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
-              |  FROM documents WHERE doc_id < 20),
-              |toks AS (
-              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-              |  FROM docs2),
-              |grams AS (
-              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-              |    i -> array_to_string(t[i:i+2], ' '))) AS g
-              |  FROM toks),
-              |scored AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
-              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
-              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
-              |pairs AS (
-              |  SELECT id_a, id_b FROM scored
-              |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
-              |edges AS (
-              |  SELECT id_a AS u, id_b AS v FROM pairs
-              |  UNION ALL SELECT id_b, id_a FROM pairs),
-              |reach AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-              |comp AS (
-              |  SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
-              |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
-              |FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id
-              |ORDER BY d.doc_id""".stripMargin)),
+      (s, dir) => Dedup.nearDupComponents(
+        plantedTrailing(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $componentsCtes
+              |SELECT doc_id, comp_id FROM lab
+              |ORDER BY doc_id""".stripMargin)),
 
     // Quality-keeper dedup: every near-dup cluster keeps its BEST
     // document by quality score (ties → min id) instead of the minimum
@@ -932,56 +923,16 @@ object TextQueries {
     // saturation — both keep decisions exercise deterministically.
     "q_cluster_best" -> Q(
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-        val planted = docs.unionByName(
-          docs.filter(col("doc_id") < 20).select(
-            (col("doc_id") + 100000).as("doc_id"),
-            concat(col("text"), lit(" trailing")).as("text")))
+        val planted = plantedTrailing(s, dir)
         Dedup.nearDupBestSurvivors(planted, "doc_id", "text",
           TextFunctions.qualityScore(col("text")), threshold = 0.5)
           .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE docs2 AS (
-              |  SELECT doc_id, text FROM documents
-              |  UNION ALL
-              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
-              |  FROM documents WHERE doc_id < 20),
-              |toks AS (
-              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-              |  FROM docs2),
-              |grams AS (
-              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-              |    i -> array_to_string(t[i:i+2], ' '))) AS g
-              |  FROM toks),
-              |sc AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
-              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
-              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
-              |pairs AS (
-              |  SELECT id_a, id_b FROM sc
-              |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
-              |edges AS (
-              |  SELECT id_a AS u, id_b AS v FROM pairs
-              |  UNION ALL SELECT id_b, id_a FROM pairs),
-              |reach AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-              |comp AS (
-              |  SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
-              |lab AS (
-              |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
-              |  FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id),
+      Some(s"""WITH RECURSIVE $componentsCtes,
               |q AS (
               |  SELECT doc_id,
-              |    round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-              |      + (CASE WHEN length(regexp_replace(trim(text), '\\s+', '', 'g')) /
-              |           greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0)
-              |           BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
-              |      + (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]')) /
-              |           greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)
+              |    $qualityExprSql
               |      AS quality
               |  FROM docs2),
               |rk AS (

@@ -17,14 +17,22 @@ import graft.catalog.ParquetTable
   * pattern). There is no crash point where the merged data is visible
   * but the marker is not, so a redelivered batch can never re-apply.
   *
-  * A PARTITIONED target uses [[ParquetTable.upsertInPartitions]] with
-  * the same marker committed into each touched partition's directory by
-  * that partition's own swap: a crash mid-batch leaves the marker in
+  * A PARTITIONED target whose merge keys COVER the partition columns
+  * uses [[ParquetTable.upsertInPartitions]], with the same marker
+  * committed into each touched partition's directory by that
+  * partition's own swap: a crash mid-batch leaves the marker in
   * exactly the partitions already merged, and the redelivered batch
   * skips those — exactly-once per partition, which composes to
   * exactly-once for the batch. This is how CDC lands in the 100 TB
   * InsertDate-partitioned target without a whole-table rewrite per
-  * micro-batch.
+  * micro-batch. The key-coverage condition is what makes the routing
+  * SEMANTICS-preserving: when the partition columns are part of the
+  * merge key, a source row can only ever match inside its own
+  * partition, so the partition-scoped merge equals the whole-table
+  * merge row for row. Keys that do NOT cover the partition columns
+  * (a source row for key k on day2 must update k's existing row on
+  * day1) fall back to the whole-table upsert — still exactly-once via
+  * the root marker's atomic swap, just not partition-pruned.
   *
   * The marker key is an EPOCH — a random id stored in
   * `<checkpointDir>/graft_epoch`, created together with the streaming
@@ -72,15 +80,23 @@ final class UpsertSink(
   }
 
   /** Highest batch id already committed in this checkpoint generation,
-    * -1 before the first (table-level marker; partitioned targets track
-    * per partition instead). */
-  def lastCommitted: Long = table.lastTxn(epoch()).getOrElse(-1L)
+    * -1 before the first — across the root marker AND every
+    * partition-local marker, so it answers correctly for both routing
+    * modes. */
+  def lastCommitted: Long =
+    table.lastTxnAcrossPartitions(epoch()).getOrElse(-1L)
+
+  /** Partition-scoped merges are only semantics-preserving when a row's
+    * merge key pins its partition (see class doc). */
+  private def partitionScoped: Boolean =
+    table.partitionCols.nonEmpty &&
+      table.partitionCols.forall(p => keys.exists(_.equalsIgnoreCase(p)))
 
   /** The foreachBatch body: `stream.writeStream.foreachBatch(sink.apply _)`.
     * Pass the SAME directory as `option("checkpointLocation", …)`. */
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val ep = epoch()
-    if (table.partitionCols.nonEmpty) {
+    if (partitionScoped) {
       // per-partition markers: redelivery skips exactly the partitions
       // the crashed attempt already swapped
       table.createIfNotExists()

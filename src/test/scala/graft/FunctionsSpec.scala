@@ -135,7 +135,8 @@ class FunctionsSpec extends AnyFunSuite {
           case Some(t) => i += t.length
           case None =>
             i += (if (Character.isHighSurrogate(w.charAt(i)) &&
-              i + 1 < w.length) 2 else 1)
+              i + 1 < w.length &&
+              Character.isLowSurrogate(w.charAt(i + 1))) 2 else 1)
         }
         toks += 1
       }
@@ -148,6 +149,8 @@ class FunctionsSpec extends AnyFunSuite {
       null, "", "   \t\n ", "the", "thethe", "xqz", "the xqz streaming",
       "windowing", "s", "  leading and trailing  ", "a b", // NBSP is NOT ws
       "prepreprocessing", "ingesting data streams",
+      "a\u000Bb", // vertical tab IS RE2 \\s whitespace -> 2 words
+      "\uD83Dx y", // unpaired high surrogate: 1-char fallback, x its own token
       "😀 emoji word") // surrogate pair = 1 fallback token
     val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")

@@ -295,7 +295,7 @@ class MergeSpec extends AnyFunSuite {
       .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
   }
 
-  test("compactPartition is a no-op on an already-compact partition") {
+  test("compactPartition: pure compaction no-ops when compact; zorder always rewrites") {
     val dir = Files.createTempDirectory("pt-noopc")
     val pt = ParquetTable(spark, "nc", s"$dir/nc", dayShape, partitionCols = Seq("d"))
     pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "a")).toDF("k", "v", "d").coalesce(1))
@@ -303,8 +303,13 @@ class MergeSpec extends AnyFunSuite {
     assert(before.keys.count(_.endsWith(".parquet")) === 1)
     // one well-sized file <= the derived target count: rewriting it per
     // load would make the post-load OPTIMIZE pure overhead
-    pt.compactPartition(Seq("d" -> "a"), zorderCols = Seq("k"))
+    pt.compactPartition(Seq("d" -> "a"))
     assert(dayFiles(dir, "nc/d=a") === before, "already-compact partition was rewritten")
+    // an explicit ZORDER request is about row clustering, not file
+    // count — it must rewrite even a single-file partition
+    pt.compactPartition(Seq("d" -> "a"), zorderCols = Seq("k"))
+    assert(dayFiles(dir, "nc/d=a") !== before, "requested zorder was silently skipped")
+    assert(pt.read().count() === 2)
   }
 
   test("generic deleteWhere with a pure partition pin is an O(1) directory drop") {

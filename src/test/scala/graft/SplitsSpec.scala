@@ -56,14 +56,9 @@ class SplitsSpec extends AnyFunSuite {
   test("leakage-safe split: every near-dup cluster lands in ONE split") {
     // hashing on the cluster label means no cluster can straddle
     // train/test — the q_leakage_split contract, pinned directly
-    val docs = Tables.load(spark, TestSpark.sf, "documents")
-      .select(col("doc_id"), col("text"))
-    val planted = docs.unionByName(
-      docs.filter(col("doc_id") < 20).select(
-        (col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" trailing")).as("text")))
     val comps = graft.text.Dedup.nearDupComponents(
-      planted, "doc_id", "text", threshold = 0.5)
+      graft.queries.TextQueries.plantedTrailing(spark, TestSpark.sf),
+      "doc_id", "text", threshold = 0.5)
     val assigned = Splits.assign(comps, "comp_id", "graft",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val straddlers = assigned.groupBy(col("comp_id"))

@@ -298,6 +298,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("partitioned sink with keys NOT covering partitions falls back to whole-table merge") {
+    // key k can move between days: partition-scoped merging would
+    // insert a duplicate k in the new day instead of updating the old
+    // row — the sink must detect the uncovered partition column and
+    // take the whole-table path (still exactly-once via root marker)
+    val root = java.nio.file.Files.createTempDirectory("upsert-part-fb")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("InsertDate",
+        org.apache.spark.sql.types.StringType)))
+    val table = graft.catalog.ParquetTable(spark, "upsert_fb", s"$root/table",
+      schema, partitionCols = Seq("InsertDate"))
+    val sink = new graft.streaming.UpsertSink(table, Seq("k"),
+      Map("v" -> (graft.catalog.Merge.tgt("v") + graft.catalog.Merge.src("v")),
+        "InsertDate" -> graft.catalog.Merge.src("InsertDate")),
+      s"$root/ckpt")
+    sink.apply(Seq((1L, 1.0, "2024-01-01")).toDF("k", "v", "InsertDate"), 0L)
+    // same key arrives on a LATER day: must update (and migrate) the
+    // day1 row, not insert a second k=1
+    sink.apply(Seq((1L, 10.0, "2024-01-02")).toDF("k", "v", "InsertDate"), 1L)
+    val rows = table.read().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq === Seq((1L, 11.0, "2024-01-02")), rows.toSeq)
+    // redelivery of batch 1 is a no-op (root-marker exactly-once)
+    sink.apply(Seq((1L, 10.0, "2024-01-02")).toDF("k", "v", "InsertDate"), 1L)
+    assert(table.read().collect().map(_.getDouble(1)).toSeq === Seq(11.0))
+    assert(sink.lastCommitted === 1L)
+  }
+
   test("partitioned upsert sink: additive CDC merges are exactly-once per partition") {
     val root = java.nio.file.Files.createTempDirectory("upsert-part")
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -310,8 +342,9 @@ class StreamingSpec extends AnyFunSuite {
     val table = graft.catalog.ParquetTable(spark, "upsert_p", s"$root/table",
       schema, partitionCols = Seq("InsertDate"))
     // ADDITIVE update — the non-idempotent case a naive redelivery
-    // would double-apply
-    val sink = new graft.streaming.UpsertSink(table, Seq("k"),
+    // would double-apply. Keys COVER the partition column, so the sink
+    // routes to partition-scoped merges (the semantics-preserving case).
+    val sink = new graft.streaming.UpsertSink(table, Seq("k", "InsertDate"),
       Map("v" -> (graft.catalog.Merge.tgt("v") + graft.catalog.Merge.src("v"))),
       s"$root/ckpt")
     def state() = table.read().collect()
@@ -335,7 +368,23 @@ class StreamingSpec extends AnyFunSuite {
     // the marker lives INSIDE each partition dir — same rename as the data
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"$root/table/InsertDate=2024-01-01/_graft_txn")))
+    // lastCommitted aggregates the per-partition markers (there is no
+    // root marker on this path)
+    assert(sink.lastCommitted === 2L)
+    // a WHOLE-TABLE rewrite between batches (routine OPTIMIZE) must not
+    // reset the per-partition dedup state: markers ride the swap...
+    table.compact()
+    assert(table.lastTxnInPartition(Seq("InsertDate" -> "2024-01-01"), sinkEpoch(root)).isDefined)
+    // ...so a redelivery after the compaction still applies nothing
+    sink.apply(Seq((1L, 100.0, "2024-01-01"), (2L, 100.0, "2024-01-02"))
+      .toDF("k", "v", "InsertDate"), 2L)
+    assert(state() === Set((1L, 111.0, "2024-01-01"), (2L, 112.0, "2024-01-02")))
   }
+
+  /** The sink's epoch id, read the same way the sink reads it. */
+  private def sinkEpoch(root: java.nio.file.Path): String =
+    new String(java.nio.file.Files.readAllBytes(
+      root.resolve("ckpt/graft_epoch")), "UTF-8").trim
 
   test("upsert sink: checkpoint reset rotates the epoch — restarted batch ids apply") {
     val root = java.nio.file.Files.createTempDirectory("upsert-epoch")
