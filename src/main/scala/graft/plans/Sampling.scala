@@ -36,6 +36,32 @@ object Sampling {
     df.filter(Splits.bucketOf(key, seed, buckets) < cut)
   }
 
+  /** Token-budget sampling — "take documents until the budget is
+    * full", per stratum: rows are ordered by a salted hash of the key
+    * (a deterministic, engine-recomputable shuffle — same stance as
+    * [[stratified]]), a running token total accumulates per stratum,
+    * and rows are kept while the PRIOR total is under `budget` (so the
+    * document that crosses the line is still taken and every stratum
+    * reaches its budget rather than stalling under it). This is how a
+    * training run sizes a corpus to "N tokens per language" —
+    * reproducibly, not by `limit()` on an arbitrary partitioning.
+    *
+    * One shuffle, keyed by the stratum (the window partition); the
+    * token weight is expected to be a map-side expression (e.g.
+    * `subwordStats(text).n_subwords`). Emits `cum_tokens` — the
+    * running total INCLUDING the row — for budget accounting. */
+  def tokenBudget(df: DataFrame, keyCol: String, strataCol: String,
+                  weight: org.apache.spark.sql.Column, budget: Long,
+                  seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(Splits.bucketOf(col(keyCol).cast("string"), seed), col(keyCol))
+    df.withColumn("__w", weight)
+      .withColumn("cum_tokens", sum(col("__w")).over(w))
+      .filter(col("cum_tokens") - col("__w") < budget)
+      .drop("__w")
+  }
+
   /** Temperature-scaled mixture rebalancing — the multilingual-corpus
     * sampling rule (`p_s ∝ n_s^τ`, τ ∈ [0,1]): at τ=1 the natural
     * distribution is kept; as τ→0 every stratum is downsampled toward

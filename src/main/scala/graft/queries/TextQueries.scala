@@ -93,6 +93,38 @@ object TextQueries {
       |    + (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]')) /
       |         greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0))) / 3.0, 4)""".stripMargin
 
+  /** The greedy-subword oracle construction over table `src`,
+    * generated from the SAME canonical vocab the native kernel uses:
+    * per DISTINCT word, a recursive CTE steps the cursor by the
+    * longest matching vocab token (char fallback); `docsw` carries the
+    * per-document word/subword totals. Shared by q_subword_counts and
+    * q_token_budget; starts after a `WITH RECURSIVE`. */
+  private def subwordCtes(src: String): String =
+    s"""vocab(tok) AS (VALUES
+       |    ${TextFunctions.subwordVocab.map(t => s"('$t')").mkString(", ")}),
+       |wordcounts AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       |    FROM $src) u
+       |  WHERE w <> '' GROUP BY doc_id, w),
+       |dw(w) AS (SELECT DISTINCT w FROM wordcounts),
+       |steps AS (
+       |  SELECT w, 1 AS pos, 0 AS n FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + coalesce((SELECT max(length(tok)) FROM vocab
+       |                            WHERE tok = substr(w, pos, length(tok))), 1),
+       |         n + 1
+       |  FROM steps WHERE pos <= length(w)),
+       |wtok AS (SELECT w, max(n) AS ntok FROM steps GROUP BY w),
+       |docsw AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(sum(wc.cnt), 0) AS BIGINT) AS n_words,
+       |    CAST(coalesce(sum(wc.cnt * wt.ntok), 0) AS BIGINT) AS n_subwords
+       |  FROM $src d
+       |  LEFT JOIN wordcounts wc ON wc.doc_id = d.doc_id
+       |  LEFT JOIN wtok wt ON wt.w = wc.w
+       |  GROUP BY d.doc_id)""".stripMargin
+
   /** The `q_bm25` query — ONE term list feeds both the Spark entry and
     * the generated oracle below, so the two can never drift. */
   private val bm25Terms = Seq("spark", "stream", "merge", "window")
@@ -162,31 +194,39 @@ object TextQueries {
           col("__sw.n_words").as("n_words"),
           col("__sw.n_subwords").as("n_subwords"))
         .orderBy(col("doc_id")),
-      Some(s"""WITH RECURSIVE vocab(tok) AS (VALUES
-             |    ${TextFunctions.subwordVocab.map(t => s"('$t')").mkString(", ")}),
-             |wordcounts AS (
-             |  SELECT doc_id, w, count(*) AS cnt FROM (
-             |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
-             |    FROM documents) u
-             |  WHERE w <> '' GROUP BY doc_id, w),
-             |dw(w) AS (SELECT DISTINCT w FROM wordcounts),
-             |steps AS (
-             |  SELECT w, 1 AS pos, 0 AS n FROM dw
-             |  UNION ALL
-             |  SELECT w, pos + coalesce((SELECT max(length(tok)) FROM vocab
-             |                            WHERE tok = substr(w, pos, length(tok))), 1),
-             |         n + 1
-             |  FROM steps WHERE pos <= length(w)),
-             |wtok AS (SELECT w, max(n) AS ntok FROM steps GROUP BY w),
-             |agg AS (
-             |  SELECT wc.doc_id, CAST(sum(wc.cnt) AS BIGINT) AS n_words,
-             |         CAST(sum(wc.cnt * wt.ntok) AS BIGINT) AS n_subwords
-             |  FROM wordcounts wc JOIN wtok wt ON wt.w = wc.w
-             |  GROUP BY wc.doc_id)
-             |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
-             |       coalesce(a.n_subwords, 0) AS n_subwords
-             |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(s"""WITH RECURSIVE ${subwordCtes("documents")}
+             |SELECT doc_id, n_words, n_subwords FROM docsw
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget sampling: take documents per language, in salted-
+    // hash order (deterministic reshuffle, same md5-bucket construction
+    // as the splits), until each language's 5000-subword budget fills —
+    // keeping the document that crosses the line. How a training run
+    // sizes "N tokens per language" reproducibly. One shuffle (window
+    // by lang); the subword weight is the map-side native kernel.
+    "q_token_budget" -> Q(
+      (s, dir) => graft.plans.Sampling.tokenBudget(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("n_subwords",
+            TextFunctions.subwordStats(col("text")).getField("n_subwords"))
+          .drop("text"),
+        "doc_id", "lang", col("n_subwords"), budget = 5000L, seed = "budget")
+        .select(col("doc_id"), col("lang"), col("n_subwords"), col("cum_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE ${subwordCtes("documents")},
+             |base AS (
+             |  SELECT d.doc_id, d.lang, s.n_subwords,
+             |    ('0x' || substr(md5('budget:' || d.doc_id), 1, 15))::BIGINT % 10000 AS b
+             |  FROM documents d JOIN docsw s USING (doc_id)),
+             |cum AS (
+             |  SELECT doc_id, lang, n_subwords,
+             |    CAST(sum(n_subwords) OVER (
+             |      PARTITION BY lang ORDER BY b, doc_id) AS BIGINT) AS cum_tokens
+             |  FROM base)
+             |SELECT doc_id, lang, n_subwords, cum_tokens FROM cum
+             |WHERE cum_tokens - n_subwords < 5000
+             |ORDER BY doc_id""".stripMargin)),
 
     // Language-ID heuristic (stopword n-grams + CJK class).
     "q_lang_id" -> Q(

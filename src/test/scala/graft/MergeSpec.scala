@@ -398,6 +398,19 @@ class MergeSpec extends AnyFunSuite {
     assert(pt.read().select("k").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("migrateToHiveLayout self-heals a crash between its two renames") {
+    val dir = Files.createTempDirectory("pt-legacy-crash")
+    val legacy = ParquetTable(spark, "lc", s"$dir/lc", dayShape)
+    legacy.overwrite(Seq((1L, 1.0, "a"), (3L, 3.0, "b")).toDF("k", "v", "d"))
+    // simulate the crash: dest parked at .__old, nothing at dest —
+    // exactly the state after migrate's first rename
+    Files.move(dir.resolve("lc"), dir.resolve("lc.__old"))
+    val pt = ParquetTable(spark, "lc", s"$dir/lc", dayShape, partitionCols = Seq("d"))
+    pt.migrateToHiveLayout() // must roll back, then migrate — not no-op
+    assert(Files.exists(dir.resolve("lc/d=a")) && Files.exists(dir.resolve("lc/d=b")))
+    assert(pt.read().count() === 2)
+  }
+
   test("upsertInPartitions validates every partition spec before the first swap") {
     val dir = Files.createTempDirectory("pt-val")
     val pt = ParquetTable(spark, "vd", s"$dir/vd", dayShape, partitionCols = Seq("d"))

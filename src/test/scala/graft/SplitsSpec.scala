@@ -71,6 +71,28 @@ class SplitsSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() > 0)
   }
 
+  test("tokenBudget fills each stratum to its budget; crossing doc included; stable") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", 100L))
+      .toDF("id", "s", "w")
+    val kept = graft.plans.Sampling.tokenBudget(df, "id", "s", col("w"),
+      budget = 450L, seed = "t")
+    // every row weighs 100: prior-total < 450 keeps exactly 5 rows per
+    // stratum, the 5th CROSSING the budget (cum 500) — budgets fill,
+    // they don't stall under
+    kept.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), max(col("cum_tokens")).as("m"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === 5L && r.getLong(2) === 500L, r)
+      }
+    // the kept SET is a pure function of (seed, keys) — repartitioning
+    // must not change it
+    val again = graft.plans.Sampling.tokenBudget(df.repartition(7), "id", "s",
+      col("w"), budget = 450L, seed = "t")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(again === kept.select(col("id")).collect().map(_.getLong(0)).toSet)
+  }
+
   test("fractions summing over 1 are refused") {
     intercept[IllegalArgumentException] {
       Splits.assign(keys, "k", "s1", Seq("a" -> 0.8, "b" -> 0.3))
