@@ -17,6 +17,54 @@ object CorpusQueries {
     * almost no cross-document 5-grams). */
   private val evalPhrase = "alpha beta gamma delta epsilon"
 
+  /** Decontamination oracle CTEs shared by q_decontam and
+    * q_contam_ratio — one definition of the corpus/eval fixture and
+    * the distinct-5-gram sets (`cgrams` per corpus doc, `eg` for the
+    * eval side), so the two entries can never drift onto different
+    * gram semantics. */
+  private val decontamCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id < 10
+       |      THEN concat(coalesce(text, ''), ' $evalPhrase')
+       |      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |ev AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+       |  UNION ALL SELECT 900000, '$evalPhrase zeta'),
+       |ctoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM corpus),
+       |cgrams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))))
+       |    AS gram
+       |  FROM ctoks),
+       |etoks AS (
+       |  SELECT string_split_regex(trim(text), '\\s+') AS t FROM ev),
+       |eg AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest(list_transform(range(1, len(t) - 3),
+       |      i -> array_to_string(t[i:i+4], ' '))) AS gram
+       |    FROM etoks))""".stripMargin
+
+  /** The Spark side of the decontamination fixture: (corpus with the
+    * phrase planted into docs 1..9, eval slice + one synthetic eval
+    * doc). Mirrors [[decontamCtes]] exactly. */
+  private def decontamFixture(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") < 10,
+          concat(coalesce(col("text"), lit("")), lit(" " + evalPhrase)))
+          .otherwise(col("text")))
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      .unionByName(s.range(1).select(
+        lit(900000L).as("doc_id"), lit(evalPhrase + " zeta").as("text")))
+    (corpus, evalSet)
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Benchmark decontamination: training docs sharing any 5-gram with
@@ -26,43 +74,11 @@ object CorpusQueries {
     // collision the oracle recomputes identically.
     "q_decontam" -> Q(
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-          .withColumn("text",
-            when(col("doc_id") < 10,
-              concat(coalesce(col("text"), lit("")), lit(" " + evalPhrase)))
-              .otherwise(col("text")))
-        val evalSet = docs.filter(col("doc_id") % 97 === 0)
-          .unionByName(s.range(1).select(
-            lit(900000L).as("doc_id"), lit(evalPhrase + " zeta").as("text")))
+        val (corpus, evalSet) = decontamFixture(s, dir)
         Decontaminate.overlap(corpus, evalSet, "doc_id", "text", n = 5)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH corpus AS (
-              |  SELECT doc_id,
-              |    CASE WHEN doc_id < 10
-              |      THEN concat(coalesce(text, ''), ' $evalPhrase')
-              |      ELSE text END AS text
-              |  FROM documents WHERE doc_id % 97 <> 0),
-              |ev AS (
-              |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
-              |  UNION ALL SELECT 900000, '$evalPhrase zeta'),
-              |ctoks AS (
-              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-              |  FROM corpus),
-              |cgrams AS (
-              |  SELECT doc_id, unnest(list_distinct(list_transform(
-              |    range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))))
-              |    AS gram
-              |  FROM ctoks),
-              |etoks AS (
-              |  SELECT string_split_regex(trim(text), '\\s+') AS t FROM ev),
-              |eg AS (
-              |  SELECT DISTINCT gram FROM (
-              |    SELECT unnest(list_transform(range(1, len(t) - 3),
-              |      i -> array_to_string(t[i:i+4], ' '))) AS gram
-              |    FROM etoks)),
+      Some(s"""WITH $decontamCtes,
               |hits AS (
               |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
               |  FROM cgrams JOIN eg USING (gram) GROUP BY 1)
@@ -71,6 +87,34 @@ object CorpusQueries {
               |  CAST(CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END
               |    AS INT) AS contaminated
               |FROM corpus c LEFT JOIN hits h USING (doc_id)
+              |ORDER BY c.doc_id""".stripMargin)),
+
+    // Contamination SEVERITY: the binary flag above quarantines; this
+    // reports what fraction of each document's distinct 5-grams is
+    // benchmark text — the number a curation pipeline thresholds ("5%
+    // benchmark overlap" vs one incidental phrase) and auditors read.
+    // Same fixture, same broadcast-probe shape, severity from a counted
+    // left join instead of a semi join.
+    "q_contam_ratio" -> Q(
+      (s, dir) => {
+        val (corpus, evalSet) = decontamFixture(s, dir)
+        Decontaminate.overlapRatio(corpus, evalSet, "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $decontamCtes,
+              |per AS (
+              |  SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              |    CAST(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_shared
+              |  FROM cgrams cg LEFT JOIN eg ON eg.gram = cg.gram
+              |  GROUP BY 1)
+              |SELECT c.doc_id,
+              |  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+              |  CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+              |  round(coalesce(p.n_shared, 0) /
+              |    CAST(greatest(coalesce(p.n_grams, 0), 1) AS DOUBLE), 4)
+              |    AS contam_ratio
+              |FROM corpus c LEFT JOIN per p USING (doc_id)
               |ORDER BY c.doc_id""".stripMargin)),
 
     // Per-source occurrence cap (the per-domain cap of a web corpus):

@@ -56,4 +56,33 @@ object Decontaminate {
         when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
           .as("contaminated"))
   }
+
+  /** [[overlap]] plus SEVERITY: per document, its distinct-n-gram
+    * count, how many hit the eval set, and the hit fraction (rounded
+    * to 4 decimals; 0.0 for documents shorter than `n` tokens). The
+    * binary flag quarantines; the ratio is what a curation pipeline
+    * thresholds and audits — "5% of this document is benchmark text"
+    * is a different decision than one incidental shared phrase. Same
+    * single-explode + broadcast-probe shape as [[overlap]]: the
+    * severity comes free from turning the semi join into a counted
+    * left join against the (tiny, broadcast) eval gram set. */
+  def overlapRatio(corpus: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, n: Int = 5): DataFrame = {
+    val evalGrams = broadcast(
+      docGrams(eval, idCol, textCol, n).select(col("gram")).distinct()
+        .withColumn("__hit", lit(1L)))
+    val per = docGrams(corpus, idCol, textCol, n)
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+    corpus.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double"), 4)
+          .as("contam_ratio"))
+  }
 }
