@@ -134,6 +134,42 @@ object PipelineQueries {
     // complete mode → memory sink) and must equal the oracle's batch
     // recomputation. This is the contract that lets a user move an agg
     // between batch and streaming without re-validating semantics.
+    // Streaming exact dedup under redelivery: the SAME events file is
+    // exposed to the stream source twice (two symlinks), so every
+    // record is delivered twice; dropDuplicatesWithinWatermark on
+    // event_id must collapse the double feed back to the original set
+    // — the oracle aggregates the ONE-copy batch table, so any leaked
+    // duplicate doubles a count and turns the row red. Bounded state:
+    // keys are only held within the watermark horizon.
+    "q_stream_dedup" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-dedup")
+        val srcDir = Files.createDirectories(tmp.resolve("src"))
+        Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        Files.createSymbolicLink(srcDir.resolve("events_again.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(srcDir.toString)
+        val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val deduped = graft.streaming.EventStream.dedupedStream(
+          ev, Seq("event_id"), watermarkDelay = "1 minute")
+        val name = s"stream_dd_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "q_stream_windows" -> Q(
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-win")
