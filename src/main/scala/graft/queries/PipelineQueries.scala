@@ -134,6 +134,50 @@ object PipelineQueries {
     // complete mode → memory sink) and must equal the oracle's batch
     // recomputation. This is the contract that lets a user move an agg
     // between batch and streaming without re-validating semantics.
+    // Stream-stream interval join as a REAL streaming query: clicks
+    // attributed to purchases by the same user within 10 minutes, both
+    // sides file streams, result appended to a memory sink and then
+    // aggregated per user bucket. The oracle recomputes the attribution
+    // as a batch interval join — the streaming state machinery
+    // (watermarks bounding join state on both sides) must produce
+    // EXACTLY the batch semantics on a bounded input.
+    "q_stream_join" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-join")
+        def src(sub: String) = {
+          val d = Files.createDirectories(tmp.resolve(sub))
+          Files.createSymbolicLink(d.resolve("events.parquet"),
+            java.nio.file.Paths.get(s"$dir/events.parquet"))
+          s.readStream
+            .schema(s.read.parquet(s"$dir/events.parquet").schema)
+            .parquet(d.toString)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        }
+        val clicks = src("l").filter(col("event_type") === "click")
+        val purchases = src("r").filter(col("event_type") === "purchase")
+        val joined = graft.streaming.EventStream.joinWithinHorizon(
+          clicks, purchases, keyCol = "user_id", horizon = "10 minutes")
+        val name = s"stream_j_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy((col("user_id") % 10).as("user_bucket"))
+          .agg(count(lit(1)).as("n_attributed"),
+            round(sum(col("right_value")), 2).as("attributed_value"))
+          .orderBy(col("user_bucket"))
+      },
+      Some("""SELECT l.user_id % 10 AS user_bucket,
+             |  count(*) AS n_attributed,
+             |  round(sum(r.value), 2) AS attributed_value
+             |FROM events l JOIN events r
+             |  ON r.user_id = l.user_id
+             | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+             |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+             |GROUP BY 1 ORDER BY user_bucket""".stripMargin)),
+
     // Streaming exact dedup under redelivery: the SAME events file is
     // exposed to the stream source twice (two symlinks), so every
     // record is delivered twice; dropDuplicatesWithinWatermark on
