@@ -134,6 +134,42 @@ object PipelineQueries {
     // complete mode → memory sink) and must equal the oracle's batch
     // recomputation. This is the contract that lets a user move an agg
     // between batch and streaming without re-validating semantics.
+    // Stream-static enrichment as a REAL streaming query: the event
+    // stream picks up each user's market segment from a broadcast
+    // customer dim per micro-batch — the stream never shuffles, there
+    // is no join state to grow, and unmatched events pass through
+    // null-padded (kept as 'UNKNOWN' here so the aggregate is total).
+    // The oracle recomputes the same enrichment as a batch join.
+    "q_stream_enrich" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-enr")
+        val srcDir = Files.createDirectories(tmp.resolve("src"))
+        Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val ev = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val dim = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        val enriched = graft.streaming.EventStream.enrich(ev, dim, "user_id")
+        val name = s"stream_e_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = enriched.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+             |  count(*) AS n, round(sum(e.value), 2) AS total
+             |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
     // Stream-stream interval join as a REAL streaming query: clicks
     // attributed to purchases by the same user within 10 minutes, both
     // sides file streams, result appended to a memory sink and then
