@@ -194,11 +194,22 @@ object PipelineQueries {
         val joined = graft.streaming.EventStream.joinWithinHorizon(
           clicks, purchases, keyCol = "user_id", horizon = "10 minutes")
         val name = s"stream_j_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // A stream-stream join allocates TWO state stores per shuffle
+        // partition per micro-batch; at the session's 32 partitions the
+        // store setup dwarfs the (tiny) join itself. The state
+        // partition count is captured when the query STARTS, so scoping
+        // it down for the streaming phase is safe — restored before the
+        // batch aggregation below runs. On a real cluster this knob is
+        // sized to state volume, not to the session default.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = joined.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.table(name)
           .groupBy((col("user_id") % 10).as("user_bucket"))
           .agg(count(lit(1)).as("n_attributed"),
@@ -236,11 +247,18 @@ object PipelineQueries {
         val deduped = graft.streaming.EventStream.dedupedStream(
           ev, Seq("event_id"), watermarkDelay = "1 minute")
         val name = s"stream_dd_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
-        val q = deduped.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // dedup state stores per shuffle partition: scope the count to
+        // the (tiny) state like q_stream_join; restored before the
+        // batch aggregation below
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = deduped.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.table(name)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
