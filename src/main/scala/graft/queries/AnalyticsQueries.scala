@@ -57,7 +57,55 @@ object AnalyticsQueries {
       | * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)""".stripMargin
       .replace("\n", "")
 
+  /** The q_pagerank oracle: the same integer-micro-unit recurrence
+    * UNROLLED `iters` times as chained CTEs — generated, so the step
+    * arithmetic lives in one Scala string and can't drift from
+    * [[graft.plans.PageRank]]. */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    150000000 + ((coalesce(c.s, 0) * 85) // 100) AS u
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.u // o.outdeg) AS BIGINT) AS s
+         |    FROM edges e
+         |    JOIN r${k - 1} r ON r.node = e.src
+         |    JOIN outdeg o ON o.node = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_quantity >= 45),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS u FROM nodes),
+       |$steps
+       |SELECT node, CAST(u AS BIGINT) AS u FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+
+    // Fixed-iteration PageRank over the customer→supplier interaction
+    // graph (orders ⋈ lineitem, high-quantity edges), in exact integer
+    // micro-units: integer per-edge division + integer damping make
+    // the result a pure function of the graph — no float sum order to
+    // drift between engines or partitionings. 3 damped iterations;
+    // oracle unrolls the same recurrence as chained CTEs.
+    "q_pagerank" -> Q(
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 45),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        graft.plans.PageRank.ranks(edges, iterations = 3)
+          .orderBy(col("node"))
+      },
+      Some(pagerankOracle(3))),
 
     // TPC-H Q3 shape: unshipped-order revenue for one market segment.
     // Join order matters at scale: customer is filtered to 1/5 then

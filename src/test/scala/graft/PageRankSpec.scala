@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the integer-micro-unit PageRank: the
+  * recurrence is exact arithmetic, so expected values are derivable on
+  * paper and asserted to the unit. */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    graft.plans.PageRank.ranks(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain a→b: source decays to the damping floor, sink follows one step behind") {
+    // r1: a = 0.15 (no in-edges), b = 0.15 + 0.85·1.0 = 1.0
+    assert(ranksOf(Seq(1L -> 2L), 1) === Map(1L -> 150000000L, 2L -> 1000000000L))
+    // r2: b = 0.15 + 0.85·0.15 = 0.2775
+    assert(ranksOf(Seq(1L -> 2L), 2) === Map(1L -> 150000000L, 2L -> 277500000L))
+    // r3: unchanged — the chain has converged
+    assert(ranksOf(Seq(1L -> 2L), 3) === Map(1L -> 150000000L, 2L -> 277500000L))
+  }
+
+  test("2-cycle is a fixed point at rank 1.0; fan-out splits by integer division") {
+    assert(ranksOf(Seq(1L -> 2L, 2L -> 1L), 3)
+      === Map(1L -> 1000000000L, 2L -> 1000000000L))
+    // 1 → {2,3}: each target gets 1.0/2; truncation is exact here
+    val fan = ranksOf(Seq(1L -> 2L, 1L -> 3L), 1)
+    assert(fan(2L) === 150000000L + 425000000L) // 0.15 + 0.85·0.5
+    assert(fan(2L) === fan(3L))
+  }
+
+  test("duplicate edges collapse; result is repartition-independent") {
+    val base = ranksOf(Seq(1L -> 2L, 1L -> 2L, 2L -> 3L), 3)
+    assert(base === ranksOf(Seq(1L -> 2L, 2L -> 3L), 3))
+    val shuffled = graft.plans.PageRank.ranks(
+      Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst").repartition(13), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === base)
+  }
+}
