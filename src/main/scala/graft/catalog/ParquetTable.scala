@@ -376,30 +376,33 @@ final class ParquetTable(
     * around the attribute, conflicting pins, values needing hive
     * escaping) yields None and the caller falls back to the full
     * rewrite — routing must never change semantics. */
-  private def pinnedSpec(pred: Column): Option[(Seq[(String, String)], Boolean)] = {
+  /** The literal rendered exactly as the hive directory name renders
+    * it. Only two shapes are trusted: a literal already OF the
+    * partition column's type, or a string literal (which comparison
+    * coercion would cast to the column type anyway) — normalized
+    * through the column type so "2026-8-13" and "2026-08-13" land on
+    * the same directory. Any other type (e.g. a timestamp literal
+    * against a date column, whose equality semantics are NOT
+    * date-truncation) refuses to route. */
+  private def litString(
+      c: String,
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val colType = schema(c).dataType
+    val typed =
+      if (l.dataType == colType) Some(l)
+      else if (l.dataType == org.apache.spark.sql.types.StringType)
+        Option(Cast(l, colType, tz).eval(null)).map(CLit(_, colType))
+      else None
+    typed.flatMap(t =>
+      Option(Cast(t, org.apache.spark.sql.types.StringType, tz).eval(null))
+        .map(_.toString))
+  }
+
+  private def pinnedSpec(pred: Column): Option[(Seq[(String, String)], Boolean)] = {
     import org.apache.spark.sql.graft.{AttrEqLit, ColumnBridge}
     if (partitionCols.isEmpty) return None
-    // The literal rendered exactly as the hive directory name renders
-    // it. Only two shapes are trusted: a literal already OF the
-    // partition column's type, or a string literal (which comparison
-    // coercion would cast to the column type anyway) — normalized
-    // through the column type so "2026-8-13" and "2026-08-13" land on
-    // the same directory. Any other type (e.g. a timestamp literal
-    // against a date column, whose equality semantics are NOT
-    // date-truncation) refuses to route.
-    def litString(c: String, l: CLit): Option[String] = {
-      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
-      val colType = schema(c).dataType
-      val typed =
-        if (l.dataType == colType) Some(l)
-        else if (l.dataType == org.apache.spark.sql.types.StringType)
-          Option(Cast(l, colType, tz).eval(null)).map(CLit(_, colType))
-        else None
-      typed.flatMap(t =>
-        Option(Cast(t, org.apache.spark.sql.types.StringType, tz).eval(null))
-          .map(_.toString))
-    }
     val cs = ColumnBridge.conjuncts(pred)
     val pins = scala.collection.mutable.Map.empty[String, String]
     var consumed = 0
@@ -419,6 +422,32 @@ final class ParquetTable(
     if (ordered.size != pins.size) return None
     if (scala.util.Try(partitionRel(ordered)).isFailure) return None
     Some((ordered, consumed == cs.size))
+  }
+
+  /** The predicate as a pure membership pin on the FIRST partition
+    * column — `InsertDate IN ('a','b')`, or the OR-of-equalities
+    * spelling of the same thing. Each value is then an O(1)
+    * leading-prefix directory unhook (Delta prunes the IN form of the
+    * compensating delete the same way). Conservative like
+    * [[pinnedSpec]]: any extra conjunct, other column, unrenderable or
+    * null value refuses to route. */
+  private def inPinnedValues(pred: Column): Option[Seq[String]] = {
+    import org.apache.spark.sql.graft.{AttrInLits, ColumnBridge}
+    if (partitionCols.isEmpty) return None
+    ColumnBridge.conjuncts(pred) match {
+      case scala.collection.Seq(AttrInLits(name, lits))
+          if partitionCols.head.equalsIgnoreCase(name) && lits.nonEmpty =>
+        val head = partitionCols.head
+        val vs = lits.map(l => litString(head, l))
+        if (!vs.forall(_.isDefined)) None
+        else {
+          val values = vs.flatten.distinct
+          if (values.forall(v =>
+            scala.util.Try(partitionRel(Seq(head -> v))).isSuccess)) Some(values)
+          else None
+        }
+      case _ => None
+    }
   }
 
   /** The partition's files with the partition-column values synthesized
@@ -483,23 +512,29 @@ final class ParquetTable(
     * style partition pruning for generic predicates: a pred that IS a
     * partition pin (`InsertDate = X`, possibly a leading prefix of the
     * partition columns) becomes the O(1) directory unhook of
-    * [[deletePartitions]]; a pred that pins every partition column AND
-    * carries residual conditions rewrites only that partition. At
-    * 100 TB this is the difference between the reference's daily
+    * [[deletePartitions]]; a membership pin (`InsertDate IN (X, Y)` or
+    * its OR-of-equalities spelling) becomes one unhook per value; a
+    * pred that pins every partition column AND carries residual
+    * conditions rewrites only that partition. At 100 TB this is the
+    * difference between the reference's daily
     * `DELETE … WHERE InsertDate = CURRENT_DATE()` touching one
     * directory and rewriting the table. */
-  def deleteWhere(pred: Column): Unit = pinnedSpec(pred) match {
-    case Some((values, true)) =>
-      deletePartitions(values)
-    case Some((values, false)) if values.size == partitionCols.size =>
-      recover()
-      if (fs.exists(new Path(dest, partitionRel(values)))) {
-        val cur = readPartitionWithValues(values)
-        overwritePartition(values,
-          cur.filter(!coalesce(pred, lit(false))).drop(partitionCols: _*))
-      }
-    case _ =>
-      overwrite(read().filter(!coalesce(pred, lit(false))))
+  def deleteWhere(pred: Column): Unit = inPinnedValues(pred) match {
+    case Some(values) =>
+      values.foreach(v => deletePartitions(Seq(partitionCols.head -> v)))
+    case None => pinnedSpec(pred) match {
+      case Some((values, true)) =>
+        deletePartitions(values)
+      case Some((values, false)) if values.size == partitionCols.size =>
+        recover()
+        if (fs.exists(new Path(dest, partitionRel(values)))) {
+          val cur = readPartitionWithValues(values)
+          overwritePartition(values,
+            cur.filter(!coalesce(pred, lit(false))).drop(partitionCols: _*))
+        }
+      case _ =>
+        overwrite(read().filter(!coalesce(pred, lit(false))))
+    }
   }
 
   /** TRUNCATE TABLE t. */

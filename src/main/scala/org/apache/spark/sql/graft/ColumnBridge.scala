@@ -1,15 +1,18 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, Literal => CLit}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, In, Literal => CLit, Or}
 import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 import org.apache.spark.sql.internal.{ColumnNode, Literal => NLit, UnresolvedAttribute => NAttr, UnresolvedFunction => NFn}
 
 /** What a predicate's top-level AND tree says about one conjunct:
-  * either a recognizable `column = literal` equality (both operand
-  * orders) or something this inspection refuses to interpret. */
+  * a recognizable `column = literal` equality (both operand orders), a
+  * `column IN (literals…)` membership — including the equivalent
+  * OR-of-equalities spelling on ONE column — or something this
+  * inspection refuses to interpret. */
 sealed trait Conjunct
 final case class AttrEqLit(name: String, lit: CLit) extends Conjunct
+final case class AttrInLits(name: String, lits: Seq[CLit]) extends Conjunct
 case object Opaque extends Conjunct
 
 /** Bridge to Spark's `private[sql]` Column internals. Spark 4 made
@@ -27,9 +30,9 @@ object ColumnBridge {
     * both tree dialects a Column can carry: the connect-agnostic
     * ColumnNode form that `col("x") === lit(v)` builds, and catalyst
     * expressions wrapped by `expr("x = 'v'")` / Dataset-resolved
-    * columns. Anything unrecognized — ORs, casts, non-literal sides —
-    * classifies as [[Opaque]], never throws: callers must treat opaque
-    * conjuncts as "cannot route" and fall back. */
+    * columns. Anything unrecognized — mixed ORs, casts, non-literal
+    * sides — classifies as [[Opaque]], never throws: callers must treat
+    * opaque conjuncts as "cannot route" and fall back. */
   def conjuncts(c: Column): Seq[Conjunct] = flattenNode(c.node)
 
   private def flattenNode(n: ColumnNode): Seq[Conjunct] = n match {
@@ -37,6 +40,10 @@ object ColumnBridge {
       flattenNode(l) ++ flattenNode(r)
     case NFn("=", scala.collection.Seq(a, b), _, _, _, _) =>
       Seq(eqNode(a, b))
+    case NFn("in", scala.collection.Seq(a, rest @ _*), _, _, _, _) =>
+      Seq(inNode(a, rest))
+    case NFn("or", _, _, _, _, _) =>
+      Seq(orAsIn(n))
     case ExpressionColumnNode(e, _) => flattenExpr(e)
     case _ => Seq(Opaque)
   }
@@ -49,6 +56,39 @@ object ColumnBridge {
     case _ => Opaque
   }
 
+  private def inNode(a: ColumnNode, vals: Seq[ColumnNode]): Conjunct = a match {
+    case NAttr(scala.collection.Seq(name), _, _, _) if vals.nonEmpty =>
+      val lits = vals.map {
+        case NLit(v, dt, _) => scala.util.Try(toLit(v, dt)).toOption
+        case _ => None
+      }
+      if (lits.forall(_.isDefined)) AttrInLits(name, lits.map(_.get))
+      else Opaque
+    case _ => Opaque
+  }
+
+  /** An OR tree that is entirely `col = lit` equalities on ONE shared
+    * column is the IN spelling (`d = 'a' OR d = 'b'`) — classify it as
+    * membership so partition routing treats both forms alike. Any
+    * other OR stays opaque. */
+  private def orAsIn(n: ColumnNode): Conjunct = {
+    def leaves(x: ColumnNode): Option[Seq[Conjunct]] = x match {
+      case NFn("or", scala.collection.Seq(l, r), _, _, _, _) =>
+        for (a <- leaves(l); b <- leaves(r)) yield a ++ b
+      case NFn("=", scala.collection.Seq(a, b), _, _, _, _) =>
+        Some(Seq(eqNode(a, b)))
+      case _ => None
+    }
+    leaves(n) match {
+      case Some(eqs) if eqs.forall(_.isInstanceOf[AttrEqLit]) =>
+        val es = eqs.collect { case e: AttrEqLit => e }
+        val names = es.map(_.name.toLowerCase).distinct
+        if (names.size == 1) AttrInLits(es.head.name, es.map(_.lit))
+        else Opaque
+      case _ => Opaque
+    }
+  }
+
   private def toLit(v: Any, dt: Option[org.apache.spark.sql.types.DataType]): CLit =
     dt.fold(CLit(v))(t => CLit.create(v, t))
 
@@ -56,6 +96,23 @@ object ColumnBridge {
     case And(l, r) => flattenExpr(l) ++ flattenExpr(r)
     case EqualTo(a: Attribute, l: CLit) => Seq(AttrEqLit(a.name, l))
     case EqualTo(l: CLit, a: Attribute) => Seq(AttrEqLit(a.name, l))
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[CLit]) =>
+      Seq(AttrInLits(a.name, vs.map(_.asInstanceOf[CLit])))
+    case o: Or =>
+      def leaves(x: Expression): Option[Seq[Conjunct]] = x match {
+        case Or(l, r) => for (a <- leaves(l); b <- leaves(r)) yield a ++ b
+        case EqualTo(a: Attribute, l: CLit) => Some(Seq(AttrEqLit(a.name, l)))
+        case EqualTo(l: CLit, a: Attribute) => Some(Seq(AttrEqLit(a.name, l)))
+        case _ => None
+      }
+      leaves(o) match {
+        case Some(eqs) =>
+          val es = eqs.collect { case e: AttrEqLit => e }
+          if (es.size == eqs.size && es.map(_.name.toLowerCase).distinct.size == 1)
+            Seq(AttrInLits(es.head.name, es.map(_.lit)))
+          else Seq(Opaque)
+        case None => Seq(Opaque)
+      }
     case _ => Seq(Opaque)
   }
 }

@@ -325,6 +325,26 @@ class MergeSpec extends AnyFunSuite {
     assert(pt.read().select("k").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("generic deleteWhere with a partition IN-list (and its OR spelling) drops directories") {
+    val dir = Files.createTempDirectory("pt-route-in")
+    val pt = ParquetTable(spark, "ri", s"$dir/ri", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"), (4L, 4.0, "e"))
+      .toDF("k", "v", "d"))
+    val eBefore = dayFiles(dir, "ri/d=e")
+    // Delta prunes the IN form of the compensating delete; so must we
+    pt.deleteWhere(col("d").isin("a", "c"))
+    assert(!Files.exists(dir.resolve("ri/d=a")) && !Files.exists(dir.resolve("ri/d=c")))
+    assert(dayFiles(dir, "ri/d=e") === eBefore) // untouched, not rewritten
+    // OR-of-equalities on one column is the same membership
+    pt.deleteWhere(col("d") === "b" || col("d") === "zzz")
+    assert(!Files.exists(dir.resolve("ri/d=b")))
+    assert(dayFiles(dir, "ri/d=e") === eBefore)
+    assert(pt.read().select("k").as[Long].collect().toSeq === Seq(4L))
+    // mixed OR (different columns) must NOT route — full-rewrite semantics
+    pt.deleteWhere(col("d") === "e" || col("k") === 99L)
+    assert(pt.read().count() === 0)
+  }
+
   test("generic deleteWhere pinning the partition plus a residual rewrites that partition only") {
     val dir = Files.createTempDirectory("pt-route2")
     val pt = ParquetTable(spark, "r2", s"$dir/r2", dayShape, partitionCols = Seq("d"))
