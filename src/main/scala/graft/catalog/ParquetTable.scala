@@ -463,31 +463,44 @@ final class ParquetTable(
 
   /** UPDATE t SET <set> WHERE <pred> — read-modify-rewrite. When `pred`
     * pins every partition column with an equality (`InsertDate = X AND
-    * …`) and `set` leaves the partition columns alone, only that
-    * partition is read and rewritten — Delta's partition pruning for
+    * …`) — or, on a single-column-partitioned table, is a pure
+    * membership pin (`InsertDate IN (X, Y)` / its OR spelling) — and
+    * `set` leaves the partition columns alone, only the pinned
+    * partitions are read and rewritten — Delta's partition pruning for
     * generic DML, so callers don't have to know about
     * [[updateInPartition]]. Anything else rewrites the whole table. */
   def update(pred: Column, set: Map[String, Column]): Unit = {
-    val routed = pinnedSpec(pred) match {
-      case Some((values, _))
-          if values.size == partitionCols.size &&
-            !set.keys.exists(k => partitionCols.exists(_.equalsIgnoreCase(k))) =>
-        recover()
-        if (fs.exists(new Path(dest, partitionRel(values)))) {
-          val cur = readPartitionWithValues(values)
-          overwritePartition(values, cur.select(cur.columns.map { c =>
-            set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-          }.toSeq: _*).drop(partitionCols: _*))
-        }
-        true
-      case _ => false
-    }
-    if (!routed) {
-      val cur = read()
-      overwrite(cur.select(cur.columns.map { c =>
+    def rewrite(cur: DataFrame): DataFrame =
+      cur.select(cur.columns.map { c =>
         set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-      }.toSeq: _*))
-    }
+      }.toSeq: _*)
+    val setTouchesPartition =
+      set.keys.exists(k => partitionCols.exists(_.equalsIgnoreCase(k)))
+    val routed =
+      if (setTouchesPartition) false
+      else inPinnedValues(pred) match {
+        case Some(values) if partitionCols.size == 1 =>
+          recover()
+          values.foreach { v =>
+            val spec = Seq(partitionCols.head -> v)
+            if (fs.exists(new Path(dest, partitionRel(spec)))) {
+              val cur = readPartitionWithValues(spec)
+              overwritePartition(spec, rewrite(cur).drop(partitionCols: _*))
+            }
+          }
+          true
+        case _ => pinnedSpec(pred) match {
+          case Some((values, _)) if values.size == partitionCols.size =>
+            recover()
+            if (fs.exists(new Path(dest, partitionRel(values)))) {
+              val cur = readPartitionWithValues(values)
+              overwritePartition(values, rewrite(cur).drop(partitionCols: _*))
+            }
+            true
+          case _ => false
+        }
+      }
+    if (!routed) overwrite(rewrite(read()))
   }
 
   /** UPDATE scoped to one partition: reads and rewrites ONLY that

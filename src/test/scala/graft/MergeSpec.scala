@@ -371,6 +371,17 @@ class MergeSpec extends AnyFunSuite {
       .collect().toSet === Set(1L, 3L))
   }
 
+  test("generic update with a partition IN-list touches only the listed partitions") {
+    val dir = Files.createTempDirectory("pt-route-uin")
+    val pt = ParquetTable(spark, "ru", s"$dir/ru", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c")).toDF("k", "v", "d"))
+    val bBefore = dayFiles(dir, "ru/d=b")
+    pt.update(col("d").isin("a", "c"), Map("v" -> lit(9.0)))
+    assert(dayFiles(dir, "ru/d=b") === bBefore) // untouched
+    val got = pt.read().orderBy("k").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.toSeq === Seq(1L -> 9.0, 2L -> 2.0, 3L -> 9.0))
+  }
+
   test("unroutable predicates fall back to the full rewrite with identical semantics") {
     val dir = Files.createTempDirectory("pt-route4")
     val pt = ParquetTable(spark, "r4", s"$dir/r4", dayShape, partitionCols = Seq("d"))
