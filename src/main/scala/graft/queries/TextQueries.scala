@@ -125,6 +125,13 @@ object TextQueries {
        |  LEFT JOIN wtok wt ON wt.w = wc.w
        |  GROUP BY d.doc_id)""".stripMargin
 
+  /** 15 novel pad tokens appended to the q_containment planted copies:
+    * containment of the original stays exactly 1.0 (all its grams
+    * survive the append) while Jaccard drops to ~0.85 — inside LSH
+    * banding recall, outside a 0.9 Jaccard threshold. */
+  private val containmentPad: String =
+    (1 to 15).map(i => s"padx$i").mkString(" ")
+
   /** The `q_bm25` query — ONE term list feeds both the Spark entry and
     * the generated oracle below, so the two can never drift. */
   private val bm25Terms = Seq("spark", "stream", "merge", "window")
@@ -935,6 +942,47 @@ object TextQueries {
               |  CASE WHEN un = 0 THEN 0.0 ELSE inter / un END AS jaccard
               |FROM scored
               |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // CONTAINMENT dedup: pairs where the smaller doc's 3-gram set is
+    // ≥90% inside the larger's — catches wholesale inclusion (a doc
+    // embedded in a longer one) that Jaccard under-scores. Fixture
+    // plants 15 extended copies (original + 15 novel pad tokens):
+    // containment is exactly 1.0 while Jaccard is ~0.85. The oracle is
+    // the exact all-pairs recomputation; same deterministic-recall
+    // argument as q_neardup_pairs.
+    "q_containment" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 15).select(
+            (col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" " + containmentPad)).as("text")))
+        Dedup.containmentPairs(planted, "doc_id", "text", threshold = 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH docs3 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 300000 AS doc_id,
+              |    concat(text, ' $containmentPad') AS text
+              |  FROM documents WHERE doc_id < 15),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs3),
+              |grams AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+              |    i -> array_to_string(t[i:i+2], ' '))) AS g
+              |  FROM toks),
+              |scored AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    round(CASE WHEN least(len(a.g), len(b.g)) = 0 THEN 0.0
+              |      ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              |           / CAST(least(len(a.g), len(b.g)) AS DOUBLE) END, 4)
+              |      AS containment
+              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, containment
+              |FROM scored WHERE containment >= 0.9
               |ORDER BY id_a, id_b""".stripMargin)),
 
     // Near-dup CLUSTERING: connected components over the verified pair

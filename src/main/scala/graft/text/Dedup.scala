@@ -448,6 +448,47 @@ object Dedup {
     df.join(losersSide, Seq(idCol), "left_anti")
   }
 
+  /** Containment near-duplicates: pairs where the SMALLER document's
+    * n-gram set is nearly a subset of the larger's —
+    * `|A∩B| / min(|A|,|B|) ≥ threshold`. Jaccard misses wholesale
+    * inclusion (a document quoted inside a much larger one scores
+    * |A|/|B| ≈ small), containment is exactly that detector. Candidates
+    * come from the same banded-LSH plan as [[verifiedNearDuplicates]]
+    * but WITHOUT the estimated-Jaccard pre-filter (the estimate bounds
+    * Jaccard, not containment — a high-containment low-Jaccard pair
+    * would be wrongly discarded); precision still comes from the exact
+    * hash-set verify. Banding is FINER than the Jaccard path's
+    * (default bands=32 → rows-per-band r=2, band hit P = J²): a
+    * containment detector hunts pairs whose Jaccard is LOW by design
+    * (small-in-large inclusion), so the J⁴ bands that suffice for
+    * near-identical pairs would miss them — r=2 holds recall down to
+    * J ≈ 0.4 at the cost of more (exactly-verified) candidates, the
+    * deliberate trade for this operator. Extreme asymmetry (J ≪ 0.3)
+    * still needs a dedicated seed-gram index — out of scope,
+    * documented. Raw text never shuffles: same semi-join-reduced
+    * hash-set verify as the Jaccard path. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.9, w: Int = 3,
+                       k: Int = 64, bands: Int = 32): DataFrame = {
+    val pairs = candidatePairs(df, idCol, textCol, w, k, bands)
+      .select(col("id_a"), col("id_b"))
+    val inPairs = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val sets = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .join(inPairs, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(shingleHashesFromTokenHashes(col("th"), w)).as("g"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val minSize = least(size(col("ga")), size(col("gb"))).cast("double")
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(when(minSize === 0, lit(0.0)).otherwise(inter / minSize), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Quality-keeper dedup: like [[nearDupSurvivors]], but every
     * cluster keeps its BEST document by `score` (ties → min id)
     * instead of the minimum id — what a curation pipeline actually

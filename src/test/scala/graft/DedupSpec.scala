@@ -161,6 +161,26 @@ class DedupSpec extends AnyFunSuite {
     assert(comps(100L) == 0L && comps(200L) == 0L && comps(7L) == 7L, comps)
   }
 
+  test("containmentPairs catches small-in-large inclusion that Jaccard misses") {
+    // doc 1 (12 tokens) is wholly contained in doc 2 (30 tokens):
+    // containment = 1.0, Jaccard ≈ 10/28 ≈ 0.36
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val big = small + " one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val df = Seq(
+      (1L, small), (2L, big),
+      (9L, "entirely unrelated content about something else altogether " +
+        "with many distinct words appearing only here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)), pairs.toSeq)
+    // the Jaccard path at the same bar rightly reports nothing — the
+    // two operators answer different questions
+    assert(Dedup.verifiedNearDuplicates(df, "doc_id", "text", threshold = 0.9)
+      .count() === 0)
+  }
+
   test("nearDupBestSurvivors keeps the best-scoring doc, not the min id") {
     // same cluster fixture as above, but an injected score makes the
     // HIGHEST id the cluster's best — the keeper must follow the score
