@@ -433,6 +433,41 @@ object TextQueries {
              |SELECT doc_id, shard, CAST(bin AS INT) AS bin, n_tokens
              |FROM pack ORDER BY doc_id""".stripMargin)),
 
+    // Packing on SUBWORD weights: the same greedy sharded packer, but
+    // the budget is real model tokens (the graft_subword kernel), not
+    // whitespace words — what a training run actually packs 1024-token
+    // sequences by. Two recursions compose in the oracle: the greedy
+    // subword walk produces per-doc weights, the packing recursion
+    // replays the bin assignment.
+    "q_pack_subword" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.subwordStats(col("text"))
+              .getField("n_subwords").as("n_subwords"))
+        graft.text.Packing.packGreedy(docs, "doc_id", col("n_subwords"),
+          budget = 1024, shardSize = 100)
+          .withColumnRenamed("n_tokens", "n_subwords")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${subwordCtes("documents")},
+             |seq AS (
+             |  SELECT d.doc_id, d.doc_id // 100 AS shard, s.n_subwords AS w,
+             |    row_number() OVER (PARTITION BY d.doc_id // 100
+             |                       ORDER BY d.doc_id) AS rn
+             |  FROM documents d JOIN docsw s USING (doc_id)),
+             |pack AS (
+             |  SELECT shard, rn, doc_id, w, 0 AS bin, w AS acc
+             |  FROM seq WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.shard, s.rn, s.doc_id, s.w,
+             |    CASE WHEN p.acc + s.w <= 1024 THEN p.bin ELSE p.bin + 1 END,
+             |    CASE WHEN p.acc + s.w <= 1024 THEN p.acc + s.w ELSE s.w END
+             |  FROM seq s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1)
+             |SELECT doc_id, shard, CAST(bin AS INT) AS bin,
+             |  CAST(w AS BIGINT) AS n_subwords
+             |FROM pack ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test assignment (graft.plans.Splits):
     // md5-bucket hashing keyed on doc_id — stable across runs, engines
     // and repartitioning, fully map-side. The whole assignment is
