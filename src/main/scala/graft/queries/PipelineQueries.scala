@@ -79,6 +79,34 @@ object PipelineQueries {
              |FROM nation ORDER BY nation_key""".stripMargin),
       bench = false),
 
+    // S1 (json): same slice through the JSON-lines source — the format
+    // branch of the file-stream source gets its own correctness gate,
+    // not just the spec-level orc/json coverage.
+    "q_ingest_json" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-ingest-json")
+        val rows = Tables.load(s, dir, "nation")
+          .orderBy(col("n_nationkey"))
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .collect()
+        val lines = rows.map { r =>
+          s"""{"n_nationkey":${r.getInt(0)},"n_name":"${r.getString(1)}","n_regionkey":${r.getInt(2)}}"""
+        }
+        val src = Files.createDirectories(tmp.resolve("src"))
+        Files.writeString(src.resolve("feed.json"), lines.mkString("\n"))
+        ingest(s, nationFeed(src.toString, pii = false)
+          .copy(SourceFileFormat = "json", SourceFileHeader = 0,
+            SourceFileDelimiter = ""),
+          tmp, pii = false)
+          .target.read().orderBy(col("nation_key"))
+      },
+      Some("""SELECT n_nationkey AS nation_key, n_name AS nation_name,
+             |  n_regionkey AS region_key, 1 AS BatchId,
+             |  DATE '2024-01-15' AS InsertDate,
+             |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
+             |FROM nation ORDER BY nation_key""".stripMargin),
+      bench = false),
+
     // P4: the PII shadow table is byte-identical except masked columns.
     "q_ingest_pii" -> Q(
       (s, dir) => {
