@@ -79,6 +79,13 @@ final class ParquetTable(
     val f = fs
     if (!f.exists(dest) && f.exists(oldPath) && !f.rename(oldPath, dest))
       throw new java.io.IOException(s"swap recovery failed for $path")
+    // dest present AND .__old present = a swap (or migrateToHiveLayout)
+    // crashed between its final rename and the reclaim — the parked
+    // copy is superseded garbage. Without this sweep a table mutated
+    // only through partition-scoped ops afterwards would keep a
+    // FULL-SIZE stale copy forever.
+    else if (f.exists(dest) && f.exists(oldPath))
+      f.delete(oldPath, true)
     if (partitionCols.nonEmpty && f.exists(partOldRoot)) {
       // listStatus paths come back scheme-qualified; relativize against
       // the equally-qualified root or the relative path is garbage
@@ -219,7 +226,7 @@ final class ParquetTable(
       if (partitionCols.isEmpty) Nil
       else dirsAtDepth(dest, partitionCols.size).flatMap { live =>
         val marks = readTxns(live)
-        if (marks.isEmpty) None else Some(relUnder(dest, live) -> marks)
+        if (marks.isEmpty) None else Some(partitionRelOf(live) -> marks)
       }
     writer(df).mode("overwrite").parquet(stagePath.toString)
     val txns = txn.fold(carried)(carried + _)
@@ -236,9 +243,10 @@ final class ParquetTable(
     f.delete(oldPath, true)
   }
 
-  /** `a=1/b=2` relative path of a partition dir `depth` levels under
-    * `root` (inverse of [[dirsAtDepth]]'s walk). */
-  private def relUnder(root: Path, dir: Path): String = {
+  /** `a=1/b=2` relative path of a full partition directory — the last
+    * [[partitionCols]].size segments of `dir` (inverse of
+    * [[dirsAtDepth]]'s walk from any root). */
+  private def partitionRelOf(dir: Path): String = {
     val segs = List.newBuilder[String]
     var cur = dir
     (0 until partitionCols.size).foreach { _ =>
@@ -364,18 +372,6 @@ final class ParquetTable(
     }
   }
 
-  /** Equality conjuncts on partition columns inside `pred`, extracted
-    * so generic DML can prune like Delta does: the reference issues
-    * `DELETE … WHERE InsertDate = CURRENT_DATE()` as a plain predicate
-    * (`notebooks/Data Ingestion Helper.py:140`) and expects the engine —
-    * not the caller — to turn it into a partition-scoped operation.
-    * Returns the pinned `(col, value)` pairs in [[partitionCols]] order
-    * plus whether the WHOLE predicate was consumed by those pins (no
-    * residual → the partition directory itself is the delete target).
-    * Conservative: anything unrecognizable (OR at top level, casts
-    * around the attribute, conflicting pins, values needing hive
-    * escaping) yields None and the caller falls back to the full
-    * rewrite — routing must never change semantics. */
   /** The literal rendered exactly as the hive directory name renders
     * it. Only two shapes are trusted: a literal already OF the
     * partition column's type, or a string literal (which comparison
@@ -400,6 +396,18 @@ final class ParquetTable(
         .map(_.toString))
   }
 
+  /** Equality conjuncts on partition columns inside `pred`, extracted
+    * so generic DML can prune like Delta does: the reference issues
+    * `DELETE … WHERE InsertDate = CURRENT_DATE()` as a plain predicate
+    * (`notebooks/Data Ingestion Helper.py:140`) and expects the engine —
+    * not the caller — to turn it into a partition-scoped operation.
+    * Returns the pinned `(col, value)` pairs in [[partitionCols]] order
+    * plus whether the WHOLE predicate was consumed by those pins (no
+    * residual → the partition directory itself is the delete target).
+    * Conservative: anything unrecognizable (mixed ORs, casts around
+    * the attribute, conflicting pins, values needing hive escaping)
+    * yields None and the caller falls back to the full rewrite —
+    * routing must never change semantics. */
   private def pinnedSpec(pred: Column): Option[(Seq[(String, String)], Boolean)] = {
     import org.apache.spark.sql.graft.{AttrEqLit, ColumnBridge}
     if (partitionCols.isEmpty) return None
@@ -639,9 +647,15 @@ final class ParquetTable(
       insertDefaults: Map[String, Column] = Map.empty,
       txn: Option[(String, Long)] = None): Unit = {
     require(partitionCols.nonEmpty, "upsertInPartitions needs a partitioned table")
-    require(partitionCols.forall(source.columns.contains),
+    // case-INSENSITIVE matching throughout, like Spark's own column
+    // resolution (and like UpsertSink's routing check — a key spelled
+    // "insertdate" against partition column "InsertDate" must behave
+    // identically on both sides of that boundary)
+    require(partitionCols.forall(p =>
+      source.columns.exists(_.equalsIgnoreCase(p))),
       s"source must carry partition columns ${partitionCols.mkString(",")}")
-    val effectiveKeys = keys.filterNot(partitionCols.contains)
+    val effectiveKeys =
+      keys.filterNot(k => partitionCols.exists(_.equalsIgnoreCase(k)))
     require(effectiveKeys.nonEmpty,
       "keys must include at least one non-partition column")
     recover()

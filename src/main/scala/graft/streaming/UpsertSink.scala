@@ -79,10 +79,15 @@ final class UpsertSink(
     finally in.close()
   }
 
-  /** Highest batch id already committed in this checkpoint generation,
-    * -1 before the first — across the root marker AND every
-    * partition-local marker, so it answers correctly for both routing
-    * modes. */
+  /** HIGH-WATER mark of this checkpoint generation: the highest batch
+    * id any marker (root or partition-local) carries, -1 before the
+    * first. For the whole-table route this IS "batch N is durable".
+    * For the partition-scoped route it means "batch N REACHED at least
+    * one partition": a crash mid-batch can leave other partitions a
+    * batch behind until the engine redelivers and the per-partition
+    * markers reconcile them — so treat it as progress telemetry, not a
+    * durability gate (the durability story is the per-partition
+    * markers themselves). */
   def lastCommitted: Long =
     table.lastTxnAcrossPartitions(epoch()).getOrElse(-1L)
 

@@ -429,6 +429,34 @@ class MergeSpec extends AnyFunSuite {
     assert(pt.read().select("k").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("recover() sweeps a superseded .__old copy left by an interrupted swap") {
+    val dir = Files.createTempDirectory("pt-oldsweep")
+    val pt = ParquetTable(spark, "os", s"$dir/os", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a")).toDF("k", "v", "d"))
+    // simulate a crash after the final rename but before the reclaim:
+    // dest is live, a full stale copy sits at .__old
+    val old = dir.resolve("os.__old")
+    Files.createDirectories(old.resolve("d=zzz"))
+    Files.write(old.resolve("d=zzz/stale.parquet"), Array[Byte](1, 2, 3))
+    // a partition-scoped op (the 100 TB access pattern) must reclaim it
+    pt.deletePartitions(Seq("d" -> "none"))
+    assert(!Files.exists(old), "superseded .__old copy never reclaimed")
+    assert(pt.read().count() === 1)
+  }
+
+  test("upsertInPartitions accepts case-mismatched key/partition spellings") {
+    // Spark resolves columns case-insensitively; the partition-key
+    // filter must too, or a key spelled "D" against partition column
+    // "d" merges on a dropped column and crashes every batch
+    val dir = Files.createTempDirectory("pt-casekeys")
+    val pt = ParquetTable(spark, "ck", s"$dir/ck", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a")).toDF("k", "v", "d"))
+    pt.upsertInPartitions(Seq((1L, 9.0, "a"), (2L, 2.0, "a")).toDF("k", "v", "d"),
+      keys = Seq("K", "D"), Map("v" -> Merge.src("v")))
+    val got = pt.read().orderBy("k").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.toSeq === Seq(1L -> 9.0, 2L -> 2.0))
+  }
+
   test("migrateToHiveLayout self-heals a crash between its two renames") {
     val dir = Files.createTempDirectory("pt-legacy-crash")
     val legacy = ParquetTable(spark, "lc", s"$dir/lc", dayShape)
