@@ -107,6 +107,29 @@ object PipelineQueries {
              |FROM nation ORDER BY nation_key""".stripMargin),
       bench = false),
 
+    // S1 (orc): and the ORC branch — all four source formats of the
+    // file-stream source now carry the same oracle gate.
+    "q_ingest_orc" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-ingest-orc")
+        val src = tmp.resolve("src")
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .coalesce(1)
+          .write.orc(src.toString)
+        ingest(s, nationFeed(src.toString, pii = false)
+          .copy(SourceFileFormat = "orc", SourceFileHeader = 0,
+            SourceFileDelimiter = ""),
+          tmp, pii = false)
+          .target.read().orderBy(col("nation_key"))
+      },
+      Some("""SELECT n_nationkey AS nation_key, n_name AS nation_name,
+             |  n_regionkey AS region_key, 1 AS BatchId,
+             |  DATE '2024-01-15' AS InsertDate,
+             |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
+             |FROM nation ORDER BY nation_key""".stripMargin),
+      bench = false),
+
     // P4: the PII shadow table is byte-identical except masked columns.
     "q_ingest_pii" -> Q(
       (s, dir) => {
