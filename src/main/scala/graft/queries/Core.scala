@@ -194,6 +194,34 @@ object Core {
              |ON p.user_id = v.user_id AND p.ts >= v.view_ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // FORWARD as-of: each view picks up the NEXT purchase by the same
+    // user at-or-after its timestamp (conversion attribution looking
+    // ahead) — the mirrored direction of q_asof_join, same one-shuffle
+    // union+window plan. DuckDB's ASOF accepts the <= inequality, so
+    // the oracle stays the native form.
+    "q_asof_forward" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+          .withColumnRenamed("ts", "purchase_ts")
+        graft.plans.AsofJoin.forward(views, purchases, "user_id", "ts", "purchase_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT v.event_id, v.user_id, v.ts, v.value,
+             |  p.purchase_ts, p.purchase_value
+             |FROM (SELECT event_id, user_id, ts, value FROM events
+             |      WHERE event_type = 'view') v
+             |ASOF LEFT JOIN (SELECT user_id, ts AS purchase_ts,
+             |                  max(value) AS purchase_value
+             |                FROM events WHERE event_type = 'purchase'
+             |                GROUP BY user_id, ts) p
+             |ON v.user_id = p.user_id AND v.ts <= p.purchase_ts
+             |ORDER BY v.event_id""".stripMargin)),
+
     // Analytic window functions: row numbering, lag/lead, running sum,
     // ntile — the per-key sequence features a training pipeline derives
     // from event history. One shuffle (partition by user), sorted once,
