@@ -103,6 +103,24 @@ class PlanSpec extends AnyFunSuite {
     assert("Relation \\[".r.findAllIn(qe.optimizedPlan.toString).size == 1, plan)
   }
 
+  test("pagerank iterations are equi joins — no cartesian, no row expansion") {
+    val plan = SparkEntry.queries("q_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
+  test("token-budget sampling shuffles once: the per-stratum window") {
+    // the subword weight is map-side; the only hash exchange allowed is
+    // the window's stratum partitioning (plus the output orderBy range)
+    val plan = SparkEntry.queries("q_token_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n$plan")
+    assert(!plan.contains("BatchEvalPython"), plan)
+  }
+
   test("bm25 never explodes or shuffles the corpus; top-k is TakeOrdered") {
     // per-term tf comes from map-side array HOFs (no Generate), corpus
     // stats are a one-row broadcast, and the only wide op allowed is
