@@ -45,6 +45,18 @@ object ColumnBridge {
     case NFn("or", _, _, _, _, _) =>
       Seq(orAsIn(n))
     case ExpressionColumnNode(e, _) => flattenExpr(e)
+    // expr("InsertDate = '2024-01-01'") carries the RAW SQL TEXT — and
+    // SQL-text predicates are exactly how the reference issues DML, so
+    // they must route like the builder form. Parse through the active
+    // session's parser (unresolved attributes + literals are all the
+    // classifier needs); any parse failure stays Opaque.
+    case org.apache.spark.sql.internal.SqlExpression(sql, _) =>
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) =>
+          scala.util.Try(s.sessionState.sqlParser.parseExpression(sql))
+            .map(flattenExpr).getOrElse(Seq(Opaque))
+        case None => Seq(Opaque)
+      }
     case _ => Seq(Opaque)
   }
 

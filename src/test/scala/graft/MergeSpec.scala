@@ -325,6 +325,22 @@ class MergeSpec extends AnyFunSuite {
     assert(pt.read().select("k").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("SQL-text predicates (the reference's DML style) route like the builder form") {
+    val dir = Files.createTempDirectory("pt-route-sql")
+    val pt = ParquetTable(spark, "rs", s"$dir/rs", dayShape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c")).toDF("k", "v", "d"))
+    val bBefore = dayFiles(dir, "rs/d=b")
+    // the reference issues DELETE ... WHERE InsertDate = '...' as SQL
+    // text; expr() predicates must prune identically
+    pt.deleteWhere(expr("d = 'a'"))
+    assert(!Files.exists(dir.resolve("rs/d=a")))
+    assert(dayFiles(dir, "rs/d=b") === bBefore)
+    pt.deleteWhere(expr("d IN ('c', 'zzz')"))
+    assert(!Files.exists(dir.resolve("rs/d=c")))
+    assert(dayFiles(dir, "rs/d=b") === bBefore)
+    assert(pt.read().select("k").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("generic deleteWhere with a partition IN-list (and its OR spelling) drops directories") {
     val dir = Files.createTempDirectory("pt-route-in")
     val pt = ParquetTable(spark, "ri", s"$dir/ri", dayShape, partitionCols = Seq("d"))
