@@ -32,7 +32,10 @@ import graft.catalog.ParquetTable
   * merge row for row. Keys that do NOT cover the partition columns
   * (a source row for key k on day2 must update k's existing row on
   * day1) fall back to the whole-table upsert — still exactly-once via
-  * the root marker's atomic swap, just not partition-pruned.
+  * the root marker's atomic swap, just not partition-pruned. So do
+  * keys that are EXACTLY the partition columns (a daily-rollup table
+  * keyed on InsertDate alone): the partition-scoped merge matches on
+  * the residual non-partition keys, and that set would be empty.
   *
   * The marker key is an EPOCH — a random id stored in
   * `<checkpointDir>/graft_epoch`, created together with the streaming
@@ -70,9 +73,18 @@ final class UpsertSink(
       val out = f.create(tmp, false)
       try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
       finally out.close()
-      // rename-if-absent: losing the race is benign — the winner's id
-      // stands (HDFS rename won't clobber an existing file)
-      if (!f.rename(tmp, epochPath)) f.delete(tmp, false)
+      // rename-if-absent through FileContext: with no Rename.OVERWRITE
+      // option the rename FAILS on an existing destination on every
+      // FileSystem — FileSystem.rename on RawLocalFileSystem clobbers
+      // POSIX-style, which would let a racing second initializer rotate
+      // the epoch AFTER the winner already read it. Losing the race is
+      // benign: drop the tmp, read the winner's id below.
+      try
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(epochPath.toUri,
+            table.spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, epochPath)
+      catch { case _: java.io.IOException => f.delete(tmp, false) }
     }
     val in = f.open(epochPath)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -92,16 +104,27 @@ final class UpsertSink(
     table.lastTxnAcrossPartitions(epoch()).getOrElse(-1L)
 
   /** Partition-scoped merges are only semantics-preserving when a row's
-    * merge key pins its partition (see class doc). */
+    * merge key pins its partition (see class doc) — AND the key set
+    * must carry at least one non-partition column, because the
+    * per-partition merge matches rows on exactly those residual keys
+    * (keys = the partition columns alone, e.g. a daily-rollup table
+    * keyed on InsertDate, would leave it nothing to match on; that
+    * shape takes the whole-table route, which handles it fine). */
   private def partitionScoped: Boolean =
     table.partitionCols.nonEmpty &&
-      table.partitionCols.forall(p => keys.exists(_.equalsIgnoreCase(p)))
+      table.partitionCols.forall(p => keys.exists(_.equalsIgnoreCase(p))) &&
+      keys.exists(k => !table.partitionCols.exists(_.equalsIgnoreCase(k)))
 
   /** The foreachBatch body: `stream.writeStream.foreachBatch(sink.apply _)`.
     * Pass the SAME directory as `option("checkpointLocation", …)`. */
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val ep = epoch()
     if (partitionScoped) {
+      // a batch that committed earlier through the WHOLE-TABLE route
+      // (e.g. a sink redeployed across a routing change) carries only
+      // the root marker — which is always a sound skip signal, so
+      // consult it before the per-partition ones
+      if (table.lastTxn(ep).exists(batchId <= _)) return
       // per-partition markers: redelivery skips exactly the partitions
       // the crashed attempt already swapped
       table.createIfNotExists()

@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, In, Literal => CLit, Or}
-import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
-import org.apache.spark.sql.internal.{ColumnNode, Literal => NLit, UnresolvedAttribute => NAttr, UnresolvedFunction => NFn}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, In, Literal => CLit, Or, TimeZoneAwareExpression}
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode, ExpressionUtils}
+import org.apache.spark.sql.internal.{ColumnNode, Literal => NLit, SQLConf, UnresolvedAttribute => NAttr, UnresolvedFunction => NFn}
 
 /** What a predicate's top-level AND tree says about one conjunct:
   * a recognizable `column = literal` equality (both operand orders), a
@@ -61,22 +61,65 @@ object ColumnBridge {
   }
 
   private def eqNode(a: ColumnNode, b: ColumnNode): Conjunct = (a, b) match {
-    case (NAttr(scala.collection.Seq(name), _, _, _), NLit(v, dt, _)) =>
-      scala.util.Try(AttrEqLit(name, toLit(v, dt))).getOrElse(Opaque)
-    case (NLit(v, dt, _), NAttr(scala.collection.Seq(name), _, _, _)) =>
-      scala.util.Try(AttrEqLit(name, toLit(v, dt))).getOrElse(Opaque)
+    case (NAttr(scala.collection.Seq(name), _, _, _), v) =>
+      nodeLit(v).map(AttrEqLit(name, _)).getOrElse(Opaque)
+    case (v, NAttr(scala.collection.Seq(name), _, _, _)) =>
+      nodeLit(v).map(AttrEqLit(name, _)).getOrElse(Opaque)
     case _ => Opaque
   }
 
   private def inNode(a: ColumnNode, vals: Seq[ColumnNode]): Conjunct = a match {
     case NAttr(scala.collection.Seq(name), _, _, _) if vals.nonEmpty =>
-      val lits = vals.map {
-        case NLit(v, dt, _) => scala.util.Try(toLit(v, dt)).toOption
-        case _ => None
-      }
+      val lits = vals.map(nodeLit)
       if (lits.forall(_.isDefined)) AttrInLits(name, lits.map(_.get))
       else Opaque
     case _ => Opaque
+  }
+
+  /** The value side of a pin as a Literal: a literal node directly, or
+    * a deterministic foldable expression (`current_date()`,
+    * `CAST('2024-01-01' AS DATE)`) constant-folded — the reference's
+    * daily delete pins its partition with exactly that shape
+    * (`DELETE … WHERE InsertDate = CURRENT_DATE()`), and routing must
+    * see through it the way Catalyst's ConstantFolding does. Anything
+    * non-foldable or nondeterministic stays None → Opaque. */
+  private def nodeLit(n: ColumnNode): Option[CLit] = n match {
+    case NLit(v, dt, _) => scala.util.Try(toLit(v, dt)).toOption
+    case NAttr(_, _, _, _) => None
+    case _ =>
+      scala.util.Try(ColumnNodeToExpressionConverter(n)).toOption.flatMap(foldLit)
+  }
+
+  /** Constant-fold a value expression to the Literal it denotes.
+    * Timezone-aware foldables (CurrentDate, string→date casts) parsed
+    * from SQL text carry no zone yet — resolve them against the session
+    * zone first, exactly what analysis' ResolveTimeZone would do. */
+  private def foldLit(e: Expression): Option[CLit] = e match {
+    case l: CLit => Some(l)
+    case _ =>
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, UnresolvedFunction => UFn}
+      val resolved = e.transformUp {
+        // builtin-function lookup (ResolveFunctions' simple case):
+        // CURRENT_DATE() parsed from SQL text is still unresolved here
+        case f: UFn if f.nameParts.size == 1 && !f.isDistinct &&
+            f.filter.isEmpty && f.orderingWithinGroup.isEmpty =>
+          scala.util.Try(FunctionRegistry.builtin.lookupFunction(
+            FunctionIdentifier(f.nameParts.head), f.arguments)).getOrElse(f)
+      }.transformUp {
+        // unevaluable wrappers like to_date expose their real form via
+        // replacement (the optimizer's ReplaceExpressions rule)
+        case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+            if r.childrenResolved => r.replacement
+      }.transformUp {
+        // session-zone assignment (ResolveTimeZone): CurrentDate and
+        // string→date casts need a zone before they can eval
+        case t: TimeZoneAwareExpression if t.timeZoneId.isEmpty =>
+          t.withTimeZone(SQLConf.get.sessionLocalTimeZone)
+      }
+      if (resolved.resolved && resolved.foldable && resolved.deterministic)
+        scala.util.Try(CLit.create(resolved.eval(null), resolved.dataType)).toOption
+      else None
   }
 
   /** An OR tree that is entirely `col = lit` equalities on ONE shared
@@ -106,15 +149,21 @@ object ColumnBridge {
 
   private def flattenExpr(e: Expression): Seq[Conjunct] = e match {
     case And(l, r) => flattenExpr(l) ++ flattenExpr(r)
-    case EqualTo(a: Attribute, l: CLit) => Seq(AttrEqLit(a.name, l))
-    case EqualTo(l: CLit, a: Attribute) => Seq(AttrEqLit(a.name, l))
-    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[CLit]) =>
-      Seq(AttrInLits(a.name, vs.map(_.asInstanceOf[CLit])))
+    case EqualTo(a: Attribute, v) =>
+      Seq(foldLit(v).map(AttrEqLit(a.name, _)).getOrElse(Opaque))
+    case EqualTo(v, a: Attribute) =>
+      Seq(foldLit(v).map(AttrEqLit(a.name, _)).getOrElse(Opaque))
+    case In(a: Attribute, vs) if vs.nonEmpty =>
+      val lits = vs.map(foldLit)
+      if (lits.forall(_.isDefined)) Seq(AttrInLits(a.name, lits.map(_.get)))
+      else Seq(Opaque)
     case o: Or =>
       def leaves(x: Expression): Option[Seq[Conjunct]] = x match {
         case Or(l, r) => for (a <- leaves(l); b <- leaves(r)) yield a ++ b
-        case EqualTo(a: Attribute, l: CLit) => Some(Seq(AttrEqLit(a.name, l)))
-        case EqualTo(l: CLit, a: Attribute) => Some(Seq(AttrEqLit(a.name, l)))
+        case EqualTo(a: Attribute, v) =>
+          foldLit(v).map(l => Seq(AttrEqLit(a.name, l)))
+        case EqualTo(v, a: Attribute) =>
+          foldLit(v).map(l => Seq(AttrEqLit(a.name, l)))
         case _ => None
       }
       leaves(o) match {

@@ -47,6 +47,39 @@ class ColumnBridgeSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic foldable value sides constant-fold to literals") {
+    // the reference's daily delete pins its partition with exactly
+    // this shape — DELETE … WHERE InsertDate = CURRENT_DATE() — and
+    // routing must see through it like Catalyst's ConstantFolding
+    spark.sparkContext
+    ColumnBridge.conjuncts(expr("d = CURRENT_DATE()")) match {
+      case Seq(AttrEqLit("d", l)) =>
+        assert(l.dataType === org.apache.spark.sql.types.DateType)
+      case other => fail(other.toString)
+    }
+    // node dialect: the builder spelling of the same predicate
+    ColumnBridge.conjuncts(col("d") === current_date()) match {
+      case Seq(AttrEqLit("d", l)) =>
+        assert(l.dataType === org.apache.spark.sql.types.DateType)
+      case other => fail(other.toString)
+    }
+    // tz-aware cast of a literal folds (ResolveTimeZone + eval)
+    ColumnBridge.conjuncts(expr("d = CAST('2024-01-01' AS DATE)")) match {
+      case Seq(AttrEqLit("d", l)) =>
+        assert(String.valueOf(l.value) === "19723")
+      case other => fail(other.toString)
+    }
+    // foldables inside IN lists fold too
+    ColumnBridge.conjuncts(expr("d IN (CURRENT_DATE(), DATE'2024-01-01')")) match {
+      case Seq(AttrInLits("d", lits)) => assert(lits.size === 2)
+      case other => fail(other.toString)
+    }
+    // NONDETERMINISTIC values must NOT fold — a pin on rand() would
+    // freeze a value the predicate would re-draw per row
+    assert(ColumnBridge.conjuncts(col("d") === rand()) === Seq(Opaque))
+    assert(ColumnBridge.conjuncts(expr("d = rand()")) === Seq(Opaque))
+  }
+
   test("anything a pin could misread classifies Opaque") {
     // OR across different columns is NOT a membership
     assert(ColumnBridge.conjuncts(col("d") === "a" || col("k") === 1L)

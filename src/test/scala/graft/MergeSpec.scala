@@ -341,6 +341,28 @@ class MergeSpec extends AnyFunSuite {
     assert(pt.read().select("k").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("foldable pin values (CAST/DATE literals) route on a date-partitioned table") {
+    val dir = Files.createTempDirectory("pt-route-fold")
+    val shape = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType)))
+    val pt = ParquetTable(spark, "rf", s"$dir/rf", shape, partitionCols = Seq("d"))
+    pt.overwrite(Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("k", "d").select(col("k"), col("d").cast("date").as("d")))
+    val keepBefore = dayFiles(dir, "rf/d=2024-01-03")
+    // the reference's CURRENT_DATE() shape: a deterministic foldable
+    // value the classifier must constant-fold before routing
+    pt.deleteWhere(expr("d = CAST('2024-01-01' AS DATE)"))
+    assert(!Files.exists(dir.resolve("rf/d=2024-01-01")))
+    assert(dayFiles(dir, "rf/d=2024-01-03") === keepBefore)
+    pt.deleteWhere(col("d") === to_date(lit("2024-01-02")))
+    assert(!Files.exists(dir.resolve("rf/d=2024-01-02")))
+    assert(dayFiles(dir, "rf/d=2024-01-03") === keepBefore) // never rewritten
+    assert(pt.read().select("k").as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("generic deleteWhere with a partition IN-list (and its OR spelling) drops directories") {
     val dir = Files.createTempDirectory("pt-route-in")
     val pt = ParquetTable(spark, "ri", s"$dir/ri", dayShape, partitionCols = Seq("d"))

@@ -381,6 +381,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === Set((1L, 111.0, "2024-01-01"), (2L, 112.0, "2024-01-02")))
   }
 
+  test("sink keyed on exactly the partition columns takes the whole-table route") {
+    // daily-rollup shape: one row per InsertDate, keys = the partition
+    // column alone. Partition-scoped merging would have NO residual key
+    // to match on — the sink must fall back to the whole-table route
+    // (which handles it fine) instead of failing every batch.
+    val root = java.nio.file.Files.createTempDirectory("upsert-pkeys")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("InsertDate",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    val table = graft.catalog.ParquetTable(spark, "upsert_pk", s"$root/table",
+      schema, partitionCols = Seq("InsertDate"))
+    val sink = new graft.streaming.UpsertSink(table, Seq("InsertDate"),
+      Map("cnt" -> (graft.catalog.Merge.tgt("cnt") + graft.catalog.Merge.src("cnt"))),
+      s"$root/ckpt")
+    def state() = table.read().select("InsertDate", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sink.apply(Seq(("2024-01-01", 5L)).toDF("InsertDate", "cnt"), 0L)
+    sink.apply(Seq(("2024-01-01", 3L), ("2024-01-02", 1L))
+      .toDF("InsertDate", "cnt"), 1L)
+    assert(state() === Map("2024-01-01" -> 8L, "2024-01-02" -> 1L))
+    // additive update + redelivery: exactly-once via the root marker
+    sink.apply(Seq(("2024-01-01", 3L), ("2024-01-02", 1L))
+      .toDF("InsertDate", "cnt"), 1L)
+    assert(state() === Map("2024-01-01" -> 8L, "2024-01-02" -> 1L))
+  }
+
+  test("root marker from a pre-routing-change commit still dedups on the scoped route") {
+    // a sink redeployed across a keys change (whole-table → partition-
+    // scoped) redelivers its in-flight batch carrying only the ROOT
+    // marker; the scoped route must consult it and skip
+    val root = java.nio.file.Files.createTempDirectory("upsert-transition")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("InsertDate",
+        org.apache.spark.sql.types.StringType)))
+    val table = graft.catalog.ParquetTable(spark, "upsert_tr", s"$root/table",
+      schema, partitionCols = Seq("InsertDate"))
+    val add = Map("v" -> (graft.catalog.Merge.tgt("v") + graft.catalog.Merge.src("v")),
+      "InsertDate" -> graft.catalog.Merge.src("InsertDate"))
+    // keys don't cover the partition column → whole-table route, root marker
+    val before = new graft.streaming.UpsertSink(table, Seq("k"), add, s"$root/ckpt")
+    before.apply(Seq((1L, 1.0, "2024-01-01")).toDF("k", "v", "InsertDate"), 0L)
+    // redeploy with partition-covering keys → scoped route; batch 0
+    // redelivered (same epoch — the checkpoint was NOT reset)
+    val after = new graft.streaming.UpsertSink(table, Seq("k", "InsertDate"),
+      Map("v" -> (graft.catalog.Merge.tgt("v") + graft.catalog.Merge.src("v"))),
+      s"$root/ckpt")
+    after.apply(Seq((1L, 1.0, "2024-01-01")).toDF("k", "v", "InsertDate"), 0L)
+    // the non-idempotent addition must NOT re-apply
+    assert(table.read().collect().map(_.getDouble(1)).toSeq === Seq(1.0))
+    // a genuinely new batch still lands
+    after.apply(Seq((1L, 10.0, "2024-01-01")).toDF("k", "v", "InsertDate"), 1L)
+    assert(table.read().collect().map(_.getDouble(1)).toSeq === Seq(11.0))
+  }
+
   /** The sink's epoch id, read the same way the sink reads it. */
   private def sinkEpoch(root: java.nio.file.Path): String =
     new String(java.nio.file.Files.readAllBytes(
