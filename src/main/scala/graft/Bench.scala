@@ -40,11 +40,21 @@ object Bench {
     // shares cores with the OS, and min-of-2 strips scheduler noise
     // without hiding real cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = qs.map { name =>
+    // Per-attempt JVM telemetry: when a timing moves between rounds on
+    // unchanged code, gc/heap pressure is the first suspect — record it
+    // in the artifact so the investigation doesn't need a rerun.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    final case class Attempt(sec: Double, gcMs: Long, heapMb: Long)
+    val detail = qs.map { name =>
       // the production-plan variant where one exists (correctness-only
       // scaffolding like exact sketch twins stays out of the timings)
       val fn = graft.queries.Registry.benchQueries(name)
-      val timings = (1 to runs).map { _ =>
+      val attempts = (1 to runs).map { _ =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val t = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -53,10 +63,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
         }
+        val a = Attempt(t, gcMillis() - gc0, heapMb())
         resetState()
-        t
+        a
       }
-      name -> (if (timings.exists(_ < 0)) -1.0 else timings.min)
+      name -> attempts
+    }
+    val results = detail.map { case (name, attempts) =>
+      name -> (if (attempts.exists(_.sec < 0)) -1.0 else attempts.map(_.sec).min)
     }
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
@@ -88,6 +102,22 @@ object Bench {
         toJson(kept, results.size - kept.size)
       }
     println(line)
+    // Full per-attempt detail — every query, every attempt, with gc/heap —
+    // goes to a sidecar file (the stdout line is capped at ~1500 chars, so
+    // it can't carry 130 queries × 3 fields × 2 attempts). The driver's
+    // BENCH artifact stays parseable and byte-compatible; the repo keeps
+    // the telemetry for regression forensics.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailJson = detail.map { case (name, attempts) =>
+      val a = attempts.map(x =>
+        s"""{"sec":${fmt(x.sec)},"gc_ms":${x.gcMs},"heap_mb":${x.heapMb}}""")
+        .mkString("[", ",", "]")
+      "\"" + name + "\":" + a
+    }.mkString("{\"sf\":\"" + sfDir + "\",\"attempts\":{", ",", "}}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detailJson.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

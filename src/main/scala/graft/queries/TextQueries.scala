@@ -1048,8 +1048,9 @@ object TextQueries {
       (s, dir) => {
         val planted = plantedTrailing(s, dir)
         Dedup.nearDupBestSurvivors(planted, "doc_id", "text",
-          TextFunctions.qualityScore(col("text")), threshold = 0.5)
-          .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+          TextFunctions.qualityScore(col("text")), threshold = 0.5,
+          scoreOut = Some("quality"))
+          .select(col("doc_id"), col("quality"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE $componentsCtes,

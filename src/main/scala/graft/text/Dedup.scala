@@ -503,19 +503,31 @@ object Dedup {
   def nearDupBestSurvivors(df: DataFrame, idCol: String, textCol: String,
                            score: Column, threshold: Double = 0.7,
                            w: Int = 3, k: Int = 64,
-                           bands: Int = 16): DataFrame = {
+                           bands: Int = 16,
+                           scoreOut: Option[String] = None): DataFrame = {
     val pairs = verifiedNearDuplicates(df, idCol, textCol, threshold, w, k, bands)
       .select(col("id_a"), col("id_b"))
     val comps = connectedComponents(pairs)
     val small = comps.count() <= 1000000L // materialized above — count is free
     val compsSide = if (small) broadcast(comps) else comps
-    val dupScored = df.select(col(idCol).as("id"), score.as("__q"))
-      .join(compsSide, Seq("id"))
+    // join BEFORE scoring: the component labels prune the corpus down
+    // to the (tiny) dup set first, so `score` — typically a regex-heavy
+    // quality composite — evaluates per DUP doc, never corpus-wide
+    // (the join keeps the caller's column names so `score` resolves)
+    val dupScored = df
+      .join(compsSide.withColumnRenamed("id", idCol), Seq(idCol))
+      .select(col(idCol).as("id"), score.as("__q"), col("comp"))
     val wnd = Window.partitionBy(col("comp"))
       .orderBy(col("__q").desc, col("id"))
+    // losers are tiny and feed the anti join — materialize them so the
+    // LSH/verify/label lineage runs once and the survivor plan is just
+    // corpus ⟕anti broadcast(losers)
     val losers = dupScored.withColumn("__rk", row_number().over(wnd))
       .filter(col("__rk") > 1).select(col("id").as(idCol))
-    df.join(if (small) broadcast(losers) else losers, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val kept = df.join(if (small) broadcast(losers) else losers, Seq(idCol), "left_anti")
+    // emitting the score here spares callers a second corpus-wide eval
+    scoreOut.fold(kept)(n => kept.withColumn(n, score))
   }
 
   /** Portable 60-bit token hash: the top 15 hex digits of md5, read as

@@ -39,6 +39,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("quality-keeper survivor plan is corpus anti-join broadcast(losers) — nothing else") {
+    // the LSH/verify/components/window lineage must be materialized
+    // into the (tiny) loser set up front: the survivor plan itself
+    // re-reads the corpus ONCE (2 FileScans — the planted fixture is a
+    // 2-branch union) and carries no Window and no second corpus pass
+    // for the emitted quality column
+    val df = SparkEntry.queries("q_cluster_best")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    // AQE's toString prints the Initial Plan section too — count scans
+    // in the final plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val scans = "FileScan".r.findAllMatchIn(plan).size
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$plan")
+  }
+
   test("interval join stays an equi join with a range residual") {
     val plan = planOf("q_interval_join")
     // equi key keeps it hash/sort-merge — never a nested-loop on range
