@@ -231,12 +231,23 @@ object PipelineQueries {
     "q_stream_join" -> Q(
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-join")
+        // A stream-stream join allocates TWO state stores per shuffle
+        // partition per micro-batch; at the session's 32 partitions the
+        // store setup dwarfs the (tiny) join itself. The state
+        // partition count is captured when the query STARTS, so the
+        // streaming phase runs on its OWN child session with the knob
+        // scoped there — the caller's session is never mutated (a
+        // process-global conf.set would race any concurrent entry). On
+        // a real cluster this knob is sized to state volume, not to
+        // the session default.
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
         def src(sub: String) = {
           val d = Files.createDirectories(tmp.resolve(sub))
           Files.createSymbolicLink(d.resolve("events.parquet"),
             java.nio.file.Paths.get(s"$dir/events.parquet"))
-          s.readStream
-            .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          ss.readStream
+            .schema(ss.read.parquet(s"$dir/events.parquet").schema)
             .parquet(d.toString)
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         }
@@ -245,23 +256,15 @@ object PipelineQueries {
         val joined = graft.streaming.EventStream.joinWithinHorizon(
           clicks, purchases, keyCol = "user_id", horizon = "10 minutes")
         val name = s"stream_j_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
-        // A stream-stream join allocates TWO state stores per shuffle
-        // partition per micro-batch; at the session's 32 partitions the
-        // store setup dwarfs the (tiny) join itself. The state
-        // partition count is captured when the query STARTS, so scoping
-        // it down for the streaming phase is safe — restored before the
-        // batch aggregation below runs. On a real cluster this knob is
-        // sized to state volume, not to the session default.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = joined.writeStream.format("memory").queryName(name)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.table(name)
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // the memory sink registers its temp view in the child session;
+        // the batch aggregation runs on the caller's session (global
+        // temp not needed — read the child's table by DataFrame)
+        ss.table(name)
           .groupBy((col("user_id") % 10).as("user_bucket"))
           .agg(count(lit(1)).as("n_attributed"),
             round(sum(col("right_value")), 2).as("attributed_value"))
@@ -291,26 +294,24 @@ object PipelineQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         Files.createSymbolicLink(srcDir.resolve("events_again.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
-        val raw = s.readStream
-          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        // dedup state stores per shuffle partition: scope the count to
+        // the (tiny) state like q_stream_join — on a CHILD session, so
+        // the caller's conf is never mutated
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.readStream
+          .schema(ss.read.parquet(s"$dir/events.parquet").schema)
           .parquet(srcDir.toString)
         val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val deduped = graft.streaming.EventStream.dedupedStream(
           ev, Seq("event_id"), watermarkDelay = "1 minute")
         val name = s"stream_dd_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
-        // dedup state stores per shuffle partition: scope the count to
-        // the (tiny) state like q_stream_join; restored before the
-        // batch aggregation below
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = deduped.writeStream.format("memory").queryName(name)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.table(name)
+        val q = deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(name)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
           .orderBy(col("event_type"))
