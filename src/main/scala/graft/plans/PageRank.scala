@@ -48,4 +48,42 @@ object PageRank {
     }
     r
   }
+
+  /** Standard-PageRank variant: DANGLING mass — the rank held by nodes
+    * with no out-edges — is redistributed uniformly each iteration
+    * instead of leaving the system, so sink-heavy graphs rank the
+    * textbook way. Per-iteration extra cost: one anti-join aggregate
+    * over the (node, rank) relation producing a ONE-ROW dangling-sum
+    * relation, broadcast into the damping projection together with the
+    * one-row node count (the same one-row-stats crossJoin shape as
+    * BM25/TF-IDF — never a data-sized cartesian). Integer semantics as
+    * [[ranks]]: each node's share is `dang div N` (truncating), so the
+    * redistributed mass stays exact integer arithmetic; the < N·1e-9
+    * truncation loss per iteration is ranking-irrelevant. */
+  def ranksDangling(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "iterations in [1,20]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.withColumn("u", lit(Unit0))
+    (1 to iterations).foreach { _ =>
+      val dang = r
+        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("u")), lit(0L)).as("dang"))
+      val contribs = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("u div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          (lit(150000000L) +
+            expr("((coalesce(s, 0L) + dang div n) * 85) div 100")).as("u"))
+    }
+    r
+  }
 }

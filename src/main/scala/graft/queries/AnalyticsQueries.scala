@@ -60,18 +60,36 @@ object AnalyticsQueries {
   /** The q_pagerank oracle: the same integer-micro-unit recurrence
     * UNROLLED `iters` times as chained CTEs — generated, so the step
     * arithmetic lives in one Scala string and can't drift from
-    * [[graft.plans.PageRank]]. */
-  private def pagerankOracle(iters: Int): String = {
+    * [[graft.plans.PageRank]]. With `dangling`, each step also sums the
+    * previous ranks of out-edge-less nodes and folds `dang // n` into
+    * the damped term — the redistribution variant's recurrence. */
+  private def pagerankOracle(iters: Int, dangling: Boolean = false): String = {
     val steps = (1 to iters).map { k =>
-      s"""r$k AS (
-         |  SELECT n.node,
-         |    150000000 + ((coalesce(c.s, 0) * 85) // 100) AS u
-         |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst AS node, CAST(sum(r.u // o.outdeg) AS BIGINT) AS s
-         |    FROM edges e
-         |    JOIN r${k - 1} r ON r.node = e.src
-         |    JOIN outdeg o ON o.node = e.src
-         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+      if (dangling)
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    150000000 + (((coalesce(c.s, 0) + d.dang // cnt.n) * 85) // 100) AS u
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.u // o.outdeg) AS BIGINT) AS s
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN outdeg o ON o.node = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node
+           |  CROSS JOIN (
+           |    SELECT CAST(coalesce(sum(r.u), 0) AS BIGINT) AS dang
+           |    FROM r${k - 1} r LEFT JOIN outdeg o ON o.node = r.node
+           |    WHERE o.node IS NULL) d
+           |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes) cnt)""".stripMargin
+      else
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    150000000 + ((coalesce(c.s, 0) * 85) // 100) AS u
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.u // o.outdeg) AS BIGINT) AS s
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN outdeg o ON o.node = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH edges AS (
        |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
@@ -106,6 +124,25 @@ object AnalyticsQueries {
           .orderBy(col("node"))
       },
       Some(pagerankOracle(3))),
+
+    // Dangling-mass redistribution variant: the supplier-side nodes of
+    // the interaction graph have no out-edges, so nearly half the mass
+    // dangles every iteration — this entry ranks with the textbook
+    // redistribution (dangling sum split uniformly), checked against
+    // the same unrolled recurrence with the dang//n term folded in.
+    // The per-iteration dangling sum is a one-row broadcast, the same
+    // scalar-stats shape as BM25 — not a data-sized cartesian.
+    "q_pagerank_dangling" -> Q(
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 45),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        graft.plans.PageRank.ranksDangling(edges, iterations = 3)
+          .orderBy(col("node"))
+      },
+      Some(pagerankOracle(3, dangling = true))),
 
     // TPC-H Q3 shape: unshipped-order revenue for one market segment.
     // Join order matters at scale: customer is filtered to 1/5 then

@@ -32,6 +32,31 @@ class PageRankSpec extends AnyFunSuite {
     assert(fan(2L) === fan(3L))
   }
 
+  private def ranksDang(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    graft.plans.PageRank.ranksDangling(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("dangling redistribution conserves total mass on a chain") {
+    // 1→2, node 2 dangles; N=2, share = dang div 2 per iteration.
+    // r1: a = 0.15 + 0.85·(0 + 0.5)   = 0.575
+    //     b = 0.15 + 0.85·(1.0 + 0.5) = 1.425
+    assert(ranksDang(Seq(1L -> 2L), 1)
+      === Map(1L -> 575000000L, 2L -> 1425000000L))
+    // r2: dang = 1.425, share = 0.7125
+    //     a = 0.15 + 0.85·0.7125            = 0.755625
+    //     b = 0.15 + 0.85·(0.575 + 0.7125)  = 1.244375
+    assert(ranksDang(Seq(1L -> 2L), 2)
+      === Map(1L -> 755625000L, 2L -> 1244375000L))
+    // the point of the variant: total mass stays exactly 2.0 — the
+    // simple form leaks the dangling share out of the system
+    assert(ranksDang(Seq(1L -> 2L), 2).values.sum === 2000000000L)
+  }
+
+  test("no dangling nodes: redistribution variant equals the simple form") {
+    val cyc = Seq(1L -> 2L, 2L -> 1L)
+    assert(ranksDang(cyc, 3) === ranksOf(cyc, 3))
+  }
+
   test("duplicate edges collapse; result is repartition-independent") {
     val base = ranksOf(Seq(1L -> 2L, 1L -> 2L, 2L -> 3L), 3)
     assert(base === ranksOf(Seq(1L -> 2L, 2L -> 3L), 3))

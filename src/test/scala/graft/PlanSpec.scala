@@ -129,6 +129,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), plan)
   }
 
+  test("dangling pagerank: the redistribution term is a one-row broadcast, never a cartesian") {
+    // the dangling sum / node count ride the BM25-style scalar-stats
+    // shape (broadcast nested loop against ONE-row aggregates is fine;
+    // a real cartesian or row expansion is not)
+    val plan = SparkEntry.queries("q_pagerank_dangling")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("token-budget sampling shuffles once: the per-stratum window") {
     // the subword weight is map-side; the only hash exchange allowed is
     // the window's stratum partitioning (plus the output orderBy range)
