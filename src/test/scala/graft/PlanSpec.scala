@@ -57,6 +57,21 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$plan")
   }
 
+  test("materialized-stage composition: the output plan reads stored labels once, no LSH re-run") {
+    // the pipeline entry persists components to a ParquetTable; its
+    // OUTPUT plan must be split-assign over ONE scan of that table
+    // plus the (materialized) loser flag — no second label scan, no
+    // minhash/verify lineage, no corpus scan
+    val df = SparkEntry.queries("q_components_stage")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected 1 stored-label scan, got $scans:\n$plan")
+    assert(!plan.toLowerCase.contains("minhash"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("interval join stays an equi join with a range residual") {
     val plan = planOf("q_interval_join")
     // equi key keeps it hash/sort-merge — never a nested-loop on range

@@ -29,6 +29,38 @@ class SplitsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stored-label stage composition equals the inline operators") {
+    // q_components_stage derives split + keep from PERSISTED labels;
+    // the result must be exactly what the inline single-pass operators
+    // produce — storing the stage can never change semantics
+    val sf = TestSpark.sf
+    import graft.text.{Dedup, TextFunctions}
+    val staged = SparkEntry.queries("q_components_stage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3)))
+    // inline split path: components → assign (q_leakage_split's shape)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" trailing")).as("text")))
+    val inlineSplit = Splits.assign(
+      Dedup.nearDupComponents(planted, "doc_id", "text", threshold = 0.5),
+      "comp_id", seed = "graft",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "comp_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // inline keep path: quality-keeper survivors
+    val inlineKept = Dedup.nearDupBestSurvivors(planted, "doc_id", "text",
+      TextFunctions.qualityScore(col("text")), threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(staged.nonEmpty)
+    staged.foreach { case (id, comp, split, kept) =>
+      assert(inlineSplit(id) === (comp, split), s"doc $id split/label drifted")
+      assert(kept === inlineKept.contains(id), s"doc $id keep decision drifted")
+    }
+  }
+
   test("membership is fixed as the corpus grows (subset keeps its splits)") {
     val full = Splits.assign(keys, "k", "s1", Seq("train" -> 0.8, "test" -> 0.2))
       .select("k", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
