@@ -1,0 +1,78 @@
+package graft.text
+
+/** Production-size subword vocabularies for the `graft_subword` kernel.
+  *
+  * A real training pipeline loads a learned BPE/unigram merge table of
+  * 32k–100k entries; this sandbox has no tokenizer artifacts, so
+  * [[synthetic]] derives a deterministic stand-in of the same shape —
+  * the letter statistics of English subwords (syllable-ish
+  * consonant/vowel alternation, token lengths 2–10 skewed short,
+  * shared prefixes so trie paths branch realistically). The point is
+  * NOT linguistic fidelity; it is that the matcher's data structure is
+  * exercised at production fan-out: ~32k tokens, thousands sharing
+  * first characters, so a per-first-char linear scan would degrade and
+  * a trie must not (SubwordPerfSpec holds the kernel to ≥ 10 MB/s per
+  * core against this table).
+  *
+  * Deterministic across JVMs: `java.util.Random` is spec-pinned, and
+  * insertion order is fixed — same seed, same vocabulary, always.
+  */
+object SubwordVocab {
+
+  private val vowels = "aeiou"
+  /** Frequency-skewed consonant pool: common letters repeat so the
+    * generated tokens cluster on shared prefixes like a learned table
+    * does. */
+  private val consonants = "tttnnnsssrrrhhlldccmmffppggwwybbvkxqjz"
+  private val clusters = Array(
+    "th", "st", "ch", "sh", "tr", "pr", "pl", "gr", "br", "str", "nt",
+    "nd", "ng", "ck", "sp", "cl", "fl", "sc", "wh", "qu")
+
+  /** A deterministic BPE-ish merge table of `size` distinct tokens. */
+  def synthetic(size: Int = 32768, seed: Long = 0x5eedL): Seq[String] = {
+    val rnd = new java.util.Random(seed)
+    val out = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(12)
+    while (out.size < size) {
+      sb.setLength(0)
+      val syllables = 1 + rnd.nextInt(3)
+      var k = 0
+      while (k < syllables) {
+        val r = rnd.nextInt(10)
+        if (r < 4) sb.append(consonants.charAt(rnd.nextInt(consonants.length)))
+        else if (r < 6) sb.append(clusters(rnd.nextInt(clusters.length)))
+        sb.append(vowels.charAt(rnd.nextInt(vowels.length)))
+        if (rnd.nextInt(3) == 0)
+          sb.append(consonants.charAt(rnd.nextInt(consonants.length)))
+        k += 1
+      }
+      if (sb.length() >= 2) out.add(sb.toString)
+    }
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSeq
+  }
+
+  /** Deterministic pseudo-text drawn from the same letter statistics,
+    * for throughput measurement: `approxChars` characters of
+    * whitespace-separated words whose interiors hit and miss the
+    * synthetic vocab the way prose hits a learned one. */
+  def syntheticText(approxChars: Int, seed: Long): String = {
+    val rnd = new java.util.Random(seed)
+    val sb = new java.lang.StringBuilder(approxChars + 16)
+    while (sb.length() < approxChars) {
+      val syllables = 1 + rnd.nextInt(4)
+      var k = 0
+      while (k < syllables) {
+        val r = rnd.nextInt(10)
+        if (r < 4) sb.append(consonants.charAt(rnd.nextInt(consonants.length)))
+        else if (r < 6) sb.append(clusters(rnd.nextInt(clusters.length)))
+        sb.append(vowels.charAt(rnd.nextInt(vowels.length)))
+        if (rnd.nextInt(3) == 0)
+          sb.append(consonants.charAt(rnd.nextInt(consonants.length)))
+        k += 1
+      }
+      sb.append(if (rnd.nextInt(12) == 0) '\n' else ' ')
+    }
+    sb.toString
+  }
+}
