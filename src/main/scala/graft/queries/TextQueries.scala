@@ -1020,6 +1020,68 @@ object TextQueries {
               |FROM scored WHERE containment >= 0.9
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Containment at EXTREME asymmetry: the seed-gram index. Fixture
+    // buries 10 documents inside ~1500 novel pad tokens each (computed
+    // in-engine on both sides, no giant literal): containment of the
+    // original stays 1.0 while Jaccard drops to |A|/(|A|+1499) ≪ 0.3 —
+    // the regime where the banded q_containment path loses recall.
+    // Selection is content-deterministic (md5-60 gram hash ≡ 0 mod 8),
+    // so the oracle replays the ENTIRE pipeline — seed selection,
+    // stop-gram cap, min-shared-seeds, exact verify — not just the
+    // verdict: no recall luck is assumed anywhere.
+    "q_containment_seed" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val pad = array_join(
+          transform(sequence(lit(1), lit(1499)),
+            i => concat(lit("pady"), i.cast("string"))), " ")
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 10).select(
+            (col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" "), pad).as("text")))
+        Dedup.seedGramContainmentPairs(planted, "doc_id", "text",
+          threshold = 0.9, seedMod = 8, minSeeds = 2, maxDf = 1000,
+          gramFn = Some(Dedup.portableGramHashes(_, 3)))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH docs5 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 500000 AS doc_id,
+              |    concat(text, ' ', array_to_string(
+              |      list_transform(range(1, 1500), i -> 'pady' || i), ' ')) AS text
+              |  FROM documents WHERE doc_id < 10),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs5),
+              |gh AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    range(1, len(t) - 1),
+              |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT))
+              |    AS g
+              |  FROM toks),
+              |seeds AS (
+              |  SELECT doc_id, unnest(list_filter(g, h -> h % 8 = 0)) AS h
+              |  FROM gh),
+              |rare AS (SELECT h FROM seeds GROUP BY h HAVING count(*) <= 1000),
+              |idx AS (SELECT s.doc_id, s.h FROM seeds s JOIN rare r ON s.h = r.h),
+              |cand AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |scored AS (
+              |  SELECT c.id_a, c.id_b,
+              |    round(CASE WHEN least(len(ga.g), len(gb.g)) = 0 THEN 0.0
+              |      ELSE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+              |           / CAST(least(len(ga.g), len(gb.g)) AS DOUBLE) END, 4)
+              |      AS containment
+              |  FROM cand c
+              |  JOIN gh ga ON ga.doc_id = c.id_a
+              |  JOIN gh gb ON gb.doc_id = c.id_b)
+              |SELECT id_a, id_b, containment
+              |FROM scored WHERE containment >= 0.9
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // Near-dup CLUSTERING: connected components over the verified pair
     // graph, every doc labeled with its component's min id (what a
     // training pipeline dedupes ON — transitive copies a→b→c collapse

@@ -464,9 +464,9 @@ object Dedup {
     * near-identical pairs would miss them — r=2 holds recall down to
     * J ≈ 0.4 at the cost of more (exactly-verified) candidates, the
     * deliberate trade for this operator. Extreme asymmetry (J ≪ 0.3)
-    * still needs a dedicated seed-gram index — out of scope,
-    * documented. Raw text never shuffles: same semi-join-reduced
-    * hash-set verify as the Jaccard path. */
+    * needs the dedicated seed-gram index —
+    * [[seedGramContainmentPairs]]. Raw text never shuffles: same
+    * semi-join-reduced hash-set verify as the Jaccard path. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double = 0.9, w: Int = 3,
                        k: Int = 64, bands: Int = 32): DataFrame = {
@@ -481,6 +481,93 @@ object Dedup {
     val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
     val minSize = least(size(col("ga")), size(col("gb"))).cast("double")
     pairs
+      .join(sets.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(when(minSize === 0, lit(0.0)).otherwise(inter / minSize), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Distinct w-gram hashes per document on the fast in-engine hash —
+    * no gram strings materialize ([[shingleHashesFromTokenHashes]]). */
+  def fastGramHashes(text: Column, w: Int = 3): Column =
+    array_distinct(shingleHashesFromTokenHashes(tokenHashes(text), w))
+
+  /** Distinct w-gram hashes on the engine-portable md5-60 hash of the
+    * space-joined gram STRING — ~2× the hash cost of
+    * [[fastGramHashes]] plus the gram-string allocation, but any
+    * engine can replay it (DuckDB:
+    * `('0x' || substr(md5(gram), 1, 15))::BIGINT`). Oracle path. */
+  def portableGramHashes(text: Column, w: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(1), size(toks) - lit(w - 1)),
+        i => md5Hash60(concat_ws(" ", slice(toks, i, lit(w)))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Containment at EXTREME asymmetry — the seed-gram index.
+    *
+    * [[containmentPairs]]'s banded-LSH candidates lose recall once the
+    * small document is buried in something much larger (J ≪ 0.3:
+    * r=2 band hit probability is J², so a 300-gram document inside a
+    * 1800-gram one surfaces with P ≈ 0.6 even at bands=32). The
+    * index here is content-deterministic instead of probabilistic:
+    * every document publishes the w-grams whose hash ≡ 0 (mod
+    * `seedMod`) — a winnowing-style 1/seedMod sample selected by the
+    * GRAM, not the document — so if A's grams sit inside B, A's seed
+    * grams are exactly B's seed grams restricted to A: an equi-join on
+    * seed hash finds the pair with certainty once A contributes
+    * `minSeeds` surviving seeds, regardless of how big B is.
+    *
+    * Scale shape: only (id, hash64) pairs ever shuffle (text and gram
+    * sets stay map-side); the posting-list join is bounded by the
+    * stop-gram cap — seed grams appearing in more than `maxDf`
+    * documents (boilerplate, common phrases) index nothing, so
+    * candidate fan-out is ≤ maxDf per posting, never quadratic in the
+    * corpus. Candidates sharing ≥ `minSeeds` seeds are then
+    * exact-verified on full (semi-join-reduced) gram sets, same as
+    * every detector in this family — precision is exact, the index
+    * only decides recall.
+    *
+    * `gramFn` defaults to the fast in-engine hash; pass
+    * [[portableGramHashes]] to make the whole pipeline — selection
+    * included — replayable by another engine. */
+  def seedGramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                               threshold: Double = 0.9, w: Int = 3,
+                               seedMod: Int = 8, minSeeds: Int = 2,
+                               maxDf: Int = 1000,
+                               gramFn: Option[Column => Column] = None)
+      : DataFrame = {
+    val gram: Column => Column =
+      gramFn.getOrElse(fastGramHashes(_: Column, w))
+    val seeds = df
+      .select(col(idCol).as("id"), gram(col(textCol)).as("g"))
+      .select(col("id"),
+        explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"))
+    // stop-gram cap: a seed living in > maxDf docs is boilerplate and
+    // would fan out quadratically — it indexes nothing
+    val rare = seeds.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val idx = seeds.join(rare, Seq("h"), "left_semi")
+    // (id, h) is unique per doc (grams are distinct'd), so the pair
+    // count IS the number of distinct shared seed grams
+    val cand = idx.as("a")
+      .join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minSeeds)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val inPairs = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val sets = df.select(col(idCol).as("id"), gram(col(textCol)).as("g"))
+      .join(inPairs, Seq("id"), "left_semi")
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val minSize = least(size(col("ga")), size(col("gb"))).cast("double")
+    cand
       .join(sets.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

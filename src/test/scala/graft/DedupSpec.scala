@@ -181,6 +181,47 @@ class DedupSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("seedGramContainmentPairs finds inclusion at extreme asymmetry") {
+    // doc 1 (120 tokens) buried in doc 2 (~1320 tokens): containment
+    // 1.0, Jaccard ≈ 0.09 — far below where banded LSH recall holds.
+    // 118 grams → ~15 expected seeds at 1/8 sampling, comfortably
+    // above minSeeds under either hash.
+    val small = (1 to 120).map(i => s"w$i").mkString(" ")
+    val giant = small + " " + (1 to 1200).map(i => s"pad$i").mkString(" ")
+    val df = Seq(
+      (1L, small), (2L, giant),
+      (9L, (1 to 50).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.seedGramContainmentPairs(df, "doc_id", "text",
+      threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)), pairs.toSeq)
+    // the portable-hash path selects different seeds but must reach
+    // the identical verdict (selection is content-deterministic under
+    // EITHER hash; precision comes from the exact verify)
+    val portable = Dedup.seedGramContainmentPairs(df, "doc_id", "text",
+      threshold = 0.9, gramFn = Some(Dedup.portableGramHashes(_, 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(portable.toSeq === Seq((1L, 2L, 1.0)), portable.toSeq)
+  }
+
+  test("seedGram stop-gram cap keeps boilerplate from fanning out") {
+    // 30 docs share one boilerplate sentence and nothing else; with
+    // maxDf below 30 every shared seed is capped away — no candidate
+    // survives, so no quadratic 30×29/2 pair blow-up reaches verify
+    val boiler = (1 to 48).map(i => s"legal$i").mkString(" ")
+    val df = (0 until 30).map(i =>
+      (i.toLong, s"$boiler unique$i only$i here$i")).toDF("doc_id", "text")
+    val capped = Dedup.seedGramContainmentPairs(df, "doc_id", "text",
+      threshold = 0.5, maxDf = 10)
+    assert(capped.count() === 0)
+    // and with the cap relaxed the shared-core pairs ARE reported —
+    // the cap is the only thing standing between the two outcomes
+    val uncapped = Dedup.seedGramContainmentPairs(df, "doc_id", "text",
+      threshold = 0.5, maxDf = 1000)
+    assert(uncapped.count() > 0)
+  }
+
   test("nearDupBestSurvivors keeps the best-scoring doc, not the min id") {
     // same cluster fixture as above, but an injected score makes the
     // HIGHEST id the cluster's best — the keeper must follow the score
