@@ -205,6 +205,30 @@ object TextQueries {
              |SELECT doc_id, n_words, n_subwords FROM docsw
              |ORDER BY doc_id""".stripMargin)),
 
+    // Vocabulary INDUCTION from the corpus: top character n-grams
+    // (2..5 chars) by positional frequency weighted by word
+    // occurrence — the distributed word-count pass is the part that
+    // touches the corpus; the gram explosion runs over the bounded
+    // word dictionary. Deterministic tie-break (freq desc, gram asc)
+    // makes the learned table itself oracle-checkable; SubwordVocabSpec
+    // closes the loop by feeding the induced vocab to the kernel.
+    "q_vocab_induce" -> Q(
+      (s, dir) => graft.text.SubwordVocab.induceNgramTable(
+        Tables.load(s, dir, "documents"), "text", 200),
+      Some("""WITH words AS (
+             |  SELECT w, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+             |    FROM documents) u
+             |  WHERE w <> '' GROUP BY w),
+             |grams AS (
+             |  SELECT substr(w.w, i.i, n.n) AS gram, w.cnt
+             |  FROM words w
+             |  JOIN range(2, 6) n(n) ON n.n <= length(w.w)
+             |  JOIN range(1, 256) i(i) ON i.i <= length(w.w) - n.n + 1)
+             |SELECT gram, CAST(sum(cnt) AS BIGINT) AS freq
+             |FROM grams GROUP BY gram
+             |ORDER BY freq DESC, gram LIMIT 200""".stripMargin)),
+
     // Token-budget sampling: take documents per language, in salted-
     // hash order (deterministic reshuffle, same md5-bucket construction
     // as the splits), until each language's 5000-subword budget fills —

@@ -1,5 +1,8 @@
 package graft.text
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Production-size subword vocabularies for the `graft_subword` kernel.
   *
   * A real training pipeline loads a learned BPE/unigram merge table of
@@ -75,4 +78,44 @@ object SubwordVocab {
     }
     sb.toString
   }
+
+  /** Vocabulary INDUCTION from the corpus: the top `size` character
+    * n-grams (lengths nMin..nMax) by total positional frequency,
+    * weighted by word occurrence — the frequency-ranked flavor of
+    * subword learning (full BPE merges are inherently sequential; the
+    * distributed part of EITHER scheme is this same word-count pass).
+    *
+    * Scale shape, the important part: the corpus is touched exactly
+    * once, by the word-count aggregation (map-side-combined shuffle on
+    * the word). Everything after — the n-gram explosion, the gram
+    * aggregation, the top-K — runs over the word DICTIONARY, which is
+    * vocabulary-sized (Heaps' law: ~millions of rows at 100 TB), not
+    * corpus-sized. Ties rank deterministically (freq desc, gram asc),
+    * so the result is engine-reproducible and oracle-checkable. */
+  def induceNgramTable(df: DataFrame, textCol: String, size: Int,
+                       nMin: Int = 2, nMax: Int = 5): DataFrame = {
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val grams = words.select(col("cnt"),
+      explode(flatten(transform(sequence(lit(nMin), lit(nMax)), n =>
+        when(length(col("w")) >= n,
+          transform(sequence(lit(1), length(col("w")) - n + lit(1)),
+            i => col("w").substr(i, n)))
+          .otherwise(array().cast("array<string>"))))).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(size)
+  }
+
+  /** The induced table collected to a merge list for the
+    * `graft_subword` kernel — bounded by `size`, same stance as
+    * k-means centroids: the dictionary-sized model state is the one
+    * thing that legitimately lives on the driver. */
+  def induce(df: DataFrame, textCol: String, size: Int = 32768,
+             nMin: Int = 2, nMax: Int = 5): Seq[String] =
+    induceNgramTable(df, textCol, size, nMin, nMax)
+      .collect().map(_.getString(0)).toSeq
 }
