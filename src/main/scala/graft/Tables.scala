@@ -19,14 +19,34 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; the session reads it as a nanosecond long (nanosAsLong) and
-    // we truncate to microseconds here — same truncation DuckDB applies, so
-    // oracle comparisons agree.
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** Schema-aware timestamp normalization for `events.ts`.
+    *
+    * The physical encoding of the driver's testdata has varied between
+    * generations — parquet TIMESTAMP(NANOS) (which Spark's reader only
+    * surfaces as a nanosecond long under `nanosAsLong`) and plain
+    * `timestamp[us]` (surfaced as TIMESTAMP or TIMESTAMP_NTZ depending on
+    * isAdjustedToUTC). Every consumer needs one logical type, so branch on
+    * the dtype the reader actually produced instead of assuming one
+    * encoding:
+    *   - LongType          → nanos long: truncate to micros (same
+    *                         truncation DuckDB applies, so oracles agree)
+    *   - TimestampNTZType  → cast to session-TZ TIMESTAMP; the session
+    *                         pins UTC, so the wall-clock value is
+    *                         unchanged and oracle hashing agrees
+    *   - TimestampType     → already canonical, pass through
+    * Works on batch and streaming frames alike (pure projection).
+    */
+  def normalizeTs(df: DataFrame, column: String = "ts"): DataFrame =
+    df.schema.find(_.name == column).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn(column, timestamp_micros(expr(s"`$column` div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(column, col(column).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Row count of a table from its parquet FOOTERS only — a driver-side
     * metadata read (no Spark job, no data pages). This is how operators

@@ -200,7 +200,7 @@ object PipelineQueries {
         val ev = s.readStream
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
           .parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs(_))
         val dim = graft.Tables.load(s, dir, "customer")
           .select(col("c_custkey").as("user_id"),
             col("c_mktsegment").as("segment"))
@@ -249,7 +249,7 @@ object PipelineQueries {
           ss.readStream
             .schema(ss.read.parquet(s"$dir/events.parquet").schema)
             .parquet(d.toString)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .transform(graft.Tables.normalizeTs(_))
         }
         val clicks = src("l").filter(col("event_type") === "click")
         val purchases = src("r").filter(col("event_type") === "purchase")
@@ -302,7 +302,7 @@ object PipelineQueries {
         val raw = ss.readStream
           .schema(ss.read.parquet(s"$dir/events.parquet").schema)
           .parquet(srcDir.toString)
-        val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = raw.transform(graft.Tables.normalizeTs(_))
         val deduped = graft.streaming.EventStream.dedupedStream(
           ev, Seq("event_id"), watermarkDelay = "1 minute")
         val name = s"stream_dd_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
@@ -326,12 +326,12 @@ object PipelineQueries {
         val srcDir = Files.createDirectories(tmp.resolve("src"))
         Files.createSymbolicLink(srcDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
-        // the raw schema (ts is a nanos long under nanosAsLong) feeds the
-        // stream source; the micros truncation mirrors Tables.load
+        // the raw schema feeds the stream source; the schema-aware ts
+        // normalization mirrors Tables.load
         val raw = s.readStream
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
           .parquet(srcDir.toString)
-        val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = raw.transform(graft.Tables.normalizeTs(_))
         val name = s"stream_win_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
         val q = graft.streaming.EventStream
           .windowedCounts(ev, windowLen = "1 day", watermark = "1 minute")
