@@ -99,14 +99,28 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Bind `c` to a lambda variable so `f` can reference it many times
+    * while the underlying expression evaluates ONCE per row. Catalyst
+    * has no `let`: an expression tree referenced k times inside a
+    * higher-order-function lambda is re-evaluated k times PER ELEMENT
+    * (unlike a bound attribute, which is an O(1) read) — for a
+    * tokenize feeding a per-gram lambda that turns O(tokens) work into
+    * O(w · grams · tokens), quadratic in document length. Routing the
+    * value through a one-element array makes it a lambda variable: the
+    * producer runs once, every reference in `f` is a variable read.
+    * Same trick as binding through a named column, but usable inside a
+    * single Column so callers can't accidentally inline it. */
+  private def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Word w-shingles of the text (empty array when too short). */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
-    when(size(toks) >= w,
-      transform(sequence(lit(1), size(toks) - lit(w - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(w)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, w: Int = 3): Column =
+    bindOnce(TextFunctions.tokens(text)) { toks =>
+      when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - lit(w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** MinHash signature from a column of per-shingle base hashes: each
     * shingle is string-hashed ONCE (the expensive part); the k
@@ -187,7 +201,11 @@ object Dedup {
     * runs never accumulate cached blocks. (The checkpoint's blocks are
     * plain RDD blocks, GC'd by the ContextCleaner once the caller drops
     * the DataFrame — unlike CacheManager entries, which outlive every
-    * reference.)
+    * reference. The flip side: checkpointed blocks have no lineage, so
+    * an executor loss fails the job — acceptable for the tiny pair set;
+    * a long cluster run wanting fault tolerance passes
+    * `materialize = false` and persists or stage-tables the result
+    * itself.)
     *
     * `materialize = false` returns the raw lazy plan (no persist, no
     * checkpoint) — for plan inspection and for callers composing their
@@ -267,7 +285,13 @@ object Dedup {
     * clusters of copies (diameter a few hops); `maxIter` guards the
     * pathological chain. Labels are localCheckpoint'ed each round so
     * the plan never grows with the iteration count, and each round is
-    * ONE shuffle join + partial agg. (At extreme diameters the
+    * ONE shuffle join + partial agg. (localCheckpoint pins blocks to
+    * executors with lineage truncated: an executor loss mid-loop fails
+    * the job and it restarts from the pairs input. That is the right
+    * local-mode trade — the label relation is tiny — but a long-running
+    * 1000-executor job should either set a reliable checkpoint dir and
+    * swap these for `.checkpoint()`, or persist the labels to a stage
+    * table between rounds, the `q_components_stage` pattern.) (At extreme diameters the
     * two-phase large-star/small-star algorithm halves rounds; the
     * simple propagation is the right trade for dup clusters.)
     *
@@ -329,7 +353,10 @@ object Dedup {
     * with comp = min id, one row per id appearing in `pairs`. Prefer
     * the default propagation for near-dup clusters (tiny diameters, ~2
     * rounds); use this for chain-shaped graphs (linkage over time,
-    * session stitching). */
+    * session stitching). (Same executor-loss caveat as
+    * [[connectedComponents]]: the per-round localCheckpoint is the
+    * local-mode trade; a long cluster run should use a reliable
+    * checkpoint dir or a stage table between rounds.) */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsStarRounds(pairs, maxIter)._1
 
@@ -490,22 +517,25 @@ object Dedup {
   }
 
   /** Distinct w-gram hashes per document on the fast in-engine hash —
-    * no gram strings materialize ([[shingleHashesFromTokenHashes]]). */
+    * no gram strings materialize ([[shingleHashesFromTokenHashes]]).
+    * The token-hash array binds once ([[bindOnce]]) so the per-shingle
+    * lambda reads it O(1) instead of re-tokenizing per gram. */
   def fastGramHashes(text: Column, w: Int = 3): Column =
-    array_distinct(shingleHashesFromTokenHashes(tokenHashes(text), w))
+    bindOnce(tokenHashes(text))(th =>
+      array_distinct(shingleHashesFromTokenHashes(th, w)))
 
   /** Distinct w-gram hashes on the engine-portable md5-60 hash of the
     * space-joined gram STRING — ~2× the hash cost of
     * [[fastGramHashes]] plus the gram-string allocation, but any
     * engine can replay it (DuckDB:
     * `('0x' || substr(md5(gram), 1, 15))::BIGINT`). Oracle path. */
-  def portableGramHashes(text: Column, w: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
-    when(size(toks) >= w,
-      array_distinct(transform(sequence(lit(1), size(toks) - lit(w - 1)),
-        i => md5Hash60(concat_ws(" ", slice(toks, i, lit(w)))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def portableGramHashes(text: Column, w: Int = 3): Column =
+    bindOnce(TextFunctions.tokens(text)) { toks =>
+      when(size(toks) >= w,
+        array_distinct(transform(sequence(lit(1), size(toks) - lit(w - 1)),
+          i => md5Hash60(concat_ws(" ", slice(toks, i, lit(w)))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
 
   /** Containment at EXTREME asymmetry — the seed-gram index.
     *
@@ -542,17 +572,29 @@ object Dedup {
       : DataFrame = {
     val gram: Column => Column =
       gramFn.getOrElse(fastGramHashes(_: Column, w))
+    // The seed relation is referenced four times downstream (the
+    // stop-gram aggregate, the semi-join back, and both sides of the
+    // candidate self-join): persist it so the corpus-wide gram pass —
+    // the only expensive map stage here — runs ONCE instead of once
+    // per reference. persist (not localCheckpoint) keeps the lineage:
+    // an executor loss recomputes the lost blocks instead of killing
+    // the job — the property a 1000-executor run actually needs. The
+    // cached relation is (id, hash64) pairs at 1/seedMod density, a
+    // sliver of the corpus.
     val seeds = df
       .select(col(idCol).as("id"), gram(col(textCol)).as("g"))
       .select(col("id"),
         explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stop-gram cap: a seed living in > maxDf docs is boilerplate and
     // would fan out quadratically — it indexes nothing
     val rare = seeds.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("h"))
     val idx = seeds.join(rare, Seq("h"), "left_semi")
     // (id, h) is unique per doc (grams are distinct'd), so the pair
-    // count IS the number of distinct shared seed grams
+    // count IS the number of distinct shared seed grams. Persisted for
+    // the same reason as the seeds: it feeds the verify join and (via
+    // the union) the semi-join pruning of the gram-set build.
     val cand = idx.as("a")
       .join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -560,7 +602,7 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minSeeds)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inPairs = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val sets = df.select(col(idCol).as("id"), gram(col(textCol)).as("g"))
@@ -608,10 +650,13 @@ object Dedup {
       .orderBy(col("__q").desc, col("id"))
     // losers are tiny and feed the anti join — materialize them so the
     // LSH/verify/label lineage runs once and the survivor plan is just
-    // corpus ⟕anti broadcast(losers)
+    // corpus ⟕anti broadcast(losers). persist, not localCheckpoint:
+    // checkpointed blocks are pinned to executors with the lineage
+    // truncated, so one lost executor kills a 1000-executor run;
+    // persist recomputes lost blocks from lineage.
     val losers = dupScored.withColumn("__rk", row_number().over(wnd))
       .filter(col("__rk") > 1).select(col("id").as(idCol))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = df.join(if (small) broadcast(losers) else losers, Seq(idCol), "left_anti")
     // emitting the score here spares callers a second corpus-wide eval
     scoreOut.fold(kept)(n => kept.withColumn(n, score))
