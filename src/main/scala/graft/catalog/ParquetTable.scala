@@ -178,10 +178,16 @@ final class ParquetTable(
   def exists: Boolean = { recover(); fs.exists(dest) }
 
   /** Create as empty if the directory is absent
-    * (schema/schemas/2_header_configuration.py:135-146 bootstrap). */
+    * (schema/schemas/2_header_configuration.py:135-146 bootstrap).
+    * CREATE TABLE is a pure driver-side metadata operation — mkdir, no
+    * Spark job: the schema lives in this table object and [[read]]
+    * pins it explicitly, so an empty directory IS an empty table.
+    * (Writing a 0-row DataFrame instead costs a full job + commit
+    * protocol; the catalog bootstrap creates seven tables before any
+    * data moves, and on a real cluster DDL should never wait on
+    * executors.) */
   def createIfNotExists(): this.type = {
-    if (!exists) overwrite(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema))
+    if (!exists) fs.mkdirs(dest)
     this
   }
 

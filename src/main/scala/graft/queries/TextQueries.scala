@@ -815,8 +815,13 @@ object TextQueries {
           // the mixture stage consumes its input twice (rate counts +
           // keep filter); persist the cleaned corpus so the expensive
           // dedup/quality stages run once — in production this is the
-          // materialized cleaned table between pipeline stages
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // materialized cleaned table between pipeline stages.
+          // DISK_ONLY deliberately: a MEMORY_AND_DISK cleaned corpus
+          // competes with the suite's execution memory and showed up as
+          // 2-4x timing swings under heap pressure (rounds 6-7); local
+          // disk re-reads of a few-MB relation are flat-cost, exactly
+          // like the stage table this stands in for
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         graft.plans.Sampling.temperatureMixture(gated, "doc_id", "lang",
             temperature = 0.5, seed = "cv2")
           .select(col("doc_id"), col("lang"),
