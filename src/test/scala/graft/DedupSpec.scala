@@ -298,4 +298,25 @@ class DedupSpec extends AnyFunSuite {
       TextFunctions.tokenCount(col("b")).as("nb")).collect()
     assert(r(1).getInt(0) == 3)
   }
+
+  test("gram hashing is linear in document length (lambda binding regression)") {
+    // Round-8 regression gate: the gram-hash expressions once embedded
+    // the tokenize UNBOUND inside their higher-order-function lambdas,
+    // re-evaluating it per gram element — O(w · grams · tokens) per
+    // document, quadratic in length. 500 docs × 2000 tokens is ~1M
+    // gram hashes: linear cost is a couple of seconds; the quadratic
+    // form re-tokenized a 2000-token string per gram (~2 × 10^9 token
+    // evals) and ran for minutes. The generous wall bound only trips
+    // on a complexity regression, not on VM noise.
+    val doc = (1 to 2000).map(i => s"tok${i % 997}").mkString(" ")
+    val docs = spark.range(500).select(col("id"), lit(doc).as("text"))
+    val t0 = System.nanoTime()
+    val total = docs
+      .select(size(graft.text.Dedup.portableGramHashes(col("text"), 3)).as("n"))
+      .agg(sum(col("n"))).as[Long].head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // tokens cycle mod 997, so each doc's DISTINCT gram set is ~997
+    assert(total > 500L * 990, s"unexpected gram count $total")
+    assert(sec < 60.0, f"portable gram pass took $sec%.1f s — quadratic re-evaluation is back")
+  }
 }
