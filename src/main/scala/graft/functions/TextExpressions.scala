@@ -31,6 +31,13 @@ object TextExpressions {
           case _ => throw new IllegalArgumentException(
             "graft_repetition expects (tokenHashes array<bigint>)")
         }),
+      (FunctionIdentifier("graft_bloom_contains"),
+        new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+        (args: Seq[Expression]) => args match {
+          case Seq(sketch, value) => BloomContains(sketch, value)
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_contains expects (sketch binary literal, value string)")
+        }),
       (FunctionIdentifier("graft_subword"),
         new ExpressionInfo(classOf[SubwordTokenCount].getName, "graft_subword"),
         (args: Seq[Expression]) => args match {

@@ -916,6 +916,47 @@ object TextQueries {
              |WHERE fp NOT IN (SELECT fp FROM hist)
              |ORDER BY doc_id""".stripMargin)),
 
+    // The Bloom-pre-screened incremental dedup on the SAME fixture and
+    // oracle as q_incremental_dedup: the sketch routes rows (definitely-
+    // new bypasses the join map-side; only the maybe-set pays the exact
+    // anti-join), so the result must be bit-identical to the exact form
+    // — the oracle replays the exact semantics and any routing bug
+    // (a false negative, a dropped maybe-row) turns the row red.
+    "q_incremental_bloom" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val hist = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(lit(" "), col("text")).as("text")))
+          .unionByName(docs.filter(col("doc_id").between(260, 264)).select(
+            (col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" ")).as("text")))
+        Dedup.incrementalDedupBloom(batch, hist, "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |hist AS (
+             |  SELECT DISTINCT
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM base WHERE doc_id < 250),
+             |batch AS (
+             |  SELECT doc_id, text FROM base WHERE doc_id >= 250
+             |  UNION ALL SELECT doc_id + 100000, concat(' ', text)
+             |    FROM base WHERE doc_id < 20
+             |  UNION ALL SELECT doc_id + 200000, concat(text, ' ')
+             |    FROM base WHERE doc_id BETWEEN 260 AND 264),
+             |bf AS (
+             |  SELECT doc_id,
+             |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM batch),
+             |surv AS (SELECT fp, min(doc_id) AS doc_id FROM bf GROUP BY fp)
+             |SELECT doc_id FROM surv
+             |WHERE fp NOT IN (SELECT fp FROM hist)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Surviving rows after exact dedup (left-semi keep-first).
     "q_dedup_surviving" -> Q(
       (s, dir) => Dedup.exactDedup(withPlantedDups(s, dir), "doc_id", "text")

@@ -58,6 +58,49 @@ object Dedup {
         TextFunctions.fingerprint(col(textCol)) === col("__hfp"), "left_anti")
   }
 
+  /** [[incrementalDedup]] with a Bloom-filter pre-screen — the form
+    * that holds up when the HISTORY is enormous and the overlap is
+    * small (the steady state of a daily ingest: almost every new
+    * document is new). One aggregation pass over the fingerprint-only
+    * history builds a sketch (`~1.2 bytes/key at 1% fpp`); the sketch
+    * rides the plan to every executor, and the batch probes it
+    * MAP-SIDE: rows the filter rejects are DEFINITELY new (Bloom
+    * filters have no false negatives) and bypass the join entirely —
+    * only the maybe-set (true overlaps + fpp of the rest) pays the
+    * exact fingerprint anti-join. The result is bit-identical to
+    * [[incrementalDedup]]; the sketch only routes rows, precision
+    * comes from the exact join on the survivors of the probe.
+    *
+    * Scale envelope: the sketch is a plan literal, so it travels via
+    * Spark's task-binary broadcast — comfortable to ~10^8–10^9 history
+    * keys (~0.1–1.2 GB at 1% fpp). Beyond that, shard the history and
+    * run one probe per shard, or raise fpp (the join stays exact).
+    * `expectedItems` skips the sizing count when the caller already
+    * knows the state-table row count (e.g. from parquet footers —
+    * [[graft.Tables.parquetRowCount]]). */
+  def incrementalDedupBloom(batch: DataFrame, historical: DataFrame,
+                            idCol: String, textCol: String,
+                            fpp: Double = 0.01,
+                            expectedItems: Option[Long] = None): DataFrame = {
+    val hist = historical
+      .select(TextFunctions.fingerprint(col(textCol)).as("__hfp")).distinct()
+    val n = expectedItems.getOrElse(hist.count())
+    val deduped = exactDedup(batch, idCol, textCol)
+    if (n <= 0) return deduped // empty history: everything is new
+    val sketch = {
+      val bf = hist.stat.bloomFilter("__hfp", n, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val maybe = call_function("graft_bloom_contains", lit(sketch), fp)
+    deduped.filter(!maybe)
+      .unionByName(
+        deduped.filter(maybe)
+          .join(hist, fp === col("__hfp"), "left_anti"))
+  }
+
   /** Segment-level (paragraph/sentence) dedup — the boilerplate
     * remover: split every document on `sepRegex`, fingerprint each
     * normalized segment, keep only the GLOBALLY FIRST occurrence

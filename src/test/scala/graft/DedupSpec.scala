@@ -299,6 +299,40 @@ class DedupSpec extends AnyFunSuite {
     assert(r(1).getInt(0) == 3)
   }
 
+  test("bloom pre-screen: no false negatives, fpp-bounded maybe-set, exact-equal result") {
+    import graft.text.{Dedup, TextFunctions}
+    val hist = spark.range(2000)
+      .select(col("id").as("doc_id"), concat(lit("hist doc "), col("id")).as("text"))
+    val batch = spark.range(5000, 9000)
+      .select(col("id").as("doc_id"), concat(lit("new doc "), col("id")).as("text"))
+      .unionByName(hist.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+    // bit-identical to the exact form: same survivors, same ids
+    val exact = Dedup.incrementalDedup(batch, hist, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    val bloom = Dedup.incrementalDedupBloom(batch, hist, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloom.sameElements(exact))
+    assert(exact.length == 4000) // replanted hist copies all dropped
+    // the expression itself: every inserted key probes true (no false
+    // negatives — the property the fast path's correctness rests on),
+    // and fresh keys probe true at ~fpp only
+    val n = 2000L
+    val bf = hist.select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .stat.bloomFilter("fp", n, 0.01)
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray }
+    val probe = call_function("graft_bloom_contains",
+      lit(bytes), TextFunctions.fingerprint(col("text")))
+    assert(hist.filter(!probe).count() == 0)
+    val falsePos = batch.filter(col("doc_id") < 50000).filter(probe).count()
+    assert(falsePos <= 40, s"4000 fresh keys at fpp=0.01 probed $falsePos positives")
+    // null value probes null, not an exception
+    val r = spark.range(1)
+      .select(call_function("graft_bloom_contains", lit(bytes),
+        lit(null).cast("string")).as("p")).collect()
+    assert(r(0).isNullAt(0))
+  }
+
   test("gram hashing is linear in document length (lambda binding regression)") {
     // Round-8 regression gate: the gram-hash expressions once embedded
     // the tokenize UNBOUND inside their higher-order-function lambdas,
