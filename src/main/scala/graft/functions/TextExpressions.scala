@@ -31,6 +31,14 @@ object TextExpressions {
           case _ => throw new IllegalArgumentException(
             "graft_repetition expects (tokenHashes array<bigint>)")
         }),
+      (FunctionIdentifier("graft_topk"),
+        new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+        (args: Seq[Expression]) => args match {
+          case Seq(score, payload, Literal(k: Int, IntegerType)) =>
+            TopKAgg(score, payload, k)
+          case _ => throw new IllegalArgumentException(
+            "graft_topk expects (score bigint, payload bigint, k integer literal)")
+        }),
       (FunctionIdentifier("graft_bloom_contains"),
         new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
         (args: Seq[Expression]) => args match {

@@ -333,6 +333,41 @@ object AnalyticsQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Native top-k-per-key aggregate (graft_topk): top-3 events per
+    // user by value, WITHOUT the window row_number() idiom — the
+    // window form shuffles every row to its key and sorts the key's
+    // whole row set; the aggregate keeps a k-bounded buffer, so
+    // map-side partials cut each key to ≤ 3 pairs BEFORE the shuffle
+    // and nothing is globally sorted (PlanSpec pins the shape: hash
+    // aggregate with partial merge, no Window, no Sort below the agg).
+    // Scores are exact integer cents; ties rank by event_id asc — the
+    // same total order the oracle's window replays.
+    "q_topk_per_key" -> Q(
+      (s, dir) => {
+        val pair = t(s, dir, "events")
+          .select((col("user_id") % 50).as("user_bucket"),
+            round(col("value") * 100).cast("long").as("score"),
+            col("event_id"))
+        pair.groupBy(col("user_bucket"))
+          .agg(call_function("graft_topk",
+            col("score"), col("event_id"), lit(3)).as("top"))
+          .select(col("user_bucket"), posexplode(col("top")))
+          .select(col("user_bucket"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.score").as("score_cents"),
+            col("col.payload").as("event_id"))
+          .orderBy(col("user_bucket"), col("rk"))
+      },
+      Some("""SELECT user_bucket, rk, score_cents, event_id FROM (
+             |  SELECT user_id % 50 AS user_bucket,
+             |    CAST(round(value * 100) AS BIGINT) AS score_cents, event_id,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY user_id % 50
+             |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id)
+             |      AS BIGINT) AS rk
+             |  FROM events)
+             |WHERE rk <= 3
+             |ORDER BY user_bucket, rk""".stripMargin)),
+
     // Explicit GROUPING SETS (beyond ROLLUP/CUBE): exactly the two
     // summary grains a report needs, nothing else — at scale this is
     // one Expand×2 pass instead of two scans or a CUBE's 2^n grains.

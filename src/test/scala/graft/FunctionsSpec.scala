@@ -192,4 +192,31 @@ class FunctionsSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("graft_topk: total order, tie-break, k bound, null skip, merge-order independence") {
+    import graft.functions.TopKAgg
+    // buffer semantics straight on the data structure: insertion order
+    // must never matter (partials merge in arbitrary order at scale)
+    val items = Seq((5L, 10L), (9L, 1L), (5L, 2L), (9L, 7L), (1L, 99L), (7L, 3L))
+    val expect = Seq((9L, 1L), (9L, 7L), (7L, 3L)) // score desc, payload asc
+    for (perm <- items.permutations.take(50)) {
+      val b = new TopKAgg.Buffer(3)
+      perm.foreach { case (s, p) => b.offer(s, p) }
+      val got = (0 until b.size).map(i => (b.scores(i), b.payloads(i)))
+      assert(got == expect, s"order-dependent result for $perm")
+    }
+    // end-to-end through SQL with nulls and groups: nulls skipped,
+    // short groups emit what they have
+    val df = Seq(
+      (1, Some(5L), Some(10L)), (1, Some(9L), Some(1L)), (1, None, Some(2L)),
+      (1, Some(9L), None), (2, Some(4L), Some(4L)))
+      .toDF("g", "s", "p")
+    val rows = df.groupBy(col("g"))
+      .agg(call_function("graft_topk", col("s"), col("p"), lit(2)).as("top"))
+      .orderBy(col("g"))
+      .select(col("top").cast("array<struct<score:long,payload:long>>"))
+      .as[Seq[(Long, Long)]].collect()
+    assert(rows(0) == Seq((9L, 1L), (5L, 10L)))
+    assert(rows(1) == Seq((4L, 4L)))
+  }
 }

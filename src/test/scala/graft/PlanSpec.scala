@@ -77,6 +77,42 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 2, s"expected 2 corpus scans, got $scans")
   }
 
+  test("top-k per key is a partial-aggregable hash agg — no Window, no per-key sort") {
+    // the window row_number() idiom shuffles every row and sorts each
+    // key's whole row set; graft_topk must instead reduce each key to
+    // ≤ k pairs map-side (partial ObjectHashAggregate) before the
+    // shuffle, with no Window anywhere and no Sort below the aggregate
+    val df = SparkEntry.queries("q_topk_per_key")(spark, sf)
+    df.collect()
+    val nodes = executedNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]), nodes.mkString("\n"))
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
+    // the only Sort is the presentation orderBy ABOVE the aggregate
+    def depth(p: org.apache.spark.sql.execution.SparkPlan): Map[Class[_], Int] = {
+      def walk(n: org.apache.spark.sql.execution.SparkPlan, d: Int): Seq[(Class[_], Int)] =
+        (n.getClass -> d) +: (n match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan, d + 1)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan, d + 1)
+          case _ => n.children.flatMap(walk(_, d + 1))
+        })
+      walk(p, 0).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    val d = depth(df.queryExecution.executedPlan)
+    val sortDepth = d.collectFirst {
+      case (c, v) if classOf[org.apache.spark.sql.execution.SortExec].isAssignableFrom(c) => v }
+    val aggDepth = d.collectFirst {
+      case (c, v) if classOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]
+        .isAssignableFrom(c) => v }
+    assert(sortDepth.isEmpty || sortDepth.get < aggDepth.get,
+      s"a Sort sits below the aggregate: sort@$sortDepth agg@$aggDepth")
+  }
+
   test("materialized-stage composition: the output plan reads stored labels once, no LSH re-run") {
     // the pipeline entry persists components to a ParquetTable; its
     // OUTPUT plan must be split-assign over ONE scan of that table
