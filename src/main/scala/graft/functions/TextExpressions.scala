@@ -31,6 +31,14 @@ object TextExpressions {
           case _ => throw new IllegalArgumentException(
             "graft_repetition expects (tokenHashes array<bigint>)")
         }),
+      (FunctionIdentifier("graft_heavyhitters"),
+        new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavyhitters"),
+        (args: Seq[Expression]) => args match {
+          case Seq(item, Literal(cap: Int, IntegerType)) =>
+            HeavyHittersAgg(item, cap)
+          case _ => throw new IllegalArgumentException(
+            "graft_heavyhitters expects (item string, capacity integer literal)")
+        }),
       (FunctionIdentifier("graft_topk"),
         new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
         (args: Seq[Expression]) => args match {

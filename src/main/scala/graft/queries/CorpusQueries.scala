@@ -133,6 +133,31 @@ object CorpusQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Exact heavy-hitter tokens via sketch-then-verify: pass 1 is a
+    // Misra-Gries sketch + total count in ONE scan (shuffle is
+    // capacity x partitions, vocabulary-independent); pass 2 exact-
+    // counts only the <= capacity candidates and filters on the true
+    // count. Tokens above the bar are GUARANTEED candidates, so the
+    // output is exact — the oracle replays it as plain GROUP BY ...
+    // HAVING, and any sketch bug that loses a heavy token or leaks a
+    // light one turns the row red.
+    "q_heavy_tokens" -> Q(
+      (s, dir) => CorpusStats.heavyTokens(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", capacity = 64, minFreq = 0.033)
+        .orderBy(col("tok")),
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |  FROM documents),
+             |t2 AS (SELECT tok FROM toks WHERE length(tok) > 0),
+             |tot AS (SELECT count(*) AS total FROM t2)
+             |SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+             |  round(count(*) / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+             |    AS freq
+             |FROM t2 GROUP BY tok
+             |HAVING count(*) >= ceil((SELECT total FROM tot) * 0.033)
+             |ORDER BY tok""".stripMargin)),
+
     // Boilerplate share: fraction of each doc's distinct 2-grams that
     // are corpus-frequent (appear in ≥ 30 docs) — the phrase-level
     // chrome detector.

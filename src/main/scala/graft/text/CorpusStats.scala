@@ -30,6 +30,47 @@ object CorpusStats {
       explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .filter(length(col("tok")) > 0)
 
+  /** Exact heavy-hitter tokens via the two-pass sketch-then-verify
+    * composition — the vocabulary-scale form of "which tokens dominate
+    * the corpus" ([[frequentPhrases]]' question, asked where a plain
+    * `GROUP BY token` would shuffle a vocabulary-sized relation).
+    *
+    * Pass 1 runs ONE scan that feeds both a [[HeavyHittersAgg]]
+    * Misra–Gries sketch (shuffle: `capacity × partitions` rows,
+    * vocabulary-independent) and the total token count. Every token
+    * with true frequency > total/(capacity+1) is GUARANTEED to be
+    * among the sketch's candidates; pass 2 re-counts ONLY the
+    * candidates (broadcast semi-join before the shuffle, so the
+    * group-by touches ≤ capacity distinct keys) and filters on the
+    * exact count — so the output is exact and deterministic, with the
+    * sketch deciding nothing but routing. Same stance as the Bloom
+    * pre-screen in [[Dedup.incrementalDedupBloom]]: the sketch routes,
+    * precision comes from an exact pass over the survivors.
+    *
+    * `minFreq` is a fraction of the total token count; callers must
+    * keep `minFreq > 1/(capacity+1)` or the guarantee does not cover
+    * the bar (enforced here). */
+  def heavyTokens(df: DataFrame, idCol: String, textCol: String,
+                  capacity: Int = 256,
+                  minFreq: Double = 0.01): DataFrame = {
+    require(minFreq > 1.0 / (capacity + 1),
+      s"minFreq=$minFreq is below the sketch guarantee 1/(capacity+1)=" +
+        s"${1.0 / (capacity + 1)} — raise minFreq or capacity")
+    val toks = tokenRows(df, idCol, textCol)
+    val pass1 = toks.agg(
+      call_function("graft_heavyhitters", col("tok"), lit(capacity)).as("hh"),
+      count(lit(1)).as("total")).head()
+    val total = pass1.getLong(1)
+    val candidates = pass1.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val bar = math.ceil(total * minFreq).toLong
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= bar)
+      .select(col("tok"), col("cnt"),
+        round(col("cnt").cast("double") / total.toDouble, 6).as("freq"))
+  }
+
   /** 64-bit hashes of the same token stream (empty tokens dropped
     * BEFORE hashing, so an all-whitespace document contributes nothing
     * — same as [[tokenRows]]'s length filter). */

@@ -193,6 +193,34 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_heavyhitters: guarantee under eviction, exact two-pass composition") {
+    // planted skew over a wide tail: items 'hot0'..'hot2' take ~30% of
+    // the stream, the tail is 5000 distinct singletons-ish — with
+    // capacity 16 the sketch constantly evicts, and the guarantee
+    // (freq > n/(cap+1) => candidate) must still hold under Spark's
+    // arbitrary partial/merge order
+    val hot = spark.range(6000).select(
+      concat(lit("hot"), (col("id") % 3).cast("string")).as("item"))
+    val tail = spark.range(14000).select(
+      concat(lit("t"), (col("id") % 5000).cast("string")).as("item"))
+    val stream = hot.unionByName(tail).repartition(8) // force multi-partial merges
+    val cand = stream
+      .agg(call_function("graft_heavyhitters", col("item"), lit(16)).as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.item")).as[String].collect().toSet
+    // each hot item is 10% of 20000 = 2000 > 20000/17 ≈ 1176 — guaranteed
+    assert(Set("hot0", "hot1", "hot2").subsetOf(cand), s"lost a guaranteed heavy item: $cand")
+    assert(cand.size <= 16)
+    // the exact composition returns precisely the above-bar set
+    val docs = stream.groupBy((monotonically_increasing_id() % 97).as("g"))
+      .agg(concat_ws(" ", collect_list(col("item"))).as("text"))
+      .withColumn("doc_id", col("g"))
+    val out = graft.text.CorpusStats.heavyTokens(
+      docs, "doc_id", "text", capacity = 16, minFreq = 0.09)
+      .select(col("tok"), col("cnt")).as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("hot0", "hot1", "hot2"), s"exact set wrong: $out")
+    assert(out.values.toSet == Set(2000L))
+  }
+
   test("graft_topk: total order, tie-break, k bound, null skip, merge-order independence") {
     import graft.functions.TopKAgg
     // buffer semantics straight on the data structure: insertion order
