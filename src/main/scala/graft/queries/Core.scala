@@ -80,6 +80,35 @@ object Core {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Salted shuffle JOIN (graft.plans.Skew.saltedJoin): the explicit
+    // hot-key tool for when one key dominates a fact table, broadcast
+    // is impossible and even AQE's split shuffle blocks lose — the
+    // fact side salts (key, salt-of-row), the dim side replicates
+    // saltFactor ways, and the hot key's rows spread over saltFactor
+    // reducers. Fixture funnels ~75% of events onto one customer key;
+    // the oracle replays the PLAIN join + rollup, so the salted plan
+    // must be result-identical (no duplicated, no lost rows).
+    "q_skew_salted_join" -> Q(
+      (s, dir) => {
+        val fact = t(s, dir, "events").select(
+          when(col("user_id") % 4 =!= 0, lit(7L))
+            .otherwise(col("user_id")).as("k"),
+          col("value"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        graft.plans.Skew.saltedJoin(fact, dim, "k", saltFactor = 8)
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("seg"))
+      },
+      Some("""SELECT c.c_mktsegment AS seg, count(*) AS n,
+             |  round(sum(e.value), 2) AS sum_value
+             |FROM (SELECT CASE WHEN user_id % 4 <> 0 THEN 7
+             |               ELSE user_id END AS k, value
+             |      FROM events) e
+             |JOIN customer c ON c.c_custkey = e.k
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A2: scalar MAX subquery (insert_config.py:97 `(SELECT MAX(ColumnOrder) …)`).
     "q_scalar_subquery" -> Q(
       (s, dir) => {
