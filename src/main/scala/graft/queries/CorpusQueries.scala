@@ -329,6 +329,52 @@ object CorpusQueries {
              |  CAST(sum(CAST(floor(1e6 * (ln(CAST(c AS DOUBLE)) - ln(n.n)))
              |    AS BIGINT)) AS BIGINT) AS logprob_micro
              |FROM c, n GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Bigram LM score per doc (the CCNet-style perplexity proxy, with
+    // the corpus as the model): avg add-one-smoothed ln P(w2|w1) over
+    // each doc's bigrams. Context counts derive from the bigram-count
+    // relation (no second corpus pass); every log term is floored to
+    // micro-units before the per-doc sum, so partial-merge order can
+    // never move a result and the oracle replays bit for bit — corpus
+    // counts, vocabulary size, smoothing, every term.
+    "q_bigram_logprob" -> Q(
+      (s, dir) => CorpusStats.bigramLogProb(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM documents),
+             |v AS (
+             |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             |  FROM (SELECT unnest(t) AS tok FROM t0)),
+             |bgs AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(t)),
+             |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+             |  FROM t0 WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bgs),
+             |cbg AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+             |  FROM bg GROUP BY 1, 2),
+             |cw1 AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1 FROM cbg GROUP BY 1),
+             |st AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(CAST(floor(1e6 * ln(
+             |        (CAST(c.cbg AS DOUBLE) + 1.0)
+             |        / (CAST(k.cw1 AS DOUBLE) + (SELECT v FROM v))))
+             |      AS BIGINT)) AS BIGINT) AS q
+             |  FROM bg b JOIN cbg c USING (w1, w2) JOIN cw1 k USING (w1)
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(st.n_bigrams, 0) AS n_bigrams,
+             |  CASE WHEN coalesce(st.n_bigrams, 0) = 0 THEN 0.0
+             |    ELSE round((CAST(st.q AS DOUBLE) / 1000000.0) /
+             |      CAST(st.n_bigrams AS DOUBLE), 4) END AS avg_logprob
+             |FROM documents d LEFT JOIN st USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

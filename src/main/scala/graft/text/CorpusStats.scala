@@ -233,6 +233,54 @@ object CorpusStats {
     * would make the 4-decimal output flap across runs and engines; the
     * quantized sum is an exact BIGINT under any ordering. The ~1e-6
     * quantization bias is far below the rounding precision. */
+  /** Per-document bigram language-model score — the CCNet-style
+    * perplexity proxy for quality filtering, with the corpus itself as
+    * the model: every document is scored by the average add-one-
+    * smoothed conditional log-probability of its bigrams,
+    * `avg over (w1,w2) of ln((C(w1,w2)+1) / (C(w1)+V))` — boilerplate
+    * and templated text (predictable continuations) scores high,
+    * token soup scores low.
+    *
+    * Scale shape: bigrams build map-side from the token array (bound
+    * attribute, O(1) element reads); only (id, w1, w2) relations
+    * shuffle — the bigram-count aggregate, the context-count rollup
+    * DERIVED from it (no second corpus pass), and the score join keyed
+    * on the bigram. The vocabulary size is the one driver scalar
+    * (bounded, like a centroid fetch). Determinism: each bigram's log
+    * term is quantized to integer micro-units before the per-doc sum
+    * (the [[tokenEntropy]] stance), so partial-merge order can never
+    * move a result. Documents with < 2 tokens emit (0, 0.0). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tl = df.select(col(idCol).as("id"),
+      filter(TextFunctions.tokens(lower(col(textCol))),
+        t => length(t) > 0).as("t"))
+    val bg = tl.filter(size(col("t")) >= 2).select(col("id"),
+      explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+        struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("s"))
+      .select(col("id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
+    val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val cw1 = cbg.groupBy(col("w1")).agg(sum(col("cbg")).as("cw1"))
+    val vocab = tl.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val scored = bg
+      .join(cbg, Seq("w1", "w2"))
+      .join(cw1, Seq("w1"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(log((col("cbg").cast("double") + 1.0) /
+            (col("cw1").cast("double") + vocab.toDouble)) * lit(1e6))
+          .cast("long")).as("q"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(
+            (col("q").cast("double") / lit(1e6)) /
+              col("n_bigrams").cast("double"), 4)).as("avg_logprob"))
+  }
+
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = tokenRows(df, idCol, textCol)
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))

@@ -87,6 +87,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bigram LM score: hand-computed smoothing, predictable text scores higher, short docs 0") {
+    // corpus: "a b" ×3 and "a c" ×1 → C(a,b)=3, C(a,c)=1, C(a)=4, and
+    // V=4 (a, b, c, solo — the bigram-less doc still contributes vocab)
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "solo")) // 1 token → no bigrams
+      .toDF("doc_id", "text")
+    val r = CorpusStats.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def term(cbg: Long, cw1: Long, v: Long): Double =
+      math.floor(1e6 * math.log((cbg + 1.0) / (cw1 + v.toDouble))) / 1e6
+    // doc 1-3: one bigram (a,b): ln(4/8); doc 4: ln(2/8)
+    val ab = BigDecimal(term(3, 4, 4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ac = BigDecimal(term(1, 4, 4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getLong(1) == 1 && r(0).getDouble(2) == ab, r(0))
+    assert(r(3).getLong(1) == 1 && r(3).getDouble(2) == ac, r(3))
+    assert(ab > ac) // the common continuation scores higher
+    assert(r(4).getLong(1) == 0 && r(4).getDouble(2) == 0.0)
+  }
+
   test("per-stratum cap keeps exactly cap rows per stratum, deterministically") {
     val rows = spark.range(100)
       .select(col("id").as("doc_id"), (col("id") % 4).cast("string").as("src"))
