@@ -957,6 +957,60 @@ object TextQueries {
              |WHERE fp NOT IN (SELECT fp FROM hist)
              |ORDER BY doc_id""".stripMargin)),
 
+    // STATEFUL dedup pipeline across two ingest days — the production
+    // loop: each day's survivors append their fingerprints (16 bytes a
+    // row, never the text) to a persisted state table, and the next
+    // day screens against the STORED state through the Bloom fast path.
+    // Day-2 replants whitespace variants of day-1 docs, so a state
+    // table that loses rows, a bloom false negative, or a broken
+    // append shows up as a duplicate the oracle's two-phase replay
+    // does not have.
+    "q_dedup_state_pipeline" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val b1 = docs.filter(col("doc_id") % 2 === 0)
+        val b2 = docs.filter(col("doc_id") % 2 === 1)
+          .unionByName(
+            docs.filter(col("doc_id") < 30 && col("doc_id") % 2 === 0)
+              .select((col("doc_id") + 700000).as("doc_id"),
+                concat(lit(" "), col("text")).as("text")))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-fp-state").toString
+        val state = graft.catalog.ParquetTable(s, "fp_state", s"$tmp/fp_state",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("fp",
+              org.apache.spark.sql.types.StringType))))
+        state.createIfNotExists()
+        val out1 = Dedup.incrementalDedupBloomFp(
+          b1, state.read(), "fp", "doc_id", "text")
+        state.append(out1
+          .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct())
+        val out2 = Dedup.incrementalDedupBloomFp(
+          b2, state.read(), "fp", "doc_id", "text")
+        out1.select(col("doc_id")).unionByName(out2.select(col("doc_id")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |b1 AS (SELECT doc_id, text FROM base WHERE doc_id % 2 = 0),
+             |b2 AS (
+             |  SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+             |  UNION ALL SELECT doc_id + 700000, concat(' ', text)
+             |    FROM base WHERE doc_id < 30 AND doc_id % 2 = 0),
+             |f1 AS (SELECT doc_id,
+             |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM b1),
+             |s1 AS (SELECT fp, min(doc_id) AS doc_id FROM f1 GROUP BY fp),
+             |f2 AS (SELECT doc_id,
+             |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM b2),
+             |s2 AS (SELECT fp, min(doc_id) AS doc_id FROM f2 GROUP BY fp),
+             |out2 AS (
+             |  SELECT doc_id FROM s2 WHERE fp NOT IN (SELECT fp FROM s1))
+             |SELECT doc_id FROM s1
+             |UNION ALL SELECT doc_id FROM out2
+             |ORDER BY doc_id""".stripMargin)),
+
     // Surviving rows after exact dedup (left-semi keep-first).
     "q_dedup_surviving" -> Q(
       (s, dir) => Dedup.exactDedup(withPlantedDups(s, dir), "doc_id", "text")

@@ -81,9 +81,21 @@ object Dedup {
   def incrementalDedupBloom(batch: DataFrame, historical: DataFrame,
                             idCol: String, textCol: String,
                             fpp: Double = 0.01,
-                            expectedItems: Option[Long] = None): DataFrame = {
-    val hist = historical
-      .select(TextFunctions.fingerprint(col(textCol)).as("__hfp")).distinct()
+                            expectedItems: Option[Long] = None): DataFrame =
+    incrementalDedupBloomFp(batch,
+      historical.select(TextFunctions.fingerprint(col(textCol)).as("__hfp")),
+      "__hfp", idCol, textCol, fpp, expectedItems)
+
+  /** [[incrementalDedupBloom]] against an EXISTING fingerprint relation
+    * — the state-table form: a daily pipeline persists survivors'
+    * fingerprints between runs (16 bytes a row) instead of re-reading
+    * yesterday's text, and each run screens against that state. Same
+    * bit-exact contract as the text-history form. */
+  def incrementalDedupBloomFp(batch: DataFrame, fpState: DataFrame,
+                              fpCol: String, idCol: String, textCol: String,
+                              fpp: Double = 0.01,
+                              expectedItems: Option[Long] = None): DataFrame = {
+    val hist = fpState.select(col(fpCol).as("__hfp")).distinct()
     val n = expectedItems.getOrElse(hist.count())
     val deduped = exactDedup(batch, idCol, textCol)
     if (n <= 0) return deduped // empty history: everything is new
