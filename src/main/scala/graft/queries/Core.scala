@@ -847,6 +847,36 @@ object Core {
              |  FROM bytes)
              |SELECT doc_id, bucket, count(*) AS cnt
              |FROM b2 GROUP BY doc_id, bucket
-             |ORDER BY doc_id, bucket""".stripMargin))
+             |ORDER BY doc_id, bucket""".stripMargin)),
+
+    // Frame sampling: fixed-offset byte slices of the payload (a video
+    // decoder would seek to timestamps — the slicing/explode plumbing
+    // is what runs at 100 TB either way). The oracle pins the exact
+    // BYTES of every slice via hex (DuckDB's sha256/substring are
+    // varchar-only, hex pairs are charset-proof), including the short
+    // tail frame and payloads shorter than the frame grid.
+    "q_media_frames" -> Q(
+      (s, dir) => graft.multimodal.Binary.sampleFrames(
+        graft.multimodal.Binary.mediaTable(
+          t(s, dir, "documents").filter(col("doc_id") < 200)),
+        frameBytes = 64, nFrames = 4)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"),
+          lower(hex(col("frame_bytes"))).as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_no")),
+      Some("""WITH media AS (
+             |  SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS h
+             |  FROM documents WHERE doc_id < 200),
+             |ix AS (
+             |  SELECT doc_id, h, unnest(range(0, 4)) AS i FROM media),
+             |fr AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+             |    substr(h, CAST(i * 128 + 1 AS INT), 128) AS fh
+             |  FROM ix)
+             |SELECT doc_id, frame_no,
+             |  CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+             |  fh AS frame_hex
+             |FROM fr WHERE length(fh) > 0
+             |ORDER BY doc_id, frame_no""".stripMargin))
   )
 }
