@@ -849,6 +849,30 @@ object Core {
              |FROM b2 GROUP BY doc_id, bucket
              |ORDER BY doc_id, bucket""".stripMargin)),
 
+    // The typed mapPartitions decode path (graft.multimodal.Binary
+    // .decodeFeatures): per-partition decoder lifecycle, case-class
+    // Encoder, batch shape — the real plumbing a media featurizer
+    // runs at 100 TB. The decode itself is the documented
+    // deterministic stub (no media libs in this environment), which
+    // makes the WHOLE path oracle-checkable: the stub's arithmetic is
+    // replayed by DuckDB, so a broken Encoder, a dropped partition or
+    // a row-order dependence turns the row red.
+    "q_media_decode" -> Q(
+      (s, dir) => graft.multimodal.Binary.decodeFeatures(s,
+        graft.multimodal.Binary.mediaTable(t(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS media_type,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+             |  CAST(64 + (octet_length(encode(text)) * 31) % 433 AS INT)
+             |    AS height,
+             |  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0
+             |    THEN 3 ELSE 1 END AS INT) AS channels
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Frame sampling: fixed-offset byte slices of the payload (a video
     // decoder would seek to timestamps — the slicing/explode plumbing
     // is what runs at 100 TB either way). The oracle pins the exact
