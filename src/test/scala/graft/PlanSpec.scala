@@ -77,6 +77,24 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 2, s"expected 2 corpus scans, got $scans")
   }
 
+  test("bloom-pre-screened dedup: one anti join total, probe on both routes") {
+    // the definitely-new branch must reach the union with NO join at
+    // all — the whole point of the pre-screen is that only the
+    // maybe-set pays one; a second join anywhere means the fast path
+    // regressed into the exact plan
+    val df = SparkEntry.queries("q_incremental_bloom")(spark, sf)
+    df.collect()
+    val nodes = executedNodes(df.queryExecution.executedPlan)
+    val joins = nodes.filter(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(joins.size == 1, s"expected exactly 1 (anti) join, got:\n${joins.mkString("\n")}")
+    assert(joins.head.toString.contains("LeftAnti"), joins.head.toString)
+    val probes = nodes.count(_.toString.contains("graft_bloom_contains"))
+    assert(probes >= 2, s"both union branches must carry the probe filter, saw $probes")
+  }
+
   test("top-k per key is a partial-aggregable hash agg — no Window, no per-key sort") {
     // the window row_number() idiom shuffles every row and sorts each
     // key's whole row set; graft_topk must instead reduce each key to
