@@ -350,6 +350,63 @@ object PipelineQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // Custom aggregate INSIDE Structured Streaming: the top-k
+    // TypedImperativeAggregate runs as a streaming windowed
+    // aggregation, so its buffer must survive the state store's
+    // serialize/restore across micro-batches — a contract nothing in
+    // the batch path exercises. Top-3 events by value per day per
+    // event type; the oracle replays the same ranking in batch, so a
+    // buffer lost or corrupted between micro-batches turns the row
+    // red. (Child session scopes the state-store partition count,
+    // like the other streaming entries.)
+    "q_stream_topk" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-topk")
+        val srcDir = tmp.resolve("src").toString
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        // four source files + maxFilesPerTrigger=1 → four micro-batches:
+        // the state store must serialize/restore the topk buffers
+        // BETWEEN batches, which a single-file source never exercises
+        ss.read.parquet(s"$dir/events.parquet").repartition(4)
+          .write.parquet(srcDir)
+        val ev = ss.readStream
+          .schema(ss.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .transform(graft.Tables.normalizeTs(_))
+        val name = s"stream_tk_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = ev
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(call_function("graft_topk",
+            round(col("value") * 100).cast("long"), col("event_id"), lit(3))
+            .as("top"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(name)
+          .select(col("w.start").as("window_start"), col("event_type"),
+            posexplode(col("top")))
+          .select(col("window_start"), col("event_type"),
+            (col("pos") + 1).cast("long").as("rk"),
+            col("col.score").as("score_cents"),
+            col("col.payload").as("event_id"))
+          .orderBy(col("window_start"), col("event_type"), col("rk"))
+      },
+      Some("""SELECT window_start, event_type, rk, score_cents, event_id
+             |FROM (
+             |  SELECT date_trunc('day', ts) AS window_start, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS score_cents, event_id,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY date_trunc('day', ts), event_type
+             |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id)
+             |      AS BIGINT) AS rk
+             |  FROM events)
+             |WHERE rk <= 3
+             |ORDER BY window_start, event_type, rk""".stripMargin)),
+
     // S1 at scale: one-shot parquet ingest of the whole events table —
     // the throughput-relevant ingest bench (streaming scan → project →
     // sink, no shuffle).
