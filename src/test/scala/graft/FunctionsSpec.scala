@@ -193,6 +193,26 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-8 functions resolve from SQL text and reject misuse at analysis") {
+    // SQL-text resolution (the FunctionRegistry path, not call_function)
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 5L, "b"))
+      .toDF("id", "v", "t").createOrReplaceTempView("f8")
+    val tk = spark.sql(
+      "SELECT graft_topk(v, id, 2) AS top FROM f8").head.getSeq[Any](0)
+    assert(tk.length == 2)
+    val hh = spark.sql(
+      "SELECT graft_heavyhitters(t, 4) AS hh FROM f8").head.getSeq[Any](0)
+    assert(hh.length == 2) // a, b
+    // misuse fails at ANALYSIS, not at runtime: a non-foldable sketch
+    // (bloom must be a plan-time constant) and a non-literal k
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bloom_contains(encode(t, 'utf-8'), t) FROM f8").head
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_topk(v, id, id) FROM f8").head
+    }
+  }
+
   test("graft_heavyhitters: guarantee under eviction, exact two-pass composition") {
     // planted skew over a wide tail: items 'hot0'..'hot2' take ~30% of
     // the stream, the tail is 5000 distinct singletons-ish — with
