@@ -19,7 +19,21 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    normalizeTimestamps(if (name == "events") normalizeTs(df) else df)
+  }
+
+  /** Canonicalize EVERY TimestampNTZ column to the session-TZ TIMESTAMP
+    * the registry programs against. The driver's testdata generations
+    * have flipped timestamp encodings before (see [[normalizeTs]] — a
+    * flip on `events.ts` broke 28 entries in one round); with the
+    * session pinned to UTC the cast is wall-clock identity, and doing
+    * it here means a future flip lands in one loader and one schema-
+    * contract spec instead of in every date-touching entry. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    ntz.foldLeft(df)((d, f) => d.withColumn(f.name,
+      col(f.name).cast(org.apache.spark.sql.types.TimestampType)))
   }
 
   /** Schema-aware timestamp normalization for `events.ts`.

@@ -72,4 +72,40 @@ class TablesSpec extends AnyFunSuite {
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.filter(col("ts").isNotNull).limit(1).count() == 1)
   }
+
+  test("driver testdata schema contract: every column the registry relies on") {
+    // Round-7 lesson, generalized: a testdata regeneration that shifts
+    // an encoding broke 28 entries with one cryptic analysis error.
+    // This spec names the drift instead — if it fails, fix the loader
+    // (Tables.load normalization), not the entries. Types are the
+    // POST-load canonical ones entries program against.
+    val expect: Map[String, Map[String, DataType]] = Map(
+      "events" -> Map("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType),
+      "embeddings" -> Map("vec_id" -> LongType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_returnflag" -> StringType,
+        "l_shipdate" -> TimestampType),
+      "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderdate" -> TimestampType),
+      "customer" -> Map("c_custkey" -> LongType, "c_mktsegment" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType))
+    val drift = expect.flatMap { case (table, cols) =>
+      val schema = Tables.load(spark, TestSpark.sf, table).schema
+      cols.flatMap { case (name, dt) =>
+        schema.find(_.name == name) match {
+          case None => Some(s"$table.$name MISSING")
+          case Some(f) if f.dataType != dt =>
+            Some(s"$table.$name is ${f.dataType.simpleString}, entries expect ${dt.simpleString}")
+          case _ => None
+        }
+      }
+    }
+    assert(drift.isEmpty,
+      s"testdata regenerated with drifted schema — fix Tables.load, not the entries:\n${drift.mkString("\n")}")
+  }
 }
