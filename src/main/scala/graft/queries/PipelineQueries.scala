@@ -350,6 +350,91 @@ object PipelineQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // Custom STATE inside Structured Streaming: the
+    // flatMapGroupsWithState gap-sessionizer, driven as a real file
+    // stream and required to reproduce BATCH gap-islands semantics
+    // exactly on a bounded input. Three micro-batches: all real events
+    // (every user's history lands sorted in one state pass), then two
+    // sentinel files whose event times push the watermark past every
+    // open session's last+gap — event-time timeouts fire only on the
+    // batch AFTER the watermark moves, so closing the per-user final
+    // sessions needs two advancing batches, which is exactly the
+    // machinery under test (lost state, a missed timeout or a
+    // session interval that drifts shows up against the oracle's
+    // windowed replay). Sentinel users are negative ids, filtered out.
+    "q_stream_sessionize" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-sess")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        import ss.implicits._
+        val gapMs = 12 * 3600 * 1000L
+        val ev = graft.Tables.load(ss, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        def sentinel(uid: Long, t: java.sql.Timestamp) =
+          Seq((uid, t, "sentinel", 0.0))
+            .toDF("user_id", "ts", "event_type", "value")
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+              col("event_type"), col("value"))
+        val s1 = new java.sql.Timestamp(maxTs.getTime + gapMs + 2 * 3600 * 1000L)
+        val s2 = new java.sql.Timestamp(s1.getTime + gapMs + 2 * 3600 * 1000L)
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stage = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+        }
+        writeOne(ev, "a")
+        writeOne(sentinel(-1L, s1), "b")
+        writeOne(sentinel(-2L, s2), "c")
+        // strictly increasing mtimes pin the batch order a → b → c
+        Seq("a", "b", "c").zipWithIndex.foreach { case (n, i) =>
+          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+        val stream = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+          .as[graft.streaming.EventStream.Event]
+        val name = s"stream_se_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = graft.streaming.EventStream
+          .sessionize(stream, gapMs = gapMs, watermarkDelay = "1 hour")(ss)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(name)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("start").as("session_start"),
+            col("end").as("session_end"), col("n_events").cast("long").as("n_events"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |numbered AS (
+             |  SELECT user_id, ts, value,
+             |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             |      AS session_id
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM numbered GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // Custom aggregate INSIDE Structured Streaming: the top-k
     // TypedImperativeAggregate runs as a streaming windowed
     // aggregation, so its buffer must survive the state store's

@@ -112,7 +112,19 @@ object EventStream {
     events.join(broadcast(dim), Seq(keyCol), "left")
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  /** start/last are epoch MICROSECONDS: `Timestamp.getTime` is millis
+    * and silently drops the micros parquet event times carry, which
+    * shifted session intervals by up to a millisecond against the
+    * batch oracle. */
   final case class SessionState(start: Long, last: Long, events: Int, value: Double)
+
+  private def toMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
                            n_events: Int, total_value: Double)
 
@@ -138,16 +150,17 @@ object EventStream {
             // the watermark passed last + gap: close and emit the open
             // session, free the state
             val closed = state.getOption.map(s => Session(userId,
-              new Timestamp(s.start), new Timestamp(s.last), s.events, s.value))
+              fromMicros(s.start), fromMicros(s.last), s.events, s.value))
             state.remove()
             closed.iterator
           } else {
             // events within a micro-batch arrive unordered — sort by time
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val gapUs = gapMs * 1000L
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = toMicros(e.ts)
               cur match {
                 // a straggler more than gap BEFORE the open session's
                 // start cannot belong to it (t - s.last <= gapMs alone
@@ -156,20 +169,20 @@ object EventStream {
                 // session, leave the open session untouched. Best-effort
                 // vs batch sessionization: in-between events that could
                 // have bridged arrived in an earlier batch or not at all.
-                case Some(s) if t < s.start - gapMs =>
-                  closed += Session(userId, new Timestamp(t),
-                    new Timestamp(t), 1, e.value)
+                case Some(s) if t < s.start - gapUs =>
+                  closed += Session(userId, fromMicros(t),
+                    fromMicros(t), 1, e.value)
                 // within gap of the open session. A later batch can
                 // carry events OLDER than the restored state (late but
                 // inside the watermark) — extend with min/max so the
                 // session interval never moves backwards.
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), events = s.events + 1,
                     value = s.value + e.value))
                 case Some(s) =>
-                  closed += Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.events, s.value)
+                  closed += Session(userId, fromMicros(s.start),
+                    fromMicros(s.last), s.events, s.value)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -178,9 +191,12 @@ object EventStream {
             cur match {
               case Some(s) =>
                 state.update(s)
-                // timeout must sit strictly beyond the current watermark
+                // timeout must sit strictly beyond the current watermark;
+                // last is micros, the timeout clock is millis (ceil so
+                // the timeout never lands before last + gap)
                 state.setTimeoutTimestamp(
-                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                  math.max(Math.floorDiv(s.last + 999L, 1000L) + gapMs,
+                    state.getCurrentWatermarkMs() + 1))
               case None => state.remove()
             }
             closed.result().iterator
@@ -194,23 +210,24 @@ object EventStream {
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     events.groupByKey(_.user_id).flatMapGroups { (userId, rows) =>
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
       val out = Seq.newBuilder[Session]
       var cur: Option[SessionState] = None
+      val gapUs = gapMs * 1000L
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = toMicros(e.ts)
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
+          case Some(s) if t - s.last <= gapUs =>
             cur = Some(s.copy(last = t, events = s.events + 1, value = s.value + e.value))
           case Some(s) =>
-            out += Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+            out += Session(userId, fromMicros(s.start), fromMicros(s.last),
               s.events, s.value)
             cur = Some(SessionState(t, t, 1, e.value))
           case None => cur = Some(SessionState(t, t, 1, e.value))
         }
       }
-      cur.foreach(s => out += Session(userId, new Timestamp(s.start),
-        new Timestamp(s.last), s.events, s.value))
+      cur.foreach(s => out += Session(userId, fromMicros(s.start),
+        fromMicros(s.last), s.events, s.value))
       out.result()
     }
   }
