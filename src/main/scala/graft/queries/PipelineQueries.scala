@@ -350,6 +350,62 @@ object PipelineQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // ENGINE-managed session state on a stream: the native
+    // session_window aggregation over four micro-batches — the state
+    // store must merge overlapping per-batch sessions itself (the
+    // machinery q_stream_sessionize hand-rolls), and complete mode
+    // emits the final merged sessions without sentinel files. The
+    // oracle is the SAME gap-islands replay as the batch
+    // q_session_window, so streaming merge state must land exactly
+    // where one batch pass does.
+    "q_stream_session_window" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-sw")
+        val srcDir = tmp.resolve("src").toString
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        ss.read.parquet(s"$dir/events.parquet").repartition(4)
+          .write.parquet(srcDir)
+        val ev = ss.readStream
+          .schema(ss.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .transform(graft.Tables.normalizeTs(_))
+        val name = s"stream_sw_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = ev
+          .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("tv"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(name)
+          .select(col("user_id"),
+            col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"),
+            col("n_events"), round(col("tv"), 2).as("total_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |numbered AS (
+             |  SELECT user_id, ts, value,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 6 HOUR AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM numbered GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // Custom STATE inside Structured Streaming: the
     // flatMapGroupsWithState gap-sessionizer, driven as a real file
     // stream and required to reproduce BATCH gap-islands semantics
