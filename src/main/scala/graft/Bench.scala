@@ -30,12 +30,28 @@ object Bench {
     // debris, not the query.
     def resetState(): Unit = {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      // blocking: the next attempt must start from a clean block
+      // manager, not race an async removal of its predecessor's blocks
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       spark.catalog.listTables().collect().filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
     }
+    // Spark's ContextCleaner is reference-queue driven: dropped
+    // localCheckpoint RDDs and broadcasts are only reaped after a JVM
+    // GC enqueues them. Under a LARGE -Xmx (SPARK_DRIVER_MEM) the whole
+    // suite can run before a single full GC, so block-manager debris
+    // compounds and inflates late entries 3-5x — the round-8 driver run
+    // showed 9-13 GB resident heap and 3x entry inflation from suite
+    // position ~110 on, unreproducible at -Xmx8g where routine GCs kept
+    // the cleaner current. Forcing a GC once per ENTRY (outside the
+    // timed region, after both attempts) makes the suite heap-size
+    // independent without paying the forced-GC churn (class unloading,
+    // cold codegen caches) inside the min-of-2 attempts — a
+    // between-attempt GC measurably re-chilled attempt 2 by ~10%
+    // suite-wide.
+    def reapDebris(): Unit = System.gc()
     // Two timed runs per query, keep the minimum: one local[32] JVM
     // shares cores with the OS, and min-of-2 strips scheduler noise
     // without hiding real cost.
@@ -49,7 +65,7 @@ object Bench {
     def heapMb(): Long = java.lang.management.ManagementFactory
       .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
     final case class Attempt(sec: Double, gcMs: Long, heapMb: Long)
-    val detail = qs.map { name =>
+    val detail = qs.zipWithIndex.map { case (name, pos) =>
       // the production-plan variant where one exists (correctness-only
       // scaffolding like exact sketch twins stays out of the timings)
       val fn = graft.queries.Registry.benchQueries(name)
@@ -67,9 +83,10 @@ object Bench {
         resetState()
         a
       }
-      name -> attempts
+      reapDebris()
+      (name, pos, attempts)
     }
-    val results = detail.map { case (name, attempts) =>
+    val results = detail.map { case (name, _, attempts) =>
       name -> (if (attempts.exists(_.sec < 0)) -1.0 else attempts.map(_.sec).min)
     }
     val ok = results.filter(_._2 >= 0)
@@ -108,11 +125,14 @@ object Bench {
     // BENCH artifact stays parseable and byte-compatible; the repo keeps
     // the telemetry for regression forensics.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val detailJson = detail.map { case (name, attempts) =>
+    // `pos` is the entry's index in the run order: order-dependent
+    // effects (cache debris, heap pressure from a heavy neighbor) are
+    // diagnosable from one artifact without re-deriving the schedule.
+    val detailJson = detail.map { case (name, pos, attempts) =>
       val a = attempts.map(x =>
         s"""{"sec":${fmt(x.sec)},"gc_ms":${x.gcMs},"heap_mb":${x.heapMb}}""")
         .mkString("[", ",", "]")
-      "\"" + name + "\":" + a
+      "\"" + name + "\":" + s"""{"pos":$pos,"attempts":$a}"""
     }.mkString("{\"sf\":\"" + sfDir + "\",\"attempts\":{", ",", "}}")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detailJson.getBytes("UTF-8"))

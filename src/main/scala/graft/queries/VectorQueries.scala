@@ -57,6 +57,58 @@ object VectorQueries {
       |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
       |  FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
+  /** One oracle for BOTH IVF entries (inline and stage-table-served):
+    * the stored index memoizes the assignment pass without changing a
+    * row, so a single SQL reimplementation of the full pipeline —
+    * quantized k-means training, argmax assignment, nprobe probing,
+    * exact re-rank — must match either route. */
+  private val ivfOracleSql: String =
+    """WITH data AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> floor(x * 1000)) AS e
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS cid, e FROM q
+      |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
+      |    vec_id
+      |  LIMIT 16),
+      |a1 AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT q.vec_id, q.e, s.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
+      |          + list_dot_product(s.e, s.e), s.cid) AS rn
+      |    FROM q, seeds s) WHERE rn = 1),
+      |cents AS (
+      |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+      |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
+      |    FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+      |dassign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT d.vec_id, c.cid, row_number() OVER (PARTITION BY d.vec_id
+      |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS crank
+      |    FROM data d, cents c) WHERE crank = 1),
+      |qs AS (SELECT vec_id AS qid, v AS qv FROM data WHERE vec_id % 100 = 0),
+      |qassign AS (
+      |  SELECT s2.qid, s2.qv, c.cid, row_number() OVER (PARTITION BY s2.qid
+      |    ORDER BY list_cosine_similarity(s2.qv, c.cv) DESC, c.cid) AS crank
+      |  FROM qs s2, cents c),
+      |cand AS (
+      |  SELECT p.qid, da.vec_id, list_cosine_similarity(d.v, p.qv) AS sim
+      |  FROM (SELECT qid, qv, cid FROM qassign WHERE crank <= 4) p
+      |  JOIN dassign da ON da.cid = p.cid
+      |  JOIN data d ON d.vec_id = da.vec_id
+      |  WHERE da.vec_id <> p.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY sim DESC, vec_id) AS rn
+      |  FROM cand)
+      |SELECT qid, vec_id, CAST(rn AS INT) AS rank
+      |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Deterministic k-means (graft.vector.KMeans): 2 Lloyd rounds over
@@ -221,51 +273,46 @@ object VectorQueries {
           .select(col("qid"), col("vec_id"), cast_rank)
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH data AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |q AS (
-             |  SELECT vec_id,
-             |    list_transform(CAST(embedding AS DOUBLE[]),
-             |                   x -> floor(x * 1000)) AS e
-             |  FROM embeddings),
-             |seeds AS (
-             |  SELECT vec_id AS cid, e FROM q
-             |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
-             |    vec_id
-             |  LIMIT 16),
-             |a1 AS (
-             |  SELECT vec_id, e, cid FROM (
-             |    SELECT q.vec_id, q.e, s.cid,
-             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
-             |          + list_dot_product(s.e, s.e), s.cid) AS rn
-             |    FROM q, seeds s) WHERE rn = 1),
-             |cents AS (
-             |  SELECT cid, list(m ORDER BY i) AS cv FROM (
-             |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
-             |    FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
-             |dassign AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT d.vec_id, c.cid, row_number() OVER (PARTITION BY d.vec_id
-             |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid) AS crank
-             |    FROM data d, cents c) WHERE crank = 1),
-             |qs AS (SELECT vec_id AS qid, v AS qv FROM data WHERE vec_id % 100 = 0),
-             |qassign AS (
-             |  SELECT s2.qid, s2.qv, c.cid, row_number() OVER (PARTITION BY s2.qid
-             |    ORDER BY list_cosine_similarity(s2.qv, c.cv) DESC, c.cid) AS crank
-             |  FROM qs s2, cents c),
-             |cand AS (
-             |  SELECT p.qid, da.vec_id, list_cosine_similarity(d.v, p.qv) AS sim
-             |  FROM (SELECT qid, qv, cid FROM qassign WHERE crank <= 4) p
-             |  JOIN dassign da ON da.cid = p.cid
-             |  JOIN data d ON d.vec_id = da.vec_id
-             |  WHERE da.vec_id <> p.qid),
-             |ranked AS (
-             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-             |    ORDER BY sim DESC, vec_id) AS rn
-             |  FROM cand)
-             |SELECT qid, vec_id, CAST(rn AS INT) AS rank
-             |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
+      Some(ivfOracleSql)),
+
+    // IVF with the index PERSISTED between build and serve — the
+    // production shape at 100 TB: train centroids once, store them and
+    // the per-row assignment (12 bytes/row) to stage tables, and let
+    // every query batch read the INDEX instead of re-running k-means
+    // and the corpus-wide argmax (which is what an inline ivfTopK per
+    // batch amounts to). The serve plan joins corpus vectors to the
+    // stored assignment on id and probes cells — PlanSpec pins that the
+    // output plan reads the stage table and carries no training
+    // lineage. Same oracle as q_ann_ivf: the index only memoizes the
+    // assignment pass, so the SQL recomputes BOTH stages (training,
+    // assignment, probing, re-rank) and must land on identical rows.
+    "q_ann_ivf_stage" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        // stage 1: train + index, stored once
+        val cents = graft.vector.KMeans.fitCentroids(
+          emb, "vec_id", "embedding", k = 16, iters = 2)
+        import s.implicits._
+        val centroids = cents.toDF("cid", "embedding")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ivf-stage").toString
+        val centTable = graft.catalog.ParquetTable(
+          s, "ivf_centroids", s"$tmp/centroids", centroids.schema)
+        centTable.overwrite(centroids)
+        val assign = Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
+        val assignTable = graft.catalog.ParquetTable(
+          s, "ivf_assign", s"$tmp/assign", assign.schema)
+        assignTable.overwrite(assign)
+        // stage 2: serve every query batch from the STORED index
+        Ann.ivfTopKIndexed(emb, assignTable.read(), queries,
+          "vec_id", "embedding", "qid", k = 5,
+          centroids = centTable.read(), nprobe = 4)
+          .select(col("qid"), col("vec_id"), cast_rank)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfOracleSql)),
 
     // LSH-bucketed ANN (random hyperplanes, multi-probe d≤1): the scale
     // path — candidates from bucket equi-joins, exact re-rank. `bits`

@@ -21,6 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Per-round materialization for the iterative component loops.
+    *
+    * Local mode (the default): `localCheckpoint` — blocks live on
+    * executors with lineage truncated, reclaimed by the ContextCleaner;
+    * an executor loss mid-loop fails the job. On a long-running
+    * cluster that trade is wrong — a 1000-executor job losing one
+    * machine should not restart a 30-round contraction — so when the
+    * session opts in (`graft.checkpoint.reliable=true`, session-scoped
+    * conf) AND a checkpoint dir is configured
+    * (`SparkContext.setCheckpointDir`, typically durable storage), the
+    * rounds go through a RELIABLE `.checkpoint()`: files survive
+    * executor loss, the loop resumes from the last round. Both forms
+    * are eager and truncate lineage, so the loop plan never grows. */
+  private def roundCheckpoint(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val reliable =
+      ss.conf.get("graft.checkpoint.reliable", "false").toBoolean &&
+        ss.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+  }
+
   /** Exact duplicate groups: fingerprint → (keeper id, group size).
     * Map-side partial agg then one shuffle on the 128-bit digest. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -90,12 +111,24 @@ object Dedup {
     * — the state-table form: a daily pipeline persists survivors'
     * fingerprints between runs (16 bytes a row) instead of re-reading
     * yesterday's text, and each run screens against that state. Same
-    * bit-exact contract as the text-history form. */
+    * bit-exact contract as the text-history form.
+    *
+    * The history is SNAPSHOTTED here (one eager materialization): the
+    * Bloom sketch is built at call time, so if the anti-join read the
+    * live `fpState` lazily, a state-table append between building this
+    * plan and collecting it would make the exact join see rows the
+    * sketch doesn't — the screen would stop being one consistent view.
+    * The snapshot pins both sides to the same history. (Its blocks are
+    * lineage-free local-checkpoint blocks — reclaimed when the plan is
+    * dropped, but an executor loss recomputes nothing; a cluster run
+    * with a state table in the 10^9-key range should read a pinned
+    * stage-table snapshot instead and pass `expectedItems`.) */
   def incrementalDedupBloomFp(batch: DataFrame, fpState: DataFrame,
                               fpCol: String, idCol: String, textCol: String,
                               fpp: Double = 0.01,
                               expectedItems: Option[Long] = None): DataFrame = {
     val hist = fpState.select(col(fpCol).as("__hfp")).distinct()
+      .localCheckpoint(true)
     val n = expectedItems.getOrElse(hist.count())
     val deduped = exactDedup(batch, idCol, textCol)
     if (n <= 0) return deduped // empty history: everything is new
@@ -340,13 +373,13 @@ object Dedup {
     * clusters of copies (diameter a few hops); `maxIter` guards the
     * pathological chain. Labels are localCheckpoint'ed each round so
     * the plan never grows with the iteration count, and each round is
-    * ONE shuffle join + partial agg. (localCheckpoint pins blocks to
-    * executors with lineage truncated: an executor loss mid-loop fails
-    * the job and it restarts from the pairs input. That is the right
-    * local-mode trade — the label relation is tiny — but a long-running
-    * 1000-executor job should either set a reliable checkpoint dir and
-    * swap these for `.checkpoint()`, or persist the labels to a stage
-    * table between rounds, the `q_components_stage` pattern.) (At extreme diameters the
+    * ONE shuffle join + partial agg. (Rounds materialize via
+    * [[roundCheckpoint]]: localCheckpoint by default — right for local
+    * mode, where the label relation is tiny and an executor can't be
+    * lost — or a RELIABLE `.checkpoint()` when the session sets
+    * `graft.checkpoint.reliable=true` and a checkpoint dir, the
+    * 1000-executor idiom; the stage-table-between-rounds alternative is
+    * the `q_components_stage` pattern.) (At extreme diameters the
     * two-phase large-star/small-star algorithm halves rounds; the
     * simple propagation is the right trade for dup clusters.)
     *
@@ -357,24 +390,22 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint(true) // read every round; tiny (dup docs only)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    val edges0 = roundCheckpoint(edges) // read every round; tiny (dup docs only)
+    var labels = roundCheckpoint(edges0.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val neighborMin = edges
+      val neighborMin = edges0
         .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
         .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
       // carry the previous label through so convergence is read off the
       // checkpointed result directly — no extra join or re-scan per round
-      val next = labels
+      val next = roundCheckpoint(labels
         .join(neighborMin.select(col("u").as("id"), col("ncomp")), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .localCheckpoint(true)
+          col("comp").as("prev")))
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.drop("prev")
       it += 1
@@ -408,10 +439,10 @@ object Dedup {
     * with comp = min id, one row per id appearing in `pairs`. Prefer
     * the default propagation for near-dup clusters (tiny diameters, ~2
     * rounds); use this for chain-shaped graphs (linkage over time,
-    * session stitching). (Same executor-loss caveat as
-    * [[connectedComponents]]: the per-round localCheckpoint is the
-    * local-mode trade; a long cluster run should use a reliable
-    * checkpoint dir or a stage table between rounds.) */
+    * session stitching). (Rounds go through [[roundCheckpoint]], same
+    * as [[connectedComponents]]: localCheckpoint locally, a reliable
+    * `.checkpoint()` when `graft.checkpoint.reliable=true` and a
+    * checkpoint dir are set.) */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsStarRounds(pairs, maxIter)._1
 
@@ -419,11 +450,10 @@ object Dedup {
       pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // canonical undirected edges a > b; self-pairs drop out (their ids
     // rejoin as singletons at the end)
-    var edges = pairs.select(
+    var edges = roundCheckpoint(pairs.select(
         greatest(col("id_a"), col("id_b")).as("a"),
         least(col("id_a"), col("id_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct())
 
     // m(u) = min of u's closed neighborhood over BOTH directions
     def largeStar(e: DataFrame): DataFrame = {
@@ -459,7 +489,7 @@ object Dedup {
     var it = 0
     var converged = edges.isEmpty
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = roundCheckpoint(smallStar(largeStar(edges)))
       val nextSig = sig(next)
       converged = nextSig == prevSig
       prevSig = nextSig
@@ -631,46 +661,53 @@ object Dedup {
     // stop-gram aggregate, the semi-join back, and both sides of the
     // candidate self-join): persist it so the corpus-wide gram pass —
     // the only expensive map stage here — runs ONCE instead of once
-    // per reference. persist (not localCheckpoint) keeps the lineage:
-    // an executor loss recomputes the lost blocks instead of killing
-    // the job — the property a 1000-executor run actually needs. The
-    // cached relation is (id, hash64) pairs at 1/seedMod density, a
-    // sliver of the corpus.
+    // per reference. The cached relation is (id, hash64) pairs at
+    // 1/seedMod density, a sliver of the corpus. Both caches are
+    // RELEASED before returning (CacheManager entries outlive every
+    // reference, so a leaked persist accumulates across calls in a
+    // long-lived session); the verified pair set — tiny, it IS the
+    // output — is captured via localCheckpoint while the caches are
+    // hot, the same lifecycle as [[candidatePairs]].
     val seeds = df
       .select(col(idCol).as("id"), gram(col(textCol)).as("g"))
       .select(col("id"),
         explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stop-gram cap: a seed living in > maxDf docs is boilerplate and
-    // would fan out quadratically — it indexes nothing
-    val rare = seeds.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("h"))
-    val idx = seeds.join(rare, Seq("h"), "left_semi")
-    // (id, h) is unique per doc (grams are distinct'd), so the pair
-    // count IS the number of distinct shared seed grams. Persisted for
-    // the same reason as the seeds: it feeds the verify join and (via
-    // the union) the semi-join pruning of the gram-set build.
-    val cand = idx.as("a")
-      .join(idx.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minSeeds)
-      .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inPairs = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-    val sets = df.select(col(idCol).as("id"), gram(col(textCol)).as("g"))
-      .join(inPairs, Seq("id"), "left_semi")
-    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
-    val minSize = least(size(col("ga")), size(col("gb"))).cast("double")
-    cand
-      .join(sets.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(when(minSize === 0, lit(0.0)).otherwise(inter / minSize), 4)
-          .as("containment"))
-      .filter(col("containment") >= threshold)
+    try {
+      // stop-gram cap: a seed living in > maxDf docs is boilerplate and
+      // would fan out quadratically — it indexes nothing
+      val rare = seeds.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("h"))
+      val idx = seeds.join(rare, Seq("h"), "left_semi")
+      // (id, h) is unique per doc (grams are distinct'd), so the pair
+      // count IS the number of distinct shared seed grams. Persisted for
+      // the same reason as the seeds: it feeds the verify join and (via
+      // the union) the semi-join pruning of the gram-set build.
+      val cand = idx.as("a")
+        .join(idx.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minSeeds)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val inPairs = cand.select(col("id_a").as("id"))
+          .union(cand.select(col("id_b").as("id"))).distinct()
+        val sets = df.select(col(idCol).as("id"), gram(col(textCol)).as("g"))
+          .join(inPairs, Seq("id"), "left_semi")
+        val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+        val minSize = least(size(col("ga")), size(col("gb"))).cast("double")
+        cand
+          .join(sets.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+          .join(sets.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(when(minSize === 0, lit(0.0)).otherwise(inter / minSize), 4)
+              .as("containment"))
+          .filter(col("containment") >= threshold)
+          .localCheckpoint(true)
+      } finally cand.unpersist(false)
+    } finally seeds.unpersist(false)
   }
 
   /** Quality-keeper dedup: like [[nearDupSurvivors]], but every
@@ -705,13 +742,17 @@ object Dedup {
       .orderBy(col("__q").desc, col("id"))
     // losers are tiny and feed the anti join — materialize them so the
     // LSH/verify/label lineage runs once and the survivor plan is just
-    // corpus ⟕anti broadcast(losers). persist, not localCheckpoint:
-    // checkpointed blocks are pinned to executors with the lineage
-    // truncated, so one lost executor kills a 1000-executor run;
-    // persist recomputes lost blocks from lineage.
+    // corpus ⟕anti broadcast(losers). localCheckpoint, not persist: a
+    // CacheManager entry outlives every reference, so a persisted
+    // relation the caller never sees leaks cached blocks on every call
+    // in a long-lived session; checkpoint blocks are reclaimed by the
+    // ContextCleaner once the plan is dropped. (The lineage-loss trade
+    // is moot here: `comps` upstream is already a localCheckpoint from
+    // [[connectedComponents]], so the loser lineage was truncated
+    // either way — same executor-loss caveat, documented there.)
     val losers = dupScored.withColumn("__rk", row_number().over(wnd))
       .filter(col("__rk") > 1).select(col("id").as(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val kept = df.join(if (small) broadcast(losers) else losers, Seq(idCol), "left_anti")
     // emitting the score here spares callers a second corpus-wide eval
     scoreOut.fold(kept)(n => kept.withColumn(n, score))

@@ -228,7 +228,45 @@ object Ann {
   def ivfTopK(data: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, qidCol: String,
               k: Int, centroids: DataFrame, nprobe: Int = 4): DataFrame = {
-    val cents: Seq[(Any, Seq[Double])] = centroids
+    val cents = centroidSeq(centroids, vecCol)
+    val dataAssigned = withProbes(data, vecCol, cents, 1)
+    serveIvf(dataAssigned, queries, idCol, vecCol, qidCol, k, cents, nprobe)
+  }
+
+  /** Per-row nearest-centroid assignment — the IVF INDEX relation:
+    * (id, cid), ~12 bytes a row at any corpus size. At 100 TB the
+    * index is built ONCE (this map-side argmax pass) and stored to a
+    * stage table, then served many times by [[ivfTopKIndexed]] —
+    * re-training centroids per query batch (what [[ivfTopK]] callers
+    * do implicitly) re-reads the whole corpus each time. Zero-norm
+    * rows are absent from the index (they have no direction and can
+    * never be a cosine candidate). */
+  def ivfAssign(data: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame =
+    withProbes(data.select(col(idCol), col(vecCol)), vecCol,
+      centroidSeq(centroids, vecCol), 1)
+      .select(col(idCol), col("cid"))
+
+  /** Top-k from a PREBUILT assignment index — the serve path: the
+    * stored (id, cid) relation routes candidates, vectors come from
+    * the corpus via the id equi-join (at scale both sides bucketed by
+    * id, so the join is co-located), and only the probed cells' rows
+    * are ever scored. Results are identical to [[ivfTopK]] over the
+    * same centroids — the index only memoizes the assignment pass. */
+  def ivfTopKIndexed(data: DataFrame, assign: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, qidCol: String,
+                     k: Int, centroids: DataFrame, nprobe: Int = 4): DataFrame = {
+    val cents = centroidSeq(centroids, vecCol)
+    val dataAssigned = data.select(col(idCol), col(vecCol))
+      .join(assign.select(col(idCol), col("cid")), Seq(idCol))
+    serveIvf(dataAssigned, queries, idCol, vecCol, qidCol, k, cents, nprobe)
+  }
+
+  /** The centroid set is tiny and deterministic by construction, so it
+    * is collected once to the driver (a documented O3 scalar fetch). */
+  private def centroidSeq(centroids: DataFrame,
+                          vecCol: String): Seq[(Any, Seq[Double])] =
+    centroids
       .select(col("cid"), VectorFunctions.toDoubleArray(col(vecCol)))
       .collect().toSeq
       .map(r => (r.get(0), r.getSeq[Double](1)))
@@ -237,32 +275,42 @@ object Ann {
       // DIVIDE_BY_ZERO — drop it from the centroid set
       .filter { case (_, cv) => cv.map(x => x * x).sum > 0 }
 
-    // Probe list of the `keep` nearest centroids as a pure projection:
-    // the vector's double form and norm are bound through NAMED columns
-    // (evaluated once per row), each centroid costs one dot product,
-    // and sort_array over (negated sim, cid) structs yields the
-    // sim-desc / cid-asc order with no window and no shuffle. The
-    // division mirrors cosine()'s dot/(norm*norm) association so sims
-    // stay bit-identical to VectorFunctions.cosine.
-    def withProbes(df: DataFrame, keep: Int): DataFrame = {
-      val scored = cents.map { case (cid, cv) =>
-        val cnorm = math.sqrt(cv.map(x => x * x).sum)
-        struct(
-          (-(VectorFunctions.dot(col("__vd"), VectorFunctions.vectorLit(cv))
-            / (col("__vnorm") * lit(cnorm)))).as("negsim"),
-          lit(cid).as("cid"))
-      }
-      df.withColumn("__vd", VectorFunctions.toDoubleArray(col(vecCol)))
-        .withColumn("__vnorm", VectorFunctions.norm(col("__vd")))
-        // zero-norm rows cannot be assigned (ANSI: the division throws)
-        .filter(col("__vnorm") > 0)
-        .withColumn("cid",
-          explode(transform(slice(sort_array(array(scored: _*)), 1, keep),
-            s => s("cid"))))
-        .drop("__vd", "__vnorm")
+  /** Probe list of the `keep` nearest centroids as a pure projection:
+    * the vector's double form and norm are bound through NAMED columns
+    * (evaluated once per row), each centroid costs one dot product,
+    * and sort_array over (negated sim, cid) structs yields the
+    * sim-desc / cid-asc order with no window and no shuffle. The
+    * division mirrors cosine()'s dot/(norm*norm) association so sims
+    * stay bit-identical to VectorFunctions.cosine. */
+  private def withProbes(df: DataFrame, vecCol: String,
+                         cents: Seq[(Any, Seq[Double])],
+                         keep: Int): DataFrame = {
+    val scored = cents.map { case (cid, cv) =>
+      val cnorm = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (-(VectorFunctions.dot(col("__vd"), VectorFunctions.vectorLit(cv))
+          / (col("__vnorm") * lit(cnorm)))).as("negsim"),
+        lit(cid).as("cid"))
     }
-    val dataAssigned = withProbes(data, 1)
-    val queryAssigned = withProbes(queries, nprobe)
+    df.withColumn("__vd", VectorFunctions.toDoubleArray(col(vecCol)))
+      .withColumn("__vnorm", VectorFunctions.norm(col("__vd")))
+      // zero-norm rows cannot be assigned (ANSI: the division throws)
+      .filter(col("__vnorm") > 0)
+      .withColumn("cid",
+        explode(transform(slice(sort_array(array(scored: _*)), 1, keep),
+          s => s("cid"))))
+      .drop("__vd", "__vnorm")
+  }
+
+  /** Candidate join + exact re-rank shared by the inline and indexed
+    * IVF paths: probe the query side, equi-join on the cell id against
+    * the assigned corpus (broadcast query side — never a cross join),
+    * score the true cosine, window-rank per query. */
+  private def serveIvf(dataAssigned: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, qidCol: String,
+                       k: Int, cents: Seq[(Any, Seq[Double])],
+                       nprobe: Int): DataFrame = {
+    val queryAssigned = withProbes(queries, vecCol, cents, nprobe)
       .withColumnRenamed(vecCol, "qvec")
     val candidates = dataAssigned
       .join(broadcast(queryAssigned.select(col(qidCol), col("qvec"), col("cid"))),

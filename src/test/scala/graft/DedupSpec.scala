@@ -143,6 +143,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("components under a reliable checkpoint dir: identical labels, files on disk") {
+    // The cluster idiom: `graft.checkpoint.reliable=true` (session conf)
+    // + a configured checkpoint dir route every component round through
+    // a RELIABLE .checkpoint() — files survive executor loss — instead
+    // of executor-pinned localCheckpoint blocks. Labels must be
+    // bit-identical either way; the checkpoint dir must actually be
+    // used (otherwise the flag silently fell back to local mode).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val rel = spark.newSession()
+    rel.conf.set("graft.checkpoint.reliable", "true")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 10L)) ++
+      (20L until 40L).map(i => (i, i + 1))
+    val relPairs = rel.createDataFrame(edges).toDF("id_a", "id_b")
+    val defPairs = edges.toDF("id_a", "id_b") // default session: local path
+    val viaReliable = Dedup.connectedComponents(relPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = Dedup.connectedComponents(defPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable === viaLocal)
+    val starReliable = Dedup.connectedComponentsStar(relPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starReliable === viaLocal)
+    // reliable rounds wrote real checkpoint files
+    val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
   test("nearDupSurvivors keeps one doc per near-dup cluster") {
     // doc 0's copies 100 and 200 form a transitive cluster through 100
     // (0~100 and 100~200 overlap strongly; dissimilar docs untouched)
@@ -325,7 +353,10 @@ class DedupSpec extends AnyFunSuite {
       lit(bytes), TextFunctions.fingerprint(col("text")))
     assert(hist.filter(!probe).count() == 0)
     val falsePos = batch.filter(col("doc_id") < 50000).filter(probe).count()
-    assert(falsePos <= 40, s"4000 fresh keys at fpp=0.01 probed $falsePos positives")
+    // 4000 fresh keys × fpp 0.01 → expected ~40; bound at 3× so only a
+    // genuine fpp-contract break trips it, not a benign shift in the
+    // fixture, fingerprint, or Bloom hash seed across Spark upgrades
+    assert(falsePos <= 120, s"4000 fresh keys at fpp=0.01 probed $falsePos positives")
     // null value probes null, not an exception
     val r = spark.range(1)
       .select(call_function("graft_bloom_contains", lit(bytes),

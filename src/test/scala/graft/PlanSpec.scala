@@ -70,8 +70,14 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.window.WindowExec]), nodes.mkString("\n"))
     assert(nodes.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]), nodes.mkString("\n"))
-    assert(nodes.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]), nodes.mkString("\n"))
+    // losers are materialized via localCheckpoint (an RDD scan in the
+    // executed tree — CacheManager entries would leak across calls), so
+    // the loser side must appear as a plain RDD scan, not a recomputed
+    // LSH lineage
+    assert(nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      nodes.mkString("\n"))
     val scans = nodes.count(_.isInstanceOf[
       org.apache.spark.sql.execution.FileSourceScanExec])
     assert(scans == 2, s"expected 2 corpus scans, got $scans")
@@ -186,6 +192,24 @@ class PlanSpec extends AnyFunSuite {
     assert("\\bJoin\\b".r.findAllIn(logical).size == 1, logical)
     assert("\\bWindow\\b".r.findAllIn(logical).size == 1, logical)
     assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("IVF stage composition: serve plan reads the stored index, no training lineage") {
+    // q_ann_ivf_stage lands centroids + per-row assignments in stage
+    // tables; the SERVE plan must route candidates through a scan of
+    // the stored assignment table joined to corpus vectors — exactly 2
+    // joins (index join on id + candidate join on cell), 1 window (the
+    // final rank), and no k-means/argmax recomputation anywhere.
+    val df = SparkEntry.queries("q_ann_ivf_stage")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("graft-ivf-stage"),
+      s"serve plan does not scan the stage table:\n$plan")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert("\\bJoin\\b".r.findAllIn(logical).size == 2, logical)
+    assert("\\bWindow\\b".r.findAllIn(logical).size == 1, logical)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("corpus pipeline: no join — the dedup consumes the scored pass once") {
