@@ -131,6 +131,50 @@ class IngestSpec extends AnyFunSuite {
     assert(pipe.target.read().count() == 2)
   }
 
+  test("type drift, widening direction: narrower file values load into the declared type") {
+    // Policy (documented in COVERAGE.md): the DECLARED type wins. A file
+    // whose physical values are NARROWER than the declaration (int
+    // values arriving for a declared bigint, int-ish text for a declared
+    // double) widens silently on read — the reader parses into the
+    // declared type, so nothing is lost and no drift event fires (the
+    // column set did not change; this is the common benign case after a
+    // producer-side type tightening).
+    val tmp = Files.createTempDirectory("ing-widen")
+    writeCsv(tmp, "w.csv", Seq("id,name,score", "1,ann,2", "2147483648,bob,3"))
+    val f = feed(tmp.resolve("src").toString).copy(Columns = Seq(
+      ColumnSpec("id", "person_id", "bigint", 1), // declared WIDER than the values
+      ColumnSpec("name", "person_name", "string", 2),
+      ColumnSpec("score", "score", "double", 3)))
+    val (pipe, runner) = build(tmp, f)
+    runner.runOnce(tmp.resolve("ckpt").toString)
+    val rows = pipe.target.read().orderBy("person_id").collect()
+    // 2147483648 > Int.MaxValue: representable ONLY because the declared
+    // type is bigint — the value survives exactly
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2147483648L))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(2.0, 3.0))
+    assert(pipe.driftEvents.isEmpty, pipe.driftEvents)
+  }
+
+  test("type drift, narrowing direction: unrepresentable values rescue and quarantine") {
+    // The inverse arrival — file values WIDER than the declaration (a
+    // bigint-sized value for a declared int column) — must not load as
+    // silently-truncated garbage. Policy: the value cannot parse into
+    // the declared type, so PERMISSIVE mode rescues the raw row into
+    // _rescued_data and the corrupt gate fails the batch into
+    // quarantine, same as any malformed row — loud, compensated, and
+    // the operator decides (widen the config, or fix the producer).
+    val tmp = Files.createTempDirectory("ing-narrow")
+    writeCsv(tmp, "n.csv", Seq("id,name,score",
+      "1,ann,1.5", "3000000000,bob,2.5")) // 3e9 overflows the declared int
+    val (pipe, runner) = build(tmp, feed(tmp.resolve("src").toString))
+    val ex = intercept[Exception] { runner.runOnce(tmp.resolve("ckpt").toString) }
+    assert(ex.getMessage.contains("Bad records") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Bad records")))
+    // the whole batch (good + bad rows) is quarantined for inspection
+    assert(spark.read.parquet(tmp.resolve("corrupt").toString).count() == 2)
+    assert(pipe.meta.logs.read().filter(col("StatusID") === 3).count() >= 1)
+  }
+
   test("headerless csv: positional schema, no phantom _cN drift") {
     val tmp = Files.createTempDirectory("ing-nohdr")
     writeCsv(tmp, "f.csv", Seq("1,ann,1.5", "2,bob,2.5")) // no header row

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, session_window}
+import org.apache.spark.sql.functions.{col, count, lit, raise_error, session_window, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStream
@@ -445,6 +445,77 @@ class StreamingSpec extends AnyFunSuite {
   private def sinkEpoch(root: java.nio.file.Path): String =
     new String(java.nio.file.Files.readAllBytes(
       root.resolve("ckpt/graft_epoch")), "UTF-8").trim
+
+  test("injected mid-batch failure on the partition-scoped route reconciles exactly-once") {
+    // The high-water-mark doc (UpsertSink: a crash mid-batch leaves the
+    // marker in exactly the partitions already merged; redelivery skips
+    // those) — proven with a REAL thrown failure, not a pre-shaped
+    // partial batch: a poisoned merge expression kills the batch while
+    // the per-partition loop is mid-flight, then a clean sink
+    // redelivers the same batch id. The additive update is
+    // non-idempotent, so any partition applied twice (or a torn swap)
+    // shows up in the final values.
+    val root = java.nio.file.Files.createTempDirectory("upsert-kill")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("InsertDate",
+        org.apache.spark.sql.types.StringType)))
+    val table = graft.catalog.ParquetTable(spark, "upsert_kill", s"$root/table",
+      schema, partitionCols = Seq("InsertDate"))
+    val add = Map("v" ->
+      (graft.catalog.Merge.tgt("v") + graft.catalog.Merge.src("v")))
+    val clean = new graft.streaming.UpsertSink(table, Seq("k", "InsertDate"),
+      add, s"$root/ckpt")
+    // batch 0 seeds three partitions (all keys matched from batch 1 on)
+    val seed = Seq((1L, 1.0, "2024-01-01"), (2L, 2.0, "2024-01-02"),
+      (3L, 3.0, "2024-01-03"))
+    clean.apply(seed.toDF("k", "v", "InsertDate"), 0L)
+    // poisoned sink: the MATCHED update for key 2 (day 2's row) throws
+    // while that partition's merge is being written — the process dies
+    // with some partitions swapped and some not, whichever order the
+    // loop visited them in
+    val poisoned = new graft.streaming.UpsertSink(table, Seq("k", "InsertDate"),
+      Map("v" -> when(graft.catalog.Merge.src("k") === 2L,
+        raise_error(lit("injected mid-batch kill")).cast("double"))
+        .otherwise(graft.catalog.Merge.tgt("v") + graft.catalog.Merge.src("v"))),
+      s"$root/ckpt")
+    val batch1 = Seq((1L, 10.0, "2024-01-01"), (2L, 10.0, "2024-01-02"),
+      (3L, 10.0, "2024-01-03"))
+    val killed = intercept[Exception] {
+      poisoned.apply(batch1.toDF("k", "v", "InsertDate"), 1L)
+    }
+    assert(killed.getMessage != null)
+    // crash-state invariant: marker present ⟺ that partition's addition
+    // landed (atomic swap publishes data + marker together); absent ⟺
+    // value untouched. No partition may be torn or half-applied.
+    val ep = sinkEpoch(root)
+    val mid = table.read().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    seed.foreach { case (k, v0, day) =>
+      val marked = table
+        .lastTxnInPartition(Seq("InsertDate" -> day), ep).exists(1L <= _)
+      val got = mid.find(_._1 == k).get._2
+      if (marked) assert(got === v0 + 10.0,
+        s"day $day carries the batch-1 marker but v=$got")
+      else assert(got === v0, s"day $day has no marker but v=$got")
+      if (k == 2L) assert(!marked, "the poisoned partition must not commit")
+    }
+    // engine redelivery of the SAME batch through a clean sink: marked
+    // partitions skip, unmarked ones apply — exactly-once composes
+    clean.apply(batch1.toDF("k", "v", "InsertDate"), 1L)
+    val fin = table.read().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(fin === Set((1L, 11.0, "2024-01-01"), (2L, 12.0, "2024-01-02"),
+      (3L, 13.0, "2024-01-03")))
+    assert(clean.lastCommitted === 1L)
+    // a second redelivery is a full no-op
+    clean.apply(batch1.toDF("k", "v", "InsertDate"), 1L)
+    assert(table.read().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet === fin)
+  }
 
   test("upsert sink: checkpoint reset rotates the epoch — restarted batch ids apply") {
     val root = java.nio.file.Files.createTempDirectory("upsert-epoch")
