@@ -813,15 +813,18 @@ object TextQueries {
             TextFunctions.qualityScore(col("deduped_text")))
           .filter(col("quality") >= 0.6)
           // the mixture stage consumes its input twice (rate counts +
-          // keep filter); persist the cleaned corpus so the expensive
-          // dedup/quality stages run once — in production this is the
-          // materialized cleaned table between pipeline stages.
-          // DISK_ONLY deliberately: a MEMORY_AND_DISK cleaned corpus
-          // competes with the suite's execution memory and showed up as
-          // 2-4x timing swings under heap pressure (rounds 6-7); local
-          // disk re-reads of a few-MB relation are flat-cost, exactly
-          // like the stage table this stands in for
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          // keep filter); materialize the cleaned corpus EAGERLY so the
+          // expensive dedup/quality stages run once — in production
+          // this is the materialized cleaned table between pipeline
+          // stages. Eager localCheckpoint, not a lazy persist: with a
+          // lazy cache the mixture's broadcast-side job and the main
+          // scan RACE to fill it, serializing on per-partition cache
+          // locks (measured 5.4 s vs 1.3 s cold at sf0.1 — the
+          // rounds-6-8 driver-bench "regression" on this entry); the
+          // checkpointed blocks are also reclaimed by the
+          // ContextCleaner instead of leaking a CacheManager entry per
+          // call.
+          .localCheckpoint(true)
         graft.plans.Sampling.temperatureMixture(gated, "doc_id", "lang",
             temperature = 0.5, seed = "cv2")
           .select(col("doc_id"), col("lang"),

@@ -309,8 +309,14 @@ object Dedup {
     if (!materialize) candidatePlan(sig, k, bands)
     else {
       val sigd = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try candidatePlan(sigd, k, bands).localCheckpoint(true)
-      finally sigd.unpersist(false)
+      try {
+        // eager fill — the candidate plan scans the signature relation
+        // three times in one job (self-join sides + score re-joins);
+        // lazy fills race on per-partition cache locks (see
+        // [[withGramSets]])
+        sigd.count()
+        candidatePlan(sigd, k, bands).localCheckpoint(true)
+      } finally sigd.unpersist(false)
     }
   }
 
@@ -327,8 +333,14 @@ object Dedup {
     * long-lived session — same lifecycle as [[candidatePairs]]). */
   private def withGramSets(sets: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     val s = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try build(s).localCheckpoint(true)
-    finally s.unpersist(false)
+    try {
+      // fill the cache EAGERLY: with a lazy fill the verify join's two
+      // scan subtrees race to compute it, serializing on per-partition
+      // cache locks (the q_curation_v2 pathology — a lazy stage cache
+      // measured 4× its eager cost cold)
+      s.count()
+      build(s).localCheckpoint(true)
+    } finally s.unpersist(false)
   }
 
   /** Near-duplicate pairs above an estimated-Jaccard threshold. */
@@ -700,6 +712,9 @@ object Dedup {
         explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // eager fill (see [[withGramSets]]): the stop-gram aggregate and
+      // both sides of the candidate self-join scan this concurrently
+      seeds.count()
       // stop-gram cap: a seed living in > maxDf docs is boilerplate and
       // would fan out quadratically — it indexes nothing
       val rare = seeds.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -718,6 +733,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        cand.count() // eager fill — referenced by inPairs and both verify sides
         val inPairs = cand.select(col("id_a").as("id"))
           .union(cand.select(col("id_b").as("id"))).distinct()
         val sets = df.select(col(idCol).as("id"), gram(col(textCol)).as("g"))
