@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scaling probe for the heavy dedup/curation family: measure runtime
+  * growth against synthetic corpus scale-ups BEFORE a bigger scale
+  * factor does, so a superlinear path is caught locally.
+  *
+  * Corpus construction: copy `c` of the base `documents` table keeps
+  * every column but offsets `doc_id` by c·1,000,000 (clear of every
+  * fixture id the registry plants, which all live below 10⁶) and
+  * remaps each token with a copy-specific prefix (`c3the`), so each
+  * copy is a vocabulary-disjoint replica of the base corpus. That
+  * keeps the DUPLICATE STRUCTURE (near-dup density per doc, candidate
+  * fan-out, component sizes) exactly constant while the corpus grows —
+  * runtime growth then measures the ENGINE's scaling, not a denser
+  * problem. (Planting exact ×N copies instead would grow candidate
+  * pairs quadratically in N by construction — a different, known-
+  * superlinear problem.)
+  *
+  * Usage: `runMain graft.tools.ScaleProbe <workDir> <scale...>` with
+  * `SPARK_GRAFT_SF_DIR` as the base corpus, e.g. scales `1 3 10`.
+  * Each scale writes `<workDir>/x<N>/documents.parquet` (reused when
+  * present) and runs the heavy entries min-of-2. Output: one JSON line
+  * per scale plus a fitted exponent per entry —
+  * log(t_hi/t_lo)/log(hi/lo) over the largest/smallest scale, ~1.0 for
+  * a linear operator; shuffle/setup constants bias sub-linear at these
+  * sizes, so read >1.3 as the smoke signal. */
+object ScaleProbe {
+  val heavyEntries: Seq[String] = Seq(
+    "q_dedup_exact", "q_neardup_pairs", "q_neardup_components",
+    "q_cluster_best", "q_containment", "q_containment_seed",
+    "q_curation_v2", "q_corpus_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleProbe <workDir> <scale...>")
+    val workDir = args(0)
+    val scales = args.drop(1).map(_.toInt).toSeq.sorted
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Tables.session("graft-scale-probe")
+    Tables.load(spark, baseDir, "nation").count()
+
+    def buildCorpus(scale: Int, dir: String): Unit = {
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      val copies = (0 until scale).map { c =>
+        if (c == 0) base
+        else base
+          .withColumn("doc_id", col("doc_id") + lit(c.toLong * 1000000L))
+          .withColumn("text",
+            array_join(transform(split(trim(col("text")), "\\s+"),
+              t => concat(lit(s"c$c"), t)), " "))
+      }
+      copies.reduce(_.unionByName(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+
+    def resetState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+
+    val results = scales.map { scale =>
+      val dir = s"$workDir/x$scale"
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        buildCorpus(scale, dir)
+      val times = heavyEntries.map { name =>
+        val fn = graft.queries.Registry.benchQueries(name)
+        val best = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          resetState()
+          t
+        }.min
+        System.gc()
+        name -> best
+      }
+      val line = times.map { case (n, t) =>
+        "\"" + n + "\":" + f"$t%.2f" }.mkString("{", ",", "}")
+      println(s"""{"scale":$scale,"sec":$line}""")
+      scale -> times.toMap
+    }
+
+    if (scales.size >= 2) {
+      val lo = scales.head; val hi = scales.last
+      val ratio = math.log(hi.toDouble / lo)
+      println("entry,exponent,t_lo,t_hi")
+      heavyEntries.foreach { n =>
+        val tLo = results.head._2(n); val tHi = results.last._2(n)
+        val exp = math.log(tHi / tLo) / ratio
+        println(f"$n,$exp%.2f,$tLo%.2f,$tHi%.2f")
+      }
+    }
+    spark.stop()
+  }
+}
