@@ -320,6 +320,93 @@ object PipelineQueries {
              |  round(sum(value), 2) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Streaming LSH near-dup: the MinHash signature index lives in the
+    // STATE STORE (StreamNearDup) and each micro-batch's documents are
+    // checked against the bucket memberships accumulated from every
+    // earlier batch. The originals arrive in batch 1 and the planted
+    // near-copies in batch 2, so every planted pair is findable ONLY
+    // through cross-batch state — a single-batch run would find them
+    // within-batch, this split proves the index survives the state
+    // store's serialize/restore. Stream candidates are exact-verified
+    // batch-side (verifyPairsJaccard), and the oracle is the same
+    // exact all-pairs replay as q_neardup_pairs: the streaming index
+    // must land on the batch answer bit-for-bit.
+    "q_stream_neardup" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-nd")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" trailing")).as("text"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stage = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+        }
+        writeOne(docs, "a")
+        writeOne(planted, "b")
+        // strictly increasing mtimes pin the batch order a → b
+        Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        val name = s"stream_nd_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = graft.streaming.StreamNearDup
+          .candidateStream(raw, "doc_id", "text", threshold = 0.5)(ss)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // candidates are tiny; materialize them (verifyPairsJaccard
+        // consumes its pair input three times)
+        val cands = ss.table(name).distinct().localCheckpoint(true)
+        // rebuild the full planted corpus ON THE CHILD SESSION (mixing
+        // DataFrames across sessions in one plan is undefined)
+        val docsB = graft.Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val allB = docsB.unionByName(
+          docsB.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        graft.text.Dedup.verifyPairsJaccard(allB, "doc_id", "text",
+            cands, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH docs2 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
+              |  FROM documents WHERE doc_id < 20),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs2),
+              |grams AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+              |    i -> array_to_string(t[i:i+2], ' '))) AS g
+              |  FROM toks),
+              |scored AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
+              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+              |SELECT id_a, id_b,
+              |  CASE WHEN un = 0 THEN 0.0 ELSE inter / un END AS jaccard
+              |FROM scored
+              |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     "q_stream_windows" -> Q(
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-win")

@@ -383,8 +383,27 @@ object Dedup {
     val pairs = candidatePairs(df, idCol, textCol, w, k, bands)
       .filter(col("est_jaccard") >= math.max(0.0, threshold - margin))
       .select(col("id_a"), col("id_b"))
-    val inPairs = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    verifyPairsJaccard(df, idCol, textCol, pairs, threshold, w)
+  }
+
+  /** Exact-Jaccard verification of an EXTERNAL candidate pair set —
+    * the verify half of [[verifiedNearDuplicates]], reusable for
+    * candidates produced elsewhere (the streaming LSH index
+    * [[graft.streaming.StreamNearDup]], a persisted candidate stage
+    * table, a different blocking scheme). `pairs` needs (id_a, id_b);
+    * output is the pairs whose TRUE w-gram Jaccard clears `threshold`,
+    * with the exact score. Same scale shape as the internal path: the
+    * candidate-doc set is semi-join-reduced, 8-byte hash sets shuffle
+    * instead of text, and the gram relation is cached across both join
+    * sides for one eager build ([[withGramSets]]). `pairs` is consumed
+    * three times (both verify sides + the semi-join reduction) — pass
+    * a materialized relation, or the plan recomputes it per reference. */
+  def verifyPairsJaccard(df: DataFrame, idCol: String, textCol: String,
+                         pairs: DataFrame, threshold: Double,
+                         w: Int = 3): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val inPairs = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
     val sets = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
       .join(inPairs, Seq("id"), "left_semi")
       .select(col("id"),
@@ -392,7 +411,7 @@ object Dedup {
     val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
     val union = (size(col("ga")) + size(col("gb"))).cast("double") - inter
     withGramSets(sets) { s =>
-      pairs
+      p
         .join(s.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
         .join(s.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),

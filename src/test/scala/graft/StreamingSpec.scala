@@ -592,4 +592,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(5))).toSeq
     assert(out == Seq((1L, 5.0)), out) // boundary: ≤ horizon joins, > does not
   }
+
+  test("streaming LSH index finds cross-batch near-dups; redelivery emits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val q = graft.streaming.StreamNearDup.candidateStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7)
+      .writeStream.format("memory").queryName("nd_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // batch 1: the index fills — an original and an unrelated doc
+      input.addData((1L, base),
+        (3L, "completely different words about streaming state stores in spark engines"))
+      q.processAllAvailable()
+      assert(spark.table("nd_out").count() == 0)
+      // batch 2: the near-copy must find doc 1 through STATE — its
+      // bucket mate lives only in the restored membership list
+      input.addData((2L, base + " extra"))
+      q.processAllAvailable()
+      val pairs = spark.table("nd_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), pairs)
+      // redelivery of already-indexed ids is a no-op (known members
+      // are skipped, so no self-pairs, no duplicate emissions)
+      input.addData((1L, base), (2L, base + " extra"))
+      q.processAllAvailable()
+      assert(spark.table("nd_out").distinct().count() == 1)
+      assert(spark.table("nd_out").filter(col("id_a") === col("id_b")).count() == 0)
+    } finally { q.stop(); q.awaitTermination() }
+  }
 }
