@@ -407,6 +407,115 @@ object PipelineQueries {
               |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Streaming seed-gram containment: the winnowing posting list as
+    // STREAM STATE (StreamSeedGram). Same extreme-asymmetry fixture as
+    // q_containment_seed (10 docs buried under ~1500 novel pad tokens
+    // each), split so the originals arrive in batch 1 and the buried
+    // copies in batch 2 — every planted pair is findable only through
+    // the posting state restored across the batch boundary. The stream
+    // emits one row per shared seed; the batch side aggregates to
+    // >= minSeeds and exact-verifies containment with the portable
+    // gram hash, so the oracle replays the ENTIRE pipeline — seed
+    // selection, min-shared-seeds, exact verify — bit-for-bit against
+    // the batch q_containment_seed answer.
+    "q_stream_containment" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-sc")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val pad = array_join(
+          transform(sequence(lit(1), lit(1499)),
+            i => concat(lit("pady"), i.cast("string"))), " ")
+        def buried(d: org.apache.spark.sql.DataFrame) =
+          d.filter(col("doc_id") < 10).select(
+            (col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" "), pad).as("text"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stage = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+        }
+        writeOne(docs, "a")
+        writeOne(buried(docs), "b")
+        Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        val name = s"stream_sc_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = graft.streaming.StreamSeedGram
+          .seedPairStream(raw, "doc_id", "text", w = 3, seedMod = 8,
+            maxDf = 1000,
+            gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3)))(ss)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // one row per shared seed → the batch candidate rule is a
+        // per-pair count; tiny, materialized before the 3-reference
+        // verify consumes it
+        val cands = ss.table(name)
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val docsB = graft.Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val allB = docsB.unionByName(buried(docsB))
+        graft.text.Dedup.verifyPairsContainment(allB, "doc_id", "text",
+            cands, threshold = 0.9, w = 3,
+            gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3)))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH docs5 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 500000 AS doc_id,
+              |    concat(text, ' ', array_to_string(
+              |      list_transform(range(1, 1500), i -> 'pady' || i), ' ')) AS text
+              |  FROM documents WHERE doc_id < 10),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs5),
+              |gh AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    range(1, len(t) - 1),
+              |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT))
+              |    AS g
+              |  FROM toks),
+              |seeds AS (
+              |  SELECT doc_id, unnest(list_filter(g, h -> h % 8 = 0)) AS h
+              |  FROM gh),
+              |rare AS (SELECT h FROM seeds GROUP BY h HAVING count(*) <= 1000),
+              |idx AS (SELECT s.doc_id, s.h FROM seeds s JOIN rare r ON s.h = r.h),
+              |cand AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |scored AS (
+              |  SELECT c.id_a, c.id_b,
+              |    round(CASE WHEN least(len(ga.g), len(gb.g)) = 0 THEN 0.0
+              |      ELSE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+              |           / CAST(least(len(ga.g), len(gb.g)) AS DOUBLE) END, 4)
+              |      AS containment
+              |  FROM cand c
+              |  JOIN gh ga ON ga.doc_id = c.id_a
+              |  JOIN gh gb ON gb.doc_id = c.id_b)
+              |SELECT id_a, id_b, containment FROM scored
+              |WHERE containment >= 0.9
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     "q_stream_windows" -> Q(
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-win")

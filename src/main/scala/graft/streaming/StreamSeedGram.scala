@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.text.Dedup
+
+/** Streaming seed-gram containment index: the content-deterministic
+  * posting list as STREAM STATE.
+  *
+  * The batch seed-gram detector
+  * ([[graft.text.Dedup.seedGramContainmentPairs]]) publishes each
+  * document's winnowing-sampled seed grams (hash ≡ 0 mod `seedMod`)
+  * and self-joins the posting list. The streaming form holds each
+  * seed's accumulated posting (the member ids) in the state store:
+  * when a document arrives carrying a seed some earlier document also
+  * published, the pair is emitted from state — one row PER SHARED
+  * SEED, which is exactly the pre-aggregation of the batch self-join,
+  * so the caller recovers the batch candidate set with
+  * `groupBy(id_a, id_b).count() >= minSeeds` and finishes with
+  * [[graft.text.Dedup.verifyPairsContainment]] for exact precision.
+  * Pairs are unordered (min, max) and emitted when the later member
+  * arrives, so the output set is independent of how documents split
+  * into micro-batches; redelivered ids are skipped.
+  *
+  * Stop-gram cap: a posting at `maxDf` members stops indexing new
+  * arrivals — the streaming analogue of the batch path's global
+  * `HAVING df <= maxDf`. The two differ once a seed CROSSES the cap
+  * mid-stream (the batch form retroactively drops the seed's earlier
+  * pairs, the streaming form keeps the pre-cap prefix); below the cap
+  * they are identical, and real boilerplate seeds blow far past any
+  * sane cap either way. The oracle fixture's max seed df is 23 at
+  * sf0.1 against the default cap of 1000.
+  *
+  * Scale shape: state per seed is a bare id list (8 bytes a member,
+  * bounded by `maxDf`); the text never leaves the signing map stage,
+  * and per-arrival work is one state lookup + at most `maxDf`
+  * emissions per carried seed — the same bounded fan-out argument as
+  * the batch posting join. */
+object StreamSeedGram {
+
+  /** One document's publication of one seed gram. */
+  final case class SeedDoc(h: Long, doc_id: Long)
+
+  /** Unordered candidate pair (id_a < id_b), one row per shared seed. */
+  final case class SeedPair(id_a: Long, id_b: Long)
+
+  /** Per-shared-seed candidate pairs over a STREAMING (idCol, textCol)
+    * relation. Aggregate to `>= minSeeds` and exact-verify batch-side.
+    * `gramFn` defaults to the fast in-engine hash; pass
+    * [[graft.text.Dedup.portableGramHashes]] for an engine-replayable
+    * seed selection (the oracle path). */
+  def seedPairStream(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 3, seedMod: Int = 8, maxDf: Int = 1000,
+                     gramFn: Option[Column => Column] = None)(
+      implicit spark: SparkSession): Dataset[SeedPair] = {
+    import spark.implicits._
+    val gram: Column => Column =
+      gramFn.getOrElse(Dedup.fastGramHashes(_: Column, w))
+    val seeds = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        gram(col(textCol)).as("g"))
+      .select(col("doc_id"),
+        explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"))
+      .select(col("h"), col("doc_id"))
+      .as[SeedDoc]
+    seeds
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[List[Long], SeedPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[SeedDoc], state) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[SeedPair]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!members.contains(d.doc_id) && members.size < maxDf) {
+              members.foreach { m =>
+                out += SeedPair(math.min(m, d.doc_id), math.max(m, d.doc_id))
+              }
+              members = d.doc_id :: members
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+}

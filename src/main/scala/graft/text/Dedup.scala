@@ -639,16 +639,36 @@ object Dedup {
                        k: Int = 64, bands: Int = 32): DataFrame = {
     val pairs = candidatePairs(df, idCol, textCol, w, k, bands)
       .select(col("id_a"), col("id_b"))
-    val inPairs = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val sets = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+    verifyPairsContainment(df, idCol, textCol, pairs, threshold, w)
+  }
+
+  /** Exact-containment verification of an EXTERNAL candidate pair set
+    * — the containment analogue of [[verifyPairsJaccard]], reusable
+    * for candidates from any blocking scheme (the streaming seed-gram
+    * index [[graft.streaming.StreamSeedGram]], a persisted stage
+    * table). Output: pairs whose `|A∩B| / min(|A|,|B|)` clears
+    * `threshold`, with the exact (4-dp-rounded) score. `gramFn`
+    * defaults to the fast in-engine hash; pass [[portableGramHashes]]
+    * when another engine must replay the verify. Same scale shape as
+    * every verify in this family: semi-join-reduced doc set, 8-byte
+    * hash sets shuffle instead of text, gram relation cached across
+    * both join sides for one eager build. `pairs` is consumed three
+    * times — pass a materialized relation. */
+  def verifyPairsContainment(df: DataFrame, idCol: String, textCol: String,
+                             pairs: DataFrame, threshold: Double,
+                             w: Int = 3,
+                             gramFn: Option[Column => Column] = None)
+      : DataFrame = {
+    val gram: Column => Column = gramFn.getOrElse(fastGramHashes(_: Column, w))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val inPairs = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val sets = df.select(col(idCol).as("id"), gram(col(textCol)).as("g"))
       .join(inPairs, Seq("id"), "left_semi")
-      .select(col("id"),
-        array_distinct(shingleHashesFromTokenHashes(col("th"), w)).as("g"))
     val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
     val minSize = least(size(col("ga")), size(col("gb"))).cast("double")
     withGramSets(sets) { s =>
-      pairs
+      p
         .join(s.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
         .join(s.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -753,21 +773,8 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         cand.count() // eager fill — referenced by inPairs and both verify sides
-        val inPairs = cand.select(col("id_a").as("id"))
-          .union(cand.select(col("id_b").as("id"))).distinct()
-        val sets = df.select(col(idCol).as("id"), gram(col(textCol)).as("g"))
-          .join(inPairs, Seq("id"), "left_semi")
-        val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
-        val minSize = least(size(col("ga")), size(col("gb"))).cast("double")
-        withGramSets(sets) { s =>
-          cand
-            .join(s.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
-            .join(s.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
-            .select(col("id_a"), col("id_b"),
-              round(when(minSize === 0, lit(0.0)).otherwise(inter / minSize), 4)
-                .as("containment"))
-            .filter(col("containment") >= threshold)
-        }
+        verifyPairsContainment(df, idCol, textCol, cand, threshold, w,
+          Some(gram))
       } finally cand.unpersist(false)
     } finally seeds.unpersist(false)
   }

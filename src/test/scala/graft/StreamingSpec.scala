@@ -622,4 +622,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("nd_out").filter(col("id_a") === col("id_b")).count() == 0)
     } finally { q.stop(); q.awaitTermination() }
   }
+
+  test("streaming seed-gram posting emits one row per shared seed across batches; df cap stops indexing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // seedMod = 1 → every distinct 3-gram is a seed (deterministic
+    // postings without hunting for hash-mod-0 grams); maxDf = 2 caps
+    // each posting at two members
+    val q = graft.streaming.StreamSeedGram.seedPairStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        w = 3, seedMod = 1, maxDf = 2)
+      .writeStream.format("memory").queryName("sg_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData((1L, "p q r s"), (9L, "unrelated words entirely here"))
+      q.processAllAvailable()
+      assert(spark.table("sg_out").count() == 0)
+      // doc 2 shares both of doc 1's grams — found via restored state,
+      // one emitted row PER shared seed (the minSeeds pre-aggregation)
+      input.addData((2L, "p q r s t"))
+      q.processAllAvailable()
+      val rows = spark.table("sg_out").groupBy("id_a", "id_b").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 2L, 2L)), rows) // grams "p q r" and "q r s" shared
+      // both buckets are now at the cap: a third carrier indexes
+      // nothing and emits nothing
+      input.addData((3L, "p q r s u"))
+      q.processAllAvailable()
+      assert(spark.table("sg_out").groupBy("id_a", "id_b").count().count() == 1)
+    } finally { q.stop(); q.awaitTermination() }
+  }
 }
