@@ -20,24 +20,35 @@ import graft.Tables
   * pairs quadratically in N by construction — a different, known-
   * superlinear problem.)
   *
-  * Usage: `runMain graft.tools.ScaleProbe <workDir> <scale...>` with
-  * `SPARK_GRAFT_SF_DIR` as the base corpus, e.g. scales `1 3 10`.
-  * Each scale writes `<workDir>/x<N>/documents.parquet` (reused when
-  * present) and runs the heavy entries min-of-2. Output: one JSON line
-  * per scale plus a fitted exponent per entry —
-  * log(t_hi/t_lo)/log(hi/lo) over the largest/smallest scale, ~1.0 for
-  * a linear operator; shuffle/setup constants bias sub-linear at these
-  * sizes, so read >1.3 as the smoke signal. */
+  * Usage: `runMain graft.tools.ScaleProbe <workDir> [--vectors]
+  * <scale...>` with `SPARK_GRAFT_SF_DIR` as the base corpus, e.g.
+  * scales `1 3 10`. Each scale writes
+  * `<workDir>/x<N>/documents.parquet` (reused when present) and runs
+  * the heavy text entries min-of-2; `--vectors` scales the
+  * `embeddings` table instead (vec_id offset per copy, vectors and
+  * labels unchanged — identical geometry per replica, so only the
+  * engine's scan/train/join cost grows) and runs the ANN/k-means
+  * family. Output: one JSON line per scale plus a fitted exponent per
+  * entry — log(t_hi/t_lo)/log(hi/lo) over the largest/smallest scale,
+  * ~1.0 for a linear operator; shuffle/setup constants bias sub-linear
+  * at these sizes, so read >1.3 as the smoke signal. */
 object ScaleProbe {
   val heavyEntries: Seq[String] = Seq(
     "q_dedup_exact", "q_neardup_pairs", "q_neardup_components",
     "q_cluster_best", "q_containment", "q_containment_seed",
     "q_curation_v2", "q_corpus_pipeline")
 
+  val vectorEntries: Seq[String] = Seq(
+    "q_cosine_topk", "q_kmeans", "q_ann_lsh", "q_ann_ivf",
+    "q_ann_rerank")
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleProbe <workDir> <scale...>")
+    require(args.length >= 2,
+      "usage: ScaleProbe <workDir> [--vectors] <scale...>")
     val workDir = args(0)
-    val scales = args.drop(1).map(_.toInt).toSeq.sorted
+    val vectors = args.contains("--vectors")
+    val scales = args.drop(1).filterNot(_ == "--vectors")
+      .map(_.toInt).toSeq.sorted
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session("graft-scale-probe")
     Tables.load(spark, baseDir, "nation").count()
@@ -57,17 +68,42 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
 
+    def buildVectors(scale: Int, dir: String): Unit = {
+      val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val copies = (0 until scale).map { c =>
+        if (c == 0) base
+        // ODD replica ids: the ANN entries define their query sets by
+        // id residue (vec_id % 100 == 0), so a residue-preserving
+        // offset would grow the QUERY set with the corpus and the
+        // probe would measure queries×corpus — quadratic by fixture
+        // (found the hard way: the v100 first cut filled the disk with
+        // window-sort spill). Odd ids are never ≡ 0 (mod 100): the
+        // query set stays the base corpus's, and growth measures the
+        // engine against a fixed workload.
+        else base.withColumn("vec_id",
+          lit(c.toLong * 10000000L) + col("vec_id") * 2 + 1)
+      }
+      copies.reduce(_.unionByName(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
     def resetState(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
 
+    val entries = if (vectors) vectorEntries else heavyEntries
     val results = scales.map { scale =>
-      val dir = s"$workDir/x$scale"
-      if (!new java.io.File(s"$dir/documents.parquet").exists())
+      val dir =
+        if (vectors) s"$workDir/v$scale" else s"$workDir/x$scale"
+      if (vectors) {
+        if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+          buildVectors(scale, dir)
+      } else if (!new java.io.File(s"$dir/documents.parquet").exists())
         buildCorpus(scale, dir)
-      val times = heavyEntries.map { name =>
+      val times = entries.map { name =>
         val fn = graft.queries.Registry.benchQueries(name)
         val best = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -89,7 +125,7 @@ object ScaleProbe {
       val lo = scales.head; val hi = scales.last
       val ratio = math.log(hi.toDouble / lo)
       println("entry,exponent,t_lo,t_hi")
-      heavyEntries.foreach { n =>
+      entries.foreach { n =>
         val tLo = results.head._2(n); val tHi = results.last._2(n)
         val exp = math.log(tHi / tLo) / ratio
         println(f"$n,$exp%.2f,$tLo%.2f,$tHi%.2f")
