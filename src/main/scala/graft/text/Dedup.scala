@@ -723,9 +723,25 @@ object Dedup {
     * every detector in this family — precision is exact, the index
     * only decides recall.
     *
+    * SHORT-DOCUMENT caveat: a document with fewer than ~2·seedMod·
+    * minSeeds grams has expected surviving seeds below `minSeeds`, so
+    * whether it clears the bar is a property of WHICH grams the hash
+    * happens to select — two different hash functions legitimately
+    * disagree on such pairs (observed: a ~30-gram doc's planted pair
+    * found under the md5-60 sample but not the xxhash64 one). The
+    * index's recall guarantee only starts where the expected seed
+    * count comfortably exceeds `minSeeds`; route shorter documents to
+    * the banded [[containmentPairs]] path (their gram sets are small
+    * enough for fine banding) or lower `seedMod` for them.
+    *
     * `gramFn` defaults to the fast in-engine hash; pass
     * [[portableGramHashes]] to make the whole pipeline — selection
-    * included — replayable by another engine. */
+    * included — replayable by another engine. The oracle-gated entry
+    * TIMES the portable hash too: a fast-hash bench variant was tried
+    * and rejected because the hash changes the seed SAMPLE and with it
+    * short-doc recall (previous paragraph) — the two forms are not the
+    * same operator minus scaffolding, so the timed form stays the
+    * verified form. */
   def seedGramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                                threshold: Double = 0.9, w: Int = 3,
                                seedMod: Int = 8, minSeeds: Int = 2,
