@@ -623,6 +623,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("streaming LSH index state survives the RocksDB state store (the large-state production provider)") {
+    // the default HDFS-backed provider keeps state deserialized on the
+    // JVM heap; a 10⁹-membership index needs RocksDB, whose
+    // serialize/restore cycle is a genuinely different codepath (every
+    // get/put round-trips the encoder) — run the same cross-batch
+    // discovery there and require the identical answer
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val q = graft.streaming.StreamNearDup.candidateStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7)(ss)
+      .writeStream.format("memory").queryName("nd_rocks").outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData((1L, base))
+      q.processAllAvailable()
+      assert(ss.table("nd_rocks").count() == 0)
+      input.addData((2L, base + " extra"))
+      q.processAllAvailable()
+      val pairs = ss.table("nd_rocks").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), pairs)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("streaming seed-gram posting emits one row per shared seed across batches; df cap stops indexing") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
