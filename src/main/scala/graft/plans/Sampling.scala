@@ -110,6 +110,46 @@ object Sampling {
       .drop("__cut")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, k per
+    * stratum — Efraimidis–Spirakis A-ES, the quality-weighted
+    * data-selection pass a curation pipeline runs ("keep the 10k best
+    * docs per language, preferring high quality but giving every doc a
+    * weight-proportional chance"). Each row draws
+    * u = md5-60(payload ⊕ seed) ∈ (0, 1) and ranks by u^(1/w); the
+    * stratum's top k are the sample — provably equivalent to
+    * sequential weighted draws without replacement. The same design
+    * stance as [[stratified]]: u is a salted hash of the KEY, so the
+    * sample is deterministic, stable under repartitioning, and
+    * replayable by any engine with md5.
+    *
+    * Implementation: rank by ln(u)/w — the same order as u^(1/w)
+    * (monotone transform; both sides negative-log safe since
+    * u ∈ (0,1), w > 0) — quantized to integer micro-units so the
+    * ordering is engine-exact (the bigram-LM precedent), and fed to
+    * the native `graft_topk` aggregate: map-side partials cut every
+    * stratum to ≤ k rows BEFORE the shuffle — no Window, no
+    * per-stratum sort, shuffle volume k·partitions per stratum
+    * regardless of corpus size. Weights must be strictly positive.
+    * Output: (stratum, rk, payload, sample_key), rk 1..k by
+    * descending key with payload-ascending tie-break. */
+  def weightedSample(df: DataFrame, strataCol: String, weightCol: String,
+                     payloadCol: String, k: Int, seed: String): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val h = conv(substring(
+      md5(concat(col(payloadCol).cast("string"), lit(seed))), 1, 15), 16, 10)
+      .cast("long")
+    // +0.5 keeps u strictly inside (0, 1): h = 0 would send ln to -inf
+    val u = (h.cast("double") + lit(0.5)) / lit(1.152921504606846976e18)
+    val key = floor(lit(1e6) * log(u) / col(weightCol)).cast("long")
+    df.select(col(strataCol), key.as("__k"), col(payloadCol))
+      .groupBy(col(strataCol))
+      .agg(call_function("graft_topk", col("__k"), col(payloadCol), lit(k))
+        .as("top"))
+      .select(col(strataCol), posexplode(col("top")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.payload").as(payloadCol), col("col.score").as("sample_key"))
+  }
+
   /** Occurrence cap per stratum — the per-domain/per-source document
     * cap a web-scale pipeline applies so no single origin dominates the
     * training mix (the Common-Crawl URL-cap rule). Every row is kept in

@@ -620,6 +620,43 @@ object TextQueries {
              |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 10000 < cut
              |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES), k = 5 per language, weight = quality + 0.05: the
+    // "prefer high quality but give every doc a weight-proportional
+    // chance" selection pass. Keys are micro-quantized ln(u)/w over
+    // the salted md5-60 draw, ranked by the native graft_topk
+    // aggregate (map-side partials cut each language to ≤ k before
+    // the shuffle — no Window, no per-stratum sort). The oracle
+    // replays the ENTIRE scheme — quality weight, hash draw, log key,
+    // quantization, ranking — so the sample is engine-exact.
+    "q_weighted_sample" -> Q(
+      (s, dir) => {
+        val weighted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            (TextFunctions.qualityScore(col("text")) + lit(0.05)).as("w"))
+        graft.plans.Sampling.weightedSample(weighted, "lang", "w",
+            "doc_id", k = 5, seed = "ws")
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(s"""WITH weighted AS (
+              |  SELECT doc_id, lang, $qualityExprSql + 0.05 AS w
+              |  FROM documents),
+              |keyed AS (
+              |  SELECT lang, doc_id,
+              |    CAST(floor(1e6 * ln(
+              |      (CAST(('0x' || substr(md5(doc_id || 'ws'), 1, 15))::BIGINT
+              |        AS DOUBLE) + 0.5) / 1152921504606846976.0) / w)
+              |      AS BIGINT) AS sample_key
+              |  FROM weighted),
+              |ranked AS (
+              |  SELECT lang, doc_id, sample_key,
+              |    CAST(row_number() OVER (
+              |      PARTITION BY lang ORDER BY sample_key DESC, doc_id)
+              |      AS BIGINT) AS rk
+              |  FROM keyed)
+              |SELECT lang, rk, doc_id, sample_key FROM ranked
+              |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
     // The FULL training-data flow as one declarative plan: scrub PII →
     // quality gate → exact dedup (window) → stratified language
     // rebalance (en halved) → token count → greedy packing into

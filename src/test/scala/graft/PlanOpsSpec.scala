@@ -180,4 +180,35 @@ class PlanOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
     assert(out === Seq((1L, 3L, 1, 3), (2L, 2L, 1, 2)))
   }
+
+  test("weightedSample: k covers the stratum, raising a weight never worsens its rank, no Window in the plan") {
+    import spark.implicits._
+    val df = (1L to 8L).map(i => (i, "s", 1.0)).toDF("id", "g", "w")
+    // k ≥ stratum size → every row sampled exactly once, ranks 1..8
+    val all = Sampling.weightedSample(df, "g", "w", "id", k = 20, seed = "t")
+    assert(all.count() === 8)
+    assert(all.select("rk").collect().map(_.getLong(0)).sorted
+      === (1L to 8L).toArray)
+    // determinism: the same call twice is bit-identical
+    val again = Sampling.weightedSample(df, "g", "w", "id", k = 20, seed = "t")
+    assert(all.orderBy("rk").collect().toSeq === again.orderBy("rk").collect().toSeq)
+    // A-ES monotonicity: key = ln(u)/w with u fixed by (id, seed), so
+    // raising ONE row's weight raises only its own key — its rank can
+    // only improve (or hold), never degrade
+    def rankOf(weights: Map[Long, Double], id: Long): Long = {
+      val wdf = (1L to 8L).map(i => (i, "s", weights.getOrElse(i, 1.0)))
+        .toDF("id", "g", "w")
+      Sampling.weightedSample(wdf, "g", "w", "id", k = 20, seed = "t")
+        .filter(col("id") === id).select("rk").head().getLong(0)
+    }
+    val base = rankOf(Map.empty, 4L)
+    val boosted = rankOf(Map(4L -> 100.0), 4L)
+    assert(boosted <= base, s"boosting weight degraded rank: $base -> $boosted")
+    assert(rankOf(Map(4L -> 1e6), 4L) === 1L) // dominant weight wins outright
+    // scale shape: the ranking is the native top-k aggregate, not a
+    // window sort — map-side partials cut each stratum to ≤ k rows
+    val plan = all.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("graft_topk"), plan)
+  }
 }
