@@ -620,6 +620,83 @@ object TextQueries {
              |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 10000 < cut
              |ORDER BY doc_id""".stripMargin)),
 
+    // Exact repeated-substring removal (the Lee et al. ExactSubstr
+    // pass): every token span occurring more than once corpus-wide is
+    // excised from ALL occurrences — sub-document dedup, where the
+    // document-granular detectors keep whole texts. Fixture plants the
+    // same 8-token disclaimer at the end of 20 docs (cross-doc
+    // repeat); grams bridging each doc's own text into the disclaimer
+    // occur once and must NOT be cut (precision at the boundary). The
+    // oracle replays everything: positional md5-60 grams, the
+    // occurrence count, gaps-and-islands span merge, and the token
+    // excision/rebuild.
+    "q_span_dedup" -> Q(
+      (s, dir) => {
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 20,
+              concat(col("text"), lit(" common legal disclaimer repeated" +
+                " verbatim across documents entirely")))
+              .otherwise(col("text")).as("text"))
+        graft.text.SpanDedup.removeRepeatedSpans(
+            planted, "doc_id", "text", w = 5)
+          .select(col("doc_id"), md5(col("deduped_text")).as("text_fp"),
+            col("n_spans"), col("n_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs6 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 20
+             |      THEN concat(text, ' common legal disclaimer repeated verbatim across documents entirely')
+             |      ELSE text END AS text
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM docs6),
+             |grams AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    ('0x' || substr(md5(array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')), 1, 15))::BIGINT AS gh
+             |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+             |  WHERE len(t) >= 5),
+             |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+             |marked AS (
+             |  SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gh)),
+             |brk AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 5
+             |         THEN 1 ELSE 0 END AS b
+             |  FROM marked),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+             |                 ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM brk),
+             |spans AS (
+             |  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+             |  FROM isl GROUP BY doc_id, island),
+             |tokpos AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS i, t[CAST(i AS INT)] AS tok
+             |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+             |kept AS (
+             |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+             |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+             |    WHERE sp.doc_id = tp.doc_id AND tp.i >= sp.s AND tp.i < sp.e)),
+             |agg AS (
+             |  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ')
+             |    AS deduped_text
+             |  FROM kept GROUP BY doc_id),
+             |cnt AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |    CAST(sum(e - s) AS BIGINT) AS n_removed
+             |  FROM spans GROUP BY doc_id)
+             |SELECT d.doc_id, md5(coalesce(a.deduped_text, '')) AS text_fp,
+             |  coalesce(c.n_spans, 0) AS n_spans,
+             |  coalesce(c.n_removed, 0) AS n_removed
+             |FROM docs6 d
+             |LEFT JOIN agg a ON a.doc_id = d.doc_id
+             |LEFT JOIN cnt c ON c.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES), k = 5 per language, weight = quality + 0.05: the
     // "prefer high quality but give every doc a weight-proportional

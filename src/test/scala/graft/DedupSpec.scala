@@ -250,6 +250,32 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() > 0)
   }
 
+  test("repeated-span removal excises corpus-wide repeats, keeps unique boundary grams, catches self-repeats") {
+    val boiler = "one two three four five six seven eight" // 8 tokens
+    val df = Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler"),
+      (2L, s"zeta eta theta iota kappa $boiler"),
+      (3L, "unique text entirely here with nothing repeated anywhere at all"),
+      // the same 5-token phrase twice WITHIN one doc — ExactSubstr
+      // removes every occurrence, both of them
+      (4L, "p q r s t mid1 mid2 p q r s t")
+    ).toDF("doc_id", "text")
+    val out = graft.text.SpanDedup
+      .removeRepeatedSpans(df, "doc_id", "text", w = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("deduped_text"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed")))
+    // docs 1/2: exactly the 8 boiler tokens cut as ONE merged span —
+    // the grams bridging each unique prefix into the boiler occur once
+    // corpus-wide and must not extend the cut
+    assert(out(0) === (("alpha beta gamma delta epsilon", 1L, 8L)), out(0))
+    assert(out(1) === (("zeta eta theta iota kappa", 1L, 8L)), out(1))
+    // doc 3: untouched (whitespace-normalized rebuild)
+    assert(out(2) === (("unique text entirely here with nothing repeated anywhere at all", 0L, 0L)), out(2))
+    // doc 4: BOTH occurrences of the internal repeat cut, two spans
+    assert(out(3) === (("mid1 mid2", 2L, 10L)), out(3))
+  }
+
   test("nearDupBestSurvivors keeps the best-scoring doc, not the min id") {
     // same cluster fixture as above, but an injected score makes the
     // HIGHEST id the cluster's best — the keeper must follow the score
