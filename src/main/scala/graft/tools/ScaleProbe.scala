@@ -94,7 +94,12 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
-    val entries = if (vectors) vectorEntries else heavyEntries
+    // SPARK_GRAFT_PROBE_ENTRIES overrides the entry list (comma-
+    // separated) — re-probe a new operator without re-running the
+    // whole family
+    val entries = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(if (vectors) vectorEntries else heavyEntries)
     val results = scales.map { scale =>
       val dir =
         if (vectors) s"$workDir/v$scale" else s"$workDir/x$scale"
