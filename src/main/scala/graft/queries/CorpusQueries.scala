@@ -375,6 +375,107 @@ object CorpusQueries {
              |    ELSE round((CAST(st.q AS DOUBLE) / 1000000.0) /
              |      CAST(st.n_bigrams AS DOUBLE), 4) END AS avg_logprob
              |FROM documents d LEFT JOIN st USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // DSIR-style importance resampling (Xie et al. 2023) as a pure
+    // composition of existing operators: a bigram LM trained on the
+    // TARGET domain (here: the English slice) and one trained on the
+    // whole corpus score every document; the importance weight
+    // exp(target_lp − source_lp) upweights docs that look like the
+    // target, and the A-ES weighted sampler draws k per language
+    // without replacement. Unseen-bigram smoothing (left joins to the
+    // target counts) is what makes cross-domain scoring well-defined.
+    // The oracle replays the ENTIRE composition: both LM trainings,
+    // the cross-scoring with smoothing, the weight, the hash draw,
+    // and the ranked sample.
+    "q_dsir_sample" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val texts = docs.select(col("doc_id"), col("text"))
+        val target = docs.filter(col("lang") === "en")
+          .select(col("doc_id"), col("text"))
+        val tlp = CorpusStats.bigramLogProbAgainst(target, texts,
+            "doc_id", "text")
+          .select(col("doc_id"), col("avg_logprob").as("t_lp"))
+        val slp = CorpusStats.bigramLogProb(texts, "doc_id", "text")
+          .select(col("doc_id"), col("avg_logprob").as("s_lp"))
+        val weighted = docs.select(col("doc_id"), col("lang"))
+          .join(tlp, Seq("doc_id")).join(slp, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            exp(col("t_lp") - col("s_lp")).as("w"))
+        graft.plans.Sampling.weightedSample(weighted, "lang", "w",
+            "doc_id", k = 5, seed = "dsir")
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM documents),
+             |sv AS (
+             |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             |  FROM (SELECT unnest(t) AS tok FROM t0)),
+             |tv AS (
+             |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             |  FROM (SELECT unnest(t) AS tok FROM t0 WHERE lang = 'en')),
+             |bgs AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_transform(range(1, len(t)),
+             |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+             |  FROM t0 WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, lang, s.w1 AS w1, s.w2 AS w2 FROM bgs),
+             |scbg AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+             |  FROM bg GROUP BY 1, 2),
+             |scw1 AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1 FROM scbg GROUP BY 1),
+             |tcbg AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+             |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+             |tcw1 AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1 FROM tcbg GROUP BY 1),
+             |sst AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(CAST(floor(1e6 * ln(
+             |        (CAST(coalesce(c.cbg, 0) AS DOUBLE) + 1.0)
+             |        / (CAST(coalesce(k.cw1, 0) AS DOUBLE) + (SELECT v FROM sv))))
+             |      AS BIGINT)) AS BIGINT) AS q
+             |  FROM bg b LEFT JOIN scbg c USING (w1, w2)
+             |            LEFT JOIN scw1 k USING (w1)
+             |  GROUP BY 1),
+             |tst AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(CAST(floor(1e6 * ln(
+             |        (CAST(coalesce(c.cbg, 0) AS DOUBLE) + 1.0)
+             |        / (CAST(coalesce(k.cw1, 0) AS DOUBLE) + (SELECT v FROM tv))))
+             |      AS BIGINT)) AS BIGINT) AS q
+             |  FROM bg b LEFT JOIN tcbg c USING (w1, w2)
+             |            LEFT JOIN tcw1 k USING (w1)
+             |  GROUP BY 1),
+             |lp AS (
+             |  SELECT d.doc_id, d.lang,
+             |    CASE WHEN coalesce(t.n_bigrams, 0) = 0 THEN 0.0
+             |      ELSE round((CAST(t.q AS DOUBLE) / 1000000.0) /
+             |        CAST(t.n_bigrams AS DOUBLE), 4) END AS t_lp,
+             |    CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0
+             |      ELSE round((CAST(s.q AS DOUBLE) / 1000000.0) /
+             |        CAST(s.n_bigrams AS DOUBLE), 4) END AS s_lp
+             |  FROM documents d
+             |  LEFT JOIN tst t USING (doc_id)
+             |  LEFT JOIN sst s USING (doc_id)),
+             |keyed AS (
+             |  SELECT lang, doc_id,
+             |    CAST(floor(1e6 * ln(
+             |      (CAST(('0x' || substr(md5(doc_id || 'dsir'), 1, 15))::BIGINT
+             |        AS DOUBLE) + 0.5) / 1152921504606846976.0)
+             |      / exp(t_lp - s_lp)) AS BIGINT) AS sample_key
+             |  FROM lp),
+             |ranked AS (
+             |  SELECT lang, doc_id, sample_key,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY lang ORDER BY sample_key DESC, doc_id)
+             |      AS BIGINT) AS rk
+             |  FROM keyed)
+             |SELECT lang, rk, doc_id, sample_key FROM ranked
+             |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin))
   )
 }

@@ -250,28 +250,45 @@ object CorpusStats {
     * term is quantized to integer micro-units before the per-doc sum
     * (the [[tokenEntropy]] stance), so partial-merge order can never
     * move a result. Documents with < 2 tokens emit (0, 0.0). */
-  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tl = df.select(col(idCol).as("id"),
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLogProbAgainst(df, df, idCol, textCol)
+
+  /** [[bigramLogProb]] generalized to CROSS-scoring: the LM trains on
+    * `train` and scores `score` — the shape importance-resampling
+    * needs (a target-domain LM scoring the raw corpus). Unseen
+    * bigrams/contexts smooth to (0+1)/(0+V) via left joins, so
+    * out-of-target text gets the floor probability instead of
+    * vanishing from the sum; with `train eq score` every scored
+    * bigram exists in the counts and this reduces exactly to the
+    * self-scoring form. V is the TRAIN vocabulary (one bounded driver
+    * scalar, like a centroid fetch). */
+  def bigramLogProbAgainst(train: DataFrame, score: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    def toks(d: DataFrame) = d.select(col(idCol).as("id"),
       filter(TextFunctions.tokens(lower(col(textCol))),
         t => length(t) > 0).as("t"))
-    val bg = tl.filter(size(col("t")) >= 2).select(col("id"),
-      explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
-        struct(element_at(col("t"), i + 1).as("w1"),
-          element_at(col("t"), i + 2).as("w2")))).as("s"))
+    def bigrams(tl: DataFrame) = tl.filter(size(col("t")) >= 2)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+          struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("s"))
       .select(col("id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
-    val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val trainToks = toks(train)
+    val cbg = bigrams(trainToks)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
     val cw1 = cbg.groupBy(col("w1")).agg(sum(col("cbg")).as("cw1"))
-    val vocab = tl.select(explode(col("t")).as("tok"))
+    val vocab = trainToks.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok"))).head().getLong(0)
-    val scored = bg
-      .join(cbg, Seq("w1", "w2"))
-      .join(cw1, Seq("w1"))
+    val scored = bigrams(toks(score))
+      .join(cbg, Seq("w1", "w2"), "left")
+      .join(cw1, Seq("w1"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(floor(log((col("cbg").cast("double") + 1.0) /
-            (col("cw1").cast("double") + vocab.toDouble)) * lit(1e6))
+        sum(floor(log((coalesce(col("cbg"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("cw1"), lit(0L)).cast("double") + vocab.toDouble))
+            * lit(1e6))
           .cast("long")).as("q"))
-    df.select(col(idCol).as("id"))
+    score.select(col(idCol).as("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

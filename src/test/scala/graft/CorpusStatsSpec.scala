@@ -107,6 +107,27 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r(4).getLong(1) == 0 && r(4).getDouble(2) == 0.0)
   }
 
+  test("cross-scoring LM: unseen bigrams smooth to the floor, never vanish; self-scoring reduces exactly") {
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text") // C(a,b)=2, C(a,c)=1, C(a)=3, V=3
+    // scorer doc 10: bigram (a,b) seen; doc 11: entirely out-of-train
+    // vocab — both its bigrams must smooth to ln(1/(0+V)), not drop
+    val score = Seq((10L, "a b"), (11L, "x y z")).toDF("doc_id", "text")
+    val r = CorpusStats.bigramLogProbAgainst(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def term(cbg: Long, cw1: Long, v: Long): Double =
+      math.floor(1e6 * math.log((cbg + 1.0) / (cw1 + v.toDouble))) / 1e6
+    def r4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getLong(1) == 1 && r(0).getDouble(2) == r4(term(2, 3, 3)), r(0))
+    assert(r(1).getLong(1) == 2 && r(1).getDouble(2) == r4(term(0, 0, 3)), r(1))
+    // and the self-scoring special case is bit-identical through the
+    // generalized path (left joins always hit)
+    val self = CorpusStats.bigramLogProb(train, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(self(0).getDouble(2) == r4(term(2, 3, 3)), self(0))
+  }
+
   test("per-stratum cap keeps exactly cap rows per stratum, deterministically") {
     val rows = spark.range(100)
       .select(col("id").as("doc_id"), (col("id") % 4).cast("string").as("src"))
