@@ -314,6 +314,74 @@ object VectorQueries {
       },
       Some(ivfOracleSql)),
 
+    // STREAMING vector ingestion into the IVF index — the day-2 shape
+    // of q_ann_ivf_stage: centroids are trained once on the historical
+    // corpus; arriving embedding batches are assigned to their nearest
+    // stored centroid MAP-SIDE (16 rows broadcast, no shuffle per
+    // batch, no retraining) and appended to the assignment table via
+    // foreachBatch; queries then serve from the streamed index. Two
+    // mtime-pinned arrival files (corpus split by id parity) make the
+    // index accumulate across micro-batches; assignment is per-row and
+    // order-independent, so the streamed index equals the one-shot
+    // batch assignment and the SAME oracle (full k-means + assignment
+    // + probe replay) must land on identical rows. (Redelivery
+    // hardening is UpsertSink's job — gated by its failure-injection
+    // spec; this entry pins the ingest-assign-serve composition.)
+    "q_stream_vector_ingest" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-stream-vec")
+        val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = graft.vector.KMeans.fitCentroids(
+          emb, "vec_id", "embedding", k = 16, iters = 2)
+        import s.implicits._
+        val centroids = cents.toDF("cid", "embedding")
+        val centTable = graft.catalog.ParquetTable(
+          s, "sv_centroids", s"$tmp/centroids", centroids.schema)
+        centTable.overwrite(centroids)
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stage = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+        }
+        writeOne(emb.filter(col("vec_id") % 2 === 0), "a")
+        writeOne(emb.filter(col("vec_id") % 2 === 1), "b")
+        Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val assignTable = graft.catalog.ParquetTable(
+          ss, "sv_assign", s"$tmp/assign",
+          Ann.ivfAssign(emb.limit(0), "vec_id", "embedding", centroids).schema)
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            assignTable.append(Ann.ivfAssign(
+              batch, "vec_id", "embedding", centTable.read()))
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        Ann.ivfTopKIndexed(emb, assignTable.read(), queries,
+          "vec_id", "embedding", "qid", k = 5,
+          centroids = centTable.read(), nprobe = 4)
+          .select(col("qid"), col("vec_id"), cast_rank)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfOracleSql)),
+
     // LSH-bucketed ANN (random hyperplanes, multi-probe d≤1): the scale
     // path — candidates from bucket equi-joins, exact re-rank. `bits`
     // is derived from the corpus size via the parquet footers (the same
