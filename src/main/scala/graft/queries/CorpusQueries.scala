@@ -377,6 +377,74 @@ object CorpusQueries {
              |FROM documents d LEFT JOIN st USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // CCNet-style perplexity partition (Wenzek et al. 2020): per
+    // language, documents split into head/middle/tail terciles by
+    // their LM score — the standard "keep the head, audit the middle,
+    // drop the tail" curation gate. ntile over (score desc, id) is
+    // deterministic under ties; per-bucket mean recomputes from the
+    // 4-dp-quantized scores as an exact integer sum, so accumulation
+    // order can never move it. The oracle replays LM training, the
+    // tercile assignment, and the bucket stats.
+    "q_perplexity_buckets" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val lp = CorpusStats.bigramLogProb(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("avg_logprob").desc, col("doc_id"))
+        docs.select(col("doc_id"), col("lang")).join(lp, Seq("doc_id"))
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("avg_logprob") * 1e4).cast("long"))
+              .cast("double") / (lit(1e4) * count(lit(1))), 4).as("mean_lp"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM documents),
+             |v AS (
+             |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             |  FROM (SELECT unnest(t) AS tok FROM t0)),
+             |bgs AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(t)),
+             |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+             |  FROM t0 WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bgs),
+             |cbg AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+             |  FROM bg GROUP BY 1, 2),
+             |cw1 AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1 FROM cbg GROUP BY 1),
+             |st AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(CAST(floor(1e6 * ln(
+             |        (CAST(c.cbg AS DOUBLE) + 1.0)
+             |        / (CAST(k.cw1 AS DOUBLE) + (SELECT v FROM v))))
+             |      AS BIGINT)) AS BIGINT) AS q
+             |  FROM bg b JOIN cbg c USING (w1, w2) JOIN cw1 k USING (w1)
+             |  GROUP BY 1),
+             |lp AS (
+             |  SELECT d.doc_id, d.lang,
+             |    CASE WHEN coalesce(st.n_bigrams, 0) = 0 THEN 0.0
+             |      ELSE round((CAST(st.q AS DOUBLE) / 1000000.0) /
+             |        CAST(st.n_bigrams AS DOUBLE), 4) END AS avg_logprob
+             |  FROM documents d LEFT JOIN st USING (doc_id)),
+             |bucketed AS (
+             |  SELECT lang, doc_id, avg_logprob,
+             |    CAST(ntile(3) OVER (PARTITION BY lang
+             |      ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS bucket
+             |  FROM lp)
+             |SELECT lang, bucket, count(*) AS n,
+             |  round(CAST(sum(CAST(round(avg_logprob * 1e4) AS BIGINT)) AS DOUBLE)
+             |    / (1e4 * count(*)), 4) AS mean_lp
+             |FROM bucketed GROUP BY lang, bucket
+             |ORDER BY lang, bucket""".stripMargin)),
+
     // DSIR-style importance resampling (Xie et al. 2023) as a pure
     // composition of existing operators: a bigram LM trained on the
     // TARGET domain (here: the English slice) and one trained on the
