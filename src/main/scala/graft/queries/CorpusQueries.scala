@@ -89,6 +89,70 @@ object CorpusQueries {
               |FROM corpus c LEFT JOIN hits h USING (doc_id)
               |ORDER BY c.doc_id""".stripMargin)),
 
+    // Span-level decontamination: q_decontam flags and q_contam_ratio
+    // measures, but both operate at document granularity — this EXCISES
+    // the contaminated spans themselves (SpanDedup.removeMatchingSpans
+    // against the eval gram set) and keeps the rest of the document in
+    // the training mix, the surgical form a curation pipeline prefers
+    // when a doc's only sin is quoting one benchmark sentence. Same
+    // shared fixture as the other two entries; docs 1..9 lose exactly
+    // the planted 5-token phrase (grams bridging their own text into
+    // the phrase occur nowhere in the eval set and must survive). The
+    // oracle replays positional gram matching, the island merge, and
+    // the token excision.
+    "q_decontam_spans" -> Q(
+      (s, dir) => {
+        val (corpus, evalSet) = decontamFixture(s, dir)
+        graft.text.SpanDedup.removeMatchingSpans(corpus, "doc_id", "text",
+            evalSet, "doc_id", "text", w = 5)
+          .select(col("doc_id"), md5(col("deduped_text")).as("text_fp"),
+            col("n_spans"), col("n_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $decontamCtes,
+              |pgrams AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              |    array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+              |  FROM ctoks, unnest(range(1, len(t) - 3)) AS u(i)
+              |  WHERE len(t) >= 5),
+              |marked AS (
+              |  SELECT p.doc_id, p.pos FROM pgrams p JOIN eg USING (gram)),
+              |brk AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 5
+              |         THEN 1 ELSE 0 END AS b
+              |  FROM marked),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+              |                 ROWS UNBOUNDED PRECEDING) AS island
+              |  FROM brk),
+              |spans AS (
+              |  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+              |  FROM isl GROUP BY doc_id, island),
+              |tokpos AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS i, t[CAST(i AS INT)] AS tok
+              |  FROM ctoks, unnest(range(1, len(t) + 1)) AS u(i)),
+              |kept AS (
+              |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+              |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+              |    WHERE sp.doc_id = tp.doc_id AND tp.i >= sp.s AND tp.i < sp.e)),
+              |agg AS (
+              |  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ')
+              |    AS deduped_text
+              |  FROM kept GROUP BY doc_id),
+              |cnt AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |    CAST(sum(e - s) AS BIGINT) AS n_removed
+              |  FROM spans GROUP BY doc_id)
+              |SELECT c.doc_id, md5(coalesce(a.deduped_text, '')) AS text_fp,
+              |  coalesce(cn.n_spans, 0) AS n_spans,
+              |  coalesce(cn.n_removed, 0) AS n_removed
+              |FROM corpus c
+              |LEFT JOIN agg a ON a.doc_id = c.doc_id
+              |LEFT JOIN cnt cn ON cn.doc_id = c.doc_id
+              |ORDER BY c.doc_id""".stripMargin)),
+
     // Contamination SEVERITY: the binary flag above quarantines; this
     // reports what fraction of each document's distinct 5-grams is
     // benchmark text — the number a curation pipeline thresholds ("5%

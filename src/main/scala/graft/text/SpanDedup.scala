@@ -49,8 +49,34 @@ object SpanDedup {
       .filter(col("occ") >= 2).select(col("gh"))
     val marked = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("id"), col("pos"))
-    // transitive merge of overlapping [pos, pos+w): a new island starts
-    // where the gap to the previous marked start is ≥ w
+    mergeSpans(marked, idCol, w)
+  }
+
+  /** Spans of `df` matching ANY w-gram of the REFERENCE relation —
+    * span-level decontamination: where the document-granular pass
+    * ([[graft.text.Decontaminate]]) flags or drops a whole document
+    * that overlaps an eval benchmark, this excises just the
+    * contaminated spans and keeps the rest of the document in the
+    * training mix. Marking is a semi join against the reference's
+    * DISTINCT gram hashes — eval suites are small, so that relation
+    * broadcasts and marking is map-side; everything downstream (island
+    * merge, excision) is the [[repeatedSpans]] machinery. */
+  def matchingSpans(df: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame, refIdCol: String, refTextCol: String,
+                    w: Int = 5): DataFrame = {
+    val refGrams = positionalGrams(ref, refIdCol, refTextCol, w)
+      .select(col("gh")).distinct()
+    val marked = positionalGrams(df, idCol, textCol, w)
+      .join(refGrams, Seq("gh"), "left_semi")
+      .select(col("id"), col("pos"))
+    mergeSpans(marked, idCol, w)
+  }
+
+  /** Transitive merge of overlapping [pos, pos+w) intervals per doc:
+    * a new island starts where the gap to the previous marked start
+    * is ≥ w. */
+  private def mergeSpans(marked: DataFrame, idCol: String,
+                         w: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     marked
       .withColumn("__brk",
@@ -71,8 +97,21 @@ object SpanDedup {
     * `n_spans`, `n_removed` (tokens cut), plus `carryCols`. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           w: Int = 5,
-                          carryCols: Seq[String] = Nil): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, w)
+                          carryCols: Seq[String] = Nil): DataFrame =
+    excise(df, repeatedSpans(df, idCol, textCol, w), idCol, textCol, carryCols)
+
+  /** [[matchingSpans]] applied: documents with every benchmark-matching
+    * span excised. Same output contract as [[removeRepeatedSpans]]. */
+  def removeMatchingSpans(df: DataFrame, idCol: String, textCol: String,
+                          ref: DataFrame, refIdCol: String,
+                          refTextCol: String, w: Int = 5,
+                          carryCols: Seq[String] = Nil): DataFrame =
+    excise(df, matchingSpans(df, idCol, textCol, ref, refIdCol, refTextCol, w),
+      idCol, textCol, carryCols)
+
+  private def excise(df: DataFrame, spanRows: DataFrame, idCol: String,
+                     textCol: String, carryCols: Seq[String]): DataFrame = {
+    val spans = spanRows
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))

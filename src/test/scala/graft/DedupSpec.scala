@@ -276,6 +276,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3) === (("mid1 mid2", 2L, 10L)), out(3))
   }
 
+  test("matching-span removal excises only the benchmark span; surrounding text survives") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val df = Seq(
+      (1L, "intro words here then alpha beta gamma delta epsilon and the tail keeps going"),
+      (2L, "totally clean document with no benchmark content at all")
+    ).toDF("doc_id", "text")
+    val out = graft.text.SpanDedup
+      .removeMatchingSpans(df, "doc_id", "text", eval, "doc_id", "text", w = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("deduped_text"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed")))
+    // only the exact benchmark 5-gram is cut — the grams bridging the
+    // doc's own words into the phrase occur nowhere in the eval set
+    assert(out(0) === (("intro words here then and the tail keeps going", 1L, 5L)), out(0))
+    assert(out(1) === (("totally clean document with no benchmark content at all", 0L, 0L)), out(1))
+  }
+
   test("nearDupBestSurvivors keeps the best-scoring doc, not the min id") {
     // same cluster fixture as above, but an injected score makes the
     // HIGHEST id the cluster's best — the keeper must follow the score
