@@ -1261,6 +1261,62 @@ object TextQueries {
               |FROM scored WHERE containment >= 0.9
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Cross-corpus near-dup screen: the incoming batch deduped against
+    // the EXISTING corpus (the batch sibling of the streaming LSH
+    // index). Fixture: 15 near-copies of existing docs (must drop) and
+    // 10 vocabulary-disjoint novel docs (must survive — zero shared
+    // grams, so survival is structural, not threshold luck). The
+    // oracle recomputes the screen as exact all-pairs cross Jaccard —
+    // the same deterministic-recall argument as q_neardup_pairs, plus
+    // any natural cross-dup the corpus contains replays identically.
+    "q_cross_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") < 15).select(
+          (col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" trailing2")).as("text"))
+        val novel = docs.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            array_join(transform(split(trim(col("text")), "\\s+"),
+              t => concat(lit("nv"), t)), " ").as("text"))
+        val newBatch = copies.unionByName(novel)
+        Dedup.crossNearDupSurvivors(newBatch, docs, "doc_id", "text",
+            threshold = 0.5)
+          .select(col("doc_id"), md5(col("text")).as("text_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH newdocs AS (
+             |  SELECT doc_id + 700000 AS doc_id,
+             |    concat(text, ' trailing2') AS text
+             |  FROM documents WHERE doc_id < 15
+             |  UNION ALL
+             |  SELECT doc_id + 800000 AS doc_id,
+             |    array_to_string(list_transform(
+             |      string_split_regex(trim(text), '\s+'), x -> 'nv' || x), ' ')
+             |      AS text
+             |  FROM documents WHERE doc_id >= 20 AND doc_id < 30),
+             |ng AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             |    i -> array_to_string(t[i:i+2], ' '))) AS g
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(trim(text), '\s+') AS t
+             |        FROM newdocs)),
+             |rg AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             |    i -> array_to_string(t[i:i+2], ' '))) AS g
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(trim(text), '\s+') AS t
+             |        FROM documents)),
+             |dropped AS (
+             |  SELECT DISTINCT n.doc_id
+             |  FROM ng n JOIN rg r ON true
+             |  WHERE CAST(len(list_intersect(n.g, r.g)) AS DOUBLE)
+             |    / greatest(CAST(len(n.g) + len(r.g)
+             |        - len(list_intersect(n.g, r.g)) AS DOUBLE), 1.0) >= 0.5)
+             |SELECT doc_id, md5(text) AS text_fp FROM newdocs
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Containment at EXTREME asymmetry: the seed-gram index. Fixture
     // buries 10 documents inside ~1500 novel pad tokens each (computed
     // in-engine on both sides, no giant literal): containment of the

@@ -386,6 +386,56 @@ object Dedup {
     verifyPairsJaccard(df, idCol, textCol, pairs, threshold, w)
   }
 
+  /** Cross-corpus near-dup screen: rows of `newDf` that survive
+    * near-duplicate comparison against a REFERENCE corpus — the batch
+    * form of "dedupe each incoming crawl against the already-curated
+    * corpus" (the streaming form is the
+    * [[graft.streaming.StreamNearDup]] index). A new row is dropped
+    * when its exact w-gram Jaccard with ANY reference doc clears
+    * `threshold`; new-vs-new duplicates are deliberately NOT collapsed
+    * (that is [[nearDupSurvivors]]' job on the new batch itself, run
+    * before or after at the caller's choice).
+    *
+    * One LSH pass signs the tagged union (signatures computed once,
+    * same banded candidate plan as [[verifiedNearDuplicates]]);
+    * candidates are restricted to CROSS pairs before the exact verify,
+    * so same-side coincidences cost nothing downstream, and the final
+    * keep is an anti join of the new batch against the (tiny) dropped
+    * set — broadcast when it fits, the corpus never shuffles. Ids must
+    * be unique ACROSS both inputs (production ids — urls, uuids — are;
+    * the tagged union would otherwise conflate rows). */
+  def crossNearDupSurvivors(newDf: DataFrame, refDf: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.7, w: Int = 3,
+                            k: Int = 64, bands: Int = 16): DataFrame = {
+    val tagged = newDf.select(col(idCol).as("id"), col(textCol).as("text"),
+        lit(0).as("__ref"))
+      .unionByName(refDf.select(col(idCol).as("id"), col(textCol).as("text"),
+        lit(1).as("__ref")))
+    val margin = 2.0 / math.sqrt(k.toDouble)
+    val tags = tagged.select(col("id"), col("__ref"))
+    val cross = candidatePairs(tagged, "id", "text", w, k, bands)
+      .filter(col("est_jaccard") >= math.max(0.0, threshold - margin))
+      .select(col("id_a"), col("id_b"))
+      .join(tags.select(col("id").as("id_a"), col("__ref").as("__ra")), Seq("id_a"))
+      .join(tags.select(col("id").as("id_b"), col("__ref").as("__rb")), Seq("id_b"))
+      .filter(col("__ra") =!= col("__rb"))
+      .select(col("id_a"), col("id_b"))
+    val verified = verifyPairsJaccard(tagged, "id", "text", cross, threshold, w)
+    // exactly one side of a cross pair is new: id_a when its tag says
+    // so, id_b otherwise. Materialized so the anti join reads a fixed
+    // tiny relation (and the count deciding the broadcast is free).
+    val dropped = verified
+      .join(tags.select(col("id").as("id_a"), col("__ref")), Seq("id_a"))
+      .select(when(col("__ref") === 0, col("id_a")).otherwise(col("id_b"))
+        .as(idCol))
+      .distinct()
+      .localCheckpoint(true)
+    val droppedSide =
+      if (dropped.count() <= 1000000L) broadcast(dropped) else dropped
+    newDf.join(droppedSide, Seq(idCol), "left_anti")
+  }
+
   /** Exact-Jaccard verification of an EXTERNAL candidate pair set —
     * the verify half of [[verifiedNearDuplicates]], reusable for
     * candidates produced elsewhere (the streaming LSH index

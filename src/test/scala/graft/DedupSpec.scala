@@ -276,6 +276,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3) === (("mid1 mid2", 2L, 10L)), out(3))
   }
 
+  test("cross-corpus screen drops ref near-dups, keeps novel docs, never collapses new-vs-new") {
+    val base = "the quick brown fox jumps over the lazy dog again today friends"
+    val ref = Seq((1L, base),
+      (2L, "an entirely different reference document about something else entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " extra"),      // near-dup of ref 1 → dropped
+      (11L, "novel words nowhere else with completely fresh vocabulary here"),
+      (12L, "novel words nowhere else with completely fresh vocabulary here too"))
+      .toDF("doc_id", "text")      // 11 and 12 are near-dups of EACH
+                                   // OTHER but of nothing in ref: the
+                                   // cross screen must keep BOTH
+    val kept = graft.text.Dedup.crossNearDupSurvivors(
+        batch, ref, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(11L, 12L)), kept.toSeq)
+  }
+
   test("matching-span removal excises only the benchmark span; surrounding text survives") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val df = Seq(
