@@ -65,6 +65,83 @@ object CorpusQueries {
     (corpus, evalSet)
   }
 
+  /** DuckDB re-training of [[graft.text.Classifier]]: the oracle
+    * rebuilds the hashed bucket counts, the Laplace-smoothed NB weight
+    * table, the class log-prior, and every per-doc margin — all BIGINT
+    * sums over once-floored micro-unit weights, so the two engines'
+    * models agree bit for bit. `finalSelect` consumes the margin
+    * relation `mf(doc_id, y, mq)` (micro-units). */
+  private def classifierOracle(buckets: Int, finalSelect: String): String = {
+    val b = buckets.toDouble
+    s"""WITH cbase AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $classifierLabelSql THEN 1 ELSE 0 END AS y,
+       |    list_filter(string_split_regex(trim(lower(
+       |      CASE WHEN $classifierLabelSql
+       |        THEN text || ' $classifierMarker' ELSE text END)), '\\s+'),
+       |      t -> length(t) > 0) AS t
+       |  FROM documents),
+       |dc AS (
+       |  SELECT doc_id, y, j, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT doc_id, y,
+       |      ('0x' || substr(md5(tok), 1, 15))::BIGINT % $buckets AS j
+       |    FROM (SELECT doc_id, y, unnest(t) AS tok
+       |          FROM cbase WHERE len(t) > 0))
+       |  GROUP BY doc_id, y, j),
+       |cc AS (SELECT y, j, CAST(sum(cnt) AS BIGINT) AS c FROM dc GROUP BY y, j),
+       |bb AS (
+       |  SELECT j,
+       |    CAST(sum(CASE WHEN y = 1 THEN c END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN y = 0 THEN c END) AS BIGINT) AS c0
+       |  FROM cc GROUP BY j),
+       |tt AS (
+       |  SELECT CAST(sum(CASE WHEN y = 1 THEN c END) AS BIGINT) AS t1,
+       |         CAST(sum(CASE WHEN y = 0 THEN c END) AS BIGINT) AS t0
+       |  FROM cc),
+       |w AS (
+       |  SELECT j,
+       |    CAST(floor((ln((CAST(coalesce(c1, 0) AS DOUBLE) + 1.0)
+       |        / (CAST(t1 AS DOUBLE) + $b))
+       |      - ln((CAST(coalesce(c0, 0) AS DOUBLE) + 1.0)
+       |        / (CAST(t0 AS DOUBLE) + $b))) * 1000000.0) AS BIGINT) AS wq
+       |  FROM bb, tt),
+       |pr AS (
+       |  SELECT CAST(floor(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS bq
+       |  FROM (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+       |        FROM (SELECT DISTINCT doc_id, y FROM dc))),
+       |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dc),
+       |mf AS (
+       |  SELECT d.doc_id, d.y, CAST(pr.bq + sum(d.cnt * w.wq) AS BIGINT) AS mq,
+       |    CAST(sum(d.cnt) AS BIGINT) AS n_tok
+       |  FROM dc d JOIN w USING (j), pr
+       |  GROUP BY d.doc_id, d.y, pr.bq)
+       |$finalSelect""".stripMargin
+  }
+
+  /** Label shared by the classifier entries: sources 0/1 stand in for
+    * the curated reference set (same predicate in Spark and SQL). The
+    * fixture plants marker tokens into the positive class — the
+    * synthetic sources share one vocabulary, so without a planted
+    * lexical signal there is nothing for ANY classifier to find (the
+    * q_span_dedup/q_decontam planting stance); three occurrences put
+    * the planted margin contribution well above the per-doc
+    * token-mix noise. */
+  private val classifierLabelSql = "source IN ('src0', 'src1')"
+  private def classifierLabel = col("source").isin("src0", "src1")
+  private val classifierMarker = "qualmarker qualmarker qualmarker"
+
+  /** The planted-corpus Spark side, mirroring the oracle's cbase. */
+  private def classifierFixture(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(classifierLabel,
+          concat(col("text"), lit(" " + classifierMarker)))
+          .otherwise(col("text")).as("text"))
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Benchmark decontamination: training docs sharing any 5-gram with
@@ -608,6 +685,77 @@ object CorpusQueries {
              |      AS BIGINT) AS rk
              |  FROM keyed)
              |SELECT lang, rk, doc_id, sample_key FROM ranked
-             |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin))
+             |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
+    // Quality classifier trained IN the engine (graft.text.Classifier):
+    // multinomial Naive Bayes over hashed token counts — closed-form,
+    // ONE distributed pass (no gradient rounds), model held as a
+    // bounded weight relation, margins exact BIGINTs — and the oracle
+    // RE-TRAINS the identical model in DuckDB and must land on the
+    // same per-doc margins bit for bit. The positive class carries
+    // planted marker tokens, so learning is observable: the marker
+    // bucket's log-odds weight must separate the classes.
+    "q_quality_classifier" -> Q(
+      (s, dir) => graft.text.Classifier.scored(
+        classifierFixture(s, dir), "doc_id", "text",
+        classifierLabel, buckets = 4096)
+        .select(col("id").as("doc_id"), col("y").cast("int").as("y"),
+          col("mq"), col("n_tok"),
+          round(lit(1.0) / (lit(1.0) + exp(
+            -(col("mq").cast("double") / lit(1e6) / col("n_tok").cast("double")))),
+            4).as("score"))
+        .orderBy(col("doc_id")),
+      Some(classifierOracle(4096,
+        """SELECT doc_id, CAST(y AS INT) AS y, mq, n_tok,
+          |  round(1.0 / (1.0 + exp(-(CAST(mq AS DOUBLE) / 1000000.0
+          |    / CAST(n_tok AS DOUBLE)))), 4) AS score
+          |FROM mf ORDER BY doc_id""".stripMargin))),
+
+    // The classifier APPLIED as a corpus filter: keep the top decile
+    // by trained margin (the Brown et al. stance — threshold by score
+    // rank, not by the 0.5 boundary) and report per-source keep rates
+    // — the number a curation run actually reports. Ranking is on the
+    // exact integer margin (ties broken by id), so the kept set is
+    // engine-exact; at 100 TB the global rank becomes an approx-
+    // quantile threshold + map-side filter, same contract.
+    "q_classifier_filter" -> Q(
+      (s, dir) => {
+        val docs = classifierFixture(s, dir)
+        val sc = graft.text.Classifier.scored(docs, "doc_id", "text",
+          classifierLabel, buckets = 4096)
+        val ranked = sc.withColumn("rk",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(graft.text.Classifier.avgMargin.desc, col("id"))))
+        val tot = sc.agg(count(lit(1)).as("n_scored"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("keep",
+            col("rk") <= ceil(col("n_scored").cast("double") / lit(10.0)))
+          .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("total"),
+            sum(col("keep").cast("long")).as("kept"))
+          .select(col("source"), col("total"), col("kept"),
+            round(col("kept").cast("double") / col("total").cast("double"), 4)
+              .as("keep_rate"))
+          .orderBy(col("source"))
+      },
+      Some(classifierOracle(4096,
+        """,
+          |ranked AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY
+          |      CAST(mq AS DOUBLE) / CAST(n_tok AS DOUBLE) DESC, doc_id) AS rk
+          |  FROM mf),
+          |kk AS (SELECT CAST(ceil(CAST(n_docs AS DOUBLE) / 10.0) AS BIGINT)
+          |         AS k FROM nn)
+          |SELECT d.source,
+          |  CAST(count(*) AS BIGINT) AS total,
+          |  CAST(sum(CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS kept,
+          |  round(CAST(sum(CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*), 4) AS keep_rate
+          |FROM ranked r JOIN documents d USING (doc_id), kk
+          |GROUP BY d.source ORDER BY d.source""".stripMargin)))
   )
 }

@@ -546,7 +546,98 @@ object VectorQueries {
              |    AS rank
              |FROM r WHERE crank <= 50
              |QUALIFY rank <= 10
-             |ORDER BY qid, rank""".stripMargin))
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // Hybrid retrieval with reciprocal-rank fusion (the modern RAG
+    // retrieval stack): lexical BM25 over `documents` and dense cosine
+    // over the 1:1-aligned `embeddings`, each cut to a k-bounded
+    // top-100 (TakeOrdered — no global sort), fused by
+    // RRF = Σ 1/(60+rank). Ranks come from windows over the ALREADY
+    // k-bounded lists (≤100 rows — the single-partition window is the
+    // bounded-fetch O3 stance, not a corpus sort), ties broken by id
+    // on both engines; round-before-final-rank keeps the fused
+    // ordering engine-stable. Corpus cost: one text pass + one
+    // embedding pass, both map-side.
+    "q_hybrid_retrieval" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).first()
+          .getSeq[Float](0).map(_.toDouble)
+        val w = org.apache.spark.sql.expressions.Window
+        val bm = graft.text.Bm25.topDocs(
+          docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", Seq("spark", "stream", "window"), k = 100)
+          .withColumn("rb", row_number().over(
+            w.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+          .select(col("doc_id"), col("rb"))
+        val cs = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 100)
+          .withColumn("rc", row_number().over(
+            w.orderBy(col("sim").desc, col("vec_id"))).cast("int"))
+          .select(col("vec_id"), col("rc"))
+        bm.join(cs, bm("doc_id") === cs("vec_id"), "full_outer")
+          .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+            col("rb"), col("rc"),
+            round(coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("rc")), lit(0.0)), 6)
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             |    CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_0,
+             |    CAST(len(list_filter(toks, x -> x = 'stream')) AS BIGINT) AS tf_1,
+             |    CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf_2
+             |  FROM base),
+             |g AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    avg(CAST(dl AS DOUBLE)) AS avgdl,
+             |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+             |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+             |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+             |  FROM d),
+             |bs AS (
+             |  SELECT d.doc_id, round(
+             |      ln((g.n_docs - g.df_0 + 0.5) / (g.df_0 + 0.5) + 1.0)
+             |        * (d.tf_0 * 2.2)
+             |        / (d.tf_0 + 1.2 * (0.25 + 0.75 * (d.dl / g.avgdl)))
+             |    + ln((g.n_docs - g.df_1 + 0.5) / (g.df_1 + 0.5) + 1.0)
+             |        * (d.tf_1 * 2.2)
+             |        / (d.tf_1 + 1.2 * (0.25 + 0.75 * (d.dl / g.avgdl)))
+             |    + ln((g.n_docs - g.df_2 + 0.5) / (g.df_2 + 0.5) + 1.0)
+             |        * (d.tf_2 * 2.2)
+             |        / (d.tf_2 + 1.2 * (0.25 + 0.75 * (d.dl / g.avgdl))), 4)
+             |    AS score
+             |  FROM d, g),
+             |bm AS (
+             |  SELECT doc_id, CAST(rb AS INT) AS rb FROM (
+             |    SELECT doc_id,
+             |      row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+             |    FROM bs)
+             |  WHERE rb <= 100),
+             |cs AS (
+             |  SELECT vec_id,
+             |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+             |       WHERE vec_id = 0)) AS sim
+             |  FROM embeddings),
+             |co AS (
+             |  SELECT vec_id, CAST(rc AS INT) AS rc FROM (
+             |    SELECT vec_id,
+             |      row_number() OVER (ORDER BY sim DESC, vec_id) AS rc
+             |    FROM cs WHERE NOT isnan(sim))
+             |  WHERE rc <= 100)
+             |SELECT coalesce(bm.doc_id, co.vec_id) AS doc_id, bm.rb, co.rc,
+             |  round(coalesce(1.0 / (60.0 + bm.rb), 0.0)
+             |    + coalesce(1.0 / (60.0 + co.rc), 0.0), 6) AS rrf
+             |FROM bm FULL OUTER JOIN co ON bm.doc_id = co.vec_id
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** row_number() is int on both engines, but keep the cast explicit

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Classifier
+
+/** The in-engine NB quality classifier: exact-zero model on a
+  * symmetric corpus (every term hand-checkable), separation on a
+  * planted lexical signal, and partitioning invariance of the integer
+  * margins. */
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("symmetric classes train the exact-zero model: every margin is 0") {
+    // Identical text and equal doc counts per class → C1j = C0j and
+    // T1 = T0, so every weight is floor(1e6·(ln p − ln p)) = 0, and the
+    // prior is floor(1e6·ln(2/2)) = 0: margins must be EXACTLY zero.
+    val docs = Seq((0L, 1, "a b c"), (1L, 1, "a b c"),
+      (2L, 0, "a b c"), (3L, 0, "a b c")).toDF("id", "y", "text")
+    val m = Classifier.scored(docs, "id", "text", col("y") === 1)
+      .select(col("id"), col("mq")).collect()
+    assert(m.length == 4 && m.forall(_.getLong(1) == 0L))
+  }
+
+  test("planted signal separates: min positive avg margin > max negative") {
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0L until 40L).map { i =>
+      val y = if (i < 8) 1 else 0
+      val text = if (y == 1) s"$common goodmark goodmark" else common + s" filler$i"
+      (i, y, text)
+    }.toDF("id", "y", "text")
+    val scored = Classifier.scored(docs, "id", "text", col("y") === 1)
+      .select(col("id"), col("y"), Classifier.avgMargin.as("am")).collect()
+    val pos = scored.filter(_.getLong(1) == 1).map(_.getDouble(2))
+    val neg = scored.filter(_.getLong(1) == 0).map(_.getDouble(2))
+    assert(pos.min > neg.max,
+      s"no separation: pos min ${pos.min} vs neg max ${neg.max}")
+  }
+
+  test("margins are partitioning-invariant (exact integers)") {
+    val docs = (0L until 30L)
+      .map(i => (i, i % 3, s"tok$i alpha beta common${i % 5} gamma"))
+      .toDF("id", "y", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Classifier.scored(df, "id", "text", col("y") === 1L)
+        .select(col("id"), col("mq")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
+  test("token-less documents are outside the model") {
+    val docs = Seq((0L, 1, "alpha beta"), (1L, 0, "gamma"), (2L, 0, "  "))
+      .toDF("id", "y", "text")
+    val ids = Classifier.scored(docs, "id", "text", col("y") === 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L))
+  }
+}
