@@ -72,7 +72,14 @@ object Classifier {
     * counts, deliberately not on class counts). */
   def scored(df: DataFrame, idCol: String, textCol: String, label: Column,
              buckets: Int = 4096): DataFrame = {
+    // The count relation feeds four subtrees (class counts, totals,
+    // prior, scoring join) whose differing column pruning defeats
+    // ReuseExchange — unpersisted, the corpus text is scanned 7×.
+    // Cache it EAGERLY (the PERF_NOTES cache-fill-race rule) for the
+    // duration of the one consuming job and release it after the
+    // result is materialized lineage-free.
     val dc = bucketCounts(df, idCol, textCol, label, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Class-bucket counts → the weight relation (≤ buckets rows).
     val cc = dc.groupBy(col("y"), col("j")).agg(sum(col("cnt")).as("c"))
     val byBucket = cc.groupBy(col("j"))
@@ -94,13 +101,17 @@ object Classifier {
         sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
       .select(floor(log(col("n1").cast("double") / col("n0").cast("double"))
         * lit(1e6)).cast("long").as("bq"))
-    dc.join(broadcast(weights), Seq("j"))
-      .groupBy(col("id"), col("y"))
-      .agg(sum(col("cnt") * col("wq")).as("sq"),
-        sum(col("cnt")).as("n_tok"))
-      .crossJoin(broadcast(prior))
-      .select(col("id"), col("y"), (col("bq") + col("sq")).as("mq"),
-        col("n_tok"))
+    try {
+      dc.count() // eager fill before the multi-subtree consuming job
+      dc.join(broadcast(weights), Seq("j"))
+        .groupBy(col("id"), col("y"))
+        .agg(sum(col("cnt") * col("wq")).as("sq"),
+          sum(col("cnt")).as("n_tok"))
+        .crossJoin(broadcast(prior))
+        .select(col("id"), col("y"), (col("bq") + col("sq")).as("mq"),
+          col("n_tok"))
+        .localCheckpoint(true)
+    } finally dc.unpersist(false)
   }
 
   /** Length-normalized margin — NB log-odds grow with document length

@@ -274,6 +274,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("hybrid retrieval: both lists k-bounded by TakeOrdered, no cartesian") {
+    // the corpus sides must reach the fusion join already cut to k by
+    // TakeOrdered (never a global Sort of the corpus); the windows that
+    // assign ranks run AFTER the bound, over ≤k rows
+    val plan = SparkEntry.queries("q_hybrid_retrieval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("classifier bucket counts: one shuffle, no join, one corpus scan") {
+    // the (id, y, j, cnt) relation every classifier consumer shares is
+    // a single map-combined hash aggregate over one text pass
+    val qe = graft.text.Classifier.bucketCounts(
+      Tables.load(spark, sf, "documents"), "doc_id", "text",
+      col("source").isin("src0"), 4096).queryExecution
+    val plan = qe.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!"\\bJoin\\b".r.findAllIn(qe.optimizedPlan.toString).hasNext, plan)
+    assert("Relation \\[".r.findAllIn(qe.optimizedPlan.toString).size == 1, plan)
+  }
+
   test("subword counting is map-only: vocab rides the plan, no join, no UDF, one scan") {
     // the vocab is embedded in the native expression (shipped with the
     // serialized plan like a broadcast literal) — the corpus must not
