@@ -756,6 +756,60 @@ object CorpusQueries {
           |  round(CAST(sum(CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END) AS DOUBLE)
           |    / count(*), 4) AS keep_rate
           |FROM ranked r JOIN documents d USING (doc_id), kk
-          |GROUP BY d.source ORDER BY d.source""".stripMargin)))
+          |GROUP BY d.source ORDER BY d.source""".stripMargin))),
+
+    // In-engine model EVALUATION: exact ROC-AUC of the trained
+    // classifier by the Mann–Whitney rank-sum, midranks for ties —
+    // U = Σ_pos midrank − n₁(n₁+1)/2, AUC = U / (n₁n₀) — computed on
+    // 2×-scaled INTEGER midranks (min+max of the tie group), so the
+    // only float step is the final division of exact integers. On the
+    // planted fixture the classifier must be perfect: AUC = 1.0 is
+    // part of the oracle-checked answer, not a spec-side assertion.
+    // (The global rank is corpus-sized — at 100 TB AUC comes from a
+    // sampled or histogram estimate; the exact form is the contract.)
+    "q_classifier_auc" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val sc = graft.text.Classifier.scored(classifierFixture(s, dir),
+          "doc_id", "text", classifierLabel, buckets = 4096)
+          .select(col("id"), col("y"), graft.text.Classifier.avgMargin.as("s"))
+        val rn = sc.withColumn("rn",
+          row_number().over(w.orderBy(col("s").asc, col("id"))))
+        val mid = rn.withColumn("mid2",
+          min(col("rn")).over(w.partitionBy(col("s"))).cast("long") +
+            max(col("rn")).over(w.partitionBy(col("s"))).cast("long"))
+        mid.agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("y") === 1, col("mid2")).otherwise(0L)).as("s2"))
+          .select(col("n_pos"), col("n_neg"),
+            round((col("s2").cast("double") -
+                col("n_pos").cast("double") * (col("n_pos") + 1)) /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
+      },
+      Some(classifierOracle(4096,
+        """,
+          |sc AS (
+          |  SELECT doc_id, y,
+          |    CAST(mq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS s
+          |  FROM mf),
+          |rr AS (
+          |  SELECT doc_id, y, s,
+          |    row_number() OVER (ORDER BY s ASC, doc_id) AS rn
+          |  FROM sc),
+          |mr AS (
+          |  SELECT doc_id, y,
+          |    CAST(min(rn) OVER (PARTITION BY s) AS BIGINT)
+          |      + CAST(max(rn) OVER (PARTITION BY s) AS BIGINT) AS mid2
+          |  FROM rr)
+          |SELECT n_pos, n_neg,
+          |  round((CAST(s2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+          |    / (2.0 * n_pos * n_neg), 4) AS auc
+          |FROM (
+          |  SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_pos,
+          |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+          |    CAST(sum(CASE WHEN y = 1 THEN mid2 ELSE 0 END) AS BIGINT) AS s2
+          |  FROM mr)""".stripMargin)))
   )
 }
