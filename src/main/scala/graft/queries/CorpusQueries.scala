@@ -810,6 +810,103 @@ object CorpusQueries {
           |      AS n_pos,
           |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
           |    CAST(sum(CASE WHEN y = 1 THEN mid2 ELSE 0 END) AS BIGINT) AS s2
-          |  FROM mr)""".stripMargin)))
+          |  FROM mr)""".stripMargin))),
+
+    // MULTICLASS NB language identifier with held-out evaluation: the
+    // model trains on a deterministic salted-hash 80% split, predicts
+    // the language of the held-out 20%, and the oracle-checked answer
+    // is the full confusion matrix — supervised multiclass training,
+    // generalization measurement, and the per-class unseen-bucket
+    // Laplace floor all replayed by DuckDB. The synthetic corpus's
+    // lang column is metadata only (the text carries NO language
+    // signal — measured: zero German stopwords, zero CJK), so the
+    // fixture plants each language's function words into its
+    // documents — what real multilingual text provides for free — and
+    // the held-out diagonal proves the model GENERALIZES from the
+    // planted signal rather than memorizing ids.
+    "q_lang_classifier" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            concat(col("text"),
+              when(col("lang") === "de", lit(" der die und"))
+                .when(col("lang") === "es", lit(" el la que"))
+                .when(col("lang") === "fr", lit(" le les est"))
+                .when(col("lang") === "zh", lit(" ni hao ma"))
+                .otherwise(lit(" the and of"))).as("text"))
+        val bkt = graft.text.Dedup.md5Hash60(
+          concat(lit("lid:"), col("doc_id").cast("string"))) % 10
+        graft.text.Classifier.multiclassPredictions(
+          docs.filter(bkt < 8), docs.filter(bkt >= 8),
+          "doc_id", "text", "lang", buckets = 4096)
+          .groupBy(col("truth").as("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    text || CASE lang
+             |      WHEN 'de' THEN ' der die und'
+             |      WHEN 'es' THEN ' el la que'
+             |      WHEN 'fr' THEN ' le les est'
+             |      WHEN 'zh' THEN ' ni hao ma'
+             |      ELSE ' the and of' END AS text,
+             |    ('0x' || substr(md5('lid:' || doc_id), 1, 15))::BIGINT % 10
+             |      AS bkt
+             |  FROM documents),
+             |occ_tr AS (
+             |  SELECT doc_id, cls,
+             |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS j
+             |  FROM (SELECT doc_id, lang AS cls,
+             |          unnest(list_filter(
+             |            string_split_regex(trim(lower(text)), '\s+'),
+             |            t -> length(t) > 0)) AS tok
+             |        FROM d WHERE bkt < 8)),
+             |cc AS (SELECT cls, j, CAST(count(*) AS BIGINT) AS c
+             |       FROM occ_tr GROUP BY cls, j),
+             |tc AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM cc GROUP BY cls),
+             |nd AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n
+             |       FROM d WHERE bkt < 8 GROUP BY lang),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+             |       FROM d WHERE bkt < 8),
+             |cs AS (
+             |  SELECT tc.cls,
+             |    CAST(floor(ln(CAST(nd.n AS DOUBLE) / CAST(nt.n_total AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS pq,
+             |    CAST(floor(ln(0.01 / (CAST(tc.t AS DOUBLE) + 0.01 * 4096.0))
+             |      * 1000000.0) AS BIGINT) AS floorq,
+             |    tc.t AS t
+             |  FROM tc JOIN nd USING (cls), nt),
+             |w AS (
+             |  SELECT cc.cls, cc.j,
+             |    CAST(floor(ln((CAST(cc.c AS DOUBLE) + 0.01)
+             |      / (CAST(cs.t AS DOUBLE) + 0.01 * 4096.0)) * 1000000.0)
+             |      AS BIGINT) AS wq
+             |  FROM cc JOIN cs USING (cls)),
+             |dt AS (
+             |  SELECT doc_id, truth, j, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT doc_id, truth,
+             |          ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS j
+             |        FROM (SELECT doc_id, lang AS truth,
+             |                unnest(list_filter(
+             |                  string_split_regex(trim(lower(text)), '\s+'),
+             |                  t -> length(t) > 0)) AS tok
+             |              FROM d WHERE bkt >= 8))
+             |  GROUP BY doc_id, truth, j),
+             |m AS (
+             |  SELECT dt.doc_id, dt.truth, cs.cls,
+             |    CAST(cs.pq + sum(dt.cnt * coalesce(w.wq, cs.floorq)) AS BIGINT)
+             |      AS mq
+             |  FROM dt CROSS JOIN cs
+             |  LEFT JOIN w ON w.cls = cs.cls AND w.j = dt.j
+             |  GROUP BY dt.doc_id, dt.truth, cs.cls, cs.pq),
+             |p AS (
+             |  SELECT doc_id, truth, cls AS pred,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY mq DESC, cls) AS rn
+             |  FROM m)
+             |SELECT truth AS lang, pred, CAST(count(*) AS BIGINT) AS n
+             |FROM p WHERE rn = 1
+             |GROUP BY truth, pred ORDER BY lang, pred""".stripMargin))
   )
 }

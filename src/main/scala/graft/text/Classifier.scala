@@ -121,4 +121,81 @@ object Classifier {
     * engine-deterministic. */
   def avgMargin: Column =
     col("mq").cast("double") / col("n_tok").cast("double")
+
+  /** MULTICLASS multinomial NB — the language-ID / source-ID shape:
+    * train per-class log-likelihood weights on `train`, score every
+    * `test` document against every trained class, and emit the argmax
+    * prediction per document (ties — impossible in practice on exact
+    * integer margins — break to the first class name).
+    *
+    * Same reproducibility contract as the binary form: weights, priors
+    * and the per-class unseen-bucket floor ln(α/(T_c+αB)) are floored
+    * to micro-units ONCE; a margin is `prior_c + Σ cnt·w_cj` — a
+    * BIGINT sum. Unseen buckets matter here (a test doc scored against
+    * a class that never saw its tokens): the weight join is LEFT and
+    * falls back to the class's floor weight, exactly what the
+    * smoothing prescribes for C = 0.
+    *
+    * Smoothing is LIDSTONE (α = 0.01), not Laplace add-one: with B
+    * comparable to a class's token total T_c, add-one turns every
+    * SHARED token into evidence for the largest class — the estimate
+    * (C+1)/(T_c+B) deflates small-class likelihoods by ≈ (T_big+B)/
+    * (T_small+B) per token, which summed over a document swamps any
+    * real signal (measured on the lang fixture: the +1 model collapsed
+    * to the majority class; α = 0.01 recovers the diagonal). Class
+    * imbalance is the NORMAL condition for this data, so the small-α
+    * default is the safe one.
+    *
+    * Scale shape: training is one map-combined shuffle to a
+    * (class, bucket) relation (≤ classes·buckets rows, broadcast back);
+    * scoring expands each test doc's bucket rows by the class count
+    * (bounded — classes is a dimension, not data) and reduces per
+    * (doc, class) then per doc. Nothing corpus-sized reaches the
+    * driver and text never shuffles. */
+  def multiclassPredictions(train: DataFrame, test: DataFrame,
+                            idCol: String, textCol: String, classCol: String,
+                            buckets: Int = 4096,
+                            alpha: Double = 0.01): DataFrame = {
+    val occ = (d: DataFrame) => d.select(col(idCol).as("id"),
+      col(classCol).as("cls"),
+      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+      .select(col("id"), col("cls"),
+        (Dedup.md5Hash60(col("tok")) % buckets).as("j"))
+    val cc = occ(train).groupBy(col("cls"), col("j"))
+      .agg(count(lit(1)).as("c"))
+    val tc = cc.groupBy(col("cls")).agg(sum(col("c")).as("t"))
+    val nDocs = train.select(col(idCol), col(classCol)).distinct()
+      .groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("n"))
+    val nTotal = train.select(countDistinct(col(idCol)).as("n_total"))
+    val classStats = tc.join(nDocs, Seq("cls"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("cls"),
+        floor(log(col("n").cast("double") / col("n_total").cast("double"))
+          * lit(1e6)).cast("long").as("pq"),
+        floor(log(lit(alpha) /
+            (col("t").cast("double") + lit(alpha) * buckets.toDouble))
+          * lit(1e6)).cast("long").as("floorq"),
+        col("t"))
+    val weights = cc.join(classStats.select(col("cls"), col("t")), Seq("cls"))
+      .select(col("cls"), col("j"),
+        floor(log((col("c").cast("double") + lit(alpha)) /
+            (col("t").cast("double") + lit(alpha) * buckets.toDouble))
+          * lit(1e6)).cast("long").as("wq"))
+    val dcTest = occ(test).groupBy(col("id"), col("cls"), col("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("cls", "truth")
+    val margins = dcTest
+      .crossJoin(broadcast(classStats.select(col("cls"), col("pq"), col("floorq"))))
+      .join(broadcast(weights), Seq("cls", "j"), "left")
+      .groupBy(col("id"), col("truth"), col("cls"), col("pq"))
+      .agg(sum(col("cnt") * coalesce(col("wq"), col("floorq"))).as("sq"))
+      .select(col("id"), col("truth"), col("cls"),
+        (col("pq") + col("sq")).as("mq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("mq").desc, col("cls"))
+    margins.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("truth"), col("cls").as("pred"))
+  }
 }

@@ -49,6 +49,34 @@ class ClassifierSpec extends AnyFunSuite {
     assert(run(docs) == run(docs.repartition(13)))
   }
 
+  test("multiclass NB: held-out docs route to the class whose signal they carry") {
+    val mk = Map(0L -> "aa bb", 1L -> "cc dd", 2L -> "ee ff")
+    val train = (0L until 30L)
+      .map(i => (i, s"cls${i % 3}", s"common filler words here ${mk(i % 3)}"))
+      .toDF("id", "cls", "text")
+    val test = Seq((100L, "cls1", "common filler words here cc dd"),
+      (101L, "cls2", "common filler words here ee ff"))
+      .toDF("id", "cls", "text")
+    val p = Classifier.multiclassPredictions(train, test, "id", "text", "cls")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(p == Map(100L -> "cls1", 101L -> "cls2"))
+  }
+
+  test("multiclass NB under class imbalance: shared vocabulary is not evidence") {
+    // 24 docs of the big class vs 3 of the small one, all sharing the
+    // same base text; the held-out doc carries ONLY the small class's
+    // marker. Add-one smoothing turns every shared token into big-class
+    // evidence (the (C+1)/(T+B) deflation); the Lidstone default must
+    // not.
+    val train = ((0L until 24L).map(i => (i, "big", s"common base words t$i"))
+      ++ (24L until 27L).map(i => (i, "small", s"common base words mk")))
+      .toDF("id", "cls", "text")
+    val test = Seq((100L, "small", "common base words mk")).toDF("id", "cls", "text")
+    val p = Classifier.multiclassPredictions(train, test, "id", "text", "cls")
+      .collect()
+    assert(p.length == 1 && p(0).getString(2) == "small", p.mkString)
+  }
+
   test("token-less documents are outside the model") {
     val docs = Seq((0L, 1, "alpha beta"), (1L, 0, "gamma"), (2L, 0, "  "))
       .toDF("id", "y", "text")
