@@ -71,16 +71,23 @@ object CorpusQueries {
     * sums over once-floored micro-unit weights, so the two engines'
     * models agree bit for bit. `finalSelect` consumes the margin
     * relation `mf(doc_id, y, mq)` (micro-units). */
-  private def classifierOracle(buckets: Int, finalSelect: String): String = {
-    val b = buckets.toDouble
-    s"""WITH cbase AS (
+  /** The planted-fixture corpus CTE shared by every binary-classifier
+    * oracle (tokenized, labeled, marker planted into the positive
+    * class) — one definition, so the entries can never drift onto
+    * different fixtures. */
+  private lazy val classifierCbaseSql: String =
+    s"""cbase AS (
        |  SELECT doc_id,
        |    CASE WHEN $classifierLabelSql THEN 1 ELSE 0 END AS y,
        |    list_filter(string_split_regex(trim(lower(
        |      CASE WHEN $classifierLabelSql
        |        THEN text || ' $classifierMarker' ELSE text END)), '\\s+'),
        |      t -> length(t) > 0) AS t
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  private def classifierOracle(buckets: Int, finalSelect: String): String = {
+    val b = buckets.toDouble
+    s"""WITH $classifierCbaseSql,
        |dc AS (
        |  SELECT doc_id, y, j, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (
@@ -907,6 +914,130 @@ object CorpusQueries {
              |  FROM m)
              |SELECT truth AS lang, pred, CAST(count(*) AS BIGINT) AS n
              |FROM p WHERE rn = 1
-             |GROUP BY truth, pred ORDER BY lang, pred""".stripMargin))
+             |GROUP BY truth, pred ORDER BY lang, pred""".stripMargin)),
+
+    // Batch-train, STREAM-SERVE — the production ML lifecycle as one
+    // entry: the NB model trains on the historical (even-id) half and
+    // persists to a stage table (Classifier.fit — weights, log-prior
+    // intercept, unseen-bucket floor: buckets+2 rows); the new (odd-id)
+    // half then ARRIVES as two mtime-pinned files and every micro-batch
+    // is scored map-side against the STORED model (broadcast join, only
+    // (id, j, cnt) rows move) and appended to a scores table. Scoring
+    // is per-doc and order-independent, so the streamed scores must
+    // equal a one-shot batch scoring — the oracle replays the split
+    // training, the unseen-token floor (new docs carry buckets the
+    // historical half never saw), and every margin.
+    "q_stream_classify" -> Q(
+      (s, dir) => {
+        val docs = classifierFixture(s, dir)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val arriving = docs.filter(col("doc_id") % 2 === 1)
+        val model = graft.text.Classifier.fit(hist, "doc_id", "text",
+          classifierLabel, buckets = 4096)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cls")
+        val modelTable = graft.catalog.ParquetTable(
+          s, "cls_model", s"$tmp/model", model.schema)
+        modelTable.overwrite(model)
+        val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stage = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+        }
+        writeOne(arriving.filter(col("doc_id") % 4 === 1), "a")
+        writeOne(arriving.filter(col("doc_id") % 4 === 3), "b")
+        Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(
+              1000000000000L + i * 60000L))
+        }
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val scoresTable = graft.catalog.ParquetTable(
+          ss, "cls_scores", s"$tmp/scores",
+          graft.text.Classifier.scoreWith(arriving.limit(0), "doc_id",
+            "text", model, buckets = 4096).schema)
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            scoresTable.append(graft.text.Classifier.scoreWith(
+              batch, "doc_id", "text", modelTable.read(), buckets = 4096))
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        scoresTable.read()
+          .select(col("id").as("doc_id"), col("mq"), col("n_tok"),
+            round(lit(1.0) / (lit(1.0) + exp(-(col("mq").cast("double")
+              / lit(1e6) / col("n_tok").cast("double")))), 4).as("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $classifierCbaseSql,
+              |dc AS (
+              |  SELECT doc_id, y, j, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM (
+              |    SELECT doc_id, y,
+              |      ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS j
+              |    FROM (SELECT doc_id, y, unnest(t) AS tok FROM cbase
+              |          WHERE len(t) > 0 AND doc_id % 2 = 0))
+              |  GROUP BY doc_id, y, j),
+              |cc AS (SELECT y, j, CAST(sum(cnt) AS BIGINT) AS c
+              |       FROM dc GROUP BY y, j),
+              |bb AS (
+              |  SELECT j,
+              |    CAST(sum(CASE WHEN y = 1 THEN c END) AS BIGINT) AS c1,
+              |    CAST(sum(CASE WHEN y = 0 THEN c END) AS BIGINT) AS c0
+              |  FROM cc GROUP BY j),
+              |tt AS (
+              |  SELECT CAST(sum(CASE WHEN y = 1 THEN c END) AS BIGINT) AS t1,
+              |         CAST(sum(CASE WHEN y = 0 THEN c END) AS BIGINT) AS t0
+              |  FROM cc),
+              |w AS (
+              |  SELECT j,
+              |    CAST(floor((ln((CAST(coalesce(c1, 0) AS DOUBLE) + 1.0)
+              |        / (CAST(t1 AS DOUBLE) + 4096.0))
+              |      - ln((CAST(coalesce(c0, 0) AS DOUBLE) + 1.0)
+              |        / (CAST(t0 AS DOUBLE) + 4096.0))) * 1000000.0) AS BIGINT)
+              |      AS wq
+              |  FROM bb, tt),
+              |pr AS (
+              |  SELECT CAST(floor(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              |      * 1000000.0) AS BIGINT) AS bq
+              |  FROM (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS n1,
+              |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS n0
+              |        FROM (SELECT DISTINCT doc_id, y FROM dc))),
+              |fl AS (
+              |  SELECT CAST(floor((ln(1.0 / (CAST(t1 AS DOUBLE) + 4096.0))
+              |      - ln(1.0 / (CAST(t0 AS DOUBLE) + 4096.0))) * 1000000.0)
+              |    AS BIGINT) AS fq
+              |  FROM tt),
+              |sc AS (
+              |  SELECT doc_id, j, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM (
+              |    SELECT doc_id,
+              |      ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS j
+              |    FROM (SELECT doc_id, unnest(t) AS tok FROM cbase
+              |          WHERE len(t) > 0 AND doc_id % 2 = 1))
+              |  GROUP BY doc_id, j),
+              |mf AS (
+              |  SELECT s.doc_id,
+              |    CAST(pr.bq + sum(s.cnt * coalesce(w.wq, fl.fq)) AS BIGINT)
+              |      AS mq,
+              |    CAST(sum(s.cnt) AS BIGINT) AS n_tok
+              |  FROM sc s LEFT JOIN w USING (j), pr, fl
+              |  GROUP BY s.doc_id, pr.bq)
+              |SELECT doc_id, mq, n_tok,
+              |  round(1.0 / (1.0 + exp(-(CAST(mq AS DOUBLE) / 1000000.0
+              |    / CAST(n_tok AS DOUBLE)))), 4) AS score
+              |FROM mf ORDER BY doc_id""".stripMargin))
   )
 }

@@ -114,6 +114,76 @@ object Classifier {
     } finally dc.unpersist(false)
   }
 
+  /** The trained binary model AS A STORABLE RELATION — (j, wq)
+    * log-odds weights per observed bucket, the class log-prior at
+    * j = −1 (the intercept: scoring attaches one implicit count-1
+    * occurrence per document), and the unseen-bucket log-odds floor at
+    * j = −2 (the weight formula at C₁ = C₀ = 0 — what the smoothing
+    * gives a bucket neither class has seen; [[scored]] never needs it
+    * because it scores the training corpus, but a SERVING path scoring
+    * new documents does). Bounded at buckets+2 rows and materialized
+    * lineage-free: write it to a [[graft.catalog.ParquetTable]] and
+    * serve batches or streams against it — the model outlives the
+    * session that trained it. */
+  def fit(df: DataFrame, idCol: String, textCol: String, label: Column,
+          buckets: Int = 4096): DataFrame = {
+    val dc = bucketCounts(df, idCol, textCol, label, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      dc.count()
+      val cc = dc.groupBy(col("y"), col("j")).agg(sum(col("cnt")).as("c"))
+      val byBucket = cc.groupBy(col("j"))
+        .agg(sum(when(col("y") === 1, col("c"))).as("c1"),
+          sum(when(col("y") === 0, col("c"))).as("c0"))
+      val totals = cc.groupBy()
+        .agg(sum(when(col("y") === 1, col("c"))).as("t1"),
+          sum(when(col("y") === 0, col("c"))).as("t0"))
+      val weights = byBucket.crossJoin(broadcast(totals))
+        .select(col("j"),
+          floor((log((coalesce(col("c1"), lit(0L)).cast("double") + 1.0) /
+              (col("t1").cast("double") + buckets.toDouble)) -
+            log((coalesce(col("c0"), lit(0L)).cast("double") + 1.0) /
+              (col("t0").cast("double") + buckets.toDouble))) * lit(1e6))
+            .cast("long").as("wq"))
+      val prior = dc.select(col("id"), col("y")).distinct()
+        .groupBy()
+        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+        .select(lit(-1L).as("j"),
+          floor(log(col("n1").cast("double") / col("n0").cast("double"))
+            * lit(1e6)).cast("long").as("wq"))
+      val floorRow = totals.select(lit(-2L).as("j"),
+        floor((log(lit(1.0) / (col("t1").cast("double") + buckets.toDouble)) -
+          log(lit(1.0) / (col("t0").cast("double") + buckets.toDouble)))
+          * lit(1e6)).cast("long").as("wq"))
+      weights.unionByName(prior).unionByName(floorRow).localCheckpoint(true)
+    } finally dc.unpersist(false)
+  }
+
+  /** Score documents against a TRAINED model relation (the [[fit]]
+    * output, typically read back from its stage table): one narrow
+    * text pass, a broadcast join against the ≤ buckets+2-row model,
+    * one per-doc reduce — margins stay exact BIGINTs, unseen buckets
+    * fall back to the model's j = −2 floor weight. This is the serving
+    * path: per arriving batch (or micro-batch) nothing shuffles but
+    * (id, j, cnt) rows. */
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, buckets: Int = 4096): DataFrame = {
+    val dc = bucketCounts(df, idCol, textCol, lit(0L), buckets)
+      .select(col("id"), col("j"), col("cnt"))
+    val withIntercept = dc.unionByName(
+      dc.select(col("id")).distinct()
+        .select(col("id"), lit(-1L).as("j"), lit(1L).as("cnt")))
+    val floorRow = model.filter(col("j") === -2L).select(col("wq").as("fq"))
+    withIntercept
+      .join(broadcast(model.filter(col("j") >= -1L)), Seq("j"), "left")
+      .crossJoin(broadcast(floorRow))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt") * coalesce(col("wq"), col("fq"))).as("mq"),
+        sum(when(col("j") =!= -1L, col("cnt")).otherwise(0L)).as("n_tok"))
+      .select(col("id"), col("mq"), col("n_tok"))
+  }
+
   /** Length-normalized margin — NB log-odds grow with document length
     * (Σ cnt·w), so raw margins rank long documents by length, not
     * likeness; the per-token average is the comparable quantity.

@@ -77,6 +77,38 @@ class ClassifierSpec extends AnyFunSuite {
     assert(p.length == 1 && p(0).getString(2) == "small", p.mkString)
   }
 
+  test("fit + scoreWith reproduce scored's margins on the training corpus") {
+    // the fused train-and-score path and the persisted-model serving
+    // path are the same model — every margin must agree exactly
+    val docs = (0L until 30L)
+      .map(i => (i, (i % 3).min(1), s"tok$i alpha beta common${i % 5}"))
+      .toDF("id", "y", "text")
+    val fused = Classifier.scored(docs, "id", "text", col("y") === 1)
+      .select(col("id"), col("mq"), col("n_tok")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val model = Classifier.fit(docs, "id", "text", col("y") === 1)
+    val served = Classifier.scoreWith(docs, "id", "text", model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fused == served)
+  }
+
+  test("unseen tokens score at the model's floor weight, not zero") {
+    // buckets must dwarf the vocabulary: md5 buckets of aa/bb/zz at
+    // 4096 are 3111/208/183 — collision-free (at 16 they are not, and
+    // "zz" lands in "aa"'s bucket)
+    val train = Seq((0L, 1, "aa aa aa"), (1L, 0, "bb")).toDF("id", "y", "text")
+    val model = Classifier.fit(train, "id", "text", col("y") === 1)
+    val fq = model.filter(col("j") === -2L).head().getLong(1)
+    // t1 = 3, t0 = 1 → floor = ln(4097/4099)·1e6 < 0 (an unseen token
+    // is mild evidence AGAINST the class with more observed mass)
+    assert(fq < 0, s"fq = $fq")
+    // prior is ln(1/1) = 0, so a fully-unseen doc's margin IS the floor
+    val sw = Classifier.scoreWith(
+      Seq((9L, "zz")).toDF("id", "text"), "id", "text", model)
+      .head()
+    assert(sw.getLong(1) == fq && sw.getLong(2) == 1L, sw.toString)
+  }
+
   test("token-less documents are outside the model") {
     val docs = Seq((0L, 1, "alpha beta"), (1L, 0, "gamma"), (2L, 0, "  "))
       .toDF("id", "y", "text")
