@@ -1038,6 +1038,122 @@ object CorpusQueries {
               |SELECT doc_id, mq, n_tok,
               |  round(1.0 / (1.0 + exp(-(CAST(mq AS DOUBLE) / 1000000.0
               |    / CAST(n_tok AS DOUBLE)))), 4) AS score
-              |FROM mf ORDER BY doc_id""".stripMargin))
+              |FROM mf ORDER BY doc_id""".stripMargin)),
+
+    // DoReMi-lite domain reweighting (Xie et al. 2023, the excess-loss
+    // idea without the proxy-model training loop): per-domain mean LM
+    // loss against the corpus-wide bigram LM, domain weight
+    // exp(corpus_mean_lp − domain_mean_lp) — domains the reference
+    // model finds HARD are upsampled — normalized so the largest
+    // weight keeps everything, then realized as a salted-hash
+    // per-domain keep (the temperatureMixture stance: deterministic,
+    // map-side, engine-recomputable). Per-domain means come from
+    // half-up-quantized 4-dp scores as exact integer sums; the only
+    // doubles are the final exp/ratio, composed identically in both
+    // engines. One LM pass feeds everything; every join after the
+    // per-domain rollup is a ≤ #domains-row broadcast.
+    "q_domain_reweight" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val lp = CorpusStats.bigramLogProb(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        val dom = docs.select(col("doc_id"), col("source"))
+          .join(lp.select(col("doc_id"),
+            floor(col("avg_logprob") * lit(1e4) + lit(0.5)).cast("long")
+              .as("q4")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("q4")).as("q4"))
+        val tot = dom.groupBy()
+          .agg(sum(col("n")).as("n_all"), sum(col("q4")).as("q4_all"))
+        val wts = dom.crossJoin(broadcast(tot))
+          .select(col("source"), col("n"), col("q4"),
+            exp(col("q4_all").cast("double") / lit(1e4)
+                / col("n_all").cast("double")
+              - col("q4").cast("double") / lit(1e4)
+                / col("n").cast("double")).as("wraw"))
+        val mx = wts.groupBy().agg(max(col("wraw")).as("maxw"))
+        val rates = wts.crossJoin(broadcast(mx))
+          .select(col("source"), col("n"), col("q4"),
+            floor(lit(10000.0) * col("wraw") / col("maxw")).cast("long")
+              .as("rate"))
+        val kept = docs.select(col("doc_id"), col("source"))
+          .join(broadcast(rates.select(col("source"), col("rate"))),
+            Seq("source"))
+          .filter(graft.text.Dedup.md5Hash60(
+            concat(lit("dw:"), col("doc_id").cast("string"))) % 10000
+            < col("rate"))
+          .groupBy(col("source")).agg(count(lit(1)).as("k"))
+        rates.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n"),
+            round(col("q4").cast("double") / lit(1e4)
+              / col("n").cast("double"), 4).as("mean_lp"),
+            col("rate"), coalesce(col("k"), lit(0L)).as("kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM documents),
+             |v AS (
+             |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             |  FROM (SELECT unnest(t) AS tok FROM t0)),
+             |bgs AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(t)),
+             |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+             |  FROM t0 WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bgs),
+             |cbg AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+             |  FROM bg GROUP BY 1, 2),
+             |cw1 AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1 FROM cbg GROUP BY 1),
+             |st AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(CAST(floor(1e6 * ln(
+             |        (CAST(c.cbg AS DOUBLE) + 1.0)
+             |        / (CAST(k.cw1 AS DOUBLE) + (SELECT v FROM v))))
+             |      AS BIGINT)) AS BIGINT) AS q
+             |  FROM bg b JOIN cbg c USING (w1, w2) JOIN cw1 k USING (w1)
+             |  GROUP BY 1),
+             |lp AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN coalesce(st.n_bigrams, 0) = 0 THEN 0.0
+             |      ELSE round((CAST(st.q AS DOUBLE) / 1000000.0) /
+             |        CAST(st.n_bigrams AS DOUBLE), 4) END AS avg_logprob
+             |  FROM documents d LEFT JOIN st USING (doc_id)),
+             |dom AS (
+             |  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(floor(lp.avg_logprob * 10000.0 + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS q4
+             |  FROM documents d JOIN lp USING (doc_id)
+             |  GROUP BY d.source),
+             |tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+             |         CAST(sum(q4) AS BIGINT) AS q4_all
+             |  FROM dom),
+             |wts AS (
+             |  SELECT source, n, q4,
+             |    exp(CAST(q4_all AS DOUBLE) / 10000.0 / CAST(n_all AS DOUBLE)
+             |      - CAST(q4 AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)) AS wraw
+             |  FROM dom, tot),
+             |mx AS (SELECT max(wraw) AS maxw FROM wts),
+             |rates AS (
+             |  SELECT source, n, q4,
+             |    CAST(floor(10000.0 * wraw / maxw) AS BIGINT) AS rate
+             |  FROM wts, mx),
+             |kept AS (
+             |  SELECT d.source, CAST(count(*) AS BIGINT) AS k
+             |  FROM documents d JOIN rates r USING (source)
+             |  WHERE ('0x' || substr(md5('dw:' || d.doc_id), 1, 15))::BIGINT
+             |        % 10000 < r.rate
+             |  GROUP BY d.source)
+             |SELECT r.source, r.n,
+             |  round(CAST(r.q4 AS DOUBLE) / 10000.0 / CAST(r.n AS DOUBLE), 4)
+             |    AS mean_lp,
+             |  r.rate, CAST(coalesce(k.k, 0) AS BIGINT) AS kept
+             |FROM rates r LEFT JOIN kept k USING (source)
+             |ORDER BY r.source""".stripMargin))
   )
 }
