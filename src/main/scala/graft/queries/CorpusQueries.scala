@@ -1154,6 +1154,133 @@ object CorpusQueries {
              |    AS mean_lp,
              |  r.rate, CAST(coalesce(k.k, 0) AS BIGINT) AS kept
              |FROM rates r LEFT JOIN kept k USING (source)
-             |ORDER BY r.source""".stripMargin))
+             |ORDER BY r.source""".stripMargin)),
+
+    // Curation v3 — the end-to-end pipeline with a LEARNED quality
+    // gate: exact dedup (first-wins; 20 planted constant-text
+    // duplicates collapse per label group) → NB classifier trained on
+    // the SURVIVORS gates to the top 30% by length-normalized margin →
+    // temperature mixture (τ = 0.5) rebalances languages over what the
+    // gate kept. v1/v2 gate on heuristics; v3 is the modern shape
+    // (RedPajama/FineWeb): the filter is a model trained in the same
+    // job, and every stage's randomness is a salted hash, so the
+    // final sample is row-identical across engines. One window per
+    // stage (fingerprint, margin rank), mixture rates broadcast.
+    "q_curation_v3" -> Q(
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            when(col("doc_id") >= 400 && col("doc_id") < 420,
+              lit("duplicate corpus boilerplate entry"))
+              .otherwise(col("text")).as("text"))
+        val fixture = base.select(col("doc_id"), col("lang"), col("source"),
+          when(classifierLabel,
+            concat(col("text"), lit(" " + classifierMarker)))
+            .otherwise(col("text")).as("text"))
+        val surv = graft.text.Dedup.exactDedup(fixture, "doc_id", "text")
+        val sc = graft.text.Classifier.scored(surv, "doc_id", "text",
+          classifierLabel, buckets = 4096)
+        val n = sc.agg(count(lit(1)).as("n_scored"))
+        val keep = sc.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(graft.text.Classifier.avgMargin.desc, col("id"))))
+          .crossJoin(broadcast(n))
+          .filter(col("rk") <=
+            ceil(col("n_scored").cast("double") * lit(0.3)))
+          .select(col("id").as("doc_id"))
+        val gated = surv.select(col("doc_id"), col("lang"), col("source"))
+          .join(keep, Seq("doc_id"))
+        graft.plans.Sampling.temperatureMixture(gated, "doc_id", "lang",
+          temperature = 0.5, seed = "mix3")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, source,
+             |    CASE WHEN doc_id >= 400 AND doc_id < 420
+             |      THEN 'duplicate corpus boilerplate entry' ELSE text END
+             |      AS text
+             |  FROM documents),
+             |fx AS (
+             |  SELECT doc_id, lang, source,
+             |    CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y,
+             |    CASE WHEN source IN ('src0', 'src1')
+             |      THEN text || ' qualmarker qualmarker qualmarker'
+             |      ELSE text END AS text
+             |  FROM base),
+             |surv AS (
+             |  SELECT doc_id, lang, source, y, text FROM (
+             |    SELECT fx.*, row_number() OVER (
+             |      PARTITION BY
+             |        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |      ORDER BY doc_id) AS rn
+             |    FROM fx) WHERE rn = 1),
+             |stok AS (
+             |  SELECT doc_id, y,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      t -> length(t) > 0) AS t
+             |  FROM surv),
+             |dc AS (
+             |  SELECT doc_id, y, j, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (
+             |    SELECT doc_id, y,
+             |      ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS j
+             |    FROM (SELECT doc_id, y, unnest(t) AS tok FROM stok
+             |          WHERE len(t) > 0))
+             |  GROUP BY doc_id, y, j),
+             |cc AS (SELECT y, j, CAST(sum(cnt) AS BIGINT) AS c
+             |       FROM dc GROUP BY y, j),
+             |bb AS (
+             |  SELECT j,
+             |    CAST(sum(CASE WHEN y = 1 THEN c END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN y = 0 THEN c END) AS BIGINT) AS c0
+             |  FROM cc GROUP BY j),
+             |tt AS (
+             |  SELECT CAST(sum(CASE WHEN y = 1 THEN c END) AS BIGINT) AS t1,
+             |         CAST(sum(CASE WHEN y = 0 THEN c END) AS BIGINT) AS t0
+             |  FROM cc),
+             |w AS (
+             |  SELECT j,
+             |    CAST(floor((ln((CAST(coalesce(c1, 0) AS DOUBLE) + 1.0)
+             |        / (CAST(t1 AS DOUBLE) + 4096.0))
+             |      - ln((CAST(coalesce(c0, 0) AS DOUBLE) + 1.0)
+             |        / (CAST(t0 AS DOUBLE) + 4096.0))) * 1000000.0) AS BIGINT)
+             |      AS wq
+             |  FROM bb, tt),
+             |pr AS (
+             |  SELECT CAST(floor(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) AS bq
+             |  FROM (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n1,
+             |               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n0
+             |        FROM (SELECT DISTINCT doc_id, y FROM dc))),
+             |mf AS (
+             |  SELECT d.doc_id,
+             |    CAST(pr.bq + sum(d.cnt * w.wq) AS BIGINT) AS mq,
+             |    CAST(sum(d.cnt) AS BIGINT) AS n_tok
+             |  FROM dc d JOIN w USING (j), pr
+             |  GROUP BY d.doc_id, pr.bq),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM mf),
+             |rk AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY
+             |      CAST(mq AS DOUBLE) / CAST(n_tok AS DOUBLE) DESC, doc_id)
+             |    AS rk
+             |  FROM mf),
+             |gated AS (
+             |  SELECT s.doc_id, s.lang, s.source
+             |  FROM surv s JOIN rk USING (doc_id), nn
+             |  WHERE rk.rk <= ceil(CAST(nn.n_docs AS DOUBLE) * 0.3)),
+             |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+             |      FROM gated GROUP BY lang),
+             |m AS (SELECT min(n) AS nmin FROM c),
+             |r AS (SELECT lang,
+             |        floor(10000 * pow(CAST(nmin AS DOUBLE) / n, 0.5)) AS cut
+             |      FROM c, m)
+             |SELECT g.doc_id, g.lang, g.source
+             |FROM gated g JOIN r USING (lang)
+             |WHERE ('0x' || substr(md5('mix3:' || g.doc_id), 1, 15))::BIGINT
+             |      % 10000 < cut
+             |ORDER BY g.doc_id""".stripMargin))
   )
 }
