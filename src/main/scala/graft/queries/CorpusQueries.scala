@@ -1281,6 +1281,110 @@ object CorpusQueries {
              |FROM gated g JOIN r USING (lang)
              |WHERE ('0x' || substr(md5('mix3:' || g.doc_id), 1, 15))::BIGINT
              |      % 10000 < cut
-             |ORDER BY g.doc_id""".stripMargin))
+             |ORDER BY g.doc_id""".stripMargin)),
+
+    // Min-K% Prob membership scoring (Shi et al. 2023): a document's
+    // score is the mean of its BOTTOM 20% bigram log-probs under the
+    // corpus LM — memorized/duplicated text is detectable because even
+    // its LEAST likely spans are likely (ordinary documents always
+    // contain some rare transitions that drag the tail down). The
+    // fixture plants one template verbatim into 15 documents: their
+    // repeated bigrams dominate the counts, so their bottom-k terms
+    // sit far above the corpus's. Order statistics need the TERM-level
+    // relation (CorpusStats.bigramTermScores) — a per-doc sum cannot
+    // recover the tail — and the bottom-k sum is deterministic under
+    // ties by construction (tied values are interchangeable; the rank
+    // tie-break on position pins the plan anyway).
+    "q_minkprob" -> Q(
+      (s, dir) => {
+        val template = "the shared benchmark passage appears verbatim" +
+          " across many documents so its continuation is highly" +
+          " predictable under the corpus model"
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 15, lit(template))
+              .otherwise(col("text")).as("text"))
+        val terms = CorpusStats.bigramTermScores(planted, planted,
+          "doc_id", "text")
+        val nb = terms.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("q").asc, col("pos").asc)
+        val sel = terms.withColumn("rn", row_number().over(w))
+          .join(nb, Seq("id"))
+          .filter(col("rn") <= ceil(col("n").cast("double") * lit(0.2)))
+          .groupBy(col("id"), col("n"))
+          .agg(sum(col("q")).as("sq"))
+          .select(col("id").as("doc_id"), col("n"),
+            ceil(col("n").cast("double") * lit(0.2)).cast("long").as("k"),
+            col("sq"))
+        planted.select(col("doc_id"))
+          .join(sel, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n"), lit(0L)).as("n_bigrams"),
+            coalesce(col("k"), lit(0L)).as("k"),
+            // floor-based 4-dp rounding: round(x, 4) differs between
+            // engines when x sits EXACTLY on a .00005 boundary (small-k
+            // divisors hit it — doc 134 at sf0.01 lands on -4.06915);
+            // floor(x·1e4 + 0.5)/1e4 is one deterministic composition
+            when(col("k").isNull, lit(0.0))
+              .otherwise(floor((col("sq").cast("double") / lit(1e6)
+                / col("k").cast("double")) * lit(1e4) + lit(0.5)) / lit(1e4))
+              .as("mink_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 15
+             |      THEN 'the shared benchmark passage appears verbatim across many documents so its continuation is highly predictable under the corpus model'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM planted),
+             |v AS (
+             |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+             |  FROM (SELECT unnest(t) AS tok FROM t0)),
+             |bgs AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(t)),
+             |      i -> struct_pack(i := i, w1 := t[i], w2 := t[i + 1]))) AS s
+             |  FROM t0 WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, s.i AS i, s.w1 AS w1, s.w2 AS w2 FROM bgs),
+             |cbg AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg
+             |  FROM bg GROUP BY 1, 2),
+             |cw1 AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1
+             |        FROM cbg GROUP BY 1),
+             |terms AS (
+             |  SELECT b.doc_id, b.i,
+             |    CAST(floor(1e6 * ln(
+             |        (CAST(c.cbg AS DOUBLE) + 1.0)
+             |        / (CAST(k.cw1 AS DOUBLE) + (SELECT v FROM v))))
+             |      AS BIGINT) AS q
+             |  FROM bg b JOIN cbg c USING (w1, w2) JOIN cw1 k USING (w1)),
+             |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+             |       FROM terms GROUP BY doc_id),
+             |rk AS (
+             |  SELECT doc_id, q, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY q ASC, i ASC) AS rn
+             |  FROM terms),
+             |sel AS (
+             |  SELECT r.doc_id, nb.n,
+             |    CAST(ceil(CAST(nb.n AS DOUBLE) * 0.2) AS BIGINT) AS k,
+             |    CAST(sum(r.q) AS BIGINT) AS sq
+             |  FROM rk r JOIN nb USING (doc_id)
+             |  WHERE r.rn <= ceil(CAST(nb.n AS DOUBLE) * 0.2)
+             |  GROUP BY r.doc_id, nb.n)
+             |SELECT p.doc_id,
+             |  coalesce(sel.n, 0) AS n_bigrams,
+             |  coalesce(sel.k, 0) AS k,
+             |  CASE WHEN sel.k IS NULL THEN 0.0
+             |    ELSE floor((CAST(sel.sq AS DOUBLE) / 1000000.0
+             |      / CAST(sel.k AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             |    END AS mink_score
+             |FROM planted p LEFT JOIN sel USING (doc_id)
+             |ORDER BY p.doc_id""".stripMargin))
   )
 }

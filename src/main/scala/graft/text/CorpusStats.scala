@@ -298,6 +298,48 @@ object CorpusStats {
               col("n_bigrams").cast("double"), 4)).as("avg_logprob"))
   }
 
+  /** The TERM-LEVEL view [[bigramLogProbAgainst]] aggregates: one row
+    * per scored bigram, (id, pos, q) with q the micro-unit-quantized
+    * smoothed conditional log-prob of the bigram at position `pos` —
+    * exactly the integers whose per-doc sum the aggregate form emits.
+    * Exposed for order-statistic scoring (Min-K% Prob membership
+    * detection takes the BOTTOM k of these, which no per-doc sum can
+    * recover). Same scale shape: only (id, pos, w1, w2) relations
+    * shuffle; the count joins are on the bigram key. */
+  def bigramTermScores(train: DataFrame, score: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    def toks(d: DataFrame) = d.select(col(idCol).as("id"),
+      filter(TextFunctions.tokens(lower(col(textCol))),
+        t => length(t) > 0).as("t"))
+    def bigrams(tl: DataFrame) = tl.filter(size(col("t")) >= 2)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+          struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("s"))
+      .select(col("id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
+    def bigramsPos(tl: DataFrame) = tl.filter(size(col("t")) >= 2)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+          struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2"))))
+          .as(Seq("pos", "s")))
+      .select(col("id"), col("pos"),
+        col("s.w1").as("w1"), col("s.w2").as("w2"))
+    val trainToks = toks(train)
+    val cbg = bigrams(trainToks)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val cw1 = cbg.groupBy(col("w1")).agg(sum(col("cbg")).as("cw1"))
+    val vocab = trainToks.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    bigramsPos(toks(score))
+      .join(cbg, Seq("w1", "w2"), "left")
+      .join(cw1, Seq("w1"), "left")
+      .select(col("id"), col("pos"),
+        floor(log((coalesce(col("cbg"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("cw1"), lit(0L)).cast("double") + vocab.toDouble))
+          * lit(1e6)).cast("long").as("q"))
+  }
+
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = tokenRows(df, idCol, textCol)
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
