@@ -926,7 +926,10 @@ object CorpusQueries {
     // is per-doc and order-independent, so the streamed scores must
     // equal a one-shot batch scoring — the oracle replays the split
     // training, the unseen-token floor (new docs carry buckets the
-    // historical half never saw), and every margin.
+    // historical half never saw), and every margin. (Redelivery
+    // hardening is UpsertSink's job — gated by its failure-injection
+    // spec; this entry pins the train-store-serve composition, and its
+    // fresh AvailableNow checkpoint delivers each file exactly once.)
     "q_stream_classify" -> Q(
       (s, dir) => {
         val docs = classifierFixture(s, dir)
