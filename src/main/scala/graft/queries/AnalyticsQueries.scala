@@ -840,6 +840,94 @@ object AnalyticsQueries {
              |           - g.g * INTERVAL '12 hours' AS ws
              |  FROM events, range(2) g(g)) b
              |GROUP BY ws
-             |ORDER BY window_start""".stripMargin))
+             |ORDER BY window_start""".stripMargin)),
+
+    // Ordered conversion funnel (view → click → purchase, each next
+    // stage within 24 h of the previous — without a conversion window
+    // every dense-activity user trivially completes every funnel):
+    // each stage is min-event-time inside the previous stage's window —
+    // the sequential-conversion query every event-analytics engine
+    // ships. Three per-user aggregates chained by equi joins on
+    // user_id (each stage only shrinks); no per-user event arrays are
+    // ever collected, so a power user with millions of events costs
+    // the same as anyone else.
+    "q_funnel" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        def stage(df: org.apache.spark.sql.DataFrame, n: Int, name: String) =
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(n).as("stage"), lit(name).as("name"), col("users"))
+        stage(s1, 1, "view")
+          .unionByName(stage(s2, 2, "view>click"))
+          .unionByName(stage(s3, 3, "view>click>purchase"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+             |    AND e.ts <= s1.t1 + INTERVAL '24 hours'
+             |  GROUP BY e.user_id),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3
+             |  FROM events e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             |    AND e.ts <= s2.t2 + INTERVAL '24 hours'
+             |  GROUP BY e.user_id)
+             |SELECT 1 AS stage, 'view' AS name,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
+             |UNION ALL
+             |SELECT 2, 'view>click',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
+             |UNION ALL
+             |SELECT 3, 'view>click>purchase',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s3)
+             |ORDER BY stage""".stripMargin)),
+
+    // Retention cohorts: users grouped by first-seen day, counted on
+    // each later active day as an offset from their cohort — the
+    // classic triangle. One distinct (user, day) pass, cohort mins
+    // joined back on user_id; only (user, day) pairs ever shuffle.
+    "q_retention" -> Q(
+      (s, dir) => {
+        val ua = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val cohort = ua.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+        ua.join(cohort, Seq("user_id"))
+          .select(col("user_id"), col("c"),
+            datediff(col("d"), col("c")).cast("long").as("off"))
+          .filter(col("off") <= 10)
+          .groupBy(col("c").as("cohort_day"), col("off"))
+          .agg(count(lit(1)).as("users"))
+          .orderBy(col("cohort_day"), col("off"))
+      },
+      Some("""WITH ua AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |cohort AS (
+             |  SELECT user_id, min(d) AS c FROM ua GROUP BY user_id)
+             |SELECT c AS cohort_day,
+             |  CAST(date_diff('day', c, d) AS BIGINT) AS off,
+             |  CAST(count(*) AS BIGINT) AS users
+             |FROM ua JOIN cohort USING (user_id)
+             |WHERE date_diff('day', c, d) <= 10
+             |GROUP BY c, date_diff('day', c, d)
+             |ORDER BY cohort_day, off""".stripMargin))
   )
 }
