@@ -105,6 +105,35 @@ object AnalyticsQueries {
        |SELECT node, CAST(u AS BIGINT) AS u FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** ONE funnel oracle feeds both the batch `q_funnel` and the
+    * streaming `q_stream_funnel` (PipelineQueries), so the two can
+    * never drift onto different conversion semantics. */
+  private[queries] val funnelOracle: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL '24 hours'
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t2 + INTERVAL '24 hours'
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'view' AS name,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
+      |UNION ALL
+      |SELECT 2, 'view>click',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
+      |UNION ALL
+      |SELECT 3, 'view>click>purchase',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s3)
+      |ORDER BY stage""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Fixed-iteration PageRank over the customer→supplier interaction
@@ -875,30 +904,7 @@ object AnalyticsQueries {
           .unionByName(stage(s3, 3, "view>click>purchase"))
           .orderBy(col("stage"))
       },
-      Some("""WITH s1 AS (
-             |  SELECT user_id, min(ts) AS t1 FROM events
-             |  WHERE event_type = 'view' GROUP BY user_id),
-             |s2 AS (
-             |  SELECT e.user_id, min(e.ts) AS t2
-             |  FROM events e JOIN s1 USING (user_id)
-             |  WHERE e.event_type = 'click' AND e.ts > s1.t1
-             |    AND e.ts <= s1.t1 + INTERVAL '24 hours'
-             |  GROUP BY e.user_id),
-             |s3 AS (
-             |  SELECT e.user_id, min(e.ts) AS t3
-             |  FROM events e JOIN s2 USING (user_id)
-             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-             |    AND e.ts <= s2.t2 + INTERVAL '24 hours'
-             |  GROUP BY e.user_id)
-             |SELECT 1 AS stage, 'view' AS name,
-             |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
-             |UNION ALL
-             |SELECT 2, 'view>click',
-             |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
-             |UNION ALL
-             |SELECT 3, 'view>click>purchase',
-             |  (SELECT CAST(count(*) AS BIGINT) FROM s3)
-             |ORDER BY stage""".stripMargin)),
+      Some(funnelOracle)),
 
     // Retention cohorts: users grouped by first-seen day, counted on
     // each later active day as an offset from their cohort — the

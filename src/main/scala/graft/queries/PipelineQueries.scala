@@ -744,6 +744,68 @@ object PipelineQueries {
              |WHERE rk <= 3
              |ORDER BY window_start, event_type, rk""".stripMargin)),
 
+    // Sequential-pattern matching ON A STREAM (the CEP /
+    // MATCH_RECOGNIZE shape Spark lacks): the per-user funnel stage
+    // machine runs as flatMapGroupsWithState across two chronological
+    // micro-batches (event_id is event-time-monotone in this corpus,
+    // asserted against all three SFs), so cross-batch conversions —
+    // view in batch 1, click in batch 2 — are only found through
+    // RESTORED state. One StageHit is emitted per advance; the stage
+    // counts must equal the batch q_funnel's exactly (SAME oracle
+    // string — AnalyticsQueries.funnelOracle — so the two entries can
+    // never drift onto different conversion semantics).
+    "q_stream_funnel" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-funnel")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ev = graft.Tables.load(ss, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+        val nEvents = ev.agg(count(lit(1))).head().getLong(0)
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stage = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+        }
+        val half = nEvents / 2
+        writeOne(ev.filter(col("event_id") < half).drop("event_id"), "a")
+        writeOne(ev.filter(col("event_id") >= half).drop("event_id"), "b")
+        Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(
+              1000000000000L + i * 60000L))
+        }
+        import ss.implicits._
+        val stream = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+          .as[graft.streaming.EventStream.Event]
+        val name = s"stream_fn_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = graft.streaming.EventStream
+          .funnel(stream, Seq("view", "click", "purchase"),
+            windowMs = 24 * 3600 * 1000L)(ss)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(name)
+          .groupBy(col("stage")).agg(count(lit(1)).as("users"))
+          .select(col("stage").cast("int").as("stage"),
+            when(col("stage") === 1, "view")
+              .when(col("stage") === 2, "view>click")
+              .otherwise("view>click>purchase").as("name"),
+            col("users"))
+          .orderBy(col("stage"))
+      },
+      Some(AnalyticsQueries.funnelOracle)),
+
     // S1 at scale: one-shot parquet ingest of the whole events table —
     // the throughput-relevant ingest bench (streaming scan → project →
     // sink, no shuffle).

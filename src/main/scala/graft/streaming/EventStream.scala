@@ -204,6 +204,53 @@ object EventStream {
       }
   }
 
+  final case class FunnelState(stage: Int, t: Long)
+  final case class StageHit(user_id: Long, stage: Int)
+
+  /** Sequential-pattern matching (the CEP / MATCH_RECOGNIZE shape
+    * Spark lacks) as per-user stream state: a funnel stage machine
+    * advances when the NEXT step's event type arrives strictly after
+    * the current stage's event time and within `windowMs` of it; one
+    * [[StageHit]] is emitted per advance, so counting hits per stage
+    * reproduces the batch funnel exactly — PROVIDED micro-batches
+    * arrive in event-time order per user (the entry splits its files
+    * chronologically; events late beyond that discipline would need
+    * the watermark treatment [[sessionize]] implements). Stage-1
+    * anchoring to the FIRST qualifying event equals the batch form's
+    * min() because within a batch events are sorted and across
+    * batches arrival is chronological.
+    *
+    * State is two numbers per user that has started the funnel and is
+    * KEPT after completion — removing it would let a completed user's
+    * later events start a second funnel and double-count; the machine,
+    * not the events, is the state, so memory is bounded by users, not
+    * activity. */
+  def funnel(events: Dataset[Event], steps: Seq[String], windowMs: Long)(
+      implicit spark: SparkSession): Dataset[StageHit] = {
+    import spark.implicits._
+    require(steps.nonEmpty)
+    val winUs = windowMs * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
+          var st = state.getOption.getOrElse(FunnelState(0, 0L))
+          val hits = Seq.newBuilder[StageHit]
+          sorted.foreach { e =>
+            if (st.stage < steps.length && e.event_type == steps(st.stage)) {
+              val t = toMicros(e.ts)
+              if (st.stage == 0 || (t > st.t && t <= st.t + winUs)) {
+                st = FunnelState(st.stage + 1, t)
+                hits += StageHit(uid, st.stage)
+              }
+            }
+          }
+          if (st.stage > 0) state.update(st)
+          hits.result().iterator
+      }
+  }
+
   /** Flush any still-open sessions from a batch run (batch semantics:
     * end-of-input closes every session). Used by tests and batch mode. */
   def sessionizeBatch(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(

@@ -67,6 +67,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("funnel machine: cross-batch conversion, window expiry, no second funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.funnel(input.toDS(),
+      Seq("view", "click", "purchase"), windowMs = 60 * 60 * 1000L)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 views (stage 1); user 2 views
+      input.addData(
+        Event(1, ts("2024-03-01 09:00:00"), "view", 1.0),
+        Event(2, ts("2024-03-01 09:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 converts via RESTORED state (click+purchase in
+      // window); user 2's click is past the 1 h window — no stage 2
+      input.addData(
+        Event(1, ts("2024-03-01 09:30:00"), "click", 1.0),
+        Event(1, ts("2024-03-01 09:45:00"), "purchase", 1.0),
+        Event(2, ts("2024-03-01 11:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: user 1 is COMPLETE — a fresh view must not start a
+      // second funnel (would double-count stage hits)
+      input.addData(
+        Event(1, ts("2024-03-01 12:00:00"), "view", 1.0),
+        Event(1, ts("2024-03-01 12:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      val hits = spark.table("funnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      assert(hits == Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)), hits.toString)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
   test("idle user's session is closed when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
