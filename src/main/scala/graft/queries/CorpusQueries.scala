@@ -1388,6 +1388,68 @@ object CorpusQueries {
              |      / CAST(sel.k AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
              |    END AS mink_score
              |FROM planted p LEFT JOIN sel USING (doc_id)
+             |ORDER BY p.doc_id""".stripMargin)),
+
+    // Numericalization — the text→tensor step a training pipeline ends
+    // with: a corpus-frequency vocabulary (top 512 by count desc,
+    // token asc — fully ordered, so ids are engine-stable), every
+    // document re-emitted as its ORDERED id array with OOV → 0, plus
+    // the OOV count (the fertility/coverage signal). The vocabulary
+    // relation is enum-sized (one bounded window over ~1k distinct
+    // tokens), the id mapping is an explode → broadcast join →
+    // ordered re-collect: only (doc, pos, id) rows shuffle, never
+    // text. At 100 TB the vocab is a stage table and the re-collect
+    // is the one per-doc-sized group — bounded by document length.
+    "q_token_ids" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0).as("t"))
+        val counts = toks.select(explode(col("t")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val vocab = counts.withColumn("id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("tok"))))
+          .filter(col("id") <= 512)
+          .select(col("tok"), col("id"))
+        val pos = toks.select(col("doc_id"),
+          posexplode(col("t")).as(Seq("pos", "tok")))
+        pos.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+            transform(array_sort(collect_list(
+              struct(col("pos"), coalesce(col("id"), lit(0)).as("id")))),
+              x => x.getField("id")).as("ids"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM documents),
+             |counts AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(t) AS tok FROM t0) GROUP BY tok),
+             |vocab AS (
+             |  SELECT tok, id FROM (
+             |    SELECT tok,
+             |      CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS id
+             |    FROM counts) WHERE id <= 512),
+             |pos AS (
+             |  SELECT doc_id, s.i AS pos, s.tok AS tok
+             |  FROM (SELECT doc_id,
+             |          unnest(list_transform(range(1, len(t) + 1),
+             |            i -> struct_pack(i := i, tok := t[i]))) AS s
+             |        FROM t0))
+             |SELECT p.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov,
+             |  list(coalesce(v.id, 0) ORDER BY p.pos) AS ids
+             |FROM pos p LEFT JOIN vocab v USING (tok)
+             |GROUP BY p.doc_id
              |ORDER BY p.doc_id""".stripMargin))
   )
 }
