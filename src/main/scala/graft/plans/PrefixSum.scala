@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXCLUSIVE prefix sum — the two-pass pattern a global
+  * ordered offset needs at scale, where a single unpartitioned window
+  * (`Window.orderBy(...)` with no partition) would funnel the whole
+  * relation through one task:
+  *
+  *  1. range-partition by the order column and take ONE per-partition
+  *     total each (a partitions-sized collect, like a centroid fetch);
+  *  2. cumulate those totals on the driver into per-partition BASE
+  *     offsets and broadcast them back;
+  *  3. each partition adds its base to a LOCAL running sum (a window
+  *     partitioned by the physical partition — parallel by
+  *     construction).
+  *
+  * The result is deterministic regardless of where the range
+  * boundaries fall: every row's offset is the sum of weights of all
+  * strictly-smaller order keys, whatever partition they landed in —
+  * which is why the range partitioner's sampling doesn't need to be
+  * reproducible, only ORDER-preserving. The order column must be
+  * unique (offsets of tied keys would depend on their arbitrary
+  * relative order).
+  *
+  * This is the building block for global data layout jobs: training-
+  * sequence construction (`q_train_sequences`), global shard
+  * assignment, ordered file stitching. */
+object PrefixSum {
+
+  /** Adds `offset` = Σ weight over all rows with a strictly smaller
+    * `orderCol`. One shuffle (the range partitioning), one bounded
+    * driver collect, no global single-task window. */
+  def exclusiveOffsets(df: DataFrame, orderCol: String, weightCol: String,
+                       partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    // A range partition can be empty; missing pids simply contribute 0.
+    val totals = parted.groupBy(col("__pid"))
+      .agg(sum(col(weightCol)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, t) =>
+      val b = acc; acc += t; (pid, b)
+    }
+    val baseDf = broadcast(bases.toSeq.toDF("__pid", "__base"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.join(baseDf, Seq("__pid"))
+      .withColumn("offset",
+        col("__base") + coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .drop("__pid", "__base")
+  }
+}

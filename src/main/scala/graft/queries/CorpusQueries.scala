@@ -1450,6 +1450,104 @@ object CorpusQueries {
              |  list(coalesce(v.id, 0) ORDER BY p.pos) AS ids
              |FROM pos p LEFT JOIN vocab v USING (tok)
              |GROUP BY p.doc_id
-             |ORDER BY p.doc_id""".stripMargin))
+             |ORDER BY p.doc_id""".stripMargin)),
+
+    // Training-sequence construction — the LAST layout step before
+    // tensors: every document's id stream (same top-512 vocab as
+    // q_token_ids) plus an EOS separator (−1) concatenates in doc_id
+    // order into one global token stream, chunked into fixed 128-token
+    // sequences (documents cross sequence boundaries, the standard
+    // packed-LM layout; the final partial sequence stays unpadded).
+    // The global offset each document needs is a distributed TWO-PASS
+    // prefix sum (plans/PrefixSum: per-partition totals → driver
+    // cumulate → broadcast bases + per-partition windows) — NOT an
+    // unpartitioned window funneling the corpus through one task; the
+    // only single-task structure anywhere is the partitions-sized
+    // totals collect.
+    "q_train_sequences" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0).as("t"))
+        val counts = toks.select(explode(col("t")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val vocab = counts.withColumn("id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("tok"))))
+          .filter(col("id") <= 512)
+          .select(col("tok"), col("id"))
+        val posIds = toks
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("id"), lit(0)).as("id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          posIds.count() // eager fill: feeds perDoc AND the final union
+          val perDoc = posIds.groupBy(col("doc_id"))
+            .agg((count(lit(1)) + 1L).as("w")) // +1 for the EOS token
+          val offs = graft.plans.PrefixSum
+            .exclusiveOffsets(perDoc, "doc_id", "w")
+            .select(col("doc_id"), col("offset"))
+          val allRows = posIds.unionByName(
+            perDoc.select(col("doc_id"), (col("w") - 1L).cast("int").as("pos"),
+              lit(-1).as("id")))
+          allRows.join(offs, Seq("doc_id"))
+            .select(col("doc_id"), (col("offset") + col("pos")).as("p"),
+              col("id"))
+            .groupBy(expr("p div 128").as("seq_id"))
+            .agg(count(lit(1)).as("n_tokens"),
+              countDistinct(col("doc_id")).as("n_docs"),
+              transform(array_sort(collect_list(struct(col("p"), col("id")))),
+                x => x.getField("id")).as("ids"))
+            .orderBy(col("seq_id"))
+            .localCheckpoint(true)
+        } finally posIds.unpersist(false)
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM documents),
+             |counts AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(t) AS tok FROM t0) GROUP BY tok),
+             |vocab AS (
+             |  SELECT tok, id FROM (
+             |    SELECT tok,
+             |      CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS id
+             |    FROM counts) WHERE id <= 512),
+             |pos AS (
+             |  SELECT doc_id, s.i AS i, s.tok AS tok
+             |  FROM (SELECT doc_id,
+             |          unnest(list_transform(range(1, len(t) + 1),
+             |            i -> struct_pack(i := i, tok := t[i]))) AS s
+             |        FROM t0)),
+             |pid AS (
+             |  SELECT p.doc_id, p.i - 1 AS pos, coalesce(v.id, 0) AS id
+             |  FROM pos p LEFT JOIN vocab v USING (tok)),
+             |perdoc AS (
+             |  SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS w
+             |  FROM pid GROUP BY doc_id),
+             |offs AS (
+             |  SELECT doc_id,
+             |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS off
+             |  FROM perdoc),
+             |allr AS (
+             |  SELECT doc_id, pos, id FROM pid
+             |  UNION ALL
+             |  SELECT doc_id, w - 1 AS pos, -1 AS id FROM perdoc),
+             |g AS (
+             |  SELECT a.doc_id, o.off + a.pos AS p, a.id
+             |  FROM allr a JOIN offs o USING (doc_id))
+             |SELECT CAST(p // 128 AS BIGINT) AS seq_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  list(id ORDER BY p) AS ids
+             |FROM g GROUP BY seq_id
+             |ORDER BY seq_id""".stripMargin))
   )
 }

@@ -211,4 +211,35 @@ class PlanOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("graft_topk"), plan)
   }
+
+  test("distributed prefix sum equals the single-window form at every partition count") {
+    import spark.implicits._
+    // non-contiguous keys, varied weights — offsets must be the sum of
+    // all strictly-smaller keys' weights no matter how ranges land
+    val rows = Seq(3L -> 5L, 10L -> 1L, 7L -> 2L, 100L -> 7L, 42L -> 3L,
+      1L -> 4L, 55L -> 6L)
+    val df = rows.toDF("k", "w")
+    val expected = rows.sortBy(_._1)
+      .scanLeft(0L -> 0L) { case ((_, acc), (_, w)) => 0L -> (acc + w) }
+      .map(_._2).init
+      .zip(rows.sortBy(_._1).map(_._1)).map { case (off, k) => k -> off }
+      .toMap
+    for (p <- Seq(1, 2, 5, 32)) {
+      val got = graft.plans.PrefixSum.exclusiveOffsets(df, "k", "w", p)
+        .select(col("k"), col("offset")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"partitions=$p: $got")
+    }
+  }
+
+  test("prefix sum has no unpartitioned window in its plan") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i % 7 + 1)).toDF("k", "w")
+    val plan = graft.plans.PrefixSum.exclusiveOffsets(df, "k", "w")
+      .queryExecution.executedPlan.toString
+    // the per-partition running sum partitions by __pid — a global
+    // Window.orderBy with no partition key would print this warning
+    // shape instead: windowspecdefinition(k ASC ...) with no partition
+    assert(!plan.contains("windowspecdefinition(k#"), plan)
+  }
 }
