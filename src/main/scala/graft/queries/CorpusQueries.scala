@@ -1548,6 +1548,76 @@ object CorpusQueries {
              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |  list(id ORDER BY p) AS ids
              |FROM g GROUP BY seq_id
-             |ORDER BY seq_id""".stripMargin))
+             |ORDER BY seq_id""".stripMargin)),
+
+    // Perceptual-hash grouping over MEDIA payloads: the byte-value
+    // histogram (the real multimodal featurizer, no stub) at 64
+    // buckets collapses to a sign signature against the OCCUPIED-MEAN
+    // share — bit b set when cnt_b · occ ≥ n, an exact integer
+    // comparison — the pHash stance (coefficients vs their central
+    // tendency). Threshold choice was measured, not assumed: a global
+    // mean over 16 coarse buckets grouped the ENTIRE ASCII corpus into
+    // one signature (no discrimination), and a per-doc MEDIAN over the
+    // ~8 occupied letter buckets flipped on ±1-byte perturbations (the
+    // median element itself moved); the occupied-mean sits far from
+    // the clustered letter counts, so it discriminates across natural
+    // docs (19 groups at sf0.01) while tolerating small byte shifts —
+    // the 20 planted payloads, perturbed by 0–2 trailing bytes, share
+    // ONE signature, which is what separates a PERCEPTUAL hash from
+    // q_binary_meta's exact sha2. Map-side signature, one
+    // signature-keyed shuffle; no pairwise comparison anywhere.
+    "q_media_phash" -> Q(
+      (s, dir) => {
+        val template = "shared media payload template bytes carrying a" +
+          " stable byte value distribution across its whole length for" +
+          " perceptual signature grouping"
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 20,
+              concat(lit(template), repeat(lit(" e"), (col("doc_id") % 3).cast("int"))))
+              .otherwise(col("text")).as("text"))
+        val media = graft.multimodal.Binary.mediaTable(planted)
+        val hist = graft.multimodal.Binary.byteHistogram(media, buckets = 64)
+        val st = hist.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("occ"), sum(col("cnt")).as("n"))
+        hist.join(st, Seq("doc_id"))
+          .filter(col("cnt") * col("occ") >= col("n"))
+          .groupBy(col("doc_id"))
+          .agg(sum(expr("shiftleft(1L, cast(bucket AS int))")).as("phash"))
+          .groupBy(col("phash"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("phash"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 20
+             |      THEN 'shared media payload template bytes carrying a stable byte value distribution across its whole length for perceptual signature grouping'
+             |           || repeat(' e', CAST(doc_id % 3 AS INT))
+             |      ELSE text END AS text
+             |  FROM documents),
+             |chars AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, length(text) + 1),
+             |      i -> unicode(substr(text, i, 1)))) AS code
+             |  FROM planted WHERE length(text) > 0),
+             |hist AS (
+             |  SELECT doc_id, code // 4 AS bucket,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM chars GROUP BY doc_id, bucket),
+             |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS occ,
+             |         CAST(sum(cnt) AS BIGINT) AS n
+             |       FROM hist GROUP BY doc_id),
+             |ph AS (
+             |  SELECT h.doc_id,
+             |    CAST(sum(CASE WHEN h.cnt * s.occ >= s.n
+             |      THEN (CAST(1 AS BIGINT) << h.bucket) ELSE 0 END) AS BIGINT)
+             |      AS phash
+             |  FROM hist h JOIN st s USING (doc_id)
+             |  GROUP BY h.doc_id)
+             |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(doc_id) AS min_doc
+             |FROM ph GROUP BY phash HAVING count(*) > 1
+             |ORDER BY phash""".stripMargin))
   )
 }
