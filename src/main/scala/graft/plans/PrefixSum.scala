@@ -37,8 +37,19 @@ object PrefixSum {
                        partitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The partitioned relation is consumed TWICE — the totals pass
+    // below and the caller's plan — and the range partitioner's
+    // boundaries come from SAMPLING an input whose intra-partition
+    // order (post hash-shuffle) is not execution-stable: re-executing
+    // the lineage could land rows in different partitions than the
+    // ones the bases were computed from, silently corrupting offsets.
+    // The eager localCheckpoint pins ONE materialized partitioning
+    // that both passes read. (Cluster-scale note: lineage-free blocks
+    // pin to executors — a reliable checkpoint dir is the cluster
+    // idiom, as documented on the components family.)
     val parted = df.repartitionByRange(partitions, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     // A range partition can be empty; missing pids simply contribute 0.
     val totals = parted.groupBy(col("__pid"))
       .agg(sum(col(weightCol)).as("__t"))
