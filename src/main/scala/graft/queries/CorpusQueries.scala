@@ -1061,12 +1061,17 @@ object CorpusQueries {
           .select(col("doc_id"), col("source"), col("text"))
         val lp = CorpusStats.bigramLogProb(
           docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        // dom is #domains rows but its lineage is the whole bigram-LM
+        // corpus pass, and FIVE downstream subtrees consume it (tot,
+        // wts, mx, rates, the kept join) — pin it lineage-free so the
+        // LM runs exactly once.
         val dom = docs.select(col("doc_id"), col("source"))
           .join(lp.select(col("doc_id"),
             floor(col("avg_logprob") * lit(1e4) + lit(0.5)).cast("long")
               .as("q4")), Seq("doc_id"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"), sum(col("q4")).as("q4"))
+          .localCheckpoint(true)
         val tot = dom.groupBy()
           .agg(sum(col("n")).as("n_all"), sum(col("q4")).as("q4_all"))
         val wts = dom.crossJoin(broadcast(tot))
@@ -1180,7 +1185,10 @@ object CorpusQueries {
           when(classifierLabel,
             concat(col("text"), lit(" " + classifierMarker)))
             .otherwise(col("text")).as("text"))
+        // surv feeds both the classifier training pass and the final
+        // gated join — pin it so the fingerprint window runs once
         val surv = graft.text.Dedup.exactDedup(fixture, "doc_id", "text")
+          .localCheckpoint(true)
         val sc = graft.text.Classifier.scored(surv, "doc_id", "text",
           classifierLabel, buckets = 4096)
         val n = sc.agg(count(lit(1)).as("n_scored"))
@@ -1307,33 +1315,40 @@ object CorpusQueries {
           .select(col("doc_id"),
             when(col("doc_id") < 15, lit(template))
               .otherwise(col("text")).as("text"))
+        // terms carries the whole positional LM pass and feeds both nb
+        // and the rank selection — cache it for the one consuming job
         val terms = CorpusStats.bigramTermScores(planted, planted,
           "doc_id", "text")
-        val nb = terms.groupBy(col("id")).agg(count(lit(1)).as("n"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("q").asc, col("pos").asc)
-        val sel = terms.withColumn("rn", row_number().over(w))
-          .join(nb, Seq("id"))
-          .filter(col("rn") <= ceil(col("n").cast("double") * lit(0.2)))
-          .groupBy(col("id"), col("n"))
-          .agg(sum(col("q")).as("sq"))
-          .select(col("id").as("doc_id"), col("n"),
-            ceil(col("n").cast("double") * lit(0.2)).cast("long").as("k"),
-            col("sq"))
-        planted.select(col("doc_id"))
-          .join(sel, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n"), lit(0L)).as("n_bigrams"),
-            coalesce(col("k"), lit(0L)).as("k"),
-            // floor-based 4-dp rounding: round(x, 4) differs between
-            // engines when x sits EXACTLY on a .00005 boundary (small-k
-            // divisors hit it — doc 134 at sf0.01 lands on -4.06915);
-            // floor(x·1e4 + 0.5)/1e4 is one deterministic composition
-            when(col("k").isNull, lit(0.0))
-              .otherwise(floor((col("sq").cast("double") / lit(1e6)
-                / col("k").cast("double")) * lit(1e4) + lit(0.5)) / lit(1e4))
-              .as("mink_score"))
-          .orderBy(col("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          terms.count() // eager fill
+          val nb = terms.groupBy(col("id")).agg(count(lit(1)).as("n"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id")).orderBy(col("q").asc, col("pos").asc)
+          val sel = terms.withColumn("rn", row_number().over(w))
+            .join(nb, Seq("id"))
+            .filter(col("rn") <= ceil(col("n").cast("double") * lit(0.2)))
+            .groupBy(col("id"), col("n"))
+            .agg(sum(col("q")).as("sq"))
+            .select(col("id").as("doc_id"), col("n"),
+              ceil(col("n").cast("double") * lit(0.2)).cast("long").as("k"),
+              col("sq"))
+          planted.select(col("doc_id"))
+            .join(sel, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n"), lit(0L)).as("n_bigrams"),
+              coalesce(col("k"), lit(0L)).as("k"),
+              // floor-based 4-dp rounding: round(x, 4) differs between
+              // engines when x sits EXACTLY on a .00005 boundary (small-k
+              // divisors hit it — doc 134 at sf0.01 lands on -4.06915);
+              // floor(x·1e4 + 0.5)/1e4 is one deterministic composition
+              when(col("k").isNull, lit(0.0))
+                .otherwise(floor((col("sq").cast("double") / lit(1e6)
+                  / col("k").cast("double")) * lit(1e4) + lit(0.5)) / lit(1e4))
+                .as("mink_score"))
+            .orderBy(col("doc_id"))
+            .localCheckpoint(true)
+        } finally terms.unpersist(false)
       },
       Some("""WITH planted AS (
              |  SELECT doc_id,

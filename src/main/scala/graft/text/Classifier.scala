@@ -232,8 +232,12 @@ object Classifier {
         t => length(t) > 0)).as("tok"))
       .select(col("id"), col("cls"),
         (Dedup.md5Hash60(col("tok")) % buckets).as("j"))
+    // cc is ≤ classes·buckets rows but its lineage is the full train
+    // text pass; tc and the weight join both consume it, so pin it
+    // lineage-free (one corpus pass, the [[scored]] stance).
     val cc = occ(train).groupBy(col("cls"), col("j"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tc = cc.groupBy(col("cls")).agg(sum(col("c")).as("t"))
     val nDocs = train.select(col(idCol), col(classCol)).distinct()
       .groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("n"))
