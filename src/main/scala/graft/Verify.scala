@@ -17,9 +17,18 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(q => only.contains(q._1))
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Scalar-only output contract: the driver's pandas canonicalizer
+        // cannot hash ARRAY/MAP/STRUCT cells — such an entry silently
+        // falls out of the correctness gate (round-9 q_token_ids). Fail
+        // it HERE, loudly, instead of letting the checker err downstream.
+        val complex = graft.queries.Registry.nonScalarColumns(df.schema)
+        require(complex.isEmpty,
+          s"non-scalar output columns (driver checker cannot hash them; " +
+            s"array_join to strings): ${complex.mkString(", ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

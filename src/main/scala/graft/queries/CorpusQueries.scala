@@ -1415,6 +1415,11 @@ object CorpusQueries {
     // ordered re-collect: only (doc, pos, id) rows shuffle, never
     // text. At 100 TB the vocab is a stage table and the re-collect
     // is the one per-doc-sized group — bounded by document length.
+    // The id array is emitted array_join'd to a space-separated string
+    // (the q_array_funcs precedent): the driver's pandas canonicalizer
+    // cannot lexsort raw ARRAY cells, so array outputs are invisible to
+    // the correctness gate. SparkEntrySpec enforces scalar-only output
+    // schemas registry-wide.
     "q_token_ids" -> Q(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -1434,9 +1439,9 @@ object CorpusQueries {
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
             sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
-            transform(array_sort(collect_list(
+            array_join(transform(array_sort(collect_list(
               struct(col("pos"), coalesce(col("id"), lit(0)).as("id")))),
-              x => x.getField("id")).as("ids"))
+              x => x.getField("id").cast("string")), " ").as("ids"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t0 AS (
@@ -1462,7 +1467,8 @@ object CorpusQueries {
              |  CAST(count(*) AS BIGINT) AS n_tokens,
              |  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_oov,
-             |  list(coalesce(v.id, 0) ORDER BY p.pos) AS ids
+             |  array_to_string(list(CAST(coalesce(v.id, 0) AS VARCHAR)
+             |    ORDER BY p.pos), ' ') AS ids
              |FROM pos p LEFT JOIN vocab v USING (tok)
              |GROUP BY p.doc_id
              |ORDER BY p.doc_id""".stripMargin)),
@@ -1514,8 +1520,9 @@ object CorpusQueries {
             .groupBy(expr("p div 128").as("seq_id"))
             .agg(count(lit(1)).as("n_tokens"),
               countDistinct(col("doc_id")).as("n_docs"),
-              transform(array_sort(collect_list(struct(col("p"), col("id")))),
-                x => x.getField("id")).as("ids"))
+              array_join(transform(
+                array_sort(collect_list(struct(col("p"), col("id")))),
+                x => x.getField("id").cast("string")), " ").as("ids"))
             .orderBy(col("seq_id"))
             .localCheckpoint(true)
         } finally posIds.unpersist(false)
@@ -1561,7 +1568,8 @@ object CorpusQueries {
              |SELECT CAST(p // 128 AS BIGINT) AS seq_id,
              |  CAST(count(*) AS BIGINT) AS n_tokens,
              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  list(id ORDER BY p) AS ids
+             |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY p), ' ')
+             |    AS ids
              |FROM g GROUP BY seq_id
              |ORDER BY seq_id""".stripMargin)),
 

@@ -25,6 +25,22 @@ final case class Q(
     benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
 object Registry {
+  /** Names of top-level columns the driver's correctness gate cannot
+    * canonicalize: its DuckDB-compare harness sorts result cells with
+    * pandas, which throws on unhashable ARRAY/MAP/STRUCT values — the
+    * entry then reports `err` with every match field null and is
+    * INVISIBLE to the gate (round-9 `q_token_ids`/`q_train_sequences`).
+    * Entries must emit such columns joined to scalars (the
+    * `q_array_funcs` `array_join` precedent). Enforced at Verify time
+    * and by SchemaGateSpec so the class of red cannot recur. */
+  def nonScalarColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+
   lazy val all: Seq[(String, Q)] = {
     val xs = Core.defs ++ AnalyticsQueries.defs ++ CatalogQueries.defs ++
       ReportQueries.defs ++ TextQueries.defs ++ CorpusQueries.defs ++
