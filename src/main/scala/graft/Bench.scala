@@ -30,6 +30,16 @@ object Bench {
     // debris, not the query.
     def resetState(): Unit = {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      // Unload every streaming state-store provider: a terminated
+      // AvailableNow query LEAVES its providers loaded (each holding
+      // the full state map in memory and receiving 60 s maintenance
+      // ticks), and the streaming entries run in child sessions this
+      // loop's `spark.streams` can't see — by suite position ~160 the
+      // accumulated providers inflated q_stream_containment's SECOND
+      // attempt to 19.9 s (heap 9.6 GB, gc 0 ms) on the r9 driver run.
+      try org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreHygiene.unloadAllProviders()
+      catch { case _: Throwable => () }
       // blocking: the next attempt must start from a clean block
       // manager, not race an async removal of its predecessor's blocks
       spark.sparkContext.getPersistentRDDs.values

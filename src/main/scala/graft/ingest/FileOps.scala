@@ -21,6 +21,19 @@ object FileOps {
     fs.rename(src, new Path(dstDir, src.getName))
   }
 
+  /** Recursively delete a local temp fixture tree (best-effort: a
+    * missing or already-removed entry is not an error). Entries that
+    * stage corpus-sized files under java.io.tmpdir must reclaim them
+    * before returning, or repeated bench attempts accumulate corpus
+    * copies on the driver disk. */
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
+
   /** Poll until the source dir contains at least one file, or timeout. */
   def awaitFiles(spark: SparkSession, dir: String,
                  timeoutMs: Long = 30000, pollMs: Long = 250): Boolean = {

@@ -211,6 +211,9 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
         s.table(name)
           .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
@@ -261,6 +264,9 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
         // the memory sink registers its temp view in the child session;
         // the batch aggregation runs on the caller's session (global
         // temp not needed — read the child's table by DataFrame)
@@ -311,6 +317,9 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
         ss.table(name)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -340,26 +349,17 @@ object PipelineQueries {
         val planted = docs.filter(col("doc_id") < 20).select(
           (col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" trailing")).as("text"))
-        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val stage = tmp.resolve(s"stage_$name")
-          df.coalesce(1).write.parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
-        }
-        writeOne(docs, "a")
-        writeOne(planted, "b")
-        // strictly increasing mtimes pin the batch order a → b
-        Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
-          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-        }
+        // batch 1 (the corpus) 8 files wide, batch 2 (the planted
+        // copies) as one later-stamped file — see StreamFixtures
+        StreamFixtures.writeBatch(tmp, src, docs, "a",
+          parts = 8, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src, planted, "b",
+          parts = 1, mtimeMs = 1000000060000L)
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "4")
         val raw = ss.readStream
           .schema(ss.read.parquet(src.toString).schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val name = s"stream_nd_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
         val q = graft.streaming.StreamNearDup
@@ -372,6 +372,9 @@ object PipelineQueries {
         // candidates are tiny; materialize them (verifyPairsJaccard
         // consumes its pair input three times)
         val cands = ss.table(name).distinct().localCheckpoint(true)
+        // stream + candidates materialized; the verify below reads only
+        // `dir` — reclaim the fixture
+        graft.ingest.FileOps.deleteRecursively(tmp)
         // rebuild the full planted corpus ON THE CHILD SESSION (mixing
         // DataFrames across sessions in one plan is undefined)
         val docsB = graft.Tables.load(ss, dir, "documents")
@@ -418,6 +421,16 @@ object PipelineQueries {
     // gram hash, so the oracle replays the ENTIRE pipeline — seed
     // selection, min-shared-seeds, exact verify — bit-for-bit against
     // the batch q_containment_seed answer.
+    //
+    // Batch 1 is EIGHT corpus files consumed in one trigger
+    // (maxFilesPerTrigger = 8): with a single coalesce(1) file the
+    // whole corpus md5 gram pass ran in ONE task (the r9 bench hog —
+    // 13.9 s driver min-of-2); a real deployment's batch is always
+    // many files wide, so the 8-way layout is both the faster and the
+    // more cluster-faithful shape. The temp fixture is deleted before
+    // returning (the verify plan reads only the memory sink + `dir`),
+    // so repeated bench attempts don't accumulate corpus copies in
+    // /tmp.
     "q_stream_containment" -> Q(
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-sc")
@@ -431,25 +444,15 @@ object PipelineQueries {
           d.filter(col("doc_id") < 10).select(
             (col("doc_id") + 500000).as("doc_id"),
             concat(col("text"), lit(" "), pad).as("text"))
-        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val stage = tmp.resolve(s"stage_$name")
-          df.coalesce(1).write.parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
-        }
-        writeOne(docs, "a")
-        writeOne(buried(docs), "b")
-        Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
-          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-        }
+        StreamFixtures.writeBatch(tmp, src, docs, "a",
+          parts = 8, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src, buried(docs), "b",
+          parts = 1, mtimeMs = 1000000060000L)
         val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
         val raw = ss.readStream
           .schema(ss.read.parquet(src.toString).schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val name = s"stream_sc_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
         val q = graft.streaming.StreamSeedGram
@@ -470,6 +473,9 @@ object PipelineQueries {
           .filter(col("shared") >= 2)
           .select(col("id_a"), col("id_b"))
           .localCheckpoint(true)
+        // stream + candidate set are materialized; nothing downstream
+        // reads the fixture — reclaim it now
+        graft.ingest.FileOps.deleteRecursively(tmp)
         val docsB = graft.Tables.load(ss, dir, "documents")
           .select(col("doc_id"), col("text"))
         val allB = docsB.unionByName(buried(docsB))
@@ -536,6 +542,9 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
         s.table(name)
           .select(col("window_start"), col("event_type"), col("n"),
             round(col("sum_value"), 2).as("sum_value"))
@@ -576,6 +585,9 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
         ss.table(name)
           .select(col("user_id"),
             col("sw.start").as("session_start"),
@@ -661,6 +673,9 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
         ss.table(name)
           .filter(col("user_id") >= 0)
           .select(col("user_id"), col("start").as("session_start"),
@@ -723,6 +738,9 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
         ss.table(name)
           .select(col("w.start").as("window_start"), col("event_type"),
             posexplode(col("top")))
@@ -773,6 +791,19 @@ object PipelineQueries {
           java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
         }
         val half = nEvents / 2
+        // The funnel's batch equivalence rests on micro-batches arriving
+        // in per-user event-time order, which this split realizes via
+        // event_id being event-time-monotone — ENFORCE that instead of
+        // assuming it (a fixture violating it would silently change
+        // conversion counts): every batch-1 timestamp must precede every
+        // batch-2 timestamp.
+        val bounds = ev.agg(
+          max(when(col("event_id") < half, col("ts"))).as("max_a"),
+          min(when(col("event_id") >= half, col("ts"))).as("min_b")).head()
+        require(!bounds.isNullAt(0) && !bounds.isNullAt(1) &&
+          !bounds.getTimestamp(0).after(bounds.getTimestamp(1)),
+          s"q_stream_funnel fixture violated event-time monotonicity: " +
+            s"max(ts) of batch 1 = ${bounds.get(0)} > min(ts) of batch 2 = ${bounds.get(1)}")
         writeOne(ev.filter(col("event_id") < half).drop("event_id"), "a")
         writeOne(ev.filter(col("event_id") >= half).drop("event_id"), "b")
         Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
@@ -795,6 +826,9 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
         ss.table(name)
           .groupBy(col("stage")).agg(count(lit(1)).as("users"))
           .select(col("stage").cast("int").as("stage"),
