@@ -54,6 +54,15 @@ object TextExpressions {
           case _ => throw new IllegalArgumentException(
             "graft_bloom_contains expects (sketch binary literal, value string)")
         }),
+      (FunctionIdentifier("graft_bytehist"),
+        new ExpressionInfo(classOf[ByteHistogramKernel].getName, "graft_bytehist"),
+        (args: Seq[Expression]) => args match {
+          case Seq(payload) => ByteHistogramKernel(payload, 16)
+          case Seq(payload, Literal(b: Int, IntegerType)) =>
+            ByteHistogramKernel(payload, b)
+          case _ => throw new IllegalArgumentException(
+            "graft_bytehist expects (payload binary[, buckets integer literal])")
+        }),
       (FunctionIdentifier("graft_subword"),
         new ExpressionInfo(classOf[SubwordTokenCount].getName, "graft_subword"),
         (args: Seq[Expression]) => args match {

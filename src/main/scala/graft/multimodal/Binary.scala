@@ -70,12 +70,30 @@ object Binary {
     * (no stub): byte distributions drive content-type sniffing,
     * compressed-vs-text detection and corruption screens, and this is
     * the per-row kernel shape any media featurizer has: payload in,
-    * fixed-width vector out. Pure expressions (hex-decode + bucket +
-    * conditional count), codegen'd, zero shuffle before the rollup.
+    * fixed-width vector out.
     *
     * Emits long-format rows (doc_id, bucket, cnt), buckets of width
-    * 256/`buckets`; empty payloads contribute no rows. */
-  def byteHistogram(media: DataFrame, buckets: Int = 16): DataFrame = {
+    * 256/`buckets`; empty payloads contribute no rows. Computed by the
+    * native one-pass kernel
+    * ([[graft.functions.ByteHistogramKernel]] — payload in, count
+    * vector out, map-only) and unrolled to long format with a
+    * 64-rows-per-doc posexplode; the old per-BYTE explode + groupBy
+    * ([[byteHistogramExplode]]) shuffled one row per payload byte,
+    * which at 100 TB is a corpus-sized shuffle for a per-row
+    * statistic. FunctionsSpec pins the two forms bit-equal. */
+  def byteHistogram(media: DataFrame, buckets: Int = 16): DataFrame =
+    media
+      .select(col("doc_id"),
+        posexplode(call_function("graft_bytehist",
+          col("payload"), lit(buckets))).as(Seq("bucket", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        col("cnt"))
+
+  /** The declarative per-byte explode form of [[byteHistogram]] — kept
+    * as the independent reference implementation the kernel is spec'd
+    * bit-equal against (and the shape portable SQL engines replay). */
+  def byteHistogramExplode(media: DataFrame, buckets: Int = 16): DataFrame = {
     require(buckets > 0 && 256 % buckets == 0, s"256 must divide into $buckets buckets")
     val width = 256 / buckets
     media

@@ -1584,11 +1584,22 @@ object CorpusQueries {
     // ~8 occupied letter buckets flipped on ±1-byte perturbations (the
     // median element itself moved); the occupied-mean sits far from
     // the clustered letter counts, so it discriminates across natural
-    // docs (19 groups at sf0.01) while tolerating small byte shifts —
+    // docs (17 byte-bucketed groups at sf0.01) while tolerating small
+    // byte shifts —
     // the 20 planted payloads, perturbed by 0–2 trailing bytes, share
     // ONE signature, which is what separates a PERCEPTUAL hash from
-    // q_binary_meta's exact sha2. Map-side signature, one
-    // signature-keyed shuffle; no pairwise comparison anywhere.
+    // q_binary_meta's exact sha2.
+    //
+    // Plan shape: the whole signature is ONE map-only projection — the
+    // native graft_bytehist kernel (payload → 64-count vector in one
+    // byte pass) followed by array folds for occ/n/bit-set — then a
+    // single signature-keyed shuffle. The r9 form unrolled the
+    // histogram per BYTE (explode + two groupBys + a join back:
+    // 3.8 s, scaling exponent 0.74); the vector form shuffles one row
+    // per document. The oracle buckets BYTES of the utf-8 encoding
+    // (encode + hex pairs), matching the Spark side exactly even on
+    // non-ASCII payloads — the old unicode(code-point) oracle agreed
+    // only on ASCII fixtures.
     "q_media_phash" -> Q(
       (s, dir) => {
         val template = "shared media payload template bytes carrying a" +
@@ -1600,13 +1611,18 @@ object CorpusQueries {
               concat(lit(template), repeat(lit(" e"), (col("doc_id") % 3).cast("int"))))
               .otherwise(col("text")).as("text"))
         val media = graft.multimodal.Binary.mediaTable(planted)
-        val hist = graft.multimodal.Binary.byteHistogram(media, buckets = 64)
-        val st = hist.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("occ"), sum(col("cnt")).as("n"))
-        hist.join(st, Seq("doc_id"))
-          .filter(col("cnt") * col("occ") >= col("n"))
-          .groupBy(col("doc_id"))
-          .agg(sum(expr("shiftleft(1L, cast(bucket AS int))")).as("phash"))
+        media
+          .select(col("doc_id"),
+            call_function("graft_bytehist", col("payload"), lit(64)).as("v"))
+          .select(col("doc_id"), col("v"),
+            aggregate(col("v"), lit(0L), (a, c) => a + c).as("n"),
+            size(filter(col("v"), c => c > 0)).cast("long").as("occ"))
+          .filter(col("n") > 0) // empty payloads contribute no signature
+          .select(col("doc_id"),
+            expr("""aggregate(
+                   |  transform(v, (c, i) ->
+                   |    IF(c * occ >= n, shiftleft(1L, i), 0L)),
+                   |  0L, (a, x) -> a + x)""".stripMargin).as("phash"))
           .groupBy(col("phash"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
           .filter(col("n_docs") > 1)
@@ -1619,15 +1635,19 @@ object CorpusQueries {
              |           || repeat(' e', CAST(doc_id % 3 AS INT))
              |      ELSE text END AS text
              |  FROM documents),
-             |chars AS (
-             |  SELECT doc_id,
-             |    unnest(list_transform(range(1, length(text) + 1),
-             |      i -> unicode(substr(text, i, 1)))) AS code
-             |  FROM planted WHERE length(text) > 0),
+             |media AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM planted WHERE octet_length(encode(text)) > 0),
+             |bytes AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, nb + 1),
+             |    i -> ('0x' || substr(h, CAST(2*i - 1 AS INT), 2))::BIGINT))
+             |    AS code
+             |  FROM media),
              |hist AS (
              |  SELECT doc_id, code // 4 AS bucket,
              |    CAST(count(*) AS BIGINT) AS cnt
-             |  FROM chars GROUP BY doc_id, bucket),
+             |  FROM bytes GROUP BY doc_id, bucket),
              |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS occ,
              |         CAST(sum(cnt) AS BIGINT) AS n
              |       FROM hist GROUP BY doc_id),

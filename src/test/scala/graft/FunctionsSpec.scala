@@ -193,6 +193,38 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_bytehist is bit-identical to the per-byte explode form") {
+    // edge shapes: empty payload, single byte, bucket-boundary bytes
+    // (0x00, 0x03/0x04 at width 4, 0xff), multi-byte utf-8 (buckets the
+    // ENCODED bytes, not code points), plus random binary
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 60L).map { i =>
+      val payload: Array[Byte] = i match {
+        case 0 => Array.emptyByteArray
+        case 1 => Array(0x00.toByte)
+        case 2 => Array(0x03.toByte, 0x04.toByte, 0xff.toByte)
+        case 3 => "héllo — ünïcode ✓".getBytes("UTF-8")
+        case _ => Array.fill((rnd.nextInt(400) + 1))(rnd.nextInt(256).toByte)
+      }
+      (i, payload)
+    }.toDF("doc_id", "payload")
+    for (buckets <- Seq(16, 64)) {
+      val kernel = graft.multimodal.Binary.byteHistogram(docs, buckets)
+      val explode = graft.multimodal.Binary.byteHistogramExplode(docs, buckets)
+      assert(kernel.exceptAll(explode).isEmpty && explode.exceptAll(kernel).isEmpty,
+        s"kernel vs explode divergence at buckets=$buckets")
+    }
+    // the kernel itself: empty payload -> all-zero vector; null -> zeros
+    val v = docs.filter(col("doc_id") === 0)
+      .select(call_function("graft_bytehist", col("payload"), lit(16)).as("v"))
+      .head.getSeq[Long](0)
+    assert(v.length == 16 && v.forall(_ == 0L))
+    val vn = Seq(Tuple1(null: Array[Byte])).toDF("payload")
+      .select(call_function("graft_bytehist", col("payload"), lit(16)).as("v"))
+      .head.getSeq[Long](0)
+    assert(vn.length == 16 && vn.forall(_ == 0L))
+  }
+
   test("round-8 functions resolve from SQL text and reject misuse at analysis") {
     // SQL-text resolution (the FunctionRegistry path, not call_function)
     Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 5L, "b"))
