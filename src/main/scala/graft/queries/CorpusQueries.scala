@@ -765,6 +765,84 @@ object CorpusQueries {
           |FROM ranked r JOIN documents d USING (doc_id), kk
           |GROUP BY d.source ORDER BY d.source""".stripMargin))),
 
+    // The 100 TB form of the decile gate: the keep threshold comes
+    // from ONE map-side-combinable approx_percentile aggregate over
+    // the margins (a GK sketch — no global sort, no single-partition
+    // window) broadcast back as a scalar, and the keep decision is a
+    // map-side comparison. q_classifier_filter's rank form is exact
+    // but funnels every (id, margin) pair through one ordering task —
+    // correct at any SF, unrunnable at 100 TB; this entry is the same
+    // operator under the approximate-threshold contract. The oracle
+    // contract is the q_sketch_error stance: the exact per-source keep
+    // counts (rank rule, DuckDB-replayed) are the answer, and
+    // within_tol asserts the sketch-thresholded counts land within the
+    // documented bound (±max(2, 2% of source total)) — computed
+    // Spark-side, expected `true` by the oracle. The timed form
+    // (benchFn) is the production plan alone: threshold + filter, no
+    // exact-rank scaffolding, no Window anywhere (PlanSpec-gated).
+    "q_classifier_filter_approx" -> Q(
+      (s, dir) => {
+        val docs = classifierFixture(s, dir)
+        val sc = graft.text.Classifier.scored(docs, "doc_id", "text",
+          classifierLabel, buckets = 4096)
+          .select(col("id"), graft.text.Classifier.avgMargin.as("am"))
+        val thr = sc.agg(expr("approx_percentile(am, 0.9D, 10000)").as("thr"))
+        val approx = sc.crossJoin(broadcast(thr))
+          .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("am") >= col("thr"), 1L).otherwise(0L))
+              .as("kept_approx"))
+        // exact rank twin — verification scaffolding only (the oracle's
+        // answer); the production plan never pays it
+        val ranked = sc.withColumn("rk",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("am").desc, col("id"))))
+        val tot = sc.agg(count(lit(1)).as("n_scored"))
+        val exact = ranked.crossJoin(broadcast(tot))
+          .withColumn("keep",
+            col("rk") <= ceil(col("n_scored").cast("double") / lit(10.0)))
+          .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+          .groupBy(col("source"))
+          .agg(sum(col("keep").cast("long")).as("kept"))
+        approx.join(exact, Seq("source"))
+          .select(col("source"), col("total"), col("kept"),
+            (abs(col("kept_approx") - col("kept")) <=
+              greatest(lit(2.0), col("total").cast("double") * lit(0.02)))
+              .as("within_tol"))
+          .orderBy(col("source"))
+      },
+      Some(classifierOracle(4096,
+        """,
+          |ranked AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY
+          |      CAST(mq AS DOUBLE) / CAST(n_tok AS DOUBLE) DESC, doc_id) AS rk
+          |  FROM mf),
+          |kk AS (SELECT CAST(ceil(CAST(n_docs AS DOUBLE) / 10.0) AS BIGINT)
+          |         AS k FROM nn)
+          |SELECT d.source,
+          |  CAST(count(*) AS BIGINT) AS total,
+          |  CAST(sum(CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS kept,
+          |  true AS within_tol
+          |FROM ranked r JOIN documents d USING (doc_id), kk
+          |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+      benchFn = Some((s, dir) => {
+        val docs = classifierFixture(s, dir)
+        val sc = graft.text.Classifier.scored(docs, "doc_id", "text",
+          classifierLabel, buckets = 4096)
+          .select(col("id"), graft.text.Classifier.avgMargin.as("am"))
+        val thr = sc.agg(expr("approx_percentile(am, 0.9D, 10000)").as("thr"))
+        sc.crossJoin(broadcast(thr))
+          .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("am") >= col("thr"), 1L).otherwise(0L)).as("kept"))
+          .orderBy(col("source"))
+      })),
+
     // In-engine model EVALUATION: exact ROC-AUC of the trained
     // classifier by the Mann–Whitney rank-sum, midranks for ties —
     // U = Σ_pos midrank − n₁(n₁+1)/2, AUC = U / (n₁n₀) — computed on

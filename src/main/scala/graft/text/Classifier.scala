@@ -171,17 +171,24 @@ object Classifier {
                 model: DataFrame, buckets: Int = 4096): DataFrame = {
     val dc = bucketCounts(df, idCol, textCol, lit(0L), buckets)
       .select(col("id"), col("j"), col("cnt"))
-    val withIntercept = dc.unionByName(
-      dc.select(col("id")).distinct()
-        .select(col("id"), lit(-1L).as("j"), lit(1L).as("cnt")))
+    // The intercept (one implicit count-1 occurrence of the j = −1
+    // model row per document) is attached AFTER the per-doc reduce as
+    // `bq + Σ cnt·w` — algebraically identical to the earlier unioned
+    // intercept row, but the arriving batch's token relation is scanned
+    // ONCE (the union + distinct form tokenized and hashed every
+    // micro-batch twice, against the repo's multi-consumer pin rule —
+    // and a serving-path relation can't be persist-scoped because the
+    // result must stay lazy for foreachBatch callers).
     val floorRow = model.filter(col("j") === -2L).select(col("wq").as("fq"))
-    withIntercept
-      .join(broadcast(model.filter(col("j") >= -1L)), Seq("j"), "left")
+    val interceptRow = model.filter(col("j") === -1L).select(col("wq").as("bq"))
+    dc
+      .join(broadcast(model.filter(col("j") >= 0L)), Seq("j"), "left")
       .crossJoin(broadcast(floorRow))
       .groupBy(col("id"))
-      .agg(sum(col("cnt") * coalesce(col("wq"), col("fq"))).as("mq"),
-        sum(when(col("j") =!= -1L, col("cnt")).otherwise(0L)).as("n_tok"))
-      .select(col("id"), col("mq"), col("n_tok"))
+      .agg(sum(col("cnt") * coalesce(col("wq"), col("fq"))).as("sq"),
+        sum(col("cnt")).as("n_tok"))
+      .crossJoin(broadcast(interceptRow))
+      .select(col("id"), (col("bq") + col("sq")).as("mq"), col("n_tok"))
   }
 
   /** Length-normalized margin — NB log-odds grow with document length

@@ -137,6 +137,27 @@ class PlanSpec extends AnyFunSuite {
       s"a Sort sits below the aggregate: sort@$sortDepth agg@$aggDepth")
   }
 
+  test("approx decile gate: production plan has no Window and no single-partition sort") {
+    // q_classifier_filter's exact rank funnels every (id, margin) pair
+    // through ONE ordering task; the _approx twin's TIMED plan must be
+    // the 100 TB shape instead — an approx_percentile aggregate + a
+    // map-side threshold filter, no WindowExec anywhere and no global
+    // Sort below the final presentation orderBy
+    val df = graft.queries.Registry.benchQueries("q_classifier_filter_approx")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val nodes = executedNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]), nodes.mkString("\n"))
+    // the only global sort allowed is the few-row presentation
+    // orderBy(source) — the margin relation itself must never be
+    // globally ordered (that's the single-task shape this entry kills)
+    val globalSorts = nodes.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.size <= 1,
+      s"unexpected global sorts:\n${globalSorts.mkString("\n")}")
+  }
+
   test("materialized-stage composition: the output plan reads stored labels once, no LSH re-run") {
     // the pipeline entry persists components to a ParquetTable; its
     // OUTPUT plan must be split-assign over ONE scan of that table
