@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager lineage-free materialization with a cluster-mode switch — the
+  * ONE helper every stage pin in the library routes through.
+  *
+  * Local mode (the default): `localCheckpoint(eager = true)` — blocks
+  * live on executors with lineage truncated, reclaimed by the
+  * ContextCleaner; an executor loss mid-job fails the job. On a
+  * long-running cluster that trade is wrong — a 1000-executor job
+  * losing one machine should not restart a multi-round contraction or
+  * recompute a corpus-pass stage — so when the session opts in
+  * (`graft.checkpoint.reliable=true`, session-scoped conf) AND a
+  * checkpoint dir is configured (`SparkContext.setCheckpointDir`,
+  * typically durable storage), materialization goes through a RELIABLE
+  * `.checkpoint()`: files survive executor loss and the job resumes
+  * from the last stage. Both forms are eager and truncate lineage, so
+  * iterative plans never grow and multi-consumer relations compute
+  * once.
+  *
+  * The flag is read per-call from the owning session, so a single conf
+  * flip converts EVERY stage pin in a pipeline — dedup rounds,
+  * prefix-sum partitionings, model relations, candidate sets — to the
+  * cluster idiom; no per-operator wiring. */
+object Materialize {
+
+  def stage(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val reliable =
+      ss.conf.get("graft.checkpoint.reliable", "false").toBoolean &&
+        ss.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+  }
+}

@@ -49,10 +49,22 @@ object PrefixSum {
     // idiom, as documented on the components family.)
     val parted = df.repartitionByRange(partitions, col(orderCol))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(graft.plans.Materialize.stage)
     // A range partition can be empty; missing pids simply contribute 0.
+    // The totals are read defensively: sum() over an all-NULL weight
+    // partition is NULL (coalesce to 0), and a non-integral weight
+    // column (DOUBLE, DECIMAL) is cast to long HERE rather than
+    // ClassCastException-ing in getLong — the offset contract is
+    // integral, so a fractional weight column is rejected loudly.
+    val wType = parted.schema(weightCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(wType),
+      s"exclusiveOffsets needs an integral weight column; " +
+        s"'$weightCol' is ${wType.simpleString}")
     val totals = parted.groupBy(col("__pid"))
-      .agg(sum(col(weightCol)).as("__t"))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).cast("long").as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val bases = totals.map { case (pid, t) =>

@@ -1149,7 +1149,7 @@ object CorpusQueries {
               .as("q4")), Seq("doc_id"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"), sum(col("q4")).as("q4"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Materialize.stage)
         val tot = dom.groupBy()
           .agg(sum(col("n")).as("n_all"), sum(col("q4")).as("q4_all"))
         val wts = dom.crossJoin(broadcast(tot))
@@ -1266,7 +1266,7 @@ object CorpusQueries {
         // surv feeds both the classifier training pass and the final
         // gated join — pin it so the fingerprint window runs once
         val surv = graft.text.Dedup.exactDedup(fixture, "doc_id", "text")
-          .localCheckpoint(true)
+          .transform(graft.plans.Materialize.stage)
         val sc = graft.text.Classifier.scored(surv, "doc_id", "text",
           classifierLabel, buckets = 4096)
         val n = sc.agg(count(lit(1)).as("n_scored"))
@@ -1425,7 +1425,7 @@ object CorpusQueries {
                   / col("k").cast("double")) * lit(1e4) + lit(0.5)) / lit(1e4))
                 .as("mink_score"))
             .orderBy(col("doc_id"))
-            .localCheckpoint(true)
+            .transform(graft.plans.Materialize.stage)
         } finally terms.unpersist(false)
       },
       Some("""WITH planted AS (
@@ -1602,7 +1602,7 @@ object CorpusQueries {
                 array_sort(collect_list(struct(col("p"), col("id")))),
                 x => x.getField("id").cast("string")), " ").as("ids"))
             .orderBy(col("seq_id"))
-            .localCheckpoint(true)
+            .transform(graft.plans.Materialize.stage)
         } finally posIds.unpersist(false)
       },
       Some("""WITH t0 AS (

@@ -371,7 +371,7 @@ object PipelineQueries {
         q.awaitTermination()
         // candidates are tiny; materialize them (verifyPairsJaccard
         // consumes its pair input three times)
-        val cands = ss.table(name).distinct().localCheckpoint(true)
+        val cands = ss.table(name).distinct().transform(graft.plans.Materialize.stage)
         // stream + candidates materialized; the verify below reads only
         // `dir` — reclaim the fixture
         graft.ingest.FileOps.deleteRecursively(tmp)
@@ -472,7 +472,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= 2)
           .select(col("id_a"), col("id_b"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Materialize.stage)
         // stream + candidate set are materialized; nothing downstream
         // reads the fixture — reclaim it now
         graft.ingest.FileOps.deleteRecursively(tmp)

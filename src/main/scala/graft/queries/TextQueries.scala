@@ -938,7 +938,7 @@ object TextQueries {
           // checkpointed blocks are also reclaimed by the
           // ContextCleaner instead of leaking a CacheManager entry per
           // call.
-          .localCheckpoint(true)
+          .transform(graft.plans.Materialize.stage)
         graft.plans.Sampling.temperatureMixture(gated, "doc_id", "lang",
             temperature = 0.5, seed = "cv2")
           .select(col("doc_id"), col("lang"),
@@ -1471,7 +1471,7 @@ object TextQueries {
         val losers = dupScored
           .withColumn("__rk", row_number().over(wnd))
           .filter(col("__rk") > 1).select(col("doc_id"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Materialize.stage)
         // stage 3: leakage-safe split from the SAME stored labels; the
         // keep decision joins in as a broadcast flag
         graft.plans.Splits.assign(stored, "comp_id", seed = "graft",

@@ -110,7 +110,7 @@ object Classifier {
         .crossJoin(broadcast(prior))
         .select(col("id"), col("y"), (col("bq") + col("sq")).as("mq"),
           col("n_tok"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Materialize.stage)
     } finally dc.unpersist(false)
   }
 
@@ -156,7 +156,7 @@ object Classifier {
         floor((log(lit(1.0) / (col("t1").cast("double") + buckets.toDouble)) -
           log(lit(1.0) / (col("t0").cast("double") + buckets.toDouble)))
           * lit(1e6)).cast("long").as("wq"))
-      weights.unionByName(prior).unionByName(floorRow).localCheckpoint(true)
+      weights.unionByName(prior).unionByName(floorRow).transform(graft.plans.Materialize.stage)
     } finally dc.unpersist(false)
   }
 
@@ -244,7 +244,7 @@ object Classifier {
     // lineage-free (one corpus pass, the [[scored]] stance).
     val cc = occ(train).groupBy(col("cls"), col("j"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Materialize.stage)
     val tc = cc.groupBy(col("cls")).agg(sum(col("c")).as("t"))
     val nDocs = train.select(col(idCol), col(classCol)).distinct()
       .groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("n"))

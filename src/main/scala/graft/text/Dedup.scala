@@ -34,13 +34,8 @@ object Dedup {
     * rounds go through a RELIABLE `.checkpoint()`: files survive
     * executor loss, the loop resumes from the last round. Both forms
     * are eager and truncate lineage, so the loop plan never grows. */
-  private def roundCheckpoint(df: DataFrame): DataFrame = {
-    val ss = df.sparkSession
-    val reliable =
-      ss.conf.get("graft.checkpoint.reliable", "false").toBoolean &&
-        ss.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-  }
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    graft.plans.Materialize.stage(df)
 
   /** Exact duplicate groups: fingerprint → (keeper id, group size).
     * Map-side partial agg then one shuffle on the 128-bit digest. */
@@ -128,7 +123,7 @@ object Dedup {
                               fpp: Double = 0.01,
                               expectedItems: Option[Long] = None): DataFrame = {
     val hist = fpState.select(col(fpCol).as("__hfp")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.Materialize.stage)
     val n = expectedItems.getOrElse(hist.count())
     val deduped = exactDedup(batch, idCol, textCol)
     if (n <= 0) return deduped // empty history: everything is new
@@ -315,7 +310,7 @@ object Dedup {
         // lazy fills race on per-partition cache locks (see
         // [[withGramSets]])
         sigd.count()
-        candidatePlan(sigd, k, bands).localCheckpoint(true)
+        candidatePlan(sigd, k, bands).transform(graft.plans.Materialize.stage)
       } finally sigd.unpersist(false)
     }
   }
@@ -339,7 +334,7 @@ object Dedup {
       // cache locks (the q_curation_v2 pathology — a lazy stage cache
       // measured 4× its eager cost cold)
       s.count()
-      build(s).localCheckpoint(true)
+      build(s).transform(graft.plans.Materialize.stage)
     } finally s.unpersist(false)
   }
 
@@ -430,7 +425,7 @@ object Dedup {
       .select(when(col("__ref") === 0, col("id_a")).otherwise(col("id_b"))
         .as(idCol))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.Materialize.stage)
     val droppedSide =
       if (dropped.count() <= 1000000L) broadcast(dropped) else dropped
     newDf.join(droppedSide, Seq(idCol), "left_anti")
@@ -887,7 +882,7 @@ object Dedup {
     // either way — same executor-loss caveat, documented there.)
     val losers = dupScored.withColumn("__rk", row_number().over(wnd))
       .filter(col("__rk") > 1).select(col("id").as(idCol))
-      .localCheckpoint(true)
+      .transform(graft.plans.Materialize.stage)
     val kept = df.join(if (small) broadcast(losers) else losers, Seq(idCol), "left_anti")
     // emitting the score here spares callers a second corpus-wide eval
     scoreOut.fold(kept)(n => kept.withColumn(n, score))

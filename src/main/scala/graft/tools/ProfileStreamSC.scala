@@ -70,7 +70,7 @@ object ProfileStreamSC {
           .agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= 2)
           .select(col("id_a"), col("id_b"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Materialize.stage)
       }
       graft.ingest.FileOps.deleteRecursively(tmp)
       timed("batch verify") {

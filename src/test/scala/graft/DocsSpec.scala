@@ -15,6 +15,28 @@ class DocsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"COVERAGE.md is missing: ${missing.mkString(", ")}")
   }
 
+  test("no direct localCheckpoint outside Materialize.stage") {
+    // Every stage pin must route through graft.plans.Materialize so the
+    // reliable-checkpoint cluster idiom (graft.checkpoint.reliable +
+    // a checkpoint dir) is a single config flip — a bare
+    // localCheckpoint call silently opts its operator out.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") &&
+        !p.toString.endsWith("plans/Materialize.scala"))
+      .flatMap { p =>
+        new String(java.nio.file.Files.readAllBytes(p)).linesIterator
+          .zipWithIndex
+          .filter { case (l, _) =>
+            l.contains("localCheckpoint(") &&
+              !l.trim.startsWith("//") && !l.trim.startsWith("*") }
+          .map { case (_, i) => s"$p:${i + 1}" }
+      }.toSeq
+    assert(offenders.isEmpty,
+      s"bare localCheckpoint outside Materialize:\n${offenders.mkString("\n")}")
+  }
+
   test("every oracle belongs to a registered query") {
     val names = graft.queries.Registry.all.map(_._1).toSet
     val orphaned = graft.queries.Registry.oracleSql.keys.filterNot(names)

@@ -232,6 +232,41 @@ class PlanOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix sum under the reliable-checkpoint mode: identical offsets, null and type guards") {
+    import spark.implicits._
+    val rows = Seq(3L -> 5L, 10L -> 1L, 7L -> 2L, 100L -> 7L, 1L -> 4L)
+    val expected = graft.plans.PrefixSum
+      .exclusiveOffsets(rows.toDF("k", "w"), "k", "w")
+      .select(col("k"), col("offset")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Materialize.stage switches EVERY stage pin (prefix sum included)
+    // to reliable .checkpoint() on a flagged session — offsets must be
+    // bit-identical and checkpoint files must actually land
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-ps")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val rel = spark.newSession()
+    rel.conf.set("graft.checkpoint.reliable", "true")
+    val relDf = rel.createDataFrame(rows).toDF("k", "w")
+    val got = graft.plans.PrefixSum.exclusiveOffsets(relDf, "k", "w")
+      .select(col("k"), col("offset")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count() > 0)
+    // a NULL weight contributes 0 to downstream offsets, not an NPE
+    val withNull = Seq((1L, java.lang.Long.valueOf(4L)),
+      (2L, null: java.lang.Long), (3L, java.lang.Long.valueOf(2L)))
+      .toDF("k", "w")
+    val n = graft.plans.PrefixSum.exclusiveOffsets(withNull, "k", "w", 2)
+      .select(col("k"), col("offset")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == Map(1L -> 0L, 2L -> 4L, 3L -> 4L), n)
+    // a fractional weight column is rejected loudly, not CCE'd
+    val frac = Seq(1L -> 1.5, 2L -> 2.5).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      graft.plans.PrefixSum.exclusiveOffsets(frac, "k", "w")
+    }
+  }
+
   test("prefix sum has no unpartitioned window in its plan") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, i % 7 + 1)).toDF("k", "w")
