@@ -152,7 +152,11 @@ object AnalyticsQueries {
         graft.plans.PageRank.ranks(edges, iterations = 3)
           .orderBy(col("node"))
       },
-      Some(pagerankOracle(3))),
+      Some(pagerankOracle(3)),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_pagerank_dangling; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // Dangling-mass redistribution variant: the supplier-side nodes of
     // the interaction graph have no out-edges, so nearly half the mass

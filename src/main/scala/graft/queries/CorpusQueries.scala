@@ -235,7 +235,11 @@ object CorpusQueries {
               |FROM corpus c
               |LEFT JOIN agg a ON a.doc_id = c.doc_id
               |LEFT JOIN cnt cn ON cn.doc_id = c.doc_id
-              |ORDER BY c.doc_id""".stripMargin)),
+              |ORDER BY c.doc_id""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_span_dedup; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // Contamination SEVERITY: the binary flag above quarantines; this
     // reports what fraction of each document's distinct 5-grams is
@@ -523,7 +527,11 @@ object CorpusQueries {
              |    ELSE round((CAST(st.q AS DOUBLE) / 1000000.0) /
              |      CAST(st.n_bigrams AS DOUBLE), 4) END AS avg_logprob
              |FROM documents d LEFT JOIN st USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin)),
+             |ORDER BY d.doc_id""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_dsir_sample; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // CCNet-style perplexity partition (Wenzek et al. 2020): per
     // language, documents split into head/middle/tail terciles by
@@ -591,7 +599,11 @@ object CorpusQueries {
              |  round(CAST(sum(CAST(round(avg_logprob * 1e4) AS BIGINT)) AS DOUBLE)
              |    / (1e4 * count(*)), 4) AS mean_lp
              |FROM bucketed GROUP BY lang, bucket
-             |ORDER BY lang, bucket""".stripMargin)),
+             |ORDER BY lang, bucket""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_dsir_sample; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // DSIR-style importance resampling (Xie et al. 2023) as a pure
     // composition of existing operators: a bigram LM trained on the
@@ -716,7 +728,11 @@ object CorpusQueries {
         """SELECT doc_id, CAST(y AS INT) AS y, mq, n_tok,
           |  round(1.0 / (1.0 + exp(-(CAST(mq AS DOUBLE) / 1000000.0
           |    / CAST(n_tok AS DOUBLE)))), 4) AS score
-          |FROM mf ORDER BY doc_id""".stripMargin))),
+          |FROM mf ORDER BY doc_id""".stripMargin)),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_classifier_filter_approx; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // The classifier APPLIED as a corpus filter: keep the top decile
     // by trained margin (the Brown et al. stance — threshold by score
@@ -763,7 +779,11 @@ object CorpusQueries {
           |  round(CAST(sum(CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END) AS DOUBLE)
           |    / count(*), 4) AS keep_rate
           |FROM ranked r JOIN documents d USING (doc_id), kk
-          |GROUP BY d.source ORDER BY d.source""".stripMargin))),
+          |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_classifier_filter_approx; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // The 100 TB form of the decile gate: the keep threshold comes
     // from ONE map-side-combinable approx_percentile aggregate over
@@ -895,7 +915,11 @@ object CorpusQueries {
           |      AS n_pos,
           |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
           |    CAST(sum(CASE WHEN y = 1 THEN mid2 ELSE 0 END) AS BIGINT) AS s2
-          |  FROM mr)""".stripMargin))),
+          |  FROM mr)""".stripMargin)),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_quality_classifier-family (timed gate: q_classifier_filter_approx); this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // MULTICLASS NB language identifier with held-out evaluation: the
     // model trains on a deterministic salted-hash 80% split, predicts
@@ -1549,7 +1573,11 @@ object CorpusQueries {
              |    ORDER BY p.pos), ' ') AS ids
              |FROM pos p LEFT JOIN vocab v USING (tok)
              |GROUP BY p.doc_id
-             |ORDER BY p.doc_id""".stripMargin)),
+             |ORDER BY p.doc_id""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_train_sequences; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // Training-sequence construction — the LAST layout step before
     // tensors: every document's id stream (same top-512 vocab as

@@ -366,7 +366,11 @@ object TextQueries {
              |  CASE WHEN ('0x' || substr(md5('corpus:' || doc_id), 1, 15))::BIGINT
              |         % 10000 < 9000
              |       THEN 'train' ELSE 'val' END AS split
-             |FROM deduped ORDER BY doc_id""".stripMargin)),
+             |FROM deduped ORDER BY doc_id""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_training_pipeline; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // Fixed-window chunking (graft.text.Chunking): long docs split into
     // overlapping 64-token windows (step 48) — shuffle-free explode.
@@ -991,7 +995,11 @@ object TextQueries {
              |SELECT doc_id, lang, md5(t) AS text_fp, n_kept, quality
              |FROM gated JOIN r USING (lang)
              |WHERE ('0x' || substr(md5('cv2:' || doc_id), 1, 15))::BIGINT % 10000 < cut
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_curation_v3; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // Incremental exact dedup — the daily-ingest form: the new batch is
     // deduped within itself, then anti-joined against the HISTORICAL
@@ -1218,7 +1226,11 @@ object TextQueries {
               |  CASE WHEN un = 0 THEN 0.0 ELSE inter / un END AS jaccard
               |FROM scored
               |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
-              |ORDER BY id_a, id_b""".stripMargin)),
+              |ORDER BY id_a, id_b""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_cluster_best; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // CONTAINMENT dedup: pairs where the smaller doc's 3-gram set is
     // ≥90% inside the larger's — catches wholesale inclusion (a doc
@@ -1259,7 +1271,11 @@ object TextQueries {
               |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
               |SELECT id_a, id_b, containment
               |FROM scored WHERE containment >= 0.9
-              |ORDER BY id_a, id_b""".stripMargin)),
+              |ORDER BY id_a, id_b""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_containment_seed; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // Cross-corpus near-dup screen: the incoming batch deduped against
     // the EXISTING corpus (the batch sibling of the streaming LSH
@@ -1392,7 +1408,11 @@ object TextQueries {
         .orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $componentsCtes
               |SELECT doc_id, comp_id FROM lab
-              |ORDER BY doc_id""".stripMargin)),
+              |ORDER BY doc_id""".stripMargin),
+      // superseded-generation bench prune (r10): the family
+      // bench gate is q_cluster_best; this entry stays
+      // oracle-gated every round but is no longer timed
+      bench = false),
 
     // Quality-keeper dedup: every near-dup cluster keeps its BEST
     // document by quality score (ties → min id) instead of the minimum

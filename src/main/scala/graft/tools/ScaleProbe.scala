@@ -42,6 +42,45 @@ object ScaleProbe {
     "q_cosine_topk", "q_kmeans", "q_ann_lsh", "q_ann_ivf",
     "q_ann_rerank")
 
+  /** Vocabulary-disjoint ×`scale` replica of the base documents table
+    * (see the object doc) — shared with [[StreamProbe]]. */
+  def buildCorpus(spark: SparkSession, baseDir: String, scale: Int,
+                  dir: String): Unit = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val copies = (0 until scale).map { c =>
+      if (c == 0) base
+      else base
+        .withColumn("doc_id", col("doc_id") + lit(c.toLong * 1000000L))
+        .withColumn("text",
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            t => concat(lit(s"c$c"), t)), " "))
+    }
+    copies.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** ×`scale` replica of the embeddings table with ODD replica ids:
+    * the ANN entries define their query sets by id residue
+    * (vec_id % 100 == 0), so a residue-preserving offset would grow
+    * the QUERY set with the corpus and the probe would measure
+    * queries×corpus — quadratic by fixture (found the hard way: the
+    * v100 first cut filled the disk with window-sort spill). Odd ids
+    * are never ≡ 0 (mod 100): the query set stays the base corpus's,
+    * and growth measures the engine against a fixed workload. */
+  def buildVectors(spark: SparkSession, baseDir: String, scale: Int,
+                   dir: String): Unit = {
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val copies = (0 until scale).map { c =>
+      if (c == 0) base
+      else base.withColumn("vec_id",
+        lit(c.toLong * 10000000L) + col("vec_id") * 2 + 1)
+    }
+    copies.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: ScaleProbe <workDir> [--vectors] <scale...>")
@@ -53,40 +92,11 @@ object ScaleProbe {
     val spark = Tables.session("graft-scale-probe")
     Tables.load(spark, baseDir, "nation").count()
 
-    def buildCorpus(scale: Int, dir: String): Unit = {
-      val base = spark.read.parquet(s"$baseDir/documents.parquet")
-      val copies = (0 until scale).map { c =>
-        if (c == 0) base
-        else base
-          .withColumn("doc_id", col("doc_id") + lit(c.toLong * 1000000L))
-          .withColumn("text",
-            array_join(transform(split(trim(col("text")), "\\s+"),
-              t => concat(lit(s"c$c"), t)), " "))
-      }
-      copies.reduce(_.unionByName(_))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    }
+    def buildCorpus(scale: Int, dir: String): Unit =
+      ScaleProbe.buildCorpus(spark, baseDir, scale, dir)
 
-    def buildVectors(scale: Int, dir: String): Unit = {
-      val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
-      val copies = (0 until scale).map { c =>
-        if (c == 0) base
-        // ODD replica ids: the ANN entries define their query sets by
-        // id residue (vec_id % 100 == 0), so a residue-preserving
-        // offset would grow the QUERY set with the corpus and the
-        // probe would measure queries×corpus — quadratic by fixture
-        // (found the hard way: the v100 first cut filled the disk with
-        // window-sort spill). Odd ids are never ≡ 0 (mod 100): the
-        // query set stays the base corpus's, and growth measures the
-        // engine against a fixed workload.
-        else base.withColumn("vec_id",
-          lit(c.toLong * 10000000L) + col("vec_id") * 2 + 1)
-      }
-      copies.reduce(_.unionByName(_))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    }
+    def buildVectors(scale: Int, dir: String): Unit =
+      ScaleProbe.buildVectors(spark, baseDir, scale, dir)
 
     def resetState(): Unit = {
       spark.sparkContext.getPersistentRDDs.values

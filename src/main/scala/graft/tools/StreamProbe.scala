@@ -1,0 +1,203 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scaling probe for the STREAMING state family — the 100 TB risk the
+  * batch [[ScaleProbe]] can't see: state-store growth. Each probed
+  * pipeline is the same machinery its registry entry runs
+  * (`q_stream_neardup`, `q_stream_containment`,
+  * `q_stream_vector_ingest`), but the probe owns the StreamingQuery,
+  * so alongside wall time it records the state-operator metrics Spark
+  * reports per micro-batch: peak state rows and peak state-store
+  * memory. A superlinear STATE column is the smoke signal even when
+  * wall time still looks fine — state is what evicts first on a real
+  * cluster.
+  *
+  * Corpus scaling reuses [[ScaleProbe]]'s vocabulary-disjoint replicas:
+  * duplicate structure (planted pairs, candidate fan-out) stays
+  * constant while the corpus grows, so growth measures the ENGINE.
+  * The planted set stays the base corpus's 10/20 docs at every scale —
+  * the posting/bucket STATE is what grows with the corpus, which is
+  * exactly the quantity under test.
+  *
+  * Usage: `runMain graft.tools.StreamProbe <workDir> <scale...>` with
+  * `SPARK_GRAFT_SF_DIR` as the base. Output: one JSON line per
+  * (scale, pipeline) with sec (min-of-2), peak state rows and bytes,
+  * then fitted exponents (time and state) per pipeline. */
+object StreamProbe {
+
+  final case class Probe(sec: Double, stateRows: Long, stateBytes: Long)
+
+  private def withStream(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Probe = {
+    val t0 = System.nanoTime()
+    val q = start
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val ops = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    Probe(sec,
+      if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max,
+      if (ops.isEmpty) 0L else ops.map(_.memoryUsedBytes).max)
+  }
+
+  /** q_stream_neardup's machinery: LSH bucket state over the corpus
+    * (batch 1, 8 files) + planted copies (batch 2). */
+  def nearDup(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-nd")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000000L).as("doc_id"),
+      concat(col("text"), lit(" trailing")).as("text"))
+    graft.queries.StreamFixtures.writeBatch(tmp, src, docs, "a", 8, 1000000000000L)
+    graft.queries.StreamFixtures.writeBatch(tmp, src, planted, "b", 1, 1000000060000L)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(src.toString)
+    val name = s"sprobe_nd_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+    val probe = withStream {
+      graft.streaming.StreamNearDup
+        .candidateStream(raw, "doc_id", "text", threshold = 0.5)(ss)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    ss.catalog.dropTempView(name)
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    probe
+  }
+
+  /** q_stream_containment's machinery: seed-gram posting state. */
+  def containment(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-sc")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pad = array_join(
+      transform(sequence(lit(1), lit(1499)),
+        i => concat(lit("pady"), i.cast("string"))), " ")
+    val buried = docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 500000000L).as("doc_id"),
+      concat(col("text"), lit(" "), pad).as("text"))
+    graft.queries.StreamFixtures.writeBatch(tmp, src, docs, "a", 8, 1000000000000L)
+    graft.queries.StreamFixtures.writeBatch(tmp, src, buried, "b", 1, 1000000060000L)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(src.toString)
+    val name = s"sprobe_sc_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+    val probe = withStream {
+      graft.streaming.StreamSeedGram
+        .seedPairStream(raw, "doc_id", "text", w = 3, seedMod = 8,
+          maxDf = 1000,
+          gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3)))(ss)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    ss.catalog.dropTempView(name)
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    probe
+  }
+
+  /** q_stream_vector_ingest's machinery: stateless foreachBatch
+    * assignment against broadcast centroids — the probe documents that
+    * state stays ZERO while throughput scales with the table. */
+  def vectorIngest(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-vec")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val cents = graft.vector.KMeans.fitCentroids(
+      emb, "vec_id", "embedding", k = 16, iters = 2)
+    import s.implicits._
+    val centroids = cents.toDF("cid", "embedding")
+    graft.queries.StreamFixtures.writeBatch(tmp, src,
+      emb.filter(col("vec_id") % 2 === 0), "a", 4, 1000000000000L)
+    graft.queries.StreamFixtures.writeBatch(tmp, src,
+      emb.filter(col("vec_id") % 2 === 1), "b", 4, 1000000060000L)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val out = tmp.resolve("assign").toString
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src.toString)
+    val probe = withStream {
+      raw.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.vector.Ann.ivfAssign(batch, "vec_id", "embedding", centroids)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    probe
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: StreamProbe <workDir> <scale...>")
+    val workDir = args(0)
+    val scales = args.drop(1).map(_.toInt).toSeq.sorted
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Tables.session("graft-stream-probe")
+    graft.Tables.load(spark, baseDir, "nation").count()
+    val pipelines: Seq[(String, (SparkSession, String) => Probe)] = Seq(
+      "stream_neardup" -> nearDup,
+      "stream_containment" -> containment,
+      "stream_vector_ingest" -> vectorIngest)
+
+    def reset(): Unit = {
+      try org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreHygiene.unloadAllProviders()
+      catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    val results = scales.map { scale =>
+      val dir = s"$workDir/x$scale"
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        ScaleProbe.buildCorpus(spark, baseDir, scale, dir)
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        ScaleProbe.buildVectors(spark, baseDir, scale, dir)
+      val rows = pipelines.map { case (pname, fn) =>
+        val attempts = (1 to 2).map { _ =>
+          val p = fn(spark, dir); reset(); p
+        }
+        val best = attempts.minBy(_.sec)
+        println(s"""{"scale":$scale,"pipeline":"$pname","sec":${f"${best.sec}%.2f"},"state_rows":${best.stateRows},"state_bytes":${best.stateBytes}}""")
+        pname -> best
+      }
+      scale -> rows.toMap
+    }
+    if (scales.size >= 2) {
+      val lo = scales.head; val hi = scales.last
+      val ratio = math.log(hi.toDouble / lo)
+      println("pipeline,time_exponent,state_rows_exponent,t_lo,t_hi,rows_lo,rows_hi,bytes_hi")
+      pipelines.foreach { case (n, _) =>
+        val a = results.head._2(n); val b = results.last._2(n)
+        val tExp = math.log(b.sec / a.sec) / ratio
+        val rExp =
+          if (a.stateRows > 0 && b.stateRows > 0)
+            math.log(b.stateRows.toDouble / a.stateRows) / ratio
+          else 0.0
+        println(f"$n,$tExp%.2f,$rExp%.2f,${a.sec}%.2f,${b.sec}%.2f,${a.stateRows},${b.stateRows},${b.stateBytes}")
+      }
+    }
+    spark.stop()
+  }
+}
