@@ -826,9 +826,10 @@ object Core {
     // Media featurization that needs NO stub: per-payload byte-value
     // histogram (content sniffing / corruption screens) — the
     // fixed-width-vector-out kernel shape of any media featurizer,
-    // recomputed byte-for-byte by the oracle. Restricted to the first
-    // 100 docs: the hex explode is ~2 rows/byte, and the operator under
-    // test is the kernel, not the volume.
+    // recomputed byte-for-byte by the oracle (which still unrolls per
+    // byte — DuckDB has no vector kernel). Restricted to the first
+    // 100 docs so the ORACLE side stays cheap; the Spark side is the
+    // one-pass graft_bytehist kernel.
     "q_media_histogram" -> Q(
       (s, dir) => graft.multimodal.Binary.byteHistogram(
         graft.multimodal.Binary.mediaTable(

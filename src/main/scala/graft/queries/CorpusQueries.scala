@@ -1679,6 +1679,52 @@ object CorpusQueries {
              |FROM g GROUP BY seq_id
              |ORDER BY seq_id""".stripMargin)),
 
+    // Global shard layout — the file-stitching planner: every document
+    // is assigned to the output shard its global token OFFSET starts
+    // in (shards of 8192 tokens, whole docs never split — the
+    // counterpart of q_train_sequences' token-exact packing), and the
+    // answer is the per-shard manifest a layout job hands the writer:
+    // doc count, token count, id range. The global offset is the
+    // distributed two-pass prefix sum (plans/PrefixSum — per-partition
+    // totals → driver cumulate → broadcast bases), NOT an
+    // unpartitioned window; this is PrefixSum's second production
+    // consumer, exercising it on a weight relation (token counts)
+    // rather than id streams.
+    "q_shard_layout" -> Q(
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(filter(split(trim(lower(col("text"))), "\\s+"),
+              t => length(t) > 0)).cast("long").as("w"))
+        graft.plans.PrefixSum.exclusiveOffsets(toks, "doc_id", "w")
+          .select(col("doc_id"), col("w"),
+            expr("offset div 8192").as("shard_id"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("w")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(
+             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0)) AS BIGINT) AS w
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, w,
+             |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS off
+             |  FROM t)
+             |SELECT CAST(off // 8192 AS BIGINT) AS shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(w) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM o GROUP BY shard_id
+             |ORDER BY shard_id""".stripMargin)),
+
     // Perceptual-hash grouping over MEDIA payloads: the byte-value
     // histogram (the real multimodal featurizer, no stub) at 64
     // buckets collapses to a sign signature against the OCCUPIED-MEAN

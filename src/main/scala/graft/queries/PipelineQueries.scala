@@ -840,6 +840,66 @@ object PipelineQueries {
       },
       Some(AnalyticsQueries.funnelOracle)),
 
+    // CDC landing as a REAL stream: three change batches (initial
+    // load, then two update/insert waves) drive the exactly-once
+    // foreachBatch MERGE sink (graft.streaming.UpsertSink — the
+    // txn-marker-in-commit pattern). The oracle replays last-writer-
+    // wins per key across the batch sequence, so lost updates, missed
+    // inserts, or a double-applied batch all turn the row red. After
+    // the stream completes, batch 0 is RE-DELIVERED by hand through
+    // the sink — the committed-batch marker must make it a no-op, so
+    // idempotence is part of the oracle-checked answer, not just the
+    // StreamingSpec failure-injection coverage. Scale shape: per
+    // micro-batch one MERGE against the target (partition-scoped when
+    // keys cover the partition columns — spec-gated route); sink state
+    // is one integer per (table, epoch).
+    "q_stream_cdc_merge" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-cdc")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val sup = Tables.load(s, dir, "supplier")
+        def wave(pred: org.apache.spark.sql.Column, delta: Double) =
+          sup.filter(pred).select(col("s_suppkey"),
+            (col("s_acctbal") + delta).as("bal"))
+        val w0 = wave(col("s_suppkey") % 2 === 0, 0.0)
+        StreamFixtures.writeBatch(tmp, src, w0, "a", 1, 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src,
+          wave(col("s_suppkey") % 3 === 0, 100.0), "b", 1, 1000000060000L)
+        StreamFixtures.writeBatch(tmp, src,
+          wave(col("s_suppkey") % 5 === 0, 1000.0), "c", 1, 1000000120000L)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val schema = ss.read.parquet(src.toString).schema
+        val table = graft.catalog.ParquetTable(
+          ss, "cdc_target", tmp.resolve("target").toString, schema)
+        val ckpt = tmp.resolve("ckpt").toString
+        val sink = new graft.streaming.UpsertSink(table, Seq("s_suppkey"),
+          Map("bal" -> graft.catalog.Merge.src("bal")), ckpt)
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+          .writeStream
+          .foreachBatch(sink.apply _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // redeliver batch 0: the marker makes this a committed no-op —
+        // if it re-applied, every %2 key's bal would regress to wave-0
+        sink.apply(ss.read.parquet(s"$src/a_0.parquet"), 0L)
+        table.read()
+          .select(col("s_suppkey"), round(col("bal"), 2).as("bal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey,
+             |  round(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 1000.0
+             |             WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+             |             ELSE s_acctbal END, 2) AS bal
+             |FROM supplier
+             |WHERE s_suppkey % 2 = 0 OR s_suppkey % 3 = 0
+             |   OR s_suppkey % 5 = 0
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // S1 at scale: one-shot parquet ingest of the whole events table —
     // the throughput-relevant ingest bench (streaming scan → project →
     // sink, no shuffle).
