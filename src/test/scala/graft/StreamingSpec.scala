@@ -713,4 +713,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("sg_out").groupBy("id_a", "id_b").count().count() == 1)
     } finally { q.stop(); q.awaitTermination() }
   }
+
+  test("StreamFixtures multi-file batches: one mtime stamp = one micro-batch") {
+    // The streaming oracle entries' cross-batch-state claim rests on
+    // FileStreamSource consuming all of a stamp's files in ONE trigger
+    // and the later stamp in the NEXT - if the source ever interleaved
+    // them, planted pairs would be found within-batch and the entries
+    // would silently stop exercising state restore. Pin the contract:
+    // 8 same-stamp files + 1 later file under maxFilesPerTrigger=8
+    // must yield exactly 2 batches with the exact row split.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sfx")
+    val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+    val a = (0L until 80L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val b = (100L until 110L).map(i => (i, s"late $i")).toDF("doc_id", "text")
+    graft.queries.StreamFixtures.writeBatch(tmp, src, a, "a", 8, 1000000000000L)
+    graft.queries.StreamFixtures.writeBatch(tmp, src, b, "b", 1, 1000000060000L)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(src.toString)
+      .writeStream.format("memory").queryName("sfx_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).toSeq
+    assert(batches == Seq(80L, 10L),
+      s"expected batch split [80, 10], got $batches")
+    ss.catalog.dropTempView("sfx_out")
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
 }
