@@ -1679,6 +1679,62 @@ object CorpusQueries {
              |FROM g GROUP BY seq_id
              |ORDER BY seq_id""".stripMargin)),
 
+    // Cross-document shared-FRAME detection — the partial-content-
+    // reuse screen whole-payload hashing can't see (the video/audio
+    // near-dup analogue: two files sharing an intro segment hash
+    // differently as wholes but identically frame by frame). Payloads
+    // slice into fixed 256-byte frames (multimodal/Binary.sampleFrames
+    // — the decoder-seek plumbing), each frame keys by its exact bytes
+    // (hex — charset-proof against multi-byte splits at frame
+    // boundaries, the q_media_frames stance), and frames appearing in
+    // MORE THAN ONE document are reported with their spread. The 15
+    // planted docs share one leading 256-byte frame; natural text
+    // produces no 256-byte collisions, so the planted group is the
+    // signal and every other row is honest corpus structure. Map-side
+    // slicing + one shuffle on the frame key; no pairwise comparison.
+    "q_media_frame_dedup" -> Q(
+      (s, dir) => {
+        val intro = "shared leading media segment " // 29 chars
+        val template = (intro * 9).take(256) // exactly one frame
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 15, concat(lit(template), col("text")))
+              .otherwise(col("text")).as("text"))
+        val media = graft.multimodal.Binary.mediaTable(planted)
+        graft.multimodal.Binary.sampleFrames(media, frameBytes = 256, nFrames = 4)
+          .select(col("doc_id"), lower(hex(col("frame_bytes"))).as("fh"))
+          .groupBy(col("fh"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_frames"),
+            min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") > 1)
+          .select(md5(col("fh")).as("frame_sig"), col("n_docs"),
+            col("n_frames"), col("min_doc"))
+          .orderBy(col("frame_sig"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 15
+             |      THEN substr(repeat('shared leading media segment ', 9),
+             |             1, 256) || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM planted),
+             |fr AS (
+             |  SELECT doc_id,
+             |    substr(h, CAST(g.g * 512 + 1 AS INT), 512) AS fh
+             |  FROM m, range(4) g(g)
+             |  WHERE nb > g.g * 256)
+             |SELECT md5(fh) AS frame_sig,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_frames,
+             |  min(doc_id) AS min_doc
+             |FROM fr GROUP BY fh HAVING count(DISTINCT doc_id) > 1
+             |ORDER BY frame_sig""".stripMargin)),
+
     // Global shard layout — the file-stitching planner: every document
     // is assigned to the output shard its global token OFFSET starts
     // in (shards of 8192 tokens, whole docs never split — the
