@@ -921,6 +921,48 @@ object CorpusQueries {
       // oracle-gated every round but is no longer timed
       bench = false),
 
+    // The 100 TB form of AUC: the margin HISTOGRAM estimator.
+    // q_classifier_auc's exact Mann–Whitney ranks the whole corpus
+    // through one ordering task; here margins quantize to fixed
+    // 1e-4 buckets via floor(mq·10⁴ / n_tok) — a DOUBLE floor, which
+    // IEEE evaluates identically in any engine, so unlike a
+    // sketch-thresholded estimate this one is DETERMINISTIC and the
+    // oracle replays it exactly (no tolerance contract needed). AUC
+    // then reads off the bucket counts with in-bucket pairs counted as
+    // ties (the midrank convention): A2 = Σ_b n1_b·(2·cumN0_below+n0_b),
+    // AUC = A2 / (2·n1·n0) — all-integer until the final division.
+    // The only window runs over the BUCKET relation, whose size is
+    // bounded by margin range × resolution (a fixture-independent
+    // constant), never by the corpus — PlanSpec gates that the window's
+    // input is post-aggregation. Estimator error vs the exact rank is
+    // bounded by in-bucket ties; ClassifierSpec pins the two AUCs to
+    // agree within one bucket's mass on a mixed-margin fixture.
+    "q_classifier_auc_hist" -> Q(
+      (s, dir) => graft.text.Classifier.histAuc(
+        graft.text.Classifier.scored(classifierFixture(s, dir),
+          "doc_id", "text", classifierLabel, buckets = 4096)),
+      Some(classifierOracle(4096,
+        """,
+          |hist AS (
+          |  SELECT CAST(floor(CAST(mq AS DOUBLE) * 10000.0
+          |           / CAST(n_tok AS DOUBLE)) AS BIGINT) AS b,
+          |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+          |  FROM mf GROUP BY 1),
+          |cum AS (
+          |  SELECT b, n1, n0,
+          |    CAST(coalesce(sum(n0) OVER (ORDER BY b
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum0
+          |  FROM hist)
+          |SELECT n_pos, n_neg,
+          |  round(CAST(a2 AS DOUBLE) / (2.0 * n_pos * n_neg), 4) AS auc
+          |FROM (
+          |  SELECT CAST(sum(n1) AS BIGINT) AS n_pos,
+          |    CAST(sum(n0) AS BIGINT) AS n_neg,
+          |    CAST(sum(n1 * (2 * cum0 + n0)) AS BIGINT) AS a2
+          |  FROM cum)""".stripMargin))),
+
     // MULTICLASS NB language identifier with held-out evaluation: the
     // model trains on a deterministic salted-hash 80% split, predicts
     // the language of the held-out 20%, and the oracle-checked answer

@@ -199,6 +199,41 @@ object Classifier {
   def avgMargin: Column =
     col("mq").cast("double") / col("n_tok").cast("double")
 
+  /** Histogram ROC-AUC estimator — the 100 TB form of
+    * [[graft.queries.CorpusQueries]]'s exact Mann–Whitney entry, which
+    * ranks the whole corpus through one ordering task. Margins
+    * quantize to fixed `1/resolution` buckets via
+    * `floor(mq·resolution / n_tok)` (a DOUBLE floor — IEEE evaluates
+    * it identically in any engine, so the estimate is DETERMINISTIC
+    * and oracle-replayable, unlike a sketch threshold); AUC reads off
+    * the bucket counts with in-bucket pairs as ties (midrank
+    * convention): `A2 = Σ_b n1_b·(2·cumN0_below + n0_b)`,
+    * `AUC = A2/(2·n1·n0)` — all-integer until the final division.
+    * Estimator error vs the exact rank is bounded by the probability
+    * mass of cross-class in-bucket ties (ClassifierSpec pins it).
+    * The one window runs over the BUCKET relation — bounded by margin
+    * range × resolution, a corpus-independent constant. Input:
+    * a (y, mq, n_tok) relation ([[scored]]'s shape). */
+  def histAuc(scored: DataFrame, resolution: Double = 10000.0): DataFrame = {
+    val hist = scored
+      .select(col("y"),
+        floor(col("mq").cast("double") * lit(resolution) /
+          col("n_tok").cast("double")).cast("long").as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum0", coalesce(sum(col("n0")).over(w), lit(0L)))
+      .agg(sum(col("n1")).as("n_pos"), sum(col("n0")).as("n_neg"),
+        sum(col("n1") * (lit(2L) * col("cum0") + col("n0"))).as("a2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("a2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
+  }
+
   /** MULTICLASS multinomial NB — the language-ID / source-ID shape:
     * train per-class log-likelihood weights on `train`, score every
     * `test` document against every trained class, and emit the argmax

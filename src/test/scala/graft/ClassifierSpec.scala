@@ -116,4 +116,40 @@ class ClassifierSpec extends AnyFunSuite {
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 1L))
   }
+
+  test("histogram AUC agrees with the exact midrank AUC within in-bucket tie mass") {
+    // a mixed-margin relation with overlap between the classes (AUC
+    // well inside (0.5, 1)) plus engineered cross-class in-bucket
+    // collisions; the histogram estimator at 1e-4 resolution must land
+    // within one bucket's tie mass of the exact Mann-Whitney value
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 400).map { i =>
+      val y = i % 2
+      // positives shifted up but overlapping; n_tok varies so the
+      // margin division exercises non-integer buckets
+      val mq = (if (y == 1) 1500000L else 900000L) + rnd.nextInt(1200000).toLong
+      (y.toLong, mq, 7L + (i % 13))
+    }
+    val df = rows.toDF("y", "mq", "n_tok")
+    val got = Classifier.histAuc(df).head()
+    // exact midrank AUC on the same margins, computed directly
+    val ms = rows.map { case (y, mq, n) => (y, mq.toDouble / n) }
+    val sorted = ms.sortBy(_._2)
+    // .toSeq BEFORE flatMap: flatMapping a Map with pair results
+    // rebuilds a Map keyed on y, silently collapsing the rank list
+    val ranks = sorted.zipWithIndex.groupBy(_._1._2).toSeq
+      .flatMap { case (_, g) =>
+        val mid = g.map(_._2 + 1).sum.toDouble / g.size
+        g.map { case ((y, _), _) => (y, mid) }
+      }
+    val n1 = ms.count(_._1 == 1L).toDouble
+    val n0 = ms.size - n1
+    val exact = (ranks.filter(_._1 == 1L).map(_._2).sum - n1 * (n1 + 1) / 2) /
+      (n1 * n0)
+    assert(got.getLong(0) == n1.toLong && got.getLong(1) == n0.toLong)
+    val hist = got.getDouble(2)
+    assert(math.abs(hist - exact) < 0.005,
+      s"hist=$hist exact=$exact")
+    assert(hist > 0.55 && hist < 0.95, s"degenerate fixture: $hist")
+  }
 }

@@ -158,6 +158,33 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected global sorts:\n${globalSorts.mkString("\n")}")
   }
 
+  test("histogram AUC: the only window runs post-aggregation, never over the corpus") {
+    // q_classifier_auc's exact rank windows the corpus-sized margin
+    // relation through one task; the _hist twin's window must consume
+    // the BUCKET aggregate (corpus-independent cardinality) — every
+    // WindowExec in the plan needs an aggregate beneath it before any
+    // file scan
+    val df = SparkEntry.queries("q_classifier_auc_hist")(spark, sf)
+    df.collect()
+    val nodes = executedNodes(df.queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case wnd: org.apache.spark.sql.execution.window.WindowExec => wnd }
+    assert(windows.nonEmpty, "expected the bucket-cumulation window")
+    windows.foreach { wnd =>
+      val sub = executedNodes(wnd)
+      def firstAgg = sub.indexWhere(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec])
+      def firstScan = sub.indexWhere(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      assert(firstAgg >= 0 && (firstScan < 0 || firstAgg < firstScan),
+        s"window consumes a raw scan:\n${wnd.toString}")
+    }
+  }
+
   test("materialized-stage composition: the output plan reads stored labels once, no LSH re-run") {
     // the pipeline entry persists components to a ParquetTable; its
     // OUTPUT plan must be split-assign over ONE scan of that table
