@@ -63,6 +63,13 @@ object TextExpressions {
           case _ => throw new IllegalArgumentException(
             "graft_bytehist expects (payload binary[, buckets integer literal])")
         }),
+      (FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (args: Seq[Expression]) => args match {
+          case Seq(text) => NfcNormalize(text)
+          case _ => throw new IllegalArgumentException(
+            "graft_nfc expects (text string)")
+        }),
       (FunctionIdentifier("graft_subword"),
         new ExpressionInfo(classOf[SubwordTokenCount].getName, "graft_subword"),
         (args: Seq[Expression]) => args match {

@@ -1823,6 +1823,44 @@ object CorpusQueries {
              |FROM o GROUP BY shard_id
              |ORDER BY shard_id""".stripMargin)),
 
+    // Seeded epoch shuffle — the deterministic global permutation a
+    // training run needs per epoch: order the corpus by
+    // md5(seed ‖ ':' ‖ doc_id) and assign each document its 0-based
+    // global position. Hash-ordering gives a reproducible, resumable
+    // shuffle with NO materialized permutation table and no
+    // coordination — any worker can recompute any document's position
+    // from (seed, doc_id) alone — and changing the seed re-permutes the
+    // corpus for the next epoch. The position assignment is
+    // plans/PrefixSum over the hash ordering (range-partition on the
+    // hash → per-partition totals → broadcast bases), NOT a global
+    // row_number window: the single-task sort that window would funnel
+    // 100 TB through is the exact anti-pattern this entry exists to
+    // displace. Two epochs run to pin that the permutations are
+    // (a) deterministic per seed and (b) different across seeds —
+    // PlanSpec gates the no-single-task-sort shape, the oracle replays
+    // both permutations exactly via row_number in DuckDB.
+    "q_epoch_shuffle" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lit(1L).as("one"))
+        def pos(seed: String, as: String) =
+          graft.plans.PrefixSum.exclusiveOffsets(
+              docs.withColumn("h",
+                md5(concat(lit(seed + ":"), col("doc_id").cast("string")))),
+              "h", "one")
+            .select(col("doc_id"), col("offset").as(as))
+        pos("e0", "pos_e0").join(pos("e1", "pos_e1"), Seq("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    md5('e0:' || doc_id) AS h0, md5('e1:' || doc_id) AS h1
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY h0) - 1 AS BIGINT) AS pos_e0,
+             |  CAST(row_number() OVER (ORDER BY h1) - 1 AS BIGINT) AS pos_e1
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // Perceptual-hash grouping over MEDIA payloads: the byte-value
     // histogram (the real multimodal featurizer, no stub) at 64
     // buckets collapses to a sign signature against the OCCUPIED-MEAN

@@ -1551,6 +1551,54 @@ object TextQueries {
              |  FROM events)
              |SELECT event_id AS id, comp
              |FROM counted WHERE n >= 2 ORDER BY id""".stripMargin),
-      bench = false)
+      bench = false),
+
+    // Unicode NFC canonicalization — the pass that must run BEFORE any
+    // hash-keyed operator (exact dedup, MinHash shingles, containment
+    // grams, token-id lookup): composed "é" (U+00E9) and decomposed
+    // "e"+U+0301 hash differently, so sources that disagree on
+    // normalization form (NFD is classic for OCR and macOS uploads)
+    // silently miss every cross-source duplicate. The fixture plants a
+    // DECOMPOSED prefix (combining acute/ring/diaeresis/grave) on 12
+    // docs; `graft_nfc` (native codegen kernel, map-only, no-alloc
+    // fast path on already-normalized text) composes them, and the
+    // entry reports per-doc whether normalization changed the text,
+    // the code-point lengths before/after (composition shrinks them),
+    // and the md5 of the normalized utf-8 — bit-equality with ICU's
+    // nfc_normalize in DuckDB, since NFC composition is frozen by the
+    // Unicode stability policy.
+    "q_text_normalize" -> Q(
+      (s, dir) => {
+        // combining acute U+0301, ring U+030A, diaeresis U+0308,
+        // grave U+0300 — DECOMPOSED spellings ("cafe"+mark), which
+        // NFC composes to single code points
+        val decomposed = "café Å grün vis-à-vis "
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 12, concat(lit(decomposed), col("text")))
+              .otherwise(col("text")).as("t"))
+        planted
+          .select(col("doc_id"), col("t"),
+            call_function("graft_nfc", col("t")).as("nf"))
+          .select(col("doc_id"),
+            (col("t") =!= col("nf")).cast("int").as("changed"),
+            length(col("t")).cast("long").as("len_raw"),
+            length(col("nf")).cast("long").as("len_nfc"),
+            md5(col("nf")).as("nfc_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 12
+             |      THEN 'cafe' || chr(769) || ' A' || chr(778) || ' gru'
+             |           || chr(776) || 'n vis-a' || chr(768) || '-vis ' || text
+             |      ELSE text END AS t
+             |  FROM documents),
+             |n AS (SELECT doc_id, t, nfc_normalize(t) AS nf FROM planted)
+             |SELECT doc_id, CAST(t <> nf AS INT) AS changed,
+             |  CAST(length(t) AS BIGINT) AS len_raw,
+             |  CAST(length(nf) AS BIGINT) AS len_nfc,
+             |  md5(nf) AS nfc_md5
+             |FROM n ORDER BY doc_id""".stripMargin))
   )
 }

@@ -299,4 +299,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(0) == Seq((9L, 1L), (5L, 10L)))
     assert(rows(1) == Seq((4L, 4L)))
   }
+  test("graft_nfc composes decomposed text, is idempotent, and survives codegen") {
+    // decomposed (base + combining mark) -> composed single code point;
+    // the expected strings are built from explicit code points so the
+    // test cannot depend on this FILE's own normalization form
+    val acute = "\u0301"; val ring = "\u030a"
+    val rows = Seq(
+      (1L, "cafe" + acute),                // e + combining acute -> \u00e9
+      (2L, "A" + ring),                    // A + combining ring -> \u00c5
+      (3L, "plain ascii stays untouched"),
+      (4L, "caf\u00e9"),                   // already NFC: fast path
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    def run() = rows
+      .select(col("id"), call_function("graft_nfc", col("t")).as("n"))
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = Array(
+      1L -> "caf\u00e9", 2L -> "\u00c5",
+      3L -> "plain ascii stays untouched", 4L -> "caf\u00e9", 5L -> null)
+    // codegen path AND the interpreted fallback must agree exactly
+    val got = run()
+    assert(got.sameElements(expected), got.mkString(", "))
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run().sameElements(expected))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // idempotence: NFC(NFC(x)) == NFC(x), and SQL-text resolution works
+    rows.filter(col("t").isNotNull).createOrReplaceTempView("nfc_in")
+    val twice = spark.sql(
+      "SELECT sum(CASE WHEN graft_nfc(graft_nfc(t)) = graft_nfc(t) " +
+        "THEN 0 ELSE 1 END) AS bad FROM nfc_in").head.getLong(0)
+    assert(twice == 0L)
+    // misuse is an analysis error, not a runtime one
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc(42)").collect()
+    }
+  }
 }

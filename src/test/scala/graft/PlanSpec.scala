@@ -185,6 +185,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch shuffle: every window is partition-scoped and only the presentation sort is global") {
+    // q_epoch_shuffle's position assignment is PrefixSum over the
+    // epoch-hash ordering; a global row_number window (the obvious
+    // formulation) would funnel the corpus through ONE ordering task.
+    // Gate: no WindowExec with an empty partitionSpec, and the only
+    // global SortExec is the few-hundred-row presentation orderBy.
+    val df = SparkEntry.queries("q_epoch_shuffle")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val nodes = executedNodes(df.queryExecution.executedPlan)
+    val unpartitioned = nodes.collect {
+      case wnd: org.apache.spark.sql.execution.window.WindowExec
+        if wnd.partitionSpec.isEmpty => wnd
+    }
+    assert(unpartitioned.isEmpty,
+      s"global window in epoch shuffle:\n${unpartitioned.mkString("\n")}")
+    val globalSorts = nodes.collect {
+      case srt: org.apache.spark.sql.execution.SortExec if srt.global => srt
+    }
+    assert(globalSorts.size <= 1,
+      s"unexpected global sorts:\n${globalSorts.mkString("\n")}")
+  }
+
   test("materialized-stage composition: the output plan reads stored labels once, no LSH re-run") {
     // the pipeline entry persists components to a ParquetTable; its
     // OUTPUT plan must be split-assign over ONE scan of that table
