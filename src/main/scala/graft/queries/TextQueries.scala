@@ -1599,6 +1599,61 @@ object TextQueries {
              |  CAST(length(t) AS BIGINT) AS len_raw,
              |  CAST(length(nf) AS BIGINT) AS len_nfc,
              |  md5(nf) AS nfc_md5
-             |FROM n ORDER BY doc_id""".stripMargin))
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // Cross-normalization-form dedup — the operational consequence of
+    // q_text_normalize: two sources emit the SAME visible text in
+    // different Unicode forms (10 composed docs, 10 decomposed docs,
+    // five shared contents), so raw-byte md5 splits each content into
+    // two groups and the duplicate pair is INVISIBLE to byte-keyed
+    // exact dedup. Keying on md5(graft_nfc(text)) unifies them; the
+    // entry reports exactly the groups canonicalization recovered
+    // (distinct raw keys > 1 under one NFC key) — 5 groups of 4 docs
+    // in 2 raw forms each. ASCII text is NFC-fixed, so a natural doc
+    // can never appear here (raw differs ⇒ NFC differs). One map pass
+    // + one hash-keyed groupBy; bench=false (q_text_normalize already
+    // times the kernel scan — this entry is the semantics gate).
+    "q_dedup_nfc" -> Q(
+      (s, dir) => {
+        val composed = "r\u00e9sum\u00e9 na\u00efve caf\u00e9 doc "
+        val decomposed = "re\u0301sume\u0301 nai\u0308ve cafe\u0301 doc "
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 10,
+              concat(lit(composed), (col("doc_id") % 5).cast("string")))
+              .when(col("doc_id").between(100, 109),
+                concat(lit(decomposed), (col("doc_id") % 5).cast("string")))
+              .otherwise(col("text")).as("t"))
+        planted
+          .select(col("doc_id"), md5(col("t")).as("raw_key"),
+            md5(call_function("graft_nfc", col("t"))).as("nfc_key"))
+          .groupBy(col("nfc_key"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("raw_key")).as("n_forms"),
+            min(col("doc_id")).as("min_doc"))
+          .filter(col("n_forms") > 1)
+          .orderBy(col("min_doc"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id < 10 THEN nfc_normalize(
+             |      're' || chr(769) || 'sume' || chr(769) || ' nai'
+             |      || chr(776) || 've cafe' || chr(769) || ' doc '
+             |      || (doc_id % 5))
+             |    WHEN doc_id BETWEEN 100 AND 109 THEN
+             |      're' || chr(769) || 'sume' || chr(769) || ' nai'
+             |      || chr(776) || 've cafe' || chr(769) || ' doc '
+             |      || (doc_id % 5)
+             |    ELSE text END AS t
+             |  FROM documents),
+             |k AS (SELECT doc_id, md5(t) AS raw_key,
+             |        md5(nfc_normalize(t)) AS nfc_key FROM planted)
+             |SELECT nfc_key, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT raw_key) AS BIGINT) AS n_forms,
+             |  min(doc_id) AS min_doc
+             |FROM k GROUP BY nfc_key
+             |HAVING count(DISTINCT raw_key) > 1
+             |ORDER BY min_doc""".stripMargin),
+      bench = false)
   )
 }
