@@ -1861,6 +1861,73 @@ object CorpusQueries {
              |  CAST(row_number() OVER (ORDER BY h1) - 1 AS BIGINT) AS pos_e1
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Sequence-length bucketing — the batching layout between naive
+    // pad-to-global-max (every batch pays the longest doc in the
+    // corpus) and token-exact packing (q_train_sequences, which
+    // splits documents): docs grouped into power-of-2 length buckets
+    // [16..8192] and padded only to their bucket width, keeping
+    // documents intact while bounding pad waste to <50% per bucket by
+    // construction. The entry emits the per-bucket manifest a batch
+    // scheduler consumes — doc count, real tokens, pad waste at the
+    // bucket width, batch count at B=8 — plus the corpus-wide waste
+    // the bucketing AVOIDS (pad-to-max delta). Bucket choice is an
+    // integer CASE ladder, not float log2 (exact powers of two would
+    // sit on the rounding boundary); one map pass + one ~10-group
+    // aggregate, no shuffle beyond it.
+    "q_length_buckets" -> Q(
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(filter(split(trim(lower(col("text"))), "\\s+"),
+              t => length(t) > 0)).cast("long").as("n"))
+        val width = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L,
+          4096L).foldRight(lit(8192L): org.apache.spark.sql.Column) {
+            (b, rest) => when(col("n") <= b, lit(b)).otherwise(rest)
+          }
+        // ONE corpus scan: the global max (for the pad-to-max baseline)
+        // is recovered post-aggregation as max(bucket max) over the
+        // ~10-row bucket relation — an unpartitioned window is fine
+        // THERE (the q_classifier_auc_hist rule: windows may be global
+        // only when their input cardinality is corpus-independent) —
+        // and padmax_waste folds out of (n_docs, n_tokens) exactly.
+        val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        toks.select(col("doc_id"), col("n"), width.as("w"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("n_tokens"),
+            sum(col("w") - col("n")).as("pad_waste"),
+            ((count(lit(1)) + 7) / 8).cast("long").as("n_batches"),
+            max(col("n")).as("bmax"))
+          .withColumn("padmax_waste",
+            col("n_docs") * max(col("bmax")).over(wAll) - col("n_tokens"))
+          .drop("bmax")
+          .orderBy(col("w"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(
+             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0)) AS BIGINT) AS n
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, n, CASE
+             |    WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+             |    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+             |    WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+             |    WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+             |    WHEN n <= 4096 THEN 4096 ELSE 8192 END AS w
+             |  FROM t),
+             |g AS (SELECT CAST(max(n) AS BIGINT) AS gmax FROM t)
+             |SELECT CAST(w AS BIGINT) AS w,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  CAST(sum(w - n) AS BIGINT) AS pad_waste,
+             |  CAST((count(*) + 7) // 8 AS BIGINT) AS n_batches,
+             |  CAST(sum(g.gmax - n) AS BIGINT) AS padmax_waste
+             |FROM b, g GROUP BY w ORDER BY w""".stripMargin)),
+
     // Perceptual-hash grouping over MEDIA payloads: the byte-value
     // histogram (the real multimodal featurizer, no stub) at 64
     // buckets collapses to a sign signature against the OCCUPIED-MEAN

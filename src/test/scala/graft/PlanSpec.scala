@@ -207,6 +207,31 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected global sorts:\n${globalSorts.mkString("\n")}")
   }
 
+  test("length bucketing: one corpus scan, the global-max window runs post-aggregation") {
+    // the pad-to-max baseline needs the corpus-wide max token count; a
+    // driver fetch (or scalar subquery) would scan documents TWICE.
+    // The entry recovers it as max(bucket max) over the ~10-row bucket
+    // aggregate — gate one FileScan and window-over-aggregate-only
+    val df = SparkEntry.queries("q_length_buckets")(spark, sf)
+    df.collect()
+    val nodes = executedNodes(df.queryExecution.executedPlan)
+    val scans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+    nodes.collect {
+      case wnd: org.apache.spark.sql.execution.window.WindowExec => wnd
+    }.foreach { wnd =>
+      val sub = executedNodes(wnd)
+      val firstAgg = sub.indexWhere(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec])
+      val firstScan = sub.indexWhere(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      assert(firstAgg >= 0 && (firstScan < 0 || firstAgg < firstScan),
+        s"window consumes a raw scan:\n$wnd")
+    }
+  }
+
   test("materialized-stage composition: the output plan reads stored labels once, no LSH re-run") {
     // the pipeline entry persists components to a ParquetTable; its
     // OUTPUT plan must be split-assign over ONE scan of that table
