@@ -1928,6 +1928,50 @@ object CorpusQueries {
              |  CAST(sum(g.gmax - n) AS BIGINT) AS padmax_waste
              |FROM b, g GROUP BY w ORDER BY w""".stripMargin)),
 
+    // Cross-source overlap matrix — the snapshot-overlap report crawl
+    // curation runs before merging sources (how much of snapshot B is
+    // already in snapshot A decides dedup order and priority): exact
+    // fingerprints keyed by md5, per-fingerprint distinct sources,
+    // every unordered source pair counted once per shared content.
+    // 30 planted docs spread 10 contents across three synthetic
+    // sources so each pair shares exactly 10. Scale shape: only the
+    // (fingerprint, source) relation — never text — shuffles; the
+    // pair expansion is a self-equi-join on the fingerprint whose
+    // per-key cardinality is the source count (bounded, ~dozens), not
+    // the corpus; q_cross_dedup is the near-dup counterpart of the
+    // same ingest question.
+    "q_source_overlap" -> Q(
+      (s, dir) => {
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 30,
+              concat(lit("s"), (col("doc_id") % 3).cast("string")))
+              .otherwise(col("source")).as("src"),
+            when(col("doc_id") < 30,
+              concat(lit("shared overlap content "),
+                (col("doc_id") % 10).cast("string")))
+              .otherwise(col("text")).as("t"))
+        val fp = planted.select(md5(col("t")).as("fp"), col("src")).distinct()
+        fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.src") < col("b.src"))
+          .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+          .agg(countDistinct(col("a.fp")).as("n_shared"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 30 THEN 's' || (doc_id % 3)
+             |      ELSE source END AS src,
+             |    CASE WHEN doc_id < 30
+             |      THEN 'shared overlap content ' || (doc_id % 10)
+             |      ELSE text END AS t
+             |  FROM documents),
+             |fp AS (SELECT DISTINCT md5(t) AS fp, src FROM planted)
+             |SELECT a.src AS src_a, b.src AS src_b,
+             |  CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+             |FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+             |GROUP BY a.src, b.src ORDER BY src_a, src_b""".stripMargin)),
+
     // Perceptual-hash grouping over MEDIA payloads: the byte-value
     // histogram (the real multimodal featurizer, no stub) at 64
     // buckets collapses to a sign signature against the OCCUPIED-MEAN
