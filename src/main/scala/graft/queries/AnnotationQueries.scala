@@ -1,14 +1,17 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
 import graft.Tables
 
 /** Annotation and preference-data operators — the post-scoring steps a
   * preference-tuning (RLHF/DPO) pipeline runs between reward scoring
   * and pair export: pairing the best- and worst-scored candidate per
-  * prompt into (chosen, rejected) training pairs, and resolving
-  * multi-annotator label sets into majority labels with agreement
-  * statistics. The reference has no preference surface (its scope is
+  * prompt into (chosen, rejected) training pairs, resolving
+  * multi-annotator label sets into majority labels, and the corpus
+  * agreement statistic (Fleiss' kappa) an annotation pipeline reports
+  * next to them. The reference has no preference surface (its scope is
   * config-driven ingestion, `/root/reference/modules/etl_functions.py`);
   * these extend the engine's LLM-training-data battery the same way the
   * dedup/packing families do. Fixtures derive deterministically from
@@ -24,35 +27,89 @@ object AnnotationQueries {
   private def draw(seed: String, key: org.apache.spark.sql.Column) =
     graft.text.Dedup.md5Hash60(concat(lit(seed + ":"), key.cast("string")))
 
+  /** 3-annotator vote fixture shared by q_label_vote and q_kappa: each
+    * annotator reads the true label doc_id % 4 but replaces it with a
+    * random class on a 20% md5 draw. One corpus scan + explode — votes
+    * arrive as ROWS, modeling an annotation table. */
+  private def votesOf(s: SparkSession, dir: String): DataFrame = {
+    def lab(k: Int) = {
+      val h = pmod(draw(s"a$k", col("doc_id")), lit(40L))
+      when(h < 8, pmod(h, lit(4L)))
+        .otherwise(pmod(col("doc_id"), lit(4L)))
+    }
+    Tables.load(s, dir, "documents").select(col("doc_id"),
+      explode(array(lab(0), lab(1), lab(2))).as("l"))
+  }
+
+  /** Per-doc bounded conditional counts over the vote rows — the label
+    * domain (4) is a compile-time constant, so the aggregate state is
+    * 4 longs per key (plain codegen'd HashAggregate, map-side
+    * combining) and no collect_list/sort ever sees vote multiplicity. */
+  private def voteCounts(s: SparkSession, dir: String): DataFrame = {
+    def c(i: Int) = sum(when(col("l") === i, 1L).otherwise(0L)).as(s"c$i")
+    votesOf(s, dir).groupBy(col("doc_id"))
+      .agg(c(0), c(1), c(2), c(3), count(lit(1)).as("n"))
+  }
+
+  /** The vote fixture + per-doc counts as oracle CTEs — one definition
+    * feeding both annotation oracles so they cannot drift. */
+  private val voteCtes: String =
+    """v AS (
+      |  SELECT doc_id, k,
+      |    ('0x' || substr(md5('a' || k || ':' || doc_id), 1, 15))
+      |      ::BIGINT % 40 AS h
+      |  FROM documents, (SELECT unnest([0, 1, 2]) AS k)),
+      |lab AS (
+      |  SELECT doc_id,
+      |    CASE WHEN h < 8 THEN h % 4 ELSE doc_id % 4 END AS l
+      |  FROM v),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN l = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(sum(CASE WHEN l = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM lab GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Preference-pair construction — the DPO/RLHF layout step: every
     // prompt's candidate responses (fixture: documents bucketed into
-    // 128 prompts by doc_id, reward = deterministic md5 draw) reduce
-    // to ONE (chosen, rejected) pair = (argmax, argmin) by reward with
-    // doc_id tie-breaks. The whole reduction is a single groupBy with
-    // lexicographic struct max/min — an associative map-side-combining
-    // aggregate, NOT a per-group sort or window: at 100 TB the
-    // candidate relation shuffles once on prompt_id and each partial
-    // aggregate carries exactly two (score, id) structs per prompt, so
-    // group size (candidates per prompt) never materializes anywhere.
+    // 128 prompts by doc_id, reward = deterministic md5 draw in
+    // [0, 1e6)) reduce to ONE (chosen, rejected) pair = (argmax,
+    // argmin) by reward with doc_id tie-breaks. The reduction is a
+    // single groupBy of plain LONG max/min over (score, doc_id)
+    // bit-packed into one long (score · 2⁴⁰ + doc_id: score < 2²⁰ and
+    // doc_id < 2⁴⁰ make numeric order ≡ lexicographic order) — packing
+    // instead of max(struct(...)) keeps the aggregation buffer a
+    // mutable primitive, so the whole reduction stays a codegen'd
+    // HashAggregate with map-side partial combine (a struct buffer
+    // demotes to SortAggregate: a per-partition sort just to take a
+    // max). At 100 TB the candidate relation shuffles once on
+    // prompt_id and each partial aggregate carries exactly two longs
+    // per prompt — candidate multiplicity never materializes anywhere.
     // Prompts with a single candidate drop (no pair to form); margin 0
     // pairs survive (equal-reward ties are real DPO data).
+    // PlanSpec gates the HashAggregate/no-Window shape.
     "q_pref_pairs" -> Q(
       (s, dir) => {
+        val two40 = 1099511627776L // 2^40
         val scored = Tables.load(s, dir, "documents").select(
           pmod(col("doc_id"), lit(128L)).as("prompt_id"),
-          col("doc_id"),
-          pmod(draw("rm", col("doc_id")), lit(1000000L)).as("score"))
+          (pmod(draw("rm", col("doc_id")), lit(1000000L)) * two40 +
+            col("doc_id")).as("packed"))
         scored.groupBy(col("prompt_id"))
-          .agg(max(struct(col("score"), col("doc_id"))).as("mx"),
-            min(struct(col("score"), col("doc_id"))).as("mn"),
+          .agg(max(col("packed")).as("mx"), min(col("packed")).as("mn"),
             count(lit(1)).as("n_cand"))
           .filter(col("n_cand") >= 2)
           .select(col("prompt_id"),
-            col("mx.doc_id").as("chosen_id"),
-            col("mn.doc_id").as("rejected_id"),
-            (col("mx.score") - col("mn.score")).as("margin"),
+            // exact unpack: packed > 2^53, so bit ops, never a double
+            // division (which would silently round the id)
+            col("mx").bitwiseAND(lit(two40 - 1)).as("chosen_id"),
+            col("mn").bitwiseAND(lit(two40 - 1)).as("rejected_id"),
+            (shiftright(col("mx"), 40) - shiftright(col("mn"), 40))
+              .as("margin"),
             col("n_cand"))
           .orderBy(col("prompt_id"))
       },
@@ -79,34 +136,14 @@ object AnnotationQueries {
              |WHERE a.rmax = 1 AND a.n_cand >= 2
              |ORDER BY a.prompt_id""".stripMargin)),
 
-    // Multi-annotator label resolution — majority vote + agreement
-    // over a 3-annotator fixture (each annotator reads the true label
-    // doc_id % 4 but replaces it with a random class on a 20% md5
-    // draw). The votes relation arrives as ROWS (one scan + explode of
-    // the per-annotator labels, modeling an annotation table); the
-    // resolution is ONE groupBy(doc_id) of bounded conditional counts
-    // — the label domain (4) is a compile-time constant, so the
-    // aggregate state is 4 longs per key, map-side combining, and no
-    // collect_list/sort ever sees the vote multiplicity. Majority
-    // tie-break = smallest label (the 1-1-1 three-way case), expressed
-    // as the same first-match CASE ladder in both engines.
+    // Multi-annotator label resolution — majority vote + agreement per
+    // document over the shared 3-annotator fixture. Majority tie-break
+    // = smallest label (the 1-1-1 three-way case), expressed as the
+    // same first-match CASE ladder in both engines.
     "q_label_vote" -> Q(
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-        def lab(k: Int) = {
-          val h = pmod(draw(s"a$k", col("doc_id")), lit(40L))
-          when(h < 8, pmod(h, lit(4L)))
-            .otherwise(pmod(col("doc_id"), lit(4L)))
-        }
-        val votes = docs
-          .select(col("doc_id"),
-            explode(array(lab(0), lab(1), lab(2))).as("l"))
-        def c(i: Int) =
-          sum(when(col("l") === i, 1L).otherwise(0L)).as(s"c$i")
-        val counted = votes.groupBy(col("doc_id"))
-          .agg(c(0), c(1), c(2), c(3), count(lit(1)).as("n"))
-          .withColumn("m",
-            greatest(col("c0"), col("c1"), col("c2"), col("c3")))
+        val counted = voteCounts(s, dir).withColumn("m",
+          greatest(col("c0"), col("c1"), col("c2"), col("c3")))
         counted.select(col("doc_id"),
             when(col("c0") === col("m"), 0L)
               .when(col("c1") === col("m"), 1L)
@@ -116,30 +153,74 @@ object AnnotationQueries {
             when(col("m") === col("n"), 1L).otherwise(0L).as("unanimous"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH v AS (
-             |  SELECT doc_id, k,
-             |    ('0x' || substr(md5('a' || k || ':' || doc_id), 1, 15))
-             |      ::BIGINT % 40 AS h
-             |  FROM documents, (SELECT unnest([0, 1, 2]) AS k)),
-             |lab AS (
-             |  SELECT doc_id,
-             |    CASE WHEN h < 8 THEN h % 4 ELSE doc_id % 4 END AS l
-             |  FROM v),
-             |c AS (
-             |  SELECT doc_id,
-             |    CAST(sum(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-             |    CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-             |    CAST(sum(CASE WHEN l = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
-             |    CAST(sum(CASE WHEN l = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
-             |    CAST(count(*) AS BIGINT) AS n
-             |  FROM lab GROUP BY doc_id),
-             |g AS (SELECT *, greatest(c0, c1, c2, c3) AS m FROM c)
-             |SELECT doc_id,
-             |  CAST(CASE WHEN c0 = m THEN 0 WHEN c1 = m THEN 1
-             |            WHEN c2 = m THEN 2 ELSE 3 END AS BIGINT) AS vote,
-             |  m AS votes_for,
-             |  CAST(CASE WHEN m = n THEN 1 ELSE 0 END AS BIGINT) AS unanimous
-             |FROM g
-             |ORDER BY doc_id""".stripMargin))
+      Some(s"""WITH $voteCtes,
+              |g AS (SELECT *, greatest(c0, c1, c2, c3) AS m FROM c)
+              |SELECT doc_id,
+              |  CAST(CASE WHEN c0 = m THEN 0 WHEN c1 = m THEN 1
+              |            WHEN c2 = m THEN 2 ELSE 3 END AS BIGINT) AS vote,
+              |  m AS votes_for,
+              |  CAST(CASE WHEN m = n THEN 1 ELSE 0 END AS BIGINT)
+              |    AS unanimous
+              |FROM g
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Fleiss' kappa — the corpus-level inter-annotator agreement an
+    // annotation pipeline reports next to the resolved labels: for N
+    // items, n=3 raters, k=4 classes, observed agreement
+    // P̄ = (Σᵢⱼ cᵢⱼ² − N·n) / (N·n·(n−1)) and chance agreement
+    // Pₑ = Σⱼ (Σᵢ cᵢⱼ / (N·n))². Everything up to the last few
+    // divisions is EXACT integer aggregation (Σ c², per-class totals)
+    // in one two-level rollup — per-doc counts, then a single
+    // all-reduce to one row — so the statistic is bit-stable under any
+    // partitioning; the final doubles round to 6 dp with the identical
+    // expression shape in DuckDB (the q_corr_stats contract). With
+    // ~60% unanimity by construction, κ lands well above chance.
+    "q_kappa" -> Q(
+      (s, dir) => {
+        val sq = (1 to 3).foldLeft(col("c0") * col("c0")) { (a, i) =>
+          a + col(s"c$i") * col(s"c$i")
+        }
+        voteCounts(s, dir)
+          .agg(count(lit(1)).as("nd"), sum(sq).as("ss"),
+            sum(col("c0")).as("s0"), sum(col("c1")).as("s1"),
+            sum(col("c2")).as("s2"), sum(col("c3")).as("s3"),
+            sum(col("n")).as("sn"))
+          .select(col("nd").as("n_docs"),
+            round((col("ss") - col("sn")) / (col("nd") * lit(6.0)), 6)
+              .as("p_obs"),
+            round((col("s0") * col("s0") + col("s1") * col("s1") +
+                col("s2") * col("s2") + col("s3") * col("s3")) /
+              ((col("nd") * lit(3.0)) * (col("nd") * lit(3.0))), 6)
+              .as("p_exp"),
+            round(((col("ss") - col("sn")) / (col("nd") * lit(6.0)) -
+                (col("s0") * col("s0") + col("s1") * col("s1") +
+                  col("s2") * col("s2") + col("s3") * col("s3")) /
+                ((col("nd") * lit(3.0)) * (col("nd") * lit(3.0)))) /
+              (lit(1.0) -
+                (col("s0") * col("s0") + col("s1") * col("s1") +
+                  col("s2") * col("s2") + col("s3") * col("s3")) /
+                ((col("nd") * lit(3.0)) * (col("nd") * lit(3.0)))), 6)
+              .as("kappa"))
+      },
+      Some(s"""WITH $voteCtes,
+              |agg AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS nd,
+              |    CAST(sum(c0*c0 + c1*c1 + c2*c2 + c3*c3) AS BIGINT) AS ss,
+              |    CAST(sum(c0) AS BIGINT) AS s0,
+              |    CAST(sum(c1) AS BIGINT) AS s1,
+              |    CAST(sum(c2) AS BIGINT) AS s2,
+              |    CAST(sum(c3) AS BIGINT) AS s3,
+              |    CAST(sum(n) AS BIGINT) AS sn
+              |  FROM c)
+              |SELECT nd AS n_docs,
+              |  round((ss - sn) / (nd * 6.0), 6) AS p_obs,
+              |  round((s0*s0 + s1*s1 + s2*s2 + s3*s3)
+              |    / ((nd * 3.0) * (nd * 3.0)), 6) AS p_exp,
+              |  round(((ss - sn) / (nd * 6.0)
+              |      - (s0*s0 + s1*s1 + s2*s2 + s3*s3)
+              |        / ((nd * 3.0) * (nd * 3.0)))
+              |    / (1.0 - (s0*s0 + s1*s1 + s2*s2 + s3*s3)
+              |        / ((nd * 3.0) * (nd * 3.0))), 6) AS kappa
+              |FROM agg""".stripMargin))
   )
 }

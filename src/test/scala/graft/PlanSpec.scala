@@ -489,6 +489,36 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("preference pairs reduce via HashAggregate — no window, no sort-per-group") {
+    // the (argmax, argmin) per prompt must stay a codegen'd hash
+    // aggregate over the bit-packed long: a struct aggregation buffer
+    // would demote to SortAggregate (a per-partition sort to take a
+    // max), and a row_number window would shuffle AND sort per group
+    val df = SparkEntry.queries("q_pref_pairs")(spark, sf)
+    df.collect()
+    val nodes = executedNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      df.queryExecution.executedPlan.toString)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+      df.queryExecution.executedPlan.toString)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("annotator vote resolution is one shuffle of bounded conditional counts") {
+    // votes → per-doc (c0..c3) must be a single hash exchange with
+    // map-side combine; no window, no join, and the only sort is the
+    // doc_id presentation order
+    val qe = SparkEntry.queries("q_label_vote")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!"\\bJoin\\b".r.findAllIn(qe.optimizedPlan.toString).hasNext, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     val df = SparkEntry.queries("q_pricing_summary")(spark, sf)
     df.collect() // AQE finalizes the plan only after execution
