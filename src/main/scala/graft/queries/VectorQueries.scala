@@ -637,7 +637,72 @@ object VectorQueries {
              |  round(coalesce(1.0 / (60.0 + bm.rb), 0.0)
              |    + coalesce(1.0 / (60.0 + co.rc), 0.0), 6) AS rrf
              |FROM bm FULL OUTER JOIN co ON bm.doc_id = co.vec_id
-             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Hard-negative triplet mining — the contrastive-training data
+    // prep step an embedding-model pipeline runs over a labeled
+    // corpus: for each anchor (the established vec_id % 100 query-set
+    // fixture), the nearest SAME-label vector (positive) and the
+    // nearest DIFFERENT-label vector (the hard negative that actually
+    // teaches the margin), plus the anchor's current margin
+    // pos_sim − neg_sim. Shape: corpus × broadcast(anchor set) cosine
+    // scoring — one corpus pass, the same exact-kNN layout as
+    // q_knn_label_purity — then top-1 per (anchor, same-label?) via a
+    // bounded window (partition cardinality = 2 × anchors, rows per
+    // partition ≤ corpus; at 100 TB the scoring join composes with the
+    // IVF candidate restriction exactly as q_ann_rerank does, making
+    // the window input k-bounded). The final pivot aggregates two
+    // singleton rows per anchor — conditional max over rn = 1, exact.
+    // Sims are raw graft_cosine doubles (bit-equal to DuckDB
+    // list_cosine_similarity, the q_cosine_topk contract); the margin
+    // is one subtraction of those bit-equal doubles.
+    "q_triplet_mining" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val anchors = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val scored = emb
+          .join(broadcast(anchors), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (col("label") === col("qlabel")).as("same"),
+            VectorFunctions.cosine(col("embedding"), col("qv")).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"), col("same"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("qid"))
+          .agg(max(when(col("same"), col("vec_id"))).as("pos_id"),
+            max(when(col("same"), col("sim"))).as("pos_sim"),
+            max(when(!col("same"), col("vec_id"))).as("neg_id"),
+            max(when(!col("same"), col("sim"))).as("neg_sim"),
+            (max(when(col("same"), col("sim"))) -
+              max(when(!col("same"), col("sim")))).as("margin"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             |    label AS qlabel
+             |  FROM embeddings WHERE vec_id % 100 = 0),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id, (e.label = q.qlabel) AS same,
+             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+             |      AS sim
+             |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid, same
+             |    ORDER BY sim DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid,
+             |  max(CASE WHEN same THEN vec_id END) AS pos_id,
+             |  max(CASE WHEN same THEN sim END) AS pos_sim,
+             |  max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+             |  max(CASE WHEN NOT same THEN sim END) AS neg_sim,
+             |  max(CASE WHEN same THEN sim END)
+             |    - max(CASE WHEN NOT same THEN sim END) AS margin
+             |FROM ranked WHERE rn = 1
+             |GROUP BY qid ORDER BY qid""".stripMargin))
   )
 
   /** row_number() is int on both engines, but keep the cast explicit
