@@ -2060,6 +2060,87 @@ object CorpusQueries {
              |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
              |  min(doc_id) AS min_doc
              |FROM ph GROUP BY phash HAVING count(*) > 1
-             |ORDER BY phash""".stripMargin))
+             |ORDER BY phash""".stripMargin)),
+
+    // URL canonicalization + canonical-URL dedup — the crawl-curation
+    // step that runs BEFORE content dedup (two snapshots of one page
+    // differ in tracking params/fragment/host case long before their
+    // bytes are compared). Fixture: deterministic URLs synthesized
+    // from (source, doc_id) with the four classic variance sources
+    // planted — upper-cased scheme+host (%2), trailing slash (%7),
+    // utm_* tracking params (%4=0) vs a MEANINGFUL ?page param (%4=1,
+    // which must SURVIVE), fragment (%5). Canonicalization is a fixed
+    // regexp ladder (strip fragment → strip utm_* params → strip
+    // dangling ?/& → lowercase scheme+host only, path untouched →
+    // strip the slash before the query → strip trailing slash), all patterns in the RE2-safe subset both
+    // engines execute identically (inline (?i), no lookaround). One
+    // codegen'd map pass + one hash shuffle on the canonical key —
+    // URL dedup at 100 TB is exactly this shape (the key relation is
+    // ~60 bytes/row; text never moves).
+    "q_url_canonical" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val host = concat(lit("https://www."), col("source"),
+          lit(".example.com"))
+        val url = concat(
+          when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
+          lit("/docs/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=feed&utm_id="),
+              col("doc_id").cast("string")))
+            .when(col("doc_id") % 4 === 1, lit("?page=2"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+        val c1 = regexp_replace(col("url"), "#.*$", "")
+        val c2 = regexp_replace(c1, "utm_[^&#]*&?", "")
+        val c3 = regexp_replace(c2, "[?&]$", "")
+        val c4 = concat(
+          lower(regexp_extract(c3, "(?i)^(https?://[^/]+)", 1)),
+          regexp_replace(c3, "(?i)^https?://[^/]+", ""))
+        val c4b = regexp_replace(c4, "/\\?", "?")
+        val c5 = regexp_replace(c4b, "/$", "")
+        docs.select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"), c5.as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("url")).as("n_variants"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy(col("canonical"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0
+             |       THEN upper('https://www.' || source || '.example.com')
+             |       ELSE 'https://www.' || source || '.example.com' END)
+             |    || '/docs/' || (doc_id % 50)
+             |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+             |    || (CASE WHEN doc_id % 4 = 0
+             |          THEN '?utm_source=feed&utm_id=' || doc_id
+             |          WHEN doc_id % 4 = 1 THEN '?page=2' ELSE '' END)
+             |    || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+             |      AS url
+             |  FROM documents),
+             |c1 AS (SELECT doc_id, url,
+             |         regexp_replace(url, '#.*$', '') AS u FROM raw),
+             |c2 AS (SELECT doc_id, url,
+             |         regexp_replace(u, 'utm_[^&#]*&?', '', 'g') AS u
+             |       FROM c1),
+             |c3 AS (SELECT doc_id, url,
+             |         regexp_replace(u, '[?&]$', '') AS u FROM c2),
+             |c4 AS (SELECT doc_id, url,
+             |         lower(regexp_extract(u, '(?i)^(https?://[^/]+)', 1))
+             |           || regexp_replace(u, '(?i)^https?://[^/]+', '')
+             |           AS u
+             |       FROM c3),
+             |c4b AS (SELECT doc_id, url,
+             |          regexp_replace(u, '/\?', '?') AS u FROM c4),
+             |c5 AS (SELECT doc_id, url,
+             |         regexp_replace(u, '/$', '') AS canonical FROM c4b)
+             |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+             |  min(doc_id) AS min_doc
+             |FROM c5 GROUP BY canonical
+             |ORDER BY canonical""".stripMargin))
   )
 }
