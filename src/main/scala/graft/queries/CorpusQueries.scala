@@ -2141,6 +2141,102 @@ object CorpusQueries {
              |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
              |  min(doc_id) AS min_doc
              |FROM c5 GROUP BY canonical
-             |ORDER BY canonical""".stripMargin))
+             |ORDER BY canonical""".stripMargin)),
+
+    // Safety blocklist screening — the keyword-filter stage every
+    // training-data pipeline runs between ingest and quality scoring:
+    // an external list of banned terms, each document checked for
+    // occurrences, flagged docs reported per source and per pattern
+    // (the monitoring report the filter emits; the keep set is the
+    // anti-join of the flagged relation). The natural corpus has a
+    // 31-token vocabulary, so the fixture PLANTS three contraband
+    // terms on disjoint doc_id moduli (the decontamination-entry
+    // precedent); a fourth blocklist term is planted NOWHERE so the
+    // zero-hit row (n_docs=0, min_doc=-1) is exercised. Matching is
+    // tokenizer-exact (the library's lower/trim/\s+ convention — a
+    // blocklist that substring-matches flags "scrapbook" for "rap");
+    // the membership test is an enum-sized isin = one codegen'd map
+    // filter over the token stream, no join. At 100 TB the list is a
+    // broadcast set (thousands of terms → an Aho-Corasick pass in a
+    // native expression); the flagged relation that shuffles is
+    // (doc_id, source, tok) for HITS ONLY — bounded by the flag rate,
+    // never the corpus — pinned once for its two consumer aggs.
+    "q_blocklist" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val pats = Seq("contrabandalpha", "contrabandbeta",
+          "contrabandgamma", "contrabanddelta")
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"), col("source"),
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 7 === 3, lit(" contrabandalpha"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 5,
+              lit(" contrabandbeta contrabandbeta")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 8, lit(" contrabandgamma"))
+              .otherwise(lit(""))).as("text"))
+        val hits = planted.select(col("doc_id"), col("source"),
+            explode(filter(split(trim(lower(col("text"))), "\\s+"),
+              t => length(t) > 0)).as("tok"))
+          .filter(col("tok").isin(pats: _*))
+        val pinned = graft.plans.Materialize.stage(hits)
+        // aggregate BEFORE joining the pattern list: the join inputs are
+        // then both enum-sized (a broadcast hash join), and the zero-hit
+        // pattern row materializes from the left join's null side
+        val perTok = pinned.groupBy(col("tok").as("pattern"))
+          .agg(countDistinct(col("doc_id")).as("nd"),
+            count(lit(1)).as("nh"), min(col("doc_id")).as("md"))
+        val perPat = pats.toDF("pattern")
+          .join(broadcast(perTok), Seq("pattern"), "left")
+          .select(col("pattern"), lit("__all__").as("source"),
+            coalesce(col("nd"), lit(0L)).as("n_docs"),
+            coalesce(col("nh"), lit(0L)).as("n_hits"),
+            coalesce(col("md"), lit(-1L)).as("min_doc"))
+        val perSrc = pinned.groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_hits"), min(col("doc_id")).as("min_doc"))
+          .select(lit("__any__").as("pattern"), col("source"),
+            col("n_docs"), col("n_hits"), col("min_doc"))
+        perPat.unionByName(perSrc)
+          .orderBy(col("pattern"), col("source"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, source,
+             |    coalesce(text, '')
+             |    || (CASE WHEN doc_id % 7 = 3
+             |          THEN ' contrabandalpha' ELSE '' END)
+             |    || (CASE WHEN doc_id % 11 = 5
+             |          THEN ' contrabandbeta contrabandbeta' ELSE '' END)
+             |    || (CASE WHEN doc_id % 13 = 8
+             |          THEN ' contrabandgamma' ELSE '' END) AS text
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, source,
+             |    unnest(list_filter(
+             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0)) AS tok
+             |  FROM planted),
+             |hits AS (
+             |  SELECT * FROM toks WHERE tok IN ('contrabandalpha',
+             |    'contrabandbeta', 'contrabandgamma', 'contrabanddelta')),
+             |pats AS (
+             |  SELECT * FROM (VALUES ('contrabandalpha'),
+             |    ('contrabandbeta'), ('contrabandgamma'),
+             |    ('contrabanddelta')) p(pattern)),
+             |perpat AS (
+             |  SELECT p.pattern, '__all__' AS source,
+             |    CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+             |    CAST(count(h.doc_id) AS BIGINT) AS n_hits,
+             |    coalesce(min(h.doc_id), -1) AS min_doc
+             |  FROM pats p LEFT JOIN hits h ON h.tok = p.pattern
+             |  GROUP BY p.pattern),
+             |persrc AS (
+             |  SELECT '__any__' AS pattern, source,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |    CAST(count(*) AS BIGINT) AS n_hits,
+             |    min(doc_id) AS min_doc
+             |  FROM hits GROUP BY source)
+             |SELECT * FROM perpat UNION ALL SELECT * FROM persrc
+             |ORDER BY pattern, source""".stripMargin))
   )
 }
