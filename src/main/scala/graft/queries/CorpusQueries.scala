@@ -2237,6 +2237,112 @@ object CorpusQueries {
              |    min(doc_id) AS min_doc
              |  FROM hits GROUP BY source)
              |SELECT * FROM perpat UNION ALL SELECT * FROM persrc
-             |ORDER BY pattern, source""".stripMargin))
+             |ORDER BY pattern, source""".stripMargin)),
+
+    // Corpus-snapshot drift monitor — the distribution-shift report a
+    // pipeline runs when a new crawl snapshot lands: Jensen-Shannon
+    // divergence between the token distributions of two snapshots
+    // (fixture: doc_id parity), per-token contributions plus the
+    // corpus total. Snapshot B plants real drift: a NOVEL token on
+    // one modulus (c_a = 0 — exercises the zero-side KL term, where
+    // the contribution degenerates to 0.5·q·ln2) and an amplified
+    // existing token on another, so the report ranks a new-vocabulary
+    // shift above background noise. Numeric protocol is the LM
+    // family's: each token's JS contribution (provably ≥ 0 by the
+    // log-sum inequality) is quantized to integer NANO-units before
+    // the total sum, so the corpus figure is an exact BIGINT under
+    // any partitioning — the output carries ONLY exact integers
+    // (counts + quantized contribution), no engine-portability risk
+    // on a float column. Shape: one tokenize scan → one conditional
+    // hash agg keyed by token (both snapshot counts in one pass, no
+    // second corpus scan) → totals broadcast back over the
+    // vocab-sized counts relation. At 100 TB the counts relation is
+    // vocab-bounded (practical monitors cap to a top-k vocabulary);
+    // the corpus itself is scanned exactly once.
+    "q_dist_drift" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 1,
+              lit(" driftnovel")).otherwise(lit("")),
+            when(col("doc_id") % 2 === 1 && col("doc_id") % 3 === 0,
+              lit(" join join join")).otherwise(lit(""))).as("text"))
+        val toks = planted.select(col("doc_id"),
+          explode(filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0)).as("tok"))
+        val counts = toks.groupBy(col("tok"))
+          .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+              .as("c_a"),
+            sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L))
+              .as("c_b"))
+        val totals = counts.agg(sum(col("c_a")).as("na"),
+          sum(col("c_b")).as("nb"))
+        val pa = col("c_a").cast("double") / col("na").cast("double")
+        val pb = col("c_b").cast("double") / col("nb").cast("double")
+        val m = (pa + pb) / lit(2.0)
+        val contrib = lit(0.5) *
+          when(col("c_a") > 0, pa * log(pa / m)).otherwise(lit(0.0)) +
+          lit(0.5) *
+          when(col("c_b") > 0, pb * log(pb / m)).otherwise(lit(0.0))
+        val perTok = graft.plans.Materialize.stage(
+          counts.crossJoin(broadcast(totals))
+            .select(col("tok").as("token"), col("c_a"), col("c_b"),
+              floor(contrib * lit(1e9)).cast("long").as("contrib_nano"),
+              col("na"), col("nb")))
+        val tokRows = perTok.select(col("token"), col("c_a"),
+          col("c_b"), col("contrib_nano"))
+        val total = perTok.groupBy(col("na"), col("nb"))
+          .agg(sum(col("contrib_nano")).as("contrib_nano"))
+          .select(lit("__total__").as("token"), col("na").as("c_a"),
+            col("nb").as("c_b"), col("contrib_nano"))
+        tokRows.unionByName(total).orderBy(col("token"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    coalesce(text, '')
+             |    || (CASE WHEN doc_id % 2 = 1 AND doc_id % 5 = 1
+             |          THEN ' driftnovel' ELSE '' END)
+             |    || (CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0
+             |          THEN ' join join join' ELSE '' END) AS text
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(
+             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0)) AS tok
+             |  FROM planted),
+             |counts AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c_a,
+             |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c_b
+             |  FROM toks GROUP BY tok),
+             |totals AS (
+             |  SELECT CAST(sum(c_a) AS BIGINT) AS na,
+             |    CAST(sum(c_b) AS BIGINT) AS nb FROM counts),
+             |probs AS (
+             |  SELECT tok, c_a, c_b, na, nb,
+             |    CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+             |    CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE) AS pb
+             |  FROM counts CROSS JOIN totals),
+             |contribs AS (
+             |  SELECT tok AS token, c_a, c_b, na, nb,
+             |    CAST(floor((
+             |      0.5 * (CASE WHEN c_a > 0
+             |               THEN pa * ln(pa / ((pa + pb) / 2.0))
+             |               ELSE 0.0 END)
+             |      + 0.5 * (CASE WHEN c_b > 0
+             |                 THEN pb * ln(pb / ((pa + pb) / 2.0))
+             |                 ELSE 0.0 END)) * 1e9) AS BIGINT)
+             |      AS contrib_nano
+             |  FROM probs)
+             |SELECT token, c_a, c_b, contrib_nano FROM contribs
+             |UNION ALL
+             |SELECT '__total__' AS token, na AS c_a, nb AS c_b,
+             |  CAST(sum(contrib_nano) AS BIGINT) AS contrib_nano
+             |FROM contribs GROUP BY na, nb
+             |ORDER BY token""".stripMargin))
   )
 }
