@@ -2343,6 +2343,95 @@ object CorpusQueries {
              |SELECT '__total__' AS token, na AS c_a, nb AS c_b,
              |  CAST(sum(contrib_nano) AS BIGINT) AS contrib_nano
              |FROM contribs GROUP BY na, nb
-             |ORDER BY token""".stripMargin))
+             |ORDER BY token""".stripMargin)),
+
+    // Classifier CALIBRATION — the reliability diagram + expected
+    // calibration error (ECE) a model-gated curation pipeline reports
+    // next to AUC: does "p = 0.8" mean 80% of those docs are really
+    // positive? Probabilities are the sigmoid of the length-normalized
+    // NB margin, immediately quantized to integer MICRO-probabilities
+    // (floor(p·10⁶) — one float boundary, the family's ln/exp stance),
+    // then EVERYTHING is exact-integer: bin = min(q div 10⁵, 9), and
+    // the per-bin |accuracy − confidence| weight REDUCES to
+    // |n_pos·10⁶ − Σq| because the bin size cancels out of
+    // |n_pos/n − Σq/(n·10⁶)|·(n/N) — so the ECE numerator is an exact
+    // BIGINT sum under any partitioning and the only displayed doubles
+    // (acc, conf, 6 dp) are pure functions of exact integers. NB is
+    // deliberately OVERCONFIDENT (independence double-counts
+    // evidence), so the report shows real miscalibration on the
+    // planted fixture, not a trivial diagonal. Shape: the scored
+    // relation reduces through ONE hash agg to ≤ 10 bin rows; the
+    // corpus never shuffles beyond the training pass itself.
+    "q_calibration" -> Q(
+      (s, dir) => {
+        val sc = graft.text.Classifier.scored(classifierFixture(s, dir),
+          "doc_id", "text", classifierLabel, buckets = 4096)
+        // NOT Classifier.avgMargin: that is in micro-units/token (the
+        // ranking quantity, scale-free); the sigmoid needs NATS/token
+        val am = col("mq").cast("double") / lit(1000000.0) /
+          col("n_tok").cast("double")
+        val q = floor(lit(1e6) / (lit(1.0) + exp(-am))).cast("long")
+        val binned = sc.select(col("y"), q.as("q"))
+          .select(col("y"), col("q"),
+            least(floor(col("q") / lit(100000.0)).cast("long"), lit(9L))
+              .cast("int").as("bin"))
+        val perBin = binned.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(col("q")).as("sum_q"))
+          .select(col("bin"), col("n"), col("n_pos"), col("sum_q"),
+            abs(col("n_pos") * lit(1000000L) - col("sum_q"))
+              .as("gap_micro"),
+            round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+              .as("acc"),
+            round(col("sum_q").cast("double") / col("n").cast("double")
+              / lit(1e6), 6).as("conf"))
+        val pinned = graft.plans.Materialize.stage(perBin)
+        val total = pinned.agg(sum(col("n")).as("n"),
+            sum(col("n_pos")).as("n_pos"), sum(col("sum_q")).as("sum_q"),
+            sum(col("gap_micro")).as("gap_micro"))
+          .select(lit(-1).as("bin"), col("n"), col("n_pos"),
+            col("sum_q"), col("gap_micro"),
+            round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+              .as("acc"),
+            round(col("sum_q").cast("double") / col("n").cast("double")
+              / lit(1e6), 6).as("conf"))
+        pinned.unionByName(total).orderBy(col("bin"))
+      },
+      Some(classifierOracle(4096,
+        """,
+          |qq AS (
+          |  SELECT doc_id, y,
+          |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(mq AS DOUBLE)
+          |      / 1000000.0 / CAST(n_tok AS DOUBLE))))) AS BIGINT) AS q
+          |  FROM mf),
+          |binned AS (
+          |  SELECT y, q,
+          |    CAST(least(CAST(floor(CAST(q AS DOUBLE) / 100000.0)
+          |      AS BIGINT), 9) AS INT) AS bin
+          |  FROM qq),
+          |pb AS (
+          |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(y) AS BIGINT) AS n_pos,
+          |    CAST(sum(q) AS BIGINT) AS sum_q
+          |  FROM binned GROUP BY bin),
+          |pb2 AS (
+          |  SELECT bin, n, n_pos, sum_q,
+          |    CAST(abs(n_pos * 1000000 - sum_q) AS BIGINT) AS gap_micro,
+          |    round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+          |    round(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)
+          |      / 1000000.0, 6) AS conf
+          |  FROM pb)
+          |SELECT bin, n, n_pos, sum_q, gap_micro, acc, conf FROM pb2
+          |UNION ALL
+          |SELECT -1 AS bin, CAST(sum(n) AS BIGINT) AS n,
+          |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+          |  CAST(sum(sum_q) AS BIGINT) AS sum_q,
+          |  CAST(sum(gap_micro) AS BIGINT) AS gap_micro,
+          |  round(CAST(sum(n_pos) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+          |    AS acc,
+          |  round(CAST(sum(sum_q) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+          |    / 1000000.0, 6) AS conf
+          |FROM pb2
+          |ORDER BY bin""".stripMargin)))
   )
 }
