@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration HITS (hubs & authorities) in EXACT integer units —
+  * the link-analysis counterpart of [[PageRank]] for BIPARTITE
+  * interaction graphs, where one side's importance is "points at good
+  * things" (hubs) and the other's is "pointed at by good pointers"
+  * (authorities). Over a crawl graph this is the classic
+  * mirror-vs-content separation; over a customer→supplier interaction
+  * graph it ranks buyers by the quality of what they buy and
+  * suppliers by the quality of who buys from them.
+  *
+  * Floating-point HITS is doubly order-sensitive: the mutual
+  * reinforcement sums AND the per-round L2 normalization both drift
+  * with partitioning. Here every score is a BIGINT in units of 1e-6:
+  * each half-step is an integer contribution sum over edges, and the
+  * normalization divides by the round's MAX (not the L2 norm — max is
+  * exactly computable in integers, scale-equivalent for ranking, and
+  * the textbook alternative normalization), via `(v * 1_000_000) div
+  * vmax`, so the leader holds exactly 1e6 and every score is a pure
+  * function of the graph. Headroom: contribution sums reach
+  * in/out-degree × 1e6 and the rescale multiplies by 1e6 again, so
+  * the arithmetic stays inside Int64 for degrees up to ~9×10⁶; for
+  * mega-degree graphs drop the unit to 1e3 (two decades of headroom
+  * per thousandfold).
+  *
+  * Shape per iteration: two edge⋈score joins (both hash-partitioned
+  * on the join key — co-partitioned across rounds) + two aggregations
+  * + two ONE-ROW max relations broadcast into the rescale projection
+  * (the BM25/PageRank scalar-stats shape, never a data-sized
+  * cartesian). `iterations` is small and fixed → a K-deep declarative
+  * chain, not a driver loop over actions. */
+object Hits {
+
+  val Unit0: Long = 1000000L // score 1.0 in 1e-6 units
+
+  /** (node, au, hu) after `iterations` full authority→hub rounds.
+    * `edges` carries (src, dst); duplicates collapse. Nodes with no
+    * in-edges score au = 0; nodes with no out-edges score hu = 0. */
+  def scores(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "iterations in [1,20]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var h = nodes.withColumn("hu", lit(Unit0))
+    var a: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val araw = e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hu")).as("s"))
+      val amax = araw.agg(greatest(max(col("s")), lit(1L)).as("m"))
+      a = nodes.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("node"), expr("(coalesce(s, 0L) * 1000000) div m").as("au"))
+      val hraw = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("au")).as("s"))
+      val hmax = hraw.agg(greatest(max(col("s")), lit(1L)).as("m"))
+      h = nodes.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("node"), expr("(coalesce(s, 0L) * 1000000) div m").as("hu"))
+    }
+    a.join(h, Seq("node"))
+  }
+}

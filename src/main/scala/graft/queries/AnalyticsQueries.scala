@@ -63,6 +63,41 @@ object AnalyticsQueries {
     * [[graft.plans.PageRank]]. With `dangling`, each step also sums the
     * previous ranks of out-edge-less nodes and folds `dang // n` into
     * the damped term — the redistribution variant's recurrence. */
+  /** Unrolled HITS recurrence over the shared interaction-graph
+    * fixture — the same integer units, max-normalization and division
+    * order as [[graft.plans.Hits.scores]], one CTE pair per round. */
+  private def hitsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""a${k}r AS (
+         |  SELECT e.dst AS node, CAST(sum(h.hu) AS BIGINT) AS s
+         |  FROM edges e JOIN h${k - 1} h ON h.node = e.src GROUP BY e.dst),
+         |a${k}m AS (SELECT greatest(CAST(max(s) AS BIGINT), 1) AS m FROM a${k}r),
+         |a$k AS (
+         |  SELECT n.node, (coalesce(r.s, 0) * 1000000) // m.m AS au
+         |  FROM nodes n LEFT JOIN a${k}r r ON r.node = n.node
+         |  CROSS JOIN a${k}m m),
+         |h${k}r AS (
+         |  SELECT e.src AS node, CAST(sum(a.au) AS BIGINT) AS s
+         |  FROM edges e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
+         |h${k}m AS (SELECT greatest(CAST(max(s) AS BIGINT), 1) AS m FROM h${k}r),
+         |h$k AS (
+         |  SELECT n.node, (coalesce(r.s, 0) * 1000000) // m.m AS hu
+         |  FROM nodes n LEFT JOIN h${k}r r ON r.node = n.node
+         |  CROSS JOIN h${k}m m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_quantity >= 45),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hu FROM nodes),
+       |$steps
+       |SELECT a.node, CAST(a.au AS BIGINT) AS au, CAST(h.hu AS BIGINT) AS hu
+       |FROM a$iters a JOIN h$iters h ON h.node = a.node
+       |ORDER BY a.node""".stripMargin
+  }
+
   private def pagerankOracle(iters: Int, dangling: Boolean = false): String = {
     val steps = (1 to iters).map { k =>
       if (dangling)
@@ -176,6 +211,30 @@ object AnalyticsQueries {
           .orderBy(col("node"))
       },
       Some(pagerankOracle(3, dangling = true))),
+
+    // HITS hubs & authorities over the same bipartite interaction
+    // graph (customers → suppliers): the link-analysis dual of
+    // PageRank — buyers rank by the quality of what they buy,
+    // suppliers by the quality of who buys from them (the crawl-graph
+    // mirror/content separation). Same exact-integer stance: scores
+    // are BIGINTs in 1e-6 units, per-round normalization by the MAX
+    // (exactly integer-computable, scale-equivalent for ranking)
+    // instead of the order-sensitive float L2 norm, so the answer is a
+    // pure function of the graph under any partitioning. The oracle
+    // unrolls the identical three-round recurrence. Per iteration: two
+    // co-partitioned edge⋈score joins + two aggs + two one-row
+    // broadcast max relations — no data-sized cartesian anywhere.
+    "q_hits" -> Q(
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 45),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        graft.plans.Hits.scores(edges, iterations = 3)
+          .orderBy(col("node"))
+      },
+      Some(hitsOracle(3))),
 
     // TPC-H Q3 shape: unshipped-order revenue for one market segment.
     // Join order matters at scale: customer is filtered to 1/5 then

@@ -65,4 +65,36 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shuffled === base)
   }
+
+  private def hitsOf(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] =
+    graft.plans.Hits.scores(edges.toDF("src", "dst"), iters)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("HITS on a bipartite fan: hand-computed max-normalized rounds") {
+    // hubs {1,2}, authorities {10,11}; 1→{10,11}, 2→10.
+    // round 1: a_raw(10)=2e6, a_raw(11)=1e6 → a=(1e6, 500000);
+    //          h_raw(1)=1.5e6, h_raw(2)=1e6 → h=(1e6, 666666)
+    assert(hitsOf(Seq(1L -> 10L, 1L -> 11L, 2L -> 10L), 1)
+      === Map(1L -> (0L, 1000000L), 2L -> (0L, 666666L),
+        10L -> (1000000L, 0L), 11L -> (500000L, 0L)))
+    // round 3 (a(11): 1e12 div 1625000 = 615384,
+    //          h(2):  1e12 div 1615384 = 619047) — mutual
+    // reinforcement keeps strengthening hub 1 over hub 2
+    assert(hitsOf(Seq(1L -> 10L, 1L -> 11L, 2L -> 10L), 3)
+      === Map(1L -> (0L, 1000000L), 2L -> (0L, 619047L),
+        10L -> (1000000L, 0L), 11L -> (615384L, 0L)))
+  }
+
+  test("HITS is repartition-independent and collapses duplicate edges") {
+    val es = Seq(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 10L)
+    val base = hitsOf(es, 3)
+    val shuffled = graft.plans.Hits.scores(
+      es.toDF("src", "dst").repartition(13), 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(shuffled === base)
+    assert(base === hitsOf(es.distinct, 3))
+  }
 }
