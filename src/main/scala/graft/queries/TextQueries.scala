@@ -82,6 +82,15 @@ object TextQueries {
       |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp_id
       |  FROM docs2 d LEFT JOIN comp c ON c.u = d.doc_id)""".stripMargin
 
+  /** Constant duplicate document planted by q_attrition on one
+    * doc_id modulus: 511 chars / 80 clean 5-char-average tokens / no
+    * punctuation, so its quality score is exactly 1.0 and the planted
+    * duplicates provably reach (and fail at) the DEDUP stage rather
+    * than attriting at a scalar gate. One Scala constant interpolated
+    * into both the Spark fixture and the SQL oracle — cannot drift. */
+  private[queries] val constDupDoc: String =
+    ("spark filter window batch merge " * 16).trim
+
   /** [[graft.text.TextFunctions.qualityScore]] transcribed to DuckDB —
     * shared by q_quality and q_cluster_best so the formula is pinned in
     * exactly one SQL place. `text` must be in scope. */
@@ -1654,6 +1663,144 @@ object TextQueries {
              |FROM k GROUP BY nfc_key
              |HAVING count(DISTINCT raw_key) > 1
              |ORDER BY min_doc""".stripMargin),
-      bench = false)
+      bench = false),
+
+    // Per-source ADAPTIVE quality gate — a global quality threshold
+    // over-prunes clean sources and under-prunes noisy ones; the
+    // production stance (CCNet's per-language terciles generalized) is
+    // a PER-GROUP threshold: keep documents at or above their own
+    // source's 75th-percentile quality. Exact per-group percentile
+    // (type-7 interpolation, the q_percentiles convention — DuckDB's
+    // quantile_cont agrees on the double grid; both operands live on
+    // the same 4-dp rounded grid so the >= comparison is
+    // engine-stable). The threshold relation is group-enum-sized and
+    // broadcast back; the gate itself is a map-side comparison. The
+    // scored relation is pinned once for its two consumers
+    // (threshold agg + gate agg). At 100 TB the exact per-group
+    // percentile becomes approx_percentile per group — the swap
+    // already implemented and tolerance-gated by
+    // q_classifier_filter_approx; this entry pins the exact contract.
+    "q_adaptive_gate" -> Q(
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+        val pinned = graft.plans.Materialize.stage(scored)
+        val thr = pinned.groupBy(col("source"))
+          .agg(round(expr("percentile(quality, 0.75)"), 4).as("thr"))
+        pinned.join(broadcast(thr), Seq("source"))
+          .groupBy(col("source"), col("thr"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("quality") >= col("thr"), 1L).otherwise(0L))
+              .as("n_kept"))
+          .select(col("source"), col("thr"), col("n_docs"), col("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, source,
+              |    $qualityExprSql AS quality
+              |  FROM documents),
+              |thr AS (
+              |  SELECT source, round(quantile_cont(quality, 0.75), 4) AS thr
+              |  FROM scored GROUP BY source)
+              |SELECT s.source, t.thr,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(CASE WHEN s.quality >= t.thr THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_kept
+              |FROM scored s JOIN thr t USING (source)
+              |GROUP BY s.source, t.thr
+              |ORDER BY s.source""".stripMargin)),
+
+    // Filter-funnel ATTRITION report — the per-stage accounting a
+    // curation pipeline publishes with every corpus release (the
+    // FineWeb/RefinedWeb ablation table): how many documents each
+    // gate removed, attributed to the FIRST failing stage in the
+    // canonical order lang → length → quality → exact-dedup, so the
+    // columns sum exactly to the corpus. Distinct from q_curation_*
+    // (which emit the surviving sample): this is the report about the
+    // stages themselves. Dedup runs on the stage-3 SURVIVORS (the
+    // real pipeline order) via min-doc_id-per-fingerprint; the
+    // fixture plants constant-text duplicates on one modulus whose
+    // quality passes every scalar gate, so non-'en' plants attrit at
+    // the lang stage while 'en' plants reach — and fail — the dedup
+    // stage, pinning the first-fail attribution. Shape: the scalar
+    // flags are ONE codegen pass; the only shuffles are the
+    // survivor-sized fingerprint agg and the group-enum-sized source
+    // aggs. Sanity: drops + survivors = total, per source.
+    "q_attrition" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val planted = docs.select(col("doc_id"), col("source"),
+          col("lang"),
+          when(col("doc_id") % 41 === 7, lit(TextQueries.constDupDoc))
+            .otherwise(col("text")).as("text"))
+        val flags = planted.select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("f1"),
+          (length(col("text")) >= 120).as("f2"),
+          (TextFunctions.qualityScore(col("text")) >= 0.85).as("f3"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        val pinned = graft.plans.Materialize.stage(flags)
+        val surv = pinned.filter(col("f1") && col("f2") && col("f3"))
+        val keepers = surv.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keeper"))
+        val dedup = surv.join(keepers, Seq("fp"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+              .as("n_survive"),
+            sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+              .as("drop_dup"))
+        val scalarDrops = pinned.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(!col("f1"), 1L).otherwise(0L)).as("drop_lang"),
+            sum(when(col("f1") && !col("f2"), 1L).otherwise(0L))
+              .as("drop_len"),
+            sum(when(col("f1") && col("f2") && !col("f3"), 1L)
+              .otherwise(0L)).as("drop_quality"))
+        scalarDrops.join(dedup, Seq("source"), "left")
+          .select(col("source"), col("n_total"), col("drop_lang"),
+            col("drop_len"), col("drop_quality"),
+            coalesce(col("drop_dup"), lit(0L)).as("drop_dup"),
+            coalesce(col("n_survive"), lit(0L)).as("n_survive"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH planted AS (
+              |  SELECT doc_id, source, lang,
+              |    CASE WHEN doc_id % 41 = 7 THEN '${TextQueries.constDupDoc}'
+              |      ELSE text END AS text
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, source,
+              |    (lang = 'en') AS f1,
+              |    (length(text) >= 120) AS f2,
+              |    ($qualityExprSql >= 0.85) AS f3,
+              |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+              |      AS fp
+              |  FROM planted),
+              |surv AS (
+              |  SELECT doc_id, source, fp FROM f WHERE f1 AND f2 AND f3),
+              |keepers AS (
+              |  SELECT fp, min(doc_id) AS keeper FROM surv GROUP BY fp),
+              |b AS (
+              |  SELECT s.source,
+              |    CAST(sum(CASE WHEN s.doc_id = k.keeper THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_survive,
+              |    CAST(sum(CASE WHEN s.doc_id <> k.keeper THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS drop_dup
+              |  FROM surv s JOIN keepers k USING (fp) GROUP BY s.source),
+              |a AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+              |    CAST(sum(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS drop_lang,
+              |    CAST(sum(CASE WHEN f1 AND NOT f2 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS drop_len,
+              |    CAST(sum(CASE WHEN f1 AND f2 AND NOT f3 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS drop_quality
+              |  FROM f GROUP BY source)
+              |SELECT a.source, a.n_total, a.drop_lang, a.drop_len,
+              |  a.drop_quality,
+              |  coalesce(b.drop_dup, 0) AS drop_dup,
+              |  coalesce(b.n_survive, 0) AS n_survive
+              |FROM a LEFT JOIN b ON b.source = a.source
+              |ORDER BY a.source""".stripMargin))
   )
 }
