@@ -997,6 +997,74 @@ object AnalyticsQueries {
              |FROM ua JOIN cohort USING (user_id)
              |WHERE date_diff('day', c, d) <= 10
              |GROUP BY c, date_diff('day', c, d)
-             |ORDER BY cohort_day, off""".stripMargin))
+             |ORDER BY cohort_day, off""".stripMargin)),
+
+    // One-pass distributed HIGHER MOMENTS — mean / variance / skewness
+    // / excess kurtosis per group from exact integer POWER SUMS: over
+    // an integer-valued metric (document length), Σx, Σx², Σx³, Σx⁴
+    // are exact BIGINTs, each a single map-side-combining hash agg —
+    // the "parallel variance" answer that needs no Welford merge
+    // state and no second pass, and is bit-stable under any
+    // partitioning because integer addition is associative (a float
+    // Σx² drifts with partition order; the textbook two-pass form
+    // needs the mean first). The four displayed statistics are pure
+    // functions of the exact sums (identical expression shape both
+    // engines, 6 dp). Int64 headroom: x⁴ ≤ 9.4e10 at the fixture's
+    // 553-char max → safe to ~10⁸ rows per group; beyond that the
+    // accumulator moves to DECIMAL(38,0) (Spark and DuckDB both) —
+    // same plan shape, wider lanes. Complements q_corr_stats
+    // (bivariate, built-in aggs): this pins the raw-moment protocol.
+    "q_moments" -> Q(
+      (s, dir) => {
+        val x = col("n_chars").cast("long")
+        val sums = t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+            sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+            sum(x * x * x * x).as("s4"))
+        val n = col("n").cast("double")
+        val mean = col("s1").cast("double") / n
+        val ex2 = col("s2").cast("double") / n
+        val ex3 = col("s3").cast("double") / n
+        val ex4 = col("s4").cast("double") / n
+        val variance = ex2 - mean * mean
+        sums.select(col("source"), col("n"), col("s1"), col("s2"),
+            col("s3"), col("s4"),
+            round(mean, 6).as("mean"),
+            round(variance, 6).as("variance"),
+            round((ex3 - lit(3.0) * mean * ex2 +
+              lit(2.0) * mean * mean * mean) / pow(variance, 1.5), 6)
+              .as("skewness"),
+            round((ex4 - lit(4.0) * mean * ex3 +
+              lit(6.0) * mean * mean * ex2 -
+              lit(3.0) * mean * mean * mean * mean) /
+              (variance * variance) - lit(3.0), 6).as("kurtosis"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sums AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(n_chars) AS BIGINT) AS s1,
+             |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+             |    CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+             |    CAST(sum(n_chars * n_chars * n_chars * n_chars)
+             |      AS BIGINT) AS s4
+             |  FROM documents GROUP BY source),
+             |m AS (
+             |  SELECT source, n, s1, s2, s3, s4,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ex2,
+             |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS ex3,
+             |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS ex4
+             |  FROM sums)
+             |SELECT source, n, s1, s2, s3, s4,
+             |  round(mean, 6) AS mean,
+             |  round(ex2 - mean * mean, 6) AS variance,
+             |  round((ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean)
+             |    / power(ex2 - mean * mean, 1.5), 6) AS skewness,
+             |  round((ex4 - 4.0 * mean * ex3 + 6.0 * mean * mean * ex2
+             |      - 3.0 * mean * mean * mean * mean)
+             |    / ((ex2 - mean * mean) * (ex2 - mean * mean)) - 3.0, 6)
+             |    AS kurtosis
+             |FROM m ORDER BY source""".stripMargin))
   )
 }
