@@ -149,6 +149,25 @@ object CorpusQueries {
           concat(col("text"), lit(" " + classifierMarker)))
           .otherwise(col("text")).as("text"))
 
+  /** DuckDB twin of [[graft.text.Drift.contribNano]] — the quantized
+    * per-token Jensen-Shannon contribution, generated from count /
+    * total column names. ONE definition feeds both drift oracles
+    * (q_dist_drift, q_stream_drift) so the replayed arithmetic can
+    * never diverge from itself or (by the shared-shape convention)
+    * from the Spark column expression. */
+  private def jsContribNanoSql(ca: String, cb: String,
+                               na: String, nb: String): String = {
+    val pa = s"(CAST($ca AS DOUBLE) / CAST($na AS DOUBLE))"
+    val pb = s"(CAST($cb AS DOUBLE) / CAST($nb AS DOUBLE))"
+    val m = s"(($pa + $pb) / 2.0)"
+    s"""CAST(floor((
+       |      0.5 * (CASE WHEN $ca > 0
+       |               THEN $pa * ln($pa / $m) ELSE 0.0 END)
+       |      + 0.5 * (CASE WHEN $cb > 0
+       |                 THEN $pb * ln($pb / $m) ELSE 0.0 END)
+       |    ) * 1e9) AS BIGINT)""".stripMargin
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Benchmark decontamination: training docs sharing any 5-gram with
@@ -2278,17 +2297,11 @@ object CorpusQueries {
               .as("c_b"))
         val totals = counts.agg(sum(col("c_a")).as("na"),
           sum(col("c_b")).as("nb"))
-        val pa = col("c_a").cast("double") / col("na").cast("double")
-        val pb = col("c_b").cast("double") / col("nb").cast("double")
-        val m = (pa + pb) / lit(2.0)
-        val contrib = lit(0.5) *
-          when(col("c_a") > 0, pa * log(pa / m)).otherwise(lit(0.0)) +
-          lit(0.5) *
-          when(col("c_b") > 0, pb * log(pb / m)).otherwise(lit(0.0))
         val perTok = graft.plans.Materialize.stage(
           counts.crossJoin(broadcast(totals))
             .select(col("tok").as("token"), col("c_a"), col("c_b"),
-              floor(contrib * lit(1e9)).cast("long").as("contrib_nano"),
+              graft.text.Drift.contribNano(col("c_a"), col("c_b"),
+                col("na"), col("nb")).as("contrib_nano"),
               col("na"), col("nb")))
         val tokRows = perTok.select(col("token"), col("c_a"),
           col("c_b"), col("contrib_nano"))
@@ -2298,7 +2311,7 @@ object CorpusQueries {
             col("nb").as("c_b"), col("contrib_nano"))
         tokRows.unionByName(total).orderBy(col("token"))
       },
-      Some("""WITH planted AS (
+      Some(s"""WITH planted AS (
              |  SELECT doc_id,
              |    coalesce(text, '')
              |    || (CASE WHEN doc_id % 2 = 1 AND doc_id % 5 = 1
@@ -2309,7 +2322,7 @@ object CorpusQueries {
              |toks AS (
              |  SELECT doc_id,
              |    unnest(list_filter(
-             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      string_split_regex(trim(lower(text)), '\\s+'),
              |      x -> length(x) > 0)) AS tok
              |  FROM planted),
              |counts AS (
@@ -2322,28 +2335,154 @@ object CorpusQueries {
              |totals AS (
              |  SELECT CAST(sum(c_a) AS BIGINT) AS na,
              |    CAST(sum(c_b) AS BIGINT) AS nb FROM counts),
-             |probs AS (
-             |  SELECT tok, c_a, c_b, na, nb,
-             |    CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
-             |    CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE) AS pb
-             |  FROM counts CROSS JOIN totals),
              |contribs AS (
              |  SELECT tok AS token, c_a, c_b, na, nb,
-             |    CAST(floor((
-             |      0.5 * (CASE WHEN c_a > 0
-             |               THEN pa * ln(pa / ((pa + pb) / 2.0))
-             |               ELSE 0.0 END)
-             |      + 0.5 * (CASE WHEN c_b > 0
-             |                 THEN pb * ln(pb / ((pa + pb) / 2.0))
-             |                 ELSE 0.0 END)) * 1e9) AS BIGINT)
+             |    ${jsContribNanoSql("c_a", "c_b", "na", "nb")}
              |      AS contrib_nano
-             |  FROM probs)
+             |  FROM counts CROSS JOIN totals)
              |SELECT token, c_a, c_b, contrib_nano FROM contribs
              |UNION ALL
              |SELECT '__total__' AS token, na AS c_a, nb AS c_b,
              |  CAST(sum(contrib_nano) AS BIGINT) AS contrib_nano
              |FROM contribs GROUP BY na, nb
              |ORDER BY token""".stripMargin)),
+
+    // STREAMING drift monitor — q_dist_drift's divergence arithmetic
+    // (the SAME graft.text.Drift.contribNano / jsContribNanoSql pair,
+    // one definition for both surfaces) run as an INGESTION gate: the
+    // reference token distribution is a persisted stage table (the
+    // model-as-relation stance of q_stream_classify), and each
+    // arriving micro-batch is scored against it in foreachBatch — the
+    // per-batch JS divergence appended to a results table, which is
+    // what a production monitor alerts on before letting a crawl wave
+    // into the corpus. Two real micro-batches (mtime-ordered files,
+    // maxFilesPerTrigger=1): wave 1 is natural corpus text (small
+    // background divergence), wave 3 carries a planted novel token on
+    // every document (the new-vocabulary alert). Result rows key by
+    // the DATA-derived wave id, so the answer is batch-slicing-
+    // independent; the oracle replays both waves batch-side. Per
+    // batch nothing shuffles but the (wave, tok) count relation —
+    // vocab-bounded — and the reference join is a broadcast.
+    "q_stream_drift" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        def toks(df: org.apache.spark.sql.DataFrame) =
+          df.select((col("doc_id") % 4).as("wave"),
+            explode(filter(split(trim(lower(col("text"))), "\\s+"),
+              t => length(t) > 0)).as("tok"))
+        val refCounts = toks(docs.filter(col("doc_id") % 2 === 0))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c_a"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-drift")
+        val refTable = graft.catalog.ParquetTable(
+          s, "drift_ref", s"$tmp/ref", refCounts.schema)
+        refTable.overwrite(refCounts)
+        val arriving = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 === 3,
+              concat(coalesce(col("text"), lit("")), lit(" streamnovel")))
+              .otherwise(col("text")).as("text"))
+        def score(batch: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val ref = refTable.read()
+          val naRow = ref.agg(sum(col("c_a")).as("na"))
+          val bc = toks(batch).groupBy(col("wave"), col("tok"))
+            .agg(count(lit(1)).as("c_b"))
+          val bt = bc.groupBy(col("wave")).agg(sum(col("c_b")).as("nb"))
+          val support = bc.select(col("wave")).distinct()
+            .crossJoin(ref.select(col("tok")))
+            .unionByName(bc.select(col("wave"), col("tok"))).distinct()
+          support.join(broadcast(ref), Seq("tok"), "left")
+            .join(bc, Seq("wave", "tok"), "left")
+            .join(broadcast(bt), Seq("wave"))
+            .crossJoin(broadcast(naRow))
+            .select(col("wave"), col("nb"),
+              graft.text.Drift.contribNano(coalesce(col("c_a"), lit(0L)),
+                coalesce(col("c_b"), lit(0L)), col("na"), col("nb"))
+                .as("cn"))
+            .groupBy(col("wave"), col("nb"))
+            .agg(sum(col("cn")).as("js_nano"))
+        }
+        val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                     mtimeMs: Long): Unit = {
+          val stage = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = src.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        }
+        writeOne(arriving.filter(col("doc_id") % 4 === 1), "a",
+          1000000000000L)
+        writeOne(arriving.filter(col("doc_id") % 4 === 3), "b",
+          1000000060000L)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val resTable = graft.catalog.ParquetTable(
+          ss, "drift_res", s"$tmp/res", score(arriving.limit(0)).schema)
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            resTable.append(score(batch))
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = graft.plans.Materialize.stage(
+          resTable.read().orderBy(col("wave")))
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        out
+      },
+      Some(s"""WITH ref AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS c_a FROM (
+              |    SELECT unnest(list_filter(
+              |      string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> length(x) > 0)) AS tok
+              |    FROM documents WHERE doc_id % 2 = 0)
+              |  GROUP BY tok),
+              |nat AS (SELECT CAST(sum(c_a) AS BIGINT) AS na FROM ref),
+              |arriving AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 4 = 3
+              |      THEN coalesce(text, '') || ' streamnovel'
+              |      ELSE text END AS text
+              |  FROM documents WHERE doc_id % 2 = 1),
+              |btoks AS (
+              |  SELECT doc_id % 4 AS wave,
+              |    unnest(list_filter(
+              |      string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> length(x) > 0)) AS tok
+              |  FROM arriving),
+              |bc AS (SELECT wave, tok, CAST(count(*) AS BIGINT) AS c_b
+              |       FROM btoks GROUP BY wave, tok),
+              |bt AS (SELECT wave, CAST(sum(c_b) AS BIGINT) AS nb
+              |       FROM bc GROUP BY wave),
+              |support AS (
+              |  SELECT w.wave, r.tok
+              |  FROM (SELECT DISTINCT wave FROM bc) w CROSS JOIN ref r
+              |  UNION SELECT wave, tok FROM bc),
+              |j AS (
+              |  SELECT s.wave, s.tok, coalesce(r.c_a, 0) AS c_a,
+              |    coalesce(b.c_b, 0) AS c_b, nat.na, t.nb
+              |  FROM support s
+              |  LEFT JOIN ref r ON r.tok = s.tok
+              |  LEFT JOIN bc b ON b.wave = s.wave AND b.tok = s.tok
+              |  JOIN bt t ON t.wave = s.wave
+              |  CROSS JOIN nat),
+              |c AS (SELECT wave, nb,
+              |        ${jsContribNanoSql("c_a", "c_b", "na", "nb")} AS cn
+              |      FROM j)
+              |SELECT CAST(wave AS BIGINT) AS wave, nb,
+              |  CAST(sum(cn) AS BIGINT) AS js_nano
+              |FROM c GROUP BY wave, nb
+              |ORDER BY wave""".stripMargin)),
 
     // Classifier CALIBRATION — the reliability diagram + expected
     // calibration error (ECE) a model-gated curation pipeline reports
