@@ -778,6 +778,59 @@ object Core {
              |  round(quantile_cont(value, 0.99), 4) AS p99
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Optimizer-statistics collection: the EQUI-DEPTH histogram an
+    // ANALYZE pass builds for selectivity estimation (equal mass per
+    // bucket, unlike q_histogram's equal width) — 7 inner boundaries
+    // at the octile quantiles (type-7, the q_percentiles convention),
+    // rounded to the 4-dp grid BEFORE assignment so both engines
+    // bucket against identical doubles; a value equal to a boundary
+    // goes LEFT (bucket = count of strictly-smaller boundaries).
+    // Shape: one quantile agg → a ONE-ROW boundary relation broadcast
+    // into a codegen'd 7-comparison ladder → one hash agg; the 100 TB
+    // swap is approx_percentile for the boundary row (the
+    // q_classifier_filter_approx precedent), the scan stays
+    // one-pass-each. Per bucket: count plus observed [lo, hi] — the
+    // payload a cost model reads.
+    "q_equidepth" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val boundCols = (1 to 7).map(i =>
+          round(expr(s"percentile(value, ${i / 8.0})"), 4).as(s"b$i"))
+        val bounds = ev.agg(boundCols.head, boundCols.tail: _*)
+        val bucket = (1 to 7).map(i =>
+          when(col("value") > col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        ev.select(col("value")).crossJoin(broadcast(bounds))
+          .select(col("value"), bucket.as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("value")), 4).as("lo"),
+            round(max(col("value")), 4).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val bs = (1 to 7)
+          .map(i => s"round(quantile_cont(value, ${i / 8.0}), 4) AS b$i")
+          .mkString(",\n    ")
+        val ladder = (1 to 7)
+          .map(i => s"(CASE WHEN value > b$i THEN 1 ELSE 0 END)")
+          .mkString(" +\n      ")
+        s"""WITH bounds AS (
+           |  SELECT
+           |    $bs
+           |  FROM events),
+           |assigned AS (
+           |  SELECT value,
+           |    $ladder AS bucket
+           |  FROM events CROSS JOIN bounds)
+           |SELECT CAST(bucket AS INT) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  round(min(value), 4) AS lo,
+           |  round(max(value), 4) AS hi
+           |FROM assigned GROUP BY bucket
+           |ORDER BY bucket""".stripMargin
+      }),
+
     // Training-pipeline profiling: one-pass per-column null rate +
     // cardinality over events (graft.plans.Profiler, exact mode — the
     // approx/HLL scale path is spec-gated in ProfilerSpec).

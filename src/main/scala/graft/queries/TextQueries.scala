@@ -1241,6 +1241,93 @@ object TextQueries {
       // oracle-gated every round but is no longer timed
       bench = false),
 
+    // LSH PARAMETER-TUNING report — the engineering step before
+    // re-banding a corpus-scale dedup: for a candidate (bands b ×
+    // rows-per-band r) grid, the S-curve midpoint threshold
+    // (1/b)^(1/r) and the EXPECTED detected-pair count
+    // Σ 1−(1−J^r)^b over the measured pair-similarity sample — so the
+    // operator picks the banding that meets recall at the operating
+    // threshold from a REPORT, not by re-running the detector per
+    // config. The sample is the verified pair set of the standard
+    // q_neardup_pairs fixture (threshold 0.5, where equality with the
+    // exact all-pairs oracle is an established property of the
+    // corpus); at 100 TB the same report runs over any sampled
+    // verified-pair relation. Expected counts quantize per pair to
+    // integer micro-units before the sum (exact BIGINT under any
+    // partitioning — the Drift/LM stance); per-config math is one
+    // map pass over a dozens-row pair relation crossed with an
+    // enum-sized grid.
+    "q_lsh_tuning" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        val pairs = Dedup.verifiedNearDuplicates(
+          planted, "doc_id", "text", threshold = 0.5)
+          .select(col("jaccard"))
+        val grid = Seq((8, 4), (16, 4), (32, 2), (8, 8), (64, 1))
+          .toDF("bands", "rows_per_band")
+        pairs.crossJoin(broadcast(grid))
+          .groupBy(col("bands"), col("rows_per_band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(floor(lit(1e6) * (lit(1.0) -
+              pow(lit(1.0) - pow(col("jaccard"),
+                col("rows_per_band").cast("double")),
+                col("bands").cast("double")))).cast("long"))
+              .as("exp_detect_micro"))
+          .select(col("bands"), col("rows_per_band"),
+            round(pow(lit(1.0) / col("bands").cast("double"),
+              lit(1.0) / col("rows_per_band").cast("double")), 6)
+              .as("thr50"),
+            col("n_pairs"), col("exp_detect_micro"))
+          .orderBy(col("bands"), col("rows_per_band"))
+      },
+      Some(s"""WITH docs2 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id,
+              |    concat(text, ' trailing') AS text
+              |  FROM documents WHERE doc_id < 20),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |  FROM docs2),
+              |grams AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+              |    i -> array_to_string(t[i:i+2], ' '))) AS g
+              |  FROM toks),
+              |scored AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+              |      AS DOUBLE) AS un
+              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT CASE WHEN un = 0 THEN 0.0 ELSE inter / un END AS jaccard
+              |  FROM scored
+              |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
+              |grid(bands, rows_per_band) AS (
+              |  VALUES (8, 4), (16, 4), (32, 2), (8, 8), (64, 1))
+              |SELECT CAST(g.bands AS INT) AS bands,
+              |  CAST(g.rows_per_band AS INT) AS rows_per_band,
+              |  round(power(1.0 / CAST(g.bands AS DOUBLE),
+              |    1.0 / CAST(g.rows_per_band AS DOUBLE)), 6) AS thr50,
+              |  CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(sum(CAST(floor(1000000.0 * (1.0
+              |    - power(1.0 - power(p.jaccard,
+              |        CAST(g.rows_per_band AS DOUBLE)),
+              |      CAST(g.bands AS DOUBLE)))) AS BIGINT)) AS BIGINT)
+              |    AS exp_detect_micro
+              |FROM pairs p CROSS JOIN grid g
+              |GROUP BY g.bands, g.rows_per_band
+              |ORDER BY bands, rows_per_band""".stripMargin),
+      // tuning math over the q_neardup_pairs sample — the family
+      // bench gate already times the detector itself
+      bench = false),
+
     // CONTAINMENT dedup: pairs where the smaller doc's 3-gram set is
     // ≥90% inside the larger's — catches wholesale inclusion (a doc
     // embedded in a longer one) that Jaccard under-scores. Fixture
