@@ -44,7 +44,8 @@ object Registry {
   lazy val all: Seq[(String, Q)] = {
     val xs = Core.defs ++ AnalyticsQueries.defs ++ CatalogQueries.defs ++
       ReportQueries.defs ++ TextQueries.defs ++ CorpusQueries.defs ++
-      VectorQueries.defs ++ PipelineQueries.defs ++ AnnotationQueries.defs
+      VectorQueries.defs ++ PipelineQueries.defs ++ AnnotationQueries.defs ++
+      ExtractionQueries.defs
     // the .toMap below would silently shadow a duplicated name — make
     // a collision a build-time failure instead of a vanished entry
     val dups = xs.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
