@@ -555,6 +555,104 @@ object PipelineQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // WATERMARK late-data semantics, pinned end to end: a three-batch
+    // stream where batch 1 carries the NEWEST day (the corpus max,
+    // which sets the watermark), batch 2 the on-time remainder of the
+    // last three days, and batch 3 the out-of-order stragglers of two
+    // kinds — rows from the day before the watermark cutoff (late but
+    // WITHIN the 1-day delay: must be aggregated into their still-open
+    // window) and rows older than the cutoff (must be DROPPED before
+    // aggregation). The three-file layout is forced by a real engine
+    // subtlety this entry exists to pin (found against the executed
+    // plan's `StateStoreSave … lateEvents, eviction` pair): since the
+    // chained-stateful-operator fix, Spark filters late INPUT rows
+    // with the PREVIOUS batch's watermark while evicting state with
+    // the CURRENT one — so a straggler arriving in the very next batch
+    // after the max-setting one is NOT yet dropped; it must arrive one
+    // batch later. Update mode + a memory sink collect every per-batch
+    // emission; counts are monotone per window, so max() per window is
+    // the final answer. The oracle is the batch aggregation over
+    // EXACTLY the last three days: if the drop failed, older windows
+    // appear (extra rows → red); if the late-accept failed, the middle
+    // day's count falls short (hash mismatch → red). This is the
+    // 100 TB streaming correctness contract — watermark state eviction
+    // is what keeps window state bounded, and this entry is the only
+    // place the DROP side of that bargain is oracle-checked rather
+    // than assumed.
+    "q_stream_late" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-late")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ev = graft.Tables.load(ss, dir, "events")
+          .select(col("ts"), col("user_id"), col("value"))
+        val dmaxDay = ev.agg(date_trunc("day", max(col("ts")))).head()
+          .getTimestamp(0)
+        def minusDays(t: java.sql.Timestamp, d: Long) =
+          java.sql.Timestamp.from(t.toInstant.minus(
+            java.time.Duration.ofDays(d)))
+        val dm1 = minusDays(dmaxDay, 1) // start of day(max) − 1
+        val dm2 = minusDays(dmaxDay, 2) // start of day(max) − 2
+        // stragglers: day(max)−1 rows for every 10th user arrive a
+        // batch late — inside the 1-day delay once batch 1 has set the
+        // watermark to max(ts) − 1 day (< start of their window's end)
+        val lateOk = col("ts") >= lit(dm1) && col("ts") < lit(dmaxDay) &&
+          pmod(col("user_id"), lit(10L)) === 0
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stage = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+        }
+        // a: the max-setting day; b: on-time remainder of the 3-day
+        // tail; c: the stragglers — one benign batch between a and c
+        // so a's watermark is the LATE-EVENT filter by the time c lands
+        writeOne(ev.filter(col("ts") >= lit(dmaxDay)), "a")
+        writeOne(ev.filter(
+          col("ts") >= lit(dm2) && col("ts") < lit(dmaxDay) && !lateOk), "b")
+        writeOne(ev.filter(col("ts") < lit(dm2) || lateOk), "c")
+        Seq("a", "b", "c").zipWithIndex.foreach { case (n, i) =>
+          java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(
+              1000000000000L + i * 60000L))
+        }
+        val stream = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        val name = s"stream_late_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = stream
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // stream result lives in the memory sink; the fixture dir is
+        // dead weight from here — reclaim it (bench attempts repeat)
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        ss.table(name)
+          .groupBy(col("window.start").as("window_start"))
+          .agg(max(col("n")).as("n"), max(col("value_cents")).as("value_cents"))
+          .orderBy(col("window_start"))
+      },
+      Some("""WITH mx AS (
+             |  SELECT date_trunc('day', max(ts)) AS dmax FROM events)
+             |SELECT date_trunc('day', ts) AS window_start,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS value_cents
+             |FROM events, mx
+             |WHERE ts >= dmax - INTERVAL 2 DAY
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
     // ENGINE-managed session state on a stream: the native
     // session_window aggregation over four micro-batches — the state
     // store must merge overlapping per-batch sessions itself (the

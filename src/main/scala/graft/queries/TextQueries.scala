@@ -1798,6 +1798,84 @@ object TextQueries {
               |GROUP BY s.source, t.thr
               |ORDER BY s.source""".stripMargin)),
 
+    // Cross-source score CALIBRATION by quantile normalization — the
+    // step between heterogeneous quality scorers and one global gate:
+    // raw scores from different sources aren't comparable (a 0.6 from
+    // a clean source ≠ a 0.6 from a noisy one), so each document's
+    // score maps to its WITHIN-SOURCE percent rank ((rank−1)/(n−1),
+    // ties share a rank so calibration never depends on doc id) and
+    // the gate cuts on the calibrated value — by construction each
+    // source passes the same fraction, which is the operator's whole
+    // point (q_adaptive_gate reports per-source thresholds; this one
+    // emits the per-doc calibrated SCORE a downstream mixer consumes).
+    // Plan: one narrow score pass, one shuffle on source, per-source
+    // window rank. At 100 TB the per-source sort inside the window is
+    // the cost; the documented swap is rank-from-equi-depth-bucket
+    // counts (the q_equidepth ladder broadcast back), which
+    // approximates pct map-side with no per-source sort.
+    "q_quantile_norm" -> Q(
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("quality"))
+        scored.select(col("doc_id"), col("source"), col("quality"),
+          round(percent_rank().over(w), 6).as("pct"))
+          .withColumn("kept",
+            when(col("pct") >= 0.5, 1).otherwise(0))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, source,
+              |    $qualityExprSql AS quality
+              |  FROM documents),
+              |r AS (
+              |  SELECT doc_id, source, quality,
+              |    round(percent_rank() OVER (
+              |      PARTITION BY source ORDER BY quality), 6) AS pct
+              |  FROM scored)
+              |SELECT doc_id, source, quality, pct,
+              |  CASE WHEN pct >= 0.5 THEN 1 ELSE 0 END AS kept
+              |FROM r
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer FERTILITY report — subword tokens per whitespace word
+    // by language, the standard multilingual tokenizer-health metric
+    // (a vocabulary that over-fragments one language inflates its
+    // training cost and starves its effective context). Rides the
+    // graft_subword native kernel (one map-only corpus pass, vocab in
+    // the plan) into a per-language rollup; the ratio is an exact
+    // integer division in micro-units (the PageRank/LM stance), so
+    // the row is bit-stable under any partitioning. The oracle replays
+    // the greedy longest-match walk per distinct word as the shared
+    // recursive CTE (subwordCtes — same definition as
+    // q_subword_counts, so the two entries cannot drift).
+    "q_tokenizer_fertility" -> Q(
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.subwordStats(col("text")).as("__sw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__sw.n_words")).as("n_words"),
+          sum(col("__sw.n_subwords")).as("n_subwords"))
+        .withColumn("fertility_micro",
+          expr("n_subwords * 1000000L div n_words"))
+        .orderBy(col("lang")),
+      Some(s"""WITH RECURSIVE ${subwordCtes("documents")}
+              |SELECT d.lang,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(s.n_words) AS BIGINT) AS n_words,
+              |  CAST(sum(s.n_subwords) AS BIGINT) AS n_subwords,
+              |  CAST(sum(s.n_subwords) * 1000000 // sum(s.n_words)
+              |    AS BIGINT) AS fertility_micro
+              |FROM documents d JOIN docsw s USING (doc_id)
+              |GROUP BY d.lang
+              |ORDER BY d.lang""".stripMargin),
+      // the kernel pass is already timed by q_subword_counts — this
+      // rollup stays oracle-gated but untimed
+      bench = false),
+
     // Filter-funnel ATTRITION report — the per-stage accounting a
     // curation pipeline publishes with every corpus release (the
     // FineWeb/RefinedWeb ablation table): how many documents each
