@@ -1510,6 +1510,60 @@ object TextQueries {
       // oracle-gated every round but is no longer timed
       bench = false),
 
+    // Dedup SAVINGS report — the accounting a dedup pipeline publishes
+    // with every corpus release: per near-dup cluster size, how many
+    // clusters exist, how many documents keep-one-per-cluster removes,
+    // and how many bytes that reclaims (total bytes minus the min-id
+    // keeper's — the q_dedup_surviving keep convention). Same fixture,
+    // threshold and shared oracle CTE block as q_neardup_components,
+    // so the report can never drift from the detector it accounts for.
+    // Beyond the detector itself (one LSH pass, already bench-gated by
+    // q_cluster_best) the report adds one size-bounded rollup — the
+    // label relation is (id, comp) longs, the histogram is k rows.
+    "q_dedup_savings" -> Q(
+      (s, dir) => {
+        val planted = plantedTrailing(s, dir)
+        val comps = Dedup.nearDupComponents(
+          planted, "doc_id", "text", threshold = 0.5)
+        val lens = planted.select(col("doc_id"),
+          length(col("text")).cast("long").as("b"))
+        comps.join(lens, Seq("doc_id"))
+          .groupBy(col("comp_id"))
+          .agg(count(lit(1)).as("sz"), sum(col("b")).as("tb"),
+            min(struct(col("doc_id"), col("b"))).as("k"))
+          .filter(col("sz") >= 2)
+          .select(col("sz"), (col("tb") - col("k.b")).as("saved"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz") - 1).as("docs_removed"),
+            sum(col("saved")).as("bytes_saved"))
+          .select(col("sz").cast("int").as("cluster_size"),
+            col("n_clusters"), col("docs_removed"), col("bytes_saved"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $componentsCtes,
+              |blen AS (
+              |  SELECT doc_id, CAST(length(text) AS BIGINT) AS b
+              |  FROM docs2),
+              |g AS (
+              |  SELECT l.comp_id, CAST(count(*) AS BIGINT) AS sz,
+              |    CAST(sum(b.b) AS BIGINT) AS tb, min(l.doc_id) AS keeper
+              |  FROM lab l JOIN blen b USING (doc_id)
+              |  GROUP BY l.comp_id),
+              |g2 AS (
+              |  SELECT g.sz, g.tb - kb.b AS saved
+              |  FROM g JOIN blen kb ON kb.doc_id = g.keeper
+              |  WHERE g.sz >= 2)
+              |SELECT CAST(sz AS INT) AS cluster_size,
+              |  CAST(count(*) AS BIGINT) AS n_clusters,
+              |  CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+              |  CAST(sum(saved) AS BIGINT) AS bytes_saved
+              |FROM g2 GROUP BY sz
+              |ORDER BY cluster_size""".stripMargin),
+      // the detector is already timed by q_cluster_best — the report
+      // rollup stays oracle-gated but untimed
+      bench = false),
+
     // Quality-keeper dedup: every near-dup cluster keeps its BEST
     // document by quality score (ties → min id) instead of the minimum
     // id — the curation-grade variant of q_dedup_surviving. Same

@@ -57,6 +57,39 @@ object VectorQueries {
       |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
       |  FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
+  /** The quantized 2-round Lloyd replay shared by q_kmeans and
+    * q_silhouette (CTEs: q → seeds → a1 → c1 → a2) — ONE definition so
+    * the model and any metric computed over it can never drift. */
+  private val kmeansCtes: String =
+    """q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> floor(x * 1000)) AS e
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS cid, e FROM q
+      |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
+      |    vec_id
+      |  LIMIT 4),
+      |a1 AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT q.vec_id, q.e, s.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
+      |          + list_dot_product(s.e, s.e), s.cid) AS rn
+      |    FROM q, seeds s) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cid, list(m ORDER BY i) AS e FROM (
+      |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
+      |    FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT q.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.e)
+      |          + list_dot_product(c.e, c.e), c.cid) AS rn
+      |    FROM q, c1 c) WHERE rn = 1)""".stripMargin
+
   /** One oracle for BOTH IVF entries (inline and stage-table-served):
     * the stored index memoizes the assignment pass without changing a
     * row, so a single SQL reimplementation of the full pipeline —
@@ -122,36 +155,76 @@ object VectorQueries {
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 4, iters = 2)
         .orderBy(col("vec_id")),
-      Some("""WITH q AS (
-             |  SELECT vec_id,
-             |    list_transform(CAST(embedding AS DOUBLE[]),
-             |                   x -> floor(x * 1000)) AS e
-             |  FROM embeddings),
-             |seeds AS (
-             |  SELECT vec_id AS cid, e FROM q
-             |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
-             |    vec_id
-             |  LIMIT 4),
-             |a1 AS (
-             |  SELECT vec_id, e, cid FROM (
-             |    SELECT q.vec_id, q.e, s.cid,
-             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
-             |          + list_dot_product(s.e, s.e), s.cid) AS rn
-             |    FROM q, seeds s) WHERE rn = 1),
-             |c1 AS (
-             |  SELECT cid, list(m ORDER BY i) AS e FROM (
-             |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
-             |    FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
-             |a2 AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT q.vec_id, c.cid,
-             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.e)
-             |          + list_dot_product(c.e, c.e), c.cid) AS rn
-             |    FROM q, c1 c) WHERE rn = 1)
+      Some(s"""WITH $kmeansCtes
              |SELECT vec_id, CAST(cid AS INT) AS cluster
              |FROM a2 ORDER BY vec_id""".stripMargin)),
+
+    // Simplified-SILHOUETTE cluster quality over the q_kmeans model —
+    // the metric a clustering stage publishes before anyone trusts its
+    // partitions: per vector, a = squared distance to the ASSIGNED
+    // centroid (the argmin), b = distance to the nearest OTHER
+    // centroid; s = 1 − a/b ∈ [0, 1] for the centroid-based variant
+    // (the O(n·k) form that scales — full silhouette's O(n²) pairwise
+    // term is exactly what a 100 TB pipeline cannot pay). Distances
+    // are exact integer-valued doubles (quantized coords), each s
+    // quantized to micro-units BEFORE the per-cluster sum (the
+    // LM/Drift stance), so the report is bit-stable under any
+    // partitioning. Same k/iters/seed as q_kmeans and ONE shared
+    // oracle CTE block (kmeansCtes), so model and metric can never
+    // drift. Plan: driver-trained centroids ride the plan as
+    // literals, the scoring pass is map-side, one k-wide hash agg.
+    "q_silhouette" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = graft.vector.KMeans.fitCentroids(
+          emb, "vec_id", "embedding", k = 4, iters = 2)
+        val q = emb.select(col("vec_id"),
+          graft.vector.KMeans.quantize(col("embedding")).as("e"))
+          .withColumn("ee", VectorFunctions.dot(col("e"), col("e")))
+        val distArr = array_sort(array(cents.map { case (cid, c) =>
+          val cc = c.map(x => x * x).sum
+          struct(
+            (col("ee") - lit(2.0) * VectorFunctions.dot(col("e"),
+              VectorFunctions.vectorLit(c)) + lit(cc)).as("dist"),
+            lit(cid).as("cid"))
+        }: _*))
+        q.select(col("vec_id"),
+          distArr.getItem(0).getField("cid").cast("int").as("cluster"),
+          distArr.getItem(0).getField("dist").as("da"),
+          distArr.getItem(1).getField("dist").as("db"))
+          .select(col("cluster"),
+            when(col("db") === 0, 0L).otherwise(
+              floor((lit(1.0) - col("da") / col("db")) * lit(1e6))
+                .cast("long")).as("sm"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"), sum(col("sm")).as("ssm"))
+          .select(col("cluster"), col("n"),
+            expr("ssm div n").as("mean_sil_micro"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH $kmeansCtes,
+              |d AS (
+              |  SELECT q.vec_id, c.cid,
+              |    list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.e)
+              |      + list_dot_product(c.e, c.e) AS dist
+              |  FROM q, c1 c),
+              |r AS (
+              |  SELECT vec_id, cid, dist,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY dist, cid) AS rn
+              |  FROM d),
+              |si AS (
+              |  SELECT a.cid AS cluster,
+              |    CASE WHEN b.dist = 0 THEN 0
+              |      ELSE CAST(floor((1.0 - a.dist / b.dist) * 1000000)
+              |        AS BIGINT) END AS sm
+              |  FROM r a JOIN r b USING (vec_id)
+              |  WHERE a.rn = 1 AND b.rn = 2)
+              |SELECT CAST(cluster AS INT) AS cluster,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(sm) // count(*) AS BIGINT) AS mean_sil_micro
+              |FROM si GROUP BY cluster
+              |ORDER BY cluster""".stripMargin)),
 
     // Brute-force cosine top-10 against the vec_id=0 embedding. The
     // query vector is a one-row driver fetch (O3 scalar lookup); the
