@@ -98,6 +98,34 @@ object AnalyticsQueries {
        |ORDER BY a.node""".stripMargin
   }
 
+  /** Unrolled majority-label-propagation recurrence — the same packed
+    * argmax as [[graft.plans.LabelProp]] (2⁴⁰ pack constants inline:
+    * 1099511627776 = 2⁴⁰, 1099511627775 = 2⁴⁰−1). */
+  private def labelPropOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""v$k AS (
+         |  SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM und e JOIN l${k - 1} l ON l.node = e.dst
+         |  GROUP BY e.src, l.label),
+         |l$k AS (
+         |  SELECT node,
+         |    1099511627775 - (CAST(max(c * 1099511627776
+         |      + (1099511627775 - label)) AS BIGINT) & 1099511627775)
+         |      AS label
+         |  FROM v$k GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dir0 AS (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_quantity >= 45),
+       |und AS (
+       |  SELECT src, dst FROM dir0 UNION SELECT dst, src FROM dir0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+       |$steps
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l$rounds
+       |ORDER BY node""".stripMargin
+  }
+
   private def pagerankOracle(iters: Int, dangling: Boolean = false): String = {
     val steps = (1 to iters).map { k =>
       if (dangling)
@@ -235,6 +263,70 @@ object AnalyticsQueries {
           .orderBy(col("node"))
       },
       Some(hitsOracle(3))),
+
+    // Community detection by synchronous majority LABEL PROPAGATION
+    // (plans/LabelProp) over the same interaction graph as
+    // q_pagerank/q_hits — the graph-family member reachability can't
+    // stand in for: connected components would merge two dense groups
+    // across one sparse bridge, propagation keeps them apart. The
+    // textbook algorithm's random tie-break is replaced by an exact
+    // packed-BIGINT argmax (count·2⁴⁰ + inverted label → max = highest
+    // count then lowest label), so the 3-round answer is a pure
+    // function of the graph under any partitioning and the oracle
+    // unrolls the identical recurrence.
+    "q_label_prop" -> Q(
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 45),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        graft.plans.LabelProp.labels(edges, rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some(labelPropOracle(3))),
+
+    // Markov TRANSITION MATRIX over per-user event sequences — the
+    // sequence statistic a behavioral-cloning / next-event-prediction
+    // pipeline extracts before training: P(next type | type) from
+    // consecutive-event pairs in per-user event-time order (event_id
+    // tie-break pins simultaneous rows). One shuffle on user_id for
+    // the lead() — at 100 TB this is the sequence pass every
+    // sessionization already pays — and the matrix itself is
+    // |types|² rows; probabilities are exact integer micro-units
+    // (n·1e6 div row-total), never a float sum.
+    "q_markov_transitions" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = t(s, dir, "events")
+          .select(col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+        val counts = pairs.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("t"))
+        counts.join(broadcast(totals), Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000L div t").as("p_micro"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |tt AS (
+             |  SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+             |  FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  CAST(c.n * 1000000 // tt.t AS BIGINT) AS p_micro
+             |FROM c JOIN tt USING (from_type)
+             |ORDER BY c.from_type, c.to_type""".stripMargin)),
 
     // TPC-H Q3 shape: unshipped-order revenue for one market segment.
     // Join order matters at scale: customer is filtered to 1/5 then

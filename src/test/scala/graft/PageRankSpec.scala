@@ -97,4 +97,40 @@ class PageRankSpec extends AnyFunSuite {
     assert(shuffled === base)
     assert(base === hitsOf(es.distinct, 3))
   }
+
+  private def labelsOf(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    graft.plans.LabelProp.labels(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("label propagation: two cliques converge to distinct min-id labels") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield a -> b
+    val es = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L))
+    // round 1: node 1 sees {2,3,4} (all count 1, tie → min) → 2;
+    // every other member sees label 1 once → argmax-by-(count, min) = 1.
+    // round 2: node 1 sees {1,1,1} → 1; others see {2,1,1} → 1 (count 2).
+    // round 3: uniform — each clique labeled by its min id.
+    val l3 = labelsOf(es, 3)
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => l3(n) == 1L), l3.toString)
+    assert(Seq(11L, 12L, 13L, 14L).forall(n => l3(n) == 11L), l3.toString)
+  }
+
+  test("label propagation splits dense groups across a sparse bridge " +
+    "where components would merge them") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield a -> b
+    val es = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L -> 11L) // one bridge edge
+    val l3 = labelsOf(es, 3)
+    // reachability would label everything 1; majority voting keeps the
+    // second clique on its own community
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => l3(n) == 1L), l3.toString)
+    assert(Seq(12L, 13L, 14L).forall(n => l3(n) == 11L), l3.toString)
+    // repartition independence + duplicate-edge collapse
+    val dup = (es ++ Seq(1L -> 2L, 11L -> 12L)).toDF("src", "dst")
+      .repartition(13)
+    val l3b = graft.plans.LabelProp.labels(dup, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l3b === l3)
+  }
 }
