@@ -41,20 +41,30 @@ object Hits {
     * in-edges score au = 0; nodes with no out-edges score hu = 0. */
   def scores(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "iterations in [1,20]")
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // Every round's half-step is consumed TWICE (its max-rescale agg
+    // AND the next join) and the final result joins a with h — left
+    // lazy, the recurrence re-executes its whole prefix per consumer
+    // (≈4^K edge joins; measured 21 s vs ~1 s at K=3 on the bench
+    // graph). Pinning the edge set once and each half-step's score
+    // relation keeps the chain linear in K: per round, exactly one
+    // edge⋈score join + one agg + one one-row max per half-step.
+    val e = Materialize.stage(edges.select(col("src"), col("dst")).distinct())
+    val nodes = Materialize.stage(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
     var h = nodes.withColumn("hu", lit(Unit0))
     var a: DataFrame = null
     (1 to iterations).foreach { _ =>
-      val araw = e.join(h.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("hu")).as("s"))
+      val araw = Materialize.stage(
+        e.join(h.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hu")).as("s")))
       val amax = araw.agg(greatest(max(col("s")), lit(1L)).as("m"))
       a = nodes.join(araw, Seq("node"), "left")
         .crossJoin(broadcast(amax))
         .select(col("node"), expr("(coalesce(s, 0L) * 1000000) div m").as("au"))
-      val hraw = e.join(a.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("au")).as("s"))
+      val hraw = Materialize.stage(
+        e.join(a.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("au")).as("s")))
       val hmax = hraw.agg(greatest(max(col("s")), lit(1L)).as("m"))
       h = nodes.join(hraw, Seq("node"), "left")
         .crossJoin(broadcast(hmax))

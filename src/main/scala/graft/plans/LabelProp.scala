@@ -39,8 +39,10 @@ object LabelProp {
   def labels(edges: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
     val dir0 = edges.select(col("src"), col("dst"))
-    val und = dir0.unionByName(
-      dir0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // the undirected edge set feeds every round — pin it once so the
+    // upstream edge construction (often a join) runs once, not K times
+    val und = Materialize.stage(dir0.unionByName(
+      dir0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val nodes = und.select(col("src").as("node")).distinct()
     var lab = nodes.withColumn("label", col("node"))
     (1 to rounds).foreach { _ =>

@@ -62,13 +62,21 @@ object PageRank {
     * truncation loss per iteration is ranking-irrelevant. */
   def ranksDangling(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "iterations in [1,20]")
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // Unlike [[ranks]] (each round consumed once → linear chain), the
+    // dangling variant consumes every round's rank relation TWICE —
+    // the dangling-sum anti-join AND the contribution join — so left
+    // lazy the recurrence re-executes its prefix per consumer (2^K).
+    // Pin the shared relations once and each round's result.
+    val e = Materialize.stage(edges.select(col("src"), col("dst")).distinct())
+    val nodes = Materialize.stage(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val outdeg = Materialize.stage(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val n = nodes.agg(count(lit(1)).as("n"))
     var r = nodes.withColumn("u", lit(Unit0))
     (1 to iterations).foreach { _ =>
+      r = Materialize.stage(r)
       val dang = r
         .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
         .agg(coalesce(sum(col("u")), lit(0L)).as("dang"))
