@@ -1852,6 +1852,100 @@ object TextQueries {
               |GROUP BY s.source, t.thr
               |ORDER BY s.source""".stripMargin)),
 
+    // CLASS-BALANCED mixture weights (Cui et al. 2019's effective
+    // number of samples): per-source loss weight
+    // w_s = (1−β)/(1−β^n_s) with β = 0.999 — between inverse-frequency
+    // (β→1) and uniform (β=0) reweighting, the standard fix for
+    // long-tail source skew in a training mix. The whole operator is
+    // one map-combined count per source plus enum-sized math; weights
+    // quantize to micro-units at the pow boundary (floor — the
+    // q_lsh_tuning stance for transcendental terms) and the
+    // normalization to mean 1 across sources is then EXACT integer
+    // arithmetic over the quantized weights.
+    "q_class_balanced" -> Q(
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val w = counts.select(col("source"), col("n"),
+          floor(lit(1e6) * (lit(1.0) - lit(0.999)) /
+            (lit(1.0) - pow(lit(0.999), col("n").cast("double"))))
+            .cast("long").as("w_micro"))
+        val tot = w.agg(sum(col("w_micro")).as("t"),
+          count(lit(1)).as("k"))
+        w.crossJoin(broadcast(tot))
+          .select(col("source"), col("n"), col("w_micro"),
+            expr("w_micro * 1000000L * k div t").as("norm_micro"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY source),
+             |w AS (
+             |  SELECT source, n,
+             |    CAST(floor(1000000.0 * (1.0 - 0.999)
+             |      / (1.0 - power(0.999, CAST(n AS DOUBLE)))) AS BIGINT)
+             |      AS w_micro
+             |  FROM c),
+             |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS t,
+             |        CAST(count(*) AS BIGINT) AS k FROM w)
+             |SELECT w.source, w.n, w.w_micro,
+             |  CAST(w.w_micro * 1000000 * t.k // t.t AS BIGINT) AS norm_micro
+             |FROM w, t
+             |ORDER BY w.source""".stripMargin)),
+
+    // Context-length PACKING SWEEP — the sizing report run before
+    // committing a training corpus to a sequence length: for each
+    // candidate L, how many sequences doc-boundary packing needs
+    // (ceil(tokens/L) per doc), how many pad tokens it wastes, and the
+    // token efficiency — read next to q_train_sequences' boundary-free
+    // packed layout (efficiency 1 by construction) and q_length_buckets
+    // (pad waste of the bucketed layout). One token-count pass (the
+    // narrow per-doc relation), crossed with the enum-sized L grid,
+    // all-integer arithmetic — the report is exact and repartition-
+    // stable.
+    "q_packing_sweep" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(filter(split(trim(col("text")), "\\s+"),
+              t => length(t) > 0)).cast("long").as("tok"))
+          .filter(col("tok") > 0)
+        val grid = Seq(128L, 256L, 512L, 1024L).toDF("seq_len")
+        toks.crossJoin(broadcast(grid))
+          .select(col("seq_len"), col("tok"),
+            expr("(tok + seq_len - 1) div seq_len").as("chunks"))
+          .groupBy(col("seq_len"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("total_tokens"),
+            sum(col("chunks")).as("n_seqs"),
+            sum(col("chunks") * col("seq_len") - col("tok"))
+              .as("pad_tokens"))
+          .withColumn("efficiency_micro",
+            expr("total_tokens * 1000000L div (n_seqs * seq_len)"))
+          .orderBy(col("seq_len"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> length(x) > 0)) AS BIGINT) AS tok
+             |  FROM documents),
+             |nz AS (SELECT * FROM toks WHERE tok > 0),
+             |grid(seq_len) AS (VALUES (128), (256), (512), (1024)),
+             |x AS (
+             |  SELECT CAST(g.seq_len AS BIGINT) AS seq_len, n.tok,
+             |    (n.tok + g.seq_len - 1) // g.seq_len AS chunks
+             |  FROM nz n CROSS JOIN grid g)
+             |SELECT seq_len,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+             |  CAST(sum(chunks) AS BIGINT) AS n_seqs,
+             |  CAST(sum(chunks * seq_len - tok) AS BIGINT) AS pad_tokens,
+             |  CAST(sum(tok) * 1000000 // (sum(chunks) * seq_len) AS BIGINT)
+             |    AS efficiency_micro
+             |FROM x GROUP BY seq_len
+             |ORDER BY seq_len""".stripMargin)),
+
     // Cross-source score CALIBRATION by quantile normalization — the
     // step between heterogeneous quality scorers and one global gate:
     // raw scores from different sources aren't comparable (a 0.6 from

@@ -512,6 +512,53 @@ object VectorQueries {
               |SELECT qid, vec_id, CAST(rn AS INT) AS rank
               |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // DIVERSITY-preserving downsampling — the density-cap curation
+    // pass (the pruning half of SemDeDup-style selection): partition
+    // embedding space by 6-bit hyperplane-LSH regions and keep at most
+    // 4 vectors per region, chosen by a deterministic uniform draw
+    // WITHOUT replacement (A-ES with weight 1 — Sampling.weightedSample
+    // riding the native graft_topk aggregate: map-side partials cut
+    // every region to ≤ k before the shuffle, no Window, no per-region
+    // sort). Distinct from q_semantic_dedup (which drops ≥0.98
+    // near-dups pairwise): this caps DENSITY, thinning over-represented
+    // regions even when no pair crosses a duplicate threshold. Region
+    // assignment is map-side (planes ride the plan); shuffle volume is
+    // k·partitions per region regardless of corpus size — the 100 TB
+    // shape as-is.
+    "q_diversity_sample" -> Q(
+      (s, dir) => {
+        val planes = Ann.hyperplanes(bits = 6, dim = 64, seed = 42L)
+        val b = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Ann.bucketOf(col("embedding"), planes).as("bucket"),
+            lit(1.0).as("w"))
+        graft.plans.Sampling.weightedSample(b, "bucket", "w",
+            "vec_id", k = 4, seed = "div")
+          .orderBy(col("bucket"), col("rk"))
+      },
+      Some(s"""WITH planes(j, p) AS (VALUES
+              |    ${planesValues(bits = 6, dim = 64, seed = 42L)}),
+              |b AS (
+              |  SELECT e.vec_id,
+              |    CAST(sum(CASE WHEN list_inner_product(
+              |        CAST(e.embedding AS DOUBLE[]), pl.p) >= 0
+              |      THEN 1 << pl.j ELSE 0 END) AS INT) AS bucket
+              |  FROM embeddings e, planes pl GROUP BY e.vec_id),
+              |keyed AS (
+              |  SELECT bucket, vec_id,
+              |    CAST(floor(1e6 * ln(
+              |      (CAST(('0x' || substr(md5(vec_id || 'div'), 1, 15))::BIGINT
+              |        AS DOUBLE) + 0.5) / 1152921504606846976.0) / 1.0)
+              |      AS BIGINT) AS sample_key
+              |  FROM b),
+              |ranked AS (
+              |  SELECT bucket, vec_id, sample_key,
+              |    CAST(row_number() OVER (PARTITION BY bucket
+              |      ORDER BY sample_key DESC, vec_id) AS BIGINT) AS rk
+              |  FROM keyed)
+              |SELECT bucket, rk, vec_id, sample_key FROM ranked
+              |WHERE rk <= 4 ORDER BY bucket, rk""".stripMargin)),
+
     // Semantic dedup keep-set: the surviving embeddings after dropping
     // every vector with a SMALLER near-duplicate (cos ≥ 0.98) — the
     // "keep first occurrence" dedup a training pipeline runs over
