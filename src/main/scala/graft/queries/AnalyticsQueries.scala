@@ -98,6 +98,20 @@ object AnalyticsQueries {
        |ORDER BY a.node""".stripMargin
   }
 
+  /** Cumulative Poisson(1) inverse-CDF thresholds P(X ≤ k), k = 0..6,
+    * scaled to the 2⁶⁰ md5-draw domain — transcendental constants
+    * computed ONCE here and injected into both engines as integer
+    * literals (the ndcg-discount stance), so neither engine evaluates
+    * exp(). A draw ≥ the last threshold caps the multiplicity at 7
+    * (P ≈ 8×10⁻⁵ — negligible bias, bounded row expansion). */
+  private val poissonCum: Seq[Long] = {
+    val e = math.exp(-1.0)
+    val terms = Iterator.iterate((e, 0)) { case (t, k) => (t / (k + 1), k + 1) }
+      .map(_._1).take(7).toSeq
+    terms.scanLeft(0.0)(_ + _).tail
+      .map(p => math.floor(p * math.pow(2.0, 60)).toLong)
+  }
+
   /** Unrolled majority-label-propagation recurrence — the same packed
     * argmax as [[graft.plans.LabelProp]] (2⁴⁰ pack constants inline:
     * 1099511627776 = 2⁴⁰, 1099511627775 = 2⁴⁰−1). */
@@ -327,6 +341,78 @@ object AnalyticsQueries {
              |  CAST(c.n * 1000000 // tt.t AS BIGINT) AS p_micro
              |FROM c JOIN tt USING (from_type)
              |ORDER BY c.from_type, c.to_type""".stripMargin)),
+
+    // Seeded POISSON-BOOTSTRAP confidence interval for a corpus metric
+    // (the mean event value) — how an eval pipeline attaches error
+    // bars to any released number without a second pass over different
+    // data. Classic bootstrap resampling needs global coordination;
+    // the Poisson(1) approximation (Chamandy et al.) draws each row's
+    // per-replicate multiplicity INDEPENDENTLY — exactly the map-side
+    // shape that survives 100 TB — and here the draw is a salted md5,
+    // so all 32 replicates are deterministic and engine-replayable.
+    // The inverse-CDF thresholds are transcendental → computed ONCE in
+    // Scala ([[poissonCum]], scaled to the 2⁶⁰ hash domain) and
+    // injected into both engines as integer literals (the ndcg-
+    // discount stance). Replicate means are exact integer micro-units
+    // (value cents, non-negative — integer division is engine-safe);
+    // the CI summary is order statistics over the 32-row replicate
+    // relation. One corpus pass × B map-combined aggregations.
+    "q_bootstrap_ci" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").select(col("event_id"),
+          expr("CAST(round(value * 100) AS LONG)").as("vc"))
+        val reps = (0 until 32).toDF("b")
+        val u = graft.text.Dedup.md5Hash60(concat(lit("bs:"),
+          col("b").cast("string"), lit(":"), col("event_id").cast("string")))
+        val w = poissonCum.zipWithIndex.foldRight(lit(7L): org.apache.spark.sql.Column) {
+          case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
+        }
+        val m = ev.crossJoin(broadcast(reps))
+          .select(col("b"), w.as("w"), col("vc"))
+          .groupBy(col("b"))
+          .agg(sum(col("w") * col("vc")).as("sv"), sum(col("w")).as("sw"))
+          .select(col("b"), expr("sv * 1000000L div sw").as("mean_micro"))
+        val orig = ev.agg(
+          expr("CAST(sum(vc) * 1000000L div count(*) AS LONG)").as("orig"))
+        m.agg(sort_array(collect_list(col("mean_micro"))).as("xs"),
+            count(lit(1)).as("n_reps"))
+          .crossJoin(broadcast(orig))
+          .select(col("n_reps").cast("int").as("n_reps"),
+            col("orig").as("orig_mean_micro"),
+            element_at(col("xs"), 1).as("boot_min"),
+            element_at(col("xs"), 16).as("boot_p50"),
+            element_at(col("xs"), 32).as("boot_max"))
+      },
+      Some {
+        val ladder = poissonCum.zipWithIndex
+          .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+          .mkString("\n      ")
+        s"""WITH ev AS (
+           |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc
+           |  FROM events),
+           |reps AS (SELECT unnest(range(0, 32)) AS b),
+           |d AS (
+           |  SELECT b, vc,
+           |    CASE
+           |      $ladder
+           |      ELSE 7 END AS w
+           |  FROM (
+           |    SELECT r.b, e.vc,
+           |      ('0x' || substr(md5('bs:' || r.b || ':' || e.event_id),
+           |        1, 15))::BIGINT AS u
+           |    FROM ev e, reps r)),
+           |m AS (
+           |  SELECT b, CAST(sum(w * vc) * 1000000 // sum(w) AS BIGINT)
+           |    AS mean_micro
+           |  FROM d GROUP BY b),
+           |o AS (SELECT CAST(sum(vc) * 1000000 // count(*) AS BIGINT)
+           |        AS orig FROM ev),
+           |l AS (SELECT list(mean_micro ORDER BY mean_micro) AS xs FROM m)
+           |SELECT CAST(32 AS INT) AS n_reps, o.orig AS orig_mean_micro,
+           |  xs[1] AS boot_min, xs[16] AS boot_p50, xs[32] AS boot_max
+           |FROM o, l""".stripMargin
+      }),
 
     // TPC-H Q3 shape: unshipped-order revenue for one market segment.
     // Join order matters at scale: customer is filtered to 1/5 then

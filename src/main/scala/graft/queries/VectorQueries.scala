@@ -57,6 +57,13 @@ object VectorQueries {
       |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
       |  FROM embeddings WHERE vec_id % 25 = 0""".stripMargin
 
+  /** NDCG@10 discount factors floor(1e6/log2(i+1)), i = 1..10 —
+    * transcendental constants computed ONCE here and injected into
+    * both the Spark plan and the SQL oracle as integer literals, so
+    * neither engine ever evaluates a log. */
+  private val ndcgDiscounts: Seq[Long] = (1 to 10).map(i =>
+    math.floor(1e6 * math.log(2) / math.log(i + 1.0)).toLong)
+
   /** The quantized 2-round Lloyd replay shared by q_kmeans and
     * q_silhouette (CTEs: q → seeds → a1 → c1 → a2) — ONE definition so
     * the model and any metric computed over it can never drift. */
@@ -202,7 +209,9 @@ object VectorQueries {
             expr("ssm div n").as("mean_sil_micro"))
           .orderBy(col("cluster"))
       },
-      Some(s"""WITH $kmeansCtes,
+      bench = false, // cost IS the k-means training, already timed by
+      // q_kmeans; the scoring pass itself is flat (probe exponent ≈ 0)
+      oracle = Some(s"""WITH $kmeansCtes,
               |d AS (
               |  SELECT q.vec_id, c.cid,
               |    list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.e)
@@ -511,6 +520,81 @@ object VectorQueries {
               |  FROM cand)
               |SELECT qid, vec_id, CAST(rn AS INT) AS rank
               |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // NDCG@10 retrieval evaluation — the graded ranking metric the
+    // eval family still lacked (AUC ranks a classifier, label purity
+    // counts hits position-blind; NDCG is position-WEIGHTED).
+    // Relevance = label match against the query vector. The log2
+    // discount factors are transcendental — so they are computed ONCE
+    // in Scala ([[ndcgDiscounts]]) and injected into BOTH engines as
+    // integer micro-unit literals (a k-sized lookup, zero cross-engine
+    // float risk); DCG is then an exact integer sum, and the ideal DCG
+    // for n relevant hits is a prefix-sum lookup, making NDCG an exact
+    // integer division. Per query: the exact top-10 (broadcast query
+    // set, corpus scanned once) + an 11-entry lookup — at 100 TB the
+    // candidate set comes from the IVF index instead and the metric
+    // math is unchanged.
+    "q_ndcg" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"),
+            col("label").as("qlabel"))
+        val topk = Ann.exactTopK(emb, queries.drop("qlabel"),
+          "vec_id", "embedding", "qid", k = 10)
+        val dcol = element_at(array(ndcgDiscounts.map(lit): _*), col("rank"))
+        val cum = ndcgDiscounts.scanLeft(0L)(_ + _)
+        topk.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .join(queries.select(col("qid"), col("qlabel")), Seq("qid"))
+          .select(col("qid"),
+            when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"),
+            dcol.as("d"))
+          .groupBy(col("qid"))
+          .agg(sum(col("rel")).as("n_rel"),
+            sum(col("rel") * col("d")).as("dcg_micro"))
+          .withColumn("idcg",
+            element_at(array(cum.map(lit): _*), col("n_rel").cast("int") + 1))
+          .select(col("qid"), col("n_rel"), col("dcg_micro"),
+            when(col("n_rel") === 0, 0L)
+              .otherwise(expr("dcg_micro * 1000000L div idcg"))
+              .as("ndcg_micro"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        val discVals = ndcgDiscounts.zipWithIndex
+          .map { case (c, i) => s"(${i + 1}, $c)" }.mkString(", ")
+        val cumVals = ndcgDiscounts.scanLeft(0L)(_ + _).zipWithIndex
+          .map { case (c, k) => s"($k, $c)" }.mkString(", ")
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+           |    label AS qlabel
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (
+           |  SELECT q.qid, e.vec_id, q.qlabel, e.label,
+           |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+           |      AS sim
+           |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY sim DESC, vec_id) AS rn
+           |  FROM scored),
+           |disc(rn, c) AS (VALUES $discVals),
+           |agg AS (
+           |  SELECT qid,
+           |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_rel,
+           |    CAST(sum(CASE WHEN label = qlabel THEN d.c ELSE 0 END)
+           |      AS BIGINT) AS dcg_micro
+           |  FROM ranked r JOIN disc d ON d.rn = r.rn
+           |  WHERE r.rn <= 10 GROUP BY qid),
+           |cum(k, s) AS (VALUES $cumVals)
+           |SELECT a.qid, a.n_rel, a.dcg_micro,
+           |  CASE WHEN a.n_rel = 0 THEN 0
+           |    ELSE CAST(a.dcg_micro * 1000000 // c.s AS BIGINT)
+           |    END AS ndcg_micro
+           |FROM agg a JOIN cum c ON c.k = a.n_rel
+           |ORDER BY a.qid""".stripMargin
+      }),
 
     // DIVERSITY-preserving downsampling — the density-cap curation
     // pass (the pruning half of SemDeDup-style selection): partition
