@@ -24,8 +24,13 @@ object Sessionize {
     * equal-timestamp ordering so the numbering is total and
     * deterministic under any partitioning.
     */
-  def batch(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
-            valueCol: String, gapSeconds: Long): DataFrame = {
+  /** Per-event session labels: every input row with a `session_id`
+    * column attached (1-based per user, gap-islands numbering). The
+    * labeling [[batch]] aggregates over, exposed for consumers that
+    * need the EVENTS of a session (sequence construction), not just
+    * its summary. One shuffle on the user key. */
+  def labeled(events: DataFrame, userCol: String, tsCol: String,
+              tieCol: String, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val us = unix_micros(col(tsCol))
@@ -35,6 +40,12 @@ object Sessionize {
     events
       .withColumn("__start", isStart)
       .withColumn("session_id", sum(col("__start")).over(run).cast("int"))
+      .drop("__start")
+  }
+
+  def batch(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
+            valueCol: String, gapSeconds: Long): DataFrame = {
+    labeled(events, userCol, tsCol, tieCol, gapSeconds)
       .groupBy(col(userCol), col("session_id"))
       .agg(
         min(col(tsCol)).as("session_start"),

@@ -431,6 +431,54 @@ object Core {
              |FROM numbered GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Behavioral SEQUENCE-corpus construction — the step that turns an
+    // event log into per-session training sequences (the SFT/next-
+    // action dataset shape): every (user, session) from the 12 h
+    // gap-islands labeling (Sessionize.labeled — SAME numbering as
+    // q_sessionize, shared code) re-emits as its ordered event-type
+    // string, fingerprinted so the oracle pins the exact BYTES of
+    // every sequence, plus first/last type from one sorted re-collect
+    // (the q_token_ids ordered-re-collect stance: the only per-group
+    // structure is bounded by session length). One shuffle on the
+    // user key; at 100 TB this is the same sequence pass every
+    // sessionization pays.
+    "q_session_sequences" -> Q(
+      (s, dir) => {
+        val lab = graft.plans.Sessionize.labeled(t(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 12 * 3600)
+        lab.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))).as("a"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            md5(array_join(transform(col("a"),
+              x => x.getField("event_type")), ">")).as("seq_fp"),
+            element_at(col("a"), 1).getField("event_type").as("first_type"),
+            element_at(col("a"), -1).getField("event_type").as("last_type"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |numbered AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             |      AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  md5(array_to_string(
+             |    list(event_type ORDER BY ts, event_id), '>')) AS seq_fp,
+             |  first(event_type ORDER BY ts, event_id) AS first_type,
+             |  last(event_type ORDER BY ts, event_id) AS last_type
+             |FROM numbered GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // Native session windows (session_window): the built-in twin of
     // plans/Sessionize — one shuffle, merge-on-overlap state handled by
     // the engine, and the same aggregation runs unchanged on a stream.

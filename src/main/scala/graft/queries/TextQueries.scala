@@ -1852,6 +1852,68 @@ object TextQueries {
               |GROUP BY s.source, t.thr
               |ORDER BY s.source""".stripMargin)),
 
+    // COLLOCATION mining by pointwise mutual information — the phrase
+    // detector (word2vec-era Mikolov phrasing, tokenizer-merge
+    // candidates): adjacent bigrams whose joint count beats chance,
+    // PMI = ln(c12·N / (c1·c2)) over corpus unigram/bigram counts,
+    // count floor 5 against PMI's rare-pair bias. Micro-unit
+    // quantization happens BEFORE ranking (the round-before-rank
+    // rule) with the ln composed identically in both engines
+    // (q_bigram_logprob's accepted stance for transcendental terms).
+    // Two map-combined count passes + two broadcastable dictionary
+    // joins + TakeOrdered 20 — no corpus shuffle beyond the counts.
+    "q_collocations" -> Q(
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents").select(
+          filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0).as("t"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        val bi = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1)," +
+              " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val n = bi.agg(sum(col("c12")).as("n"))
+        bi.filter(col("c12") >= 5)
+          .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+          .crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("c12"),
+            floor(lit(1e6) * log((col("c12").cast("double") * col("n")) /
+              (col("cu1").cast("double") * col("cu2"))))
+              .cast("long").as("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH t0 AS (
+             |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> length(x) > 0) AS t
+             |  FROM documents),
+             |uni AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS cu
+             |  FROM (SELECT unnest(t) AS w FROM t0) GROUP BY w),
+             |bi AS (
+             |  SELECT t[i] AS w1, t[i+1] AS w2
+             |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+             |        FROM t0 WHERE len(t) >= 2)),
+             |bc AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             |  FROM bi GROUP BY 1, 2),
+             |nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bc),
+             |p AS (
+             |  SELECT b.w1, b.w2, b.c12,
+             |    CAST(floor(1000000.0 * ln((CAST(b.c12 AS DOUBLE) * nn.n)
+             |      / (CAST(u1.cu AS DOUBLE) * u2.cu))) AS BIGINT)
+             |      AS pmi_micro
+             |  FROM bc b
+             |  JOIN uni u1 ON u1.w = b.w1
+             |  JOIN uni u2 ON u2.w = b.w2, nn
+             |  WHERE b.c12 >= 5)
+             |SELECT w1, w2, c12, pmi_micro FROM p
+             |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin)),
+
     // CLASS-BALANCED mixture weights (Cui et al. 2019's effective
     // number of samples): per-source loss weight
     // w_s = (1−β)/(1−β^n_s) with β = 0.999 — between inverse-frequency
