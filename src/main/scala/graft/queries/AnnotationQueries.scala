@@ -221,6 +221,111 @@ object AnnotationQueries {
               |        / ((nd * 3.0) * (nd * 3.0)))
               |    / (1.0 - (s0*s0 + s1*s1 + s2*s2 + s3*s3)
               |        / ((nd * 3.0) * (nd * 3.0))), 6) AS kappa
-              |FROM agg""".stripMargin))
+              |FROM agg""".stripMargin)),
+
+    // Bradley–Terry strength ratings over pairwise comparisons — the
+    // arena/leaderboard fit an evaluation pipeline runs over human (or
+    // judge-model) A-vs-B verdicts. Fixture: each document is one
+    // comparison between two of 5 "models" (doc_id % 5 vs
+    // (doc_id div 5) % 5, self-matches dropped); the winner draw is
+    // md5-deterministic and BIASED by the index gap (A wins on
+    // h < 5 + a − b of 10), so a true skill ordering 0 < … < 4 exists
+    // for the fit to recover. The corpus-sized work is ONE pass
+    // aggregating verdicts into the bounded sufficient statistics —
+    // n_ij per unordered pair (≤ 10 rows) and wins per model (≤ 5, +1
+    // add-one smoothing so a winless model keeps a nonzero rating) —
+    // the MM iterations (Hunter 2004) then run entirely on that
+    // enum-sized relation: r_i ← w_i / Σ_j n_ij/(r_i+r_j), 3 rounds,
+    // in exact BIGINT micro-units (1e6 = rating 1.0; per-pair term
+    // n_ij·1e12 div (r_i+r_j)) — the PageRank/HITS integer stance, so
+    // the result is a pure function of the verdict counts under any
+    // partitioning and the oracle unrolls the identical recurrence.
+    // Each round is pinned (Materialize.stage) because round k feeds
+    // BOTH sides of round k+1's pair join — the ranksDangling
+    // multi-consumer rule.
+    "q_bt_ratings" -> Q(
+      (s, dir) => {
+        val unit2 = 1000000000000L // 1e6 (units) · 1e6 (rating 1.0)
+        val cmp = Tables.load(s, dir, "documents")
+          .select(pmod(col("doc_id"), lit(5L)).as("ma"),
+            pmod(expr("doc_id div 5"), lit(5L)).as("mb"),
+            pmod(draw("arena", col("doc_id")), lit(10L)).as("h"))
+          .filter(col("ma") =!= col("mb"))
+          .select(least(col("ma"), col("mb")).as("i"),
+            greatest(col("ma"), col("mb")).as("j"),
+            when(col("h") < lit(5L) + col("ma") - col("mb"), col("ma"))
+              .otherwise(col("mb")).as("winner"))
+        val n = graft.plans.Materialize.stage(
+          cmp.groupBy(col("i"), col("j")).agg(count(lit(1)).as("nij")))
+        val models = graft.plans.Materialize.stage(
+          n.select(col("i").as("m"))
+            .unionByName(n.select(col("j").as("m"))).distinct())
+        val w = graft.plans.Materialize.stage(
+          models.join(
+              cmp.groupBy(col("winner").as("m"))
+                .agg(count(lit(1)).as("wr")), Seq("m"), "left")
+            .select(col("m"), (coalesce(col("wr"), lit(0L)) + 1L).as("w")))
+        var r = models.withColumn("r", lit(1000000L))
+        (1 to 3).foreach { _ =>
+          r = graft.plans.Materialize.stage(r)
+          val terms = n
+            .join(r.select(col("m").as("i"), col("r").as("ri")), Seq("i"))
+            .join(r.select(col("m").as("j"), col("r").as("rj")), Seq("j"))
+            .select(col("i"), col("j"),
+              expr(s"(nij * ${unit2}L) div (ri + rj)").as("t"))
+          val denom = terms.select(col("i").as("m"), col("t"))
+            .unionByName(terms.select(col("j").as("m"), col("t")))
+            .groupBy(col("m")).agg(sum(col("t")).as("d"))
+          r = w.join(denom, Seq("m"))
+            .select(col("m"), expr(s"(w * ${unit2}L) div d").as("r"))
+        }
+        w.join(r, Seq("m"))
+          .select(col("m").as("model"), (col("w") - 1L).as("wins"),
+            col("r").as("rating_q"))
+          .orderBy(col("model"))
+      },
+      Some {
+        val unit2 = "1000000000000"
+        def round(k: Int): String =
+          s"""t$k AS (
+             |  SELECT n.i, n.j,
+             |    (n.nij * $unit2) // (ri.r + rj.r) AS t
+             |  FROM n JOIN r${k - 1} ri ON ri.m = n.i
+             |         JOIN r${k - 1} rj ON rj.m = n.j),
+             |d$k AS (
+             |  SELECT m, CAST(sum(t) AS BIGINT) AS d
+             |  FROM (SELECT i AS m, t FROM t$k
+             |        UNION ALL SELECT j AS m, t FROM t$k)
+             |  GROUP BY m),
+             |r$k AS (
+             |  SELECT w.m, CAST((w.w * $unit2) // d.d AS BIGINT) AS r
+             |  FROM w JOIN d$k d USING (m))""".stripMargin
+        s"""WITH cmp AS (
+           |  SELECT doc_id % 5 AS ma, (doc_id // 5) % 5 AS mb,
+           |    ('0x' || substr(md5('arena:' || doc_id), 1, 15))::BIGINT
+           |      % 10 AS h
+           |  FROM documents WHERE doc_id % 5 <> (doc_id // 5) % 5),
+           |res AS (
+           |  SELECT least(ma, mb) AS i, greatest(ma, mb) AS j,
+           |    CASE WHEN h < 5 + (ma - mb) THEN ma ELSE mb END AS winner
+           |  FROM cmp),
+           |n AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+           |      FROM res GROUP BY i, j),
+           |models AS (
+           |  SELECT DISTINCT m FROM (
+           |    SELECT i AS m FROM n UNION ALL SELECT j AS m FROM n)),
+           |wins AS (SELECT winner AS m, CAST(count(*) AS BIGINT) AS wr
+           |         FROM res GROUP BY winner),
+           |w AS (
+           |  SELECT models.m, CAST(coalesce(wr, 0) + 1 AS BIGINT) AS w
+           |  FROM models LEFT JOIN wins USING (m)),
+           |r0 AS (SELECT m, CAST(1000000 AS BIGINT) AS r FROM models),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT w.m AS model, w.w - 1 AS wins, r3.r AS rating_q
+           |FROM w JOIN r3 USING (m)
+           |ORDER BY model""".stripMargin
+      })
   )
 }

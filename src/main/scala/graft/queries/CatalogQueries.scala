@@ -334,6 +334,65 @@ object CatalogQueries {
              |  CAST(NULL AS TIMESTAMP), 1
              |FROM changes ch LEFT JOIN cur c ON ch.k = c.k
              |WHERE c.k IS NULL
-             |ORDER BY k, eff_from, is_current""".stripMargin))
+             |ORDER BY k, eff_from, is_current""".stripMargin)),
+
+    // Dataset-snapshot diff — the version-compare a training-data ops
+    // flow runs between two corpus releases before promoting one:
+    // classify every key as added / removed / changed / unchanged and
+    // report the per-class tally with its id range. Fixture: v2
+    // derives from `documents` by dropping doc_id % 17 = 3, appending
+    // a revision marker to text for doc_id % 13 = 5, and inserting
+    // doc_id + 1000000 rows for doc_id % 29 = 0 — all four classes
+    // populated deterministically. Rows compare by md5 FINGERPRINT,
+    // not text equality, so the join carries (key, 32-byte fp), never
+    // two copies of the payload — the shape that matters at 100 TB:
+    // one full-outer equi-join on the key, map-side fingerprinting,
+    // and a 4-row bounded aggregate out. (SCD2 above is the
+    // slowly-changing HISTORY maintenance; this is the stateless
+    // two-snapshot compare.)
+    "q_snapshot_diff" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp1"))
+        val v2 = docs.filter(pmod(col("doc_id"), lit(17L)) =!= 3L)
+          .select(col("doc_id"),
+            md5(when(pmod(col("doc_id"), lit(13L)) === 5L,
+              concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))).as("fp2"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(29L)) === 0L)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              md5(concat(lit("added document "), col("doc_id"))).as("fp2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp1").isNull, "added")
+              .when(col("fp2").isNull, "removed")
+              .when(col("fp1") =!= col("fp2"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, md5(text) AS fp1 FROM documents),
+             |v2 AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]'
+             |             ELSE text END) AS fp2
+             |  FROM documents WHERE doc_id % 17 <> 3
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |    md5('added document ' || doc_id) AS fp2
+             |  FROM documents WHERE doc_id % 29 = 0),
+             |d AS (
+             |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |    CASE WHEN fp1 IS NULL THEN 'added'
+             |         WHEN fp2 IS NULL THEN 'removed'
+             |         WHEN fp1 <> fp2 THEN 'changed'
+             |         ELSE 'unchanged' END AS status
+             |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+             |SELECT status, CAST(count(*) AS BIGINT) AS n,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM d GROUP BY status ORDER BY status""".stripMargin))
   )
 }

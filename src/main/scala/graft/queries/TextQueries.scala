@@ -2176,6 +2176,286 @@ object TextQueries {
               |  coalesce(b.drop_dup, 0) AS drop_dup,
               |  coalesce(b.n_survive, 0) AS n_survive
               |FROM a LEFT JOIN b ON b.source = a.source
-              |ORDER BY a.source""".stripMargin))
+              |ORDER BY a.source""".stripMargin)),
+
+    // Soft deduplication — duplicate DOWNWEIGHTING instead of dropping
+    // (the SoftDeDup stance: keep every copy but scale its training
+    // weight by 1/cluster_size, so the corpus distribution is
+    // preserved while repeated text stops dominating the loss). Same
+    // normalized-fingerprint clusters as q_dedup_exact, same planted
+    // duplicates; the weight is exact integer micro-units
+    // (1e6 div size — positive operands, so Spark `div` ≡ DuckDB
+    // `//`). One window count over the fingerprint — a single shuffle
+    // and NO join back (the exactDedup lesson: a groupBy + semi-join
+    // gives the upstream two consumers), and no per-cluster list ever
+    // materializes. The keep/drop detectors stay the default; this is
+    // the distribution-preserving alternative a mixture-sensitive
+    // pretraining run reaches for.
+    "q_soft_dedup" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.text.TextFunctions.fingerprint(col("text")))
+        withPlantedDups(s, dir)
+          .select(col("doc_id"), count(lit(1)).over(w).as("cluster_size"))
+          .select(col("doc_id"), col("cluster_size"),
+            expr("1000000L div cluster_size").as("weight_q"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH docs2 AS ($plantedCte),
+              |c AS (
+              |  SELECT doc_id, CAST(count(*) OVER (PARTITION BY
+              |      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+              |    AS BIGINT) AS cluster_size
+              |  FROM docs2)
+              |SELECT doc_id, cluster_size,
+              |  1000000 // cluster_size AS weight_q
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // BLEU-2 generation evaluation — clipped n-gram precision of a
+    // candidate against its reference (Papineni et al. 2002), the
+    // lexical-overlap score a synthetic-data pipeline reports when
+    // grading generated text against sources. The fixture derives a
+    // deterministic "generation" from every document by a per-token
+    // md5 draw: 10% of tokens DROP, 20% mutate to an OOV 'genN' token,
+    // 10% STUTTER (emitted twice — the classic repetition failure
+    // clipping exists to punish: the second copy exceeds the
+    // reference count and clips to zero credit). Per document:
+    // clipped unigram/bigram matches n1/n2 over candidate totals
+    // d1/d2, and the quantized geometric-mean precision
+    // floor(1e6·√((n1·n2)/(d1·d2))) — exact integers through one
+    // correctly-rounded IEEE chain, so both engines agree bit-for-bit;
+    // ref_len/cand_len ride along so any brevity penalty is
+    // recoverable downstream without re-tokenizing. Candidate bigrams
+    // form over the POST-edit stream ((pos, sub) order after drops,
+    // mutations and stutters), not the reference positions. Shape:
+    // one tokenize pass pinned once (five consumers), per-gram
+    // counts shuffle on (doc, gram), all reductions map-side
+    // combining; nothing corpus-sized sits in one task.
+    "q_bleu_pairs" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val marked = graft.plans.Materialize.stage(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              posexplode(filter(split(trim(lower(col("text"))), "\\s+"),
+                t => length(t) > 0)).as(Seq("pos", "tok")))
+            .withColumn("h", pmod(graft.text.Dedup.md5Hash60(
+              concat(lit("gen:"), col("doc_id").cast("string"), lit(":"),
+                (col("pos") + 1).cast("string"))), lit(10L))))
+        val cand = graft.plans.Materialize.stage(
+          marked.select(col("doc_id"), col("pos"),
+              when(col("h") === 0L, array().cast("array<string>"))
+                .when(col("h") <= 2L,
+                  array(concat(lit("gen"), col("h").cast("string"))))
+                .when(col("h") === 3L, array(col("tok"), col("tok")))
+                .otherwise(array(col("tok"))).as("lst"))
+            .select(col("doc_id"), col("pos"),
+              posexplode(col("lst")).as(Seq("sub", "ctok"))))
+        def clipped(ref: DataFrame, cnd: DataFrame, gram: String) =
+          cnd.groupBy(col("doc_id"), col(gram)).agg(count(lit(1)).as("cc"))
+            .join(ref.groupBy(col("doc_id"), col(gram))
+              .agg(count(lit(1)).as("rc")), Seq("doc_id", gram), "left")
+            .groupBy(col("doc_id"))
+            .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("n"),
+              sum(col("cc")).as("d"))
+        val wr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val wc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("pos"), col("sub"))
+        val refBig = marked
+          .withColumn("nxt", lead(col("tok"), 1).over(wr))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"),
+            concat(col("tok"), lit(" "), col("nxt")).as("g"))
+        val candBig = cand
+          .withColumn("nxt", lead(col("ctok"), 1).over(wc))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"),
+            concat(col("ctok"), lit(" "), col("nxt")).as("g"))
+        val uni = clipped(marked.select(col("doc_id"), col("tok").as("g")),
+          cand.select(col("doc_id"), col("ctok").as("g")), "g")
+          .select(col("doc_id"), col("n").as("n1"), col("d").as("d1"))
+        val big = clipped(refBig, candBig, "g")
+          .select(col("doc_id"), col("n").as("n2"), col("d").as("d2"))
+        marked.groupBy(col("doc_id")).agg(count(lit(1)).as("ref_len"))
+          .join(uni, Seq("doc_id"), "left")
+          .join(big, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ref_len"),
+            coalesce(col("d1"), lit(0L)).as("cand_len"),
+            coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("d1"), lit(0L)).as("d1"),
+            coalesce(col("n2"), lit(0L)).as("n2"),
+            coalesce(col("d2"), lit(0L)).as("d2"))
+          .withColumn("bleu2_q",
+            when(col("d1") === 0L || col("d2") === 0L, lit(0L))
+              .otherwise(floor(sqrt(
+                (col("n1") * col("n2")).cast("double") /
+                  (col("d1") * col("d2")).cast("double")) * lit(1000000.0))
+                .cast("long")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM documents),
+             |marked AS (
+             |  SELECT doc_id, s.i AS pos, s.tok AS tok,
+             |    ('0x' || substr(md5('gen:' || doc_id || ':' || s.i), 1, 15))
+             |      ::BIGINT % 10 AS h
+             |  FROM (SELECT doc_id,
+             |          unnest(list_transform(range(1, len(t) + 1),
+             |            i -> struct_pack(i := i, tok := t[i]))) AS s
+             |        FROM t0)),
+             |cand AS (
+             |  SELECT doc_id, pos, u.s AS sub, u.x AS ctok
+             |  FROM (SELECT doc_id, pos,
+             |          CASE WHEN h = 0 THEN []
+             |               WHEN h <= 2 THEN ['gen' || h]
+             |               WHEN h = 3 THEN [tok, tok]
+             |               ELSE [tok] END AS lst
+             |        FROM marked),
+             |    unnest(list_transform(range(1, len(lst) + 1),
+             |      i -> struct_pack(s := i, x := lst[i]))) AS z(u)),
+             |refuni AS (SELECT doc_id, tok AS g, CAST(count(*) AS BIGINT)
+             |             AS rc FROM marked GROUP BY 1, 2),
+             |canduni AS (SELECT doc_id, ctok AS g, CAST(count(*) AS BIGINT)
+             |              AS cc FROM cand GROUP BY 1, 2),
+             |uni AS (
+             |  SELECT c.doc_id,
+             |    CAST(sum(least(c.cc, coalesce(r.rc, 0))) AS BIGINT) AS n1,
+             |    CAST(sum(c.cc) AS BIGINT) AS d1
+             |  FROM canduni c LEFT JOIN refuni r
+             |    ON r.doc_id = c.doc_id AND r.g = c.g
+             |  GROUP BY c.doc_id),
+             |refbig AS (
+             |  SELECT doc_id, tok || ' ' || nxt AS g
+             |  FROM (SELECT doc_id, tok, lead(tok) OVER (
+             |          PARTITION BY doc_id ORDER BY pos) AS nxt
+             |        FROM marked) WHERE nxt IS NOT NULL),
+             |candbig AS (
+             |  SELECT doc_id, ctok || ' ' || nxt AS g
+             |  FROM (SELECT doc_id, ctok, lead(ctok) OVER (
+             |          PARTITION BY doc_id ORDER BY pos, sub) AS nxt
+             |        FROM cand) WHERE nxt IS NOT NULL),
+             |rb AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc
+             |       FROM refbig GROUP BY 1, 2),
+             |cb AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc
+             |       FROM candbig GROUP BY 1, 2),
+             |big AS (
+             |  SELECT c.doc_id,
+             |    CAST(sum(least(c.cc, coalesce(r.rc, 0))) AS BIGINT) AS n2,
+             |    CAST(sum(c.cc) AS BIGINT) AS d2
+             |  FROM cb c LEFT JOIN rb r
+             |    ON r.doc_id = c.doc_id AND r.g = c.g
+             |  GROUP BY c.doc_id),
+             |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ref_len
+             |         FROM marked GROUP BY doc_id)
+             |SELECT b.doc_id, b.ref_len,
+             |  coalesce(u.d1, 0) AS cand_len,
+             |  coalesce(u.n1, 0) AS n1, coalesce(u.d1, 0) AS d1,
+             |  coalesce(g.n2, 0) AS n2, coalesce(g.d2, 0) AS d2,
+             |  CASE WHEN coalesce(u.d1, 0) = 0 OR coalesce(g.d2, 0) = 0
+             |    THEN 0
+             |    ELSE CAST(floor(sqrt(
+             |      CAST(u.n1 * g.n2 AS DOUBLE) / CAST(u.d1 * g.d2 AS DOUBLE))
+             |      * 1000000.0) AS BIGINT) END AS bleu2_q
+             |FROM base b
+             |LEFT JOIN uni u ON u.doc_id = b.doc_id
+             |LEFT JOIN big g ON g.doc_id = b.doc_id
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // BPE merge LEARNING (Sennrich et al. 2016) — the tokenizer-
+    // training step itself, not its application (q_subword_counts
+    // applies a fixed vocab; q_vocab_induce ranks static n-grams).
+    // Three greedy merge rounds: count adjacent symbol pairs weighted
+    // by word frequency, adopt the most frequent pair (ties: freq
+    // desc, pair asc), rewrite, repeat. The corpus-sized work is ONE
+    // word-count pass; every round then runs over the bounded word
+    // DICTIONARY expanded to (word, pos, symbol) rows — the standard
+    // dictionary-BPE formulation, which is exactly what makes the
+    // trainer distributable at 100 TB (the dictionary is
+    // corpus-growth-sublinear; raw-text BPE would re-walk every
+    // token). Greedy left-to-right application — where "aaa" under
+    // merge "aa" must merge positions 1-2, not 2-3 — is inherently
+    // sequential, but reduces to windows: maximal runs of consecutive
+    // hit positions (islands) merge at every ODD in-island rank, which
+    // both engines express as lag-break → running-sum island id →
+    // row_number parity. Each round's top pair is a bounded 1-row
+    // fetch (the KMeans-centroid stance); each round's state is
+    // pinned once (multi-consumer: pair counts AND the rewrite).
+    "q_bpe_merges" -> Q(
+      (s, dir) => {
+        val words = Tables.load(s, dir, "documents")
+          .select(explode(filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0)).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        import s.implicits._
+        graft.text.Bpe.learnMerges(words, "w", "cnt", rounds = 3)
+          .zipWithIndex
+          .map { case ((l, r, f), i) => (i + 1, l, r, l + r, f) }
+          .toDF("step", "lhs", "rhs", "merged", "freq")
+          .orderBy(col("step"))
+      },
+      Some {
+        def round(k: Int): String =
+          s"""wn$k AS (
+             |  SELECT w, cnt, pos, sym,
+             |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+             |  FROM seq${k - 1}),
+             |top$k AS (
+             |  SELECT sym AS tl, nxt AS tr, f FROM (
+             |    SELECT sym, nxt, CAST(sum(cnt) AS BIGINT) AS f
+             |    FROM wn$k WHERE nxt IS NOT NULL GROUP BY 1, 2)
+             |  ORDER BY f DESC, tl, tr LIMIT 1),
+             |h$k AS (
+             |  SELECT wn.w, wn.pos,
+             |    CASE WHEN wn.pos - lag(wn.pos) OVER (
+             |        PARTITION BY wn.w ORDER BY wn.pos) = 1
+             |      THEN 0 ELSE 1 END AS brk
+             |  FROM wn$k wn, top$k t
+             |  WHERE wn.sym = t.tl AND wn.nxt = t.tr),
+             |i$k AS (
+             |  SELECT w, pos, sum(brk) OVER (PARTITION BY w ORDER BY pos
+             |    ROWS UNBOUNDED PRECEDING) AS isl
+             |  FROM h$k),
+             |s$k AS (
+             |  SELECT w, pos FROM (
+             |    SELECT w, pos, row_number() OVER (PARTITION BY w, isl
+             |      ORDER BY pos) AS rn
+             |    FROM i$k)
+             |  WHERE rn % 2 = 1),
+             |seq$k AS (
+             |  SELECT w, cnt,
+             |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+             |    CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+             |  FROM (
+             |    SELECT wn.w, wn.cnt, wn.pos, wn.sym, wn.nxt,
+             |      (s.pos IS NOT NULL) AS sel,
+             |      (c.pos IS NOT NULL) AS consumed
+             |    FROM wn$k wn
+             |    LEFT JOIN s$k s ON s.w = wn.w AND s.pos = wn.pos
+             |    LEFT JOIN s$k c ON c.w = wn.w AND c.pos + 1 = wn.pos)
+             |  WHERE NOT consumed)""".stripMargin
+        s"""WITH words AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_filter(
+           |      string_split_regex(trim(lower(text)), '\\s+'),
+           |      x -> length(x) > 0)) AS w
+           |    FROM documents)
+           |  GROUP BY w),
+           |seq0 AS (
+           |  SELECT w, cnt, CAST(i AS BIGINT) AS pos,
+           |    substr(w, CAST(i AS INT), 1) AS sym
+           |  FROM words, unnest(range(1, length(w) + 1)) AS u(i)),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT step, tl AS lhs, tr AS rhs, tl || tr AS merged, f AS freq
+           |FROM (
+           |  SELECT 1 AS step, * FROM top1
+           |  UNION ALL SELECT 2, * FROM top2
+           |  UNION ALL SELECT 3, * FROM top3)
+           |ORDER BY step""".stripMargin
+      })
   )
 }

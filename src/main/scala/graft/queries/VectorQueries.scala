@@ -906,7 +906,141 @@ object VectorQueries {
              |  max(CASE WHEN same THEN sim END)
              |    - max(CASE WHEN NOT same THEN sim END) AS margin
              |FROM ranked WHERE rn = 1
-             |GROUP BY qid ORDER BY qid""".stripMargin))
+             |GROUP BY qid ORDER BY qid""".stripMargin)),
+
+    // Class-centroid cosine matrix — the domain-similarity table a
+    // data-selection pipeline computes before mixing (which corpora
+    // point the same way in embedding space, à la domain matching for
+    // DSIR-style reweighting): one centroid per label, then pairwise
+    // cosine between the 10 centroids. Float mean aggregation is
+    // order-sensitive, so components quantize to exact 1e-6 BIGINT
+    // units FIRST (floor(x·1e6) — identical IEEE ops in both engines)
+    // and the corpus-sized pass is a plain integer sum keyed by
+    // (label, dim): 640 cells of exact-BIGINT state, map-side
+    // combining, one shuffle. The centroid division and the final
+    // 45-pair cosine run on that bounded relation — every double op
+    // downstream consumes exact integers through the same correctly
+    // rounded IEEE expression shape in both engines, so the quantized
+    // cosine is bit-stable. At 100 TB nothing but (label, dim, sum)
+    // cells ever shuffles; the pair join is centroid×centroid
+    // (labels², corpus-independent).
+    "q_centroid_sim" -> Q(
+      (s, dir) => {
+        val comp = Tables.load(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+          .groupBy(col("label"), col("d"))
+          .agg(sum(floor(col("x").cast("double") * lit(1000000.0))
+            .cast("long")).as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("d"),
+            floor(col("sq").cast("double") / col("n").cast("double"))
+              .cast("long").as("c"))
+        val a = comp.select(col("label").as("la"), col("d"), col("c").as("ca"))
+        val b = comp.select(col("label").as("lb"), col("d"), col("c").as("cb"))
+        a.join(b, Seq("d")).filter(col("la") < col("lb"))
+          .groupBy(col("la"), col("lb"))
+          .agg(sum(col("ca") * col("cb")).as("dot"),
+            sum(col("ca") * col("ca")).as("na"),
+            sum(col("cb") * col("cb")).as("nb"))
+          .select(col("la"), col("lb"),
+            floor(col("dot").cast("double") * lit(1000000.0) /
+              sqrt(col("na").cast("double") * col("nb").cast("double")))
+              .cast("long").as("cos_q"))
+          .orderBy(col("la"), col("lb"))
+      },
+      Some("""WITH comp AS (
+             |  SELECT label, s.i AS d,
+             |    CAST(floor(CAST(s.x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+             |  FROM (SELECT label,
+             |          unnest(list_transform(range(1, len(embedding) + 1),
+             |            i -> struct_pack(i := i, x := embedding[i]))) AS s
+             |        FROM embeddings)),
+             |cent AS (
+             |  SELECT label, d,
+             |    CAST(floor(CAST(sum(q) AS DOUBLE)
+             |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+             |  FROM comp GROUP BY label, d),
+             |p AS (
+             |  SELECT a.label AS la, b.label AS lb,
+             |    CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+             |    CAST(sum(a.c * a.c) AS BIGINT) AS na,
+             |    CAST(sum(b.c * b.c) AS BIGINT) AS nb
+             |  FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT la, lb,
+             |  CAST(floor(CAST(dot AS DOUBLE) * 1000000.0
+             |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT)
+             |    AS cos_q
+             |FROM p ORDER BY la, lb""".stripMargin)),
+
+    // Retrieval metrics NDCG can't express — MRR (reciprocal rank of
+    // the FIRST relevant hit: how soon does retrieval land one) and
+    // recall@10 against the CORPUS-level relevant count (how much of
+    // what exists was found — its denominator is outside the ranked
+    // list entirely, which is why no DCG variant subsumes it). Same
+    // query set and exact top-10 ranking as q_ndcg; the corpus
+    // denominator is one bounded per-label count relation joined by
+    // query label. Both metrics in exact integer micro-units
+    // (1e6 div rank / div n_relevant — positive operands). Rides the
+    // broadcast-query-set top-k: per 100 TB serving the ranked
+    // relation is k-bounded per query, and the label census is
+    // enum-sized.
+    "q_retrieval_metrics" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"),
+            col("label").as("qlabel"))
+        val topk = Ann.exactTopK(emb, queries.drop("qlabel"),
+          "vec_id", "embedding", "qid", k = 10)
+        val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+        topk.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .join(queries.select(col("qid"), col("qlabel")), Seq("qid"))
+          .groupBy(col("qid"), col("qlabel"))
+          .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+            .as("rel_at_10"),
+            min(when(col("label") === col("qlabel"), col("rank")))
+              .cast("long").as("fr"))
+          .join(lc, col("label") === col("qlabel"))
+          .select(col("qid"), col("rel_at_10"),
+            coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
+            when(col("fr").isNull, 0L)
+              .otherwise(expr("1000000L div fr")).as("mrr_micro"),
+            when(col("n_label") <= 1L, 0L)
+              .otherwise(expr("rel_at_10 * 1000000L div (n_label - 1)"))
+              .as("recall10_micro"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+             |    label AS qlabel
+             |  FROM embeddings WHERE vec_id % 100 = 0),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id, q.qlabel, e.label,
+             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+             |      AS sim
+             |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY sim DESC, vec_id) AS rn
+             |  FROM scored),
+             |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+             |       FROM embeddings GROUP BY label),
+             |agg AS (
+             |  SELECT qid, qlabel,
+             |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS rel_at_10,
+             |    CAST(min(CASE WHEN label = qlabel THEN rn END) AS BIGINT)
+             |      AS fr
+             |  FROM ranked WHERE rn <= 10 GROUP BY qid, qlabel)
+             |SELECT a.qid, a.rel_at_10,
+             |  coalesce(a.fr, 0) AS first_rel_rank,
+             |  CASE WHEN a.fr IS NULL THEN 0
+             |    ELSE 1000000 // a.fr END AS mrr_micro,
+             |  CASE WHEN lc.n_label <= 1 THEN 0
+             |    ELSE a.rel_at_10 * 1000000 // (lc.n_label - 1) END
+             |    AS recall10_micro
+             |FROM agg a JOIN lc ON lc.label = a.qlabel
+             |ORDER BY a.qid""".stripMargin))
   )
 
   /** row_number() is int on both engines, but keep the cast explicit

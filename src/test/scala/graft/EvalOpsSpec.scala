@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics gates for the evaluation/curation wave: Bradley–Terry
+  * arena ratings, class-centroid similarity, snapshot diff, soft
+  * dedup downweighting, and BLEU-2 generation scoring. The oracle
+  * pins cross-engine equality; these pin the PROPERTIES the oracles
+  * alone can't state (skill-order recovery, clip activation,
+  * weight-mass conservation, agreement with an independent in-test
+  * reference computation). */
+class EvalOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_bt_ratings recovers the planted skill ordering") {
+    val rows = run("q_bt_ratings").orderBy(col("model")).collect()
+    assert(rows.length == 5)
+    val ratings = rows.map(_.getLong(2))
+    assert(ratings.forall(_ > 0L), ratings.mkString(","))
+    // the fixture biases wins toward the higher model index (A wins on
+    // h < 5 + a − b), so the MM fit must rank 4 above 0 — and, with
+    // corpus-sized verdict counts, strictly monotonically
+    assert(ratings.last > ratings.head, ratings.mkString(","))
+    assert(ratings.sameElements(ratings.sorted), ratings.mkString(","))
+  }
+
+  test("q_centroid_sim matches an independent reference computation") {
+    val got = run("q_centroid_sim").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == 45) // 10 labels → C(10,2) pairs
+    // independent reference: quantize → integer-sum → floor-centroid →
+    // cosine, straight Scala over the collected table (500 rows)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val cent = vecs.groupBy(_._1).map { case (l, vs) =>
+      val n = vs.length
+      val dims = vs.head._2.length
+      l -> Array.tabulate(dims) { d =>
+        val s = vs.map(v => math.floor(v._2(d).toDouble * 1e6).toLong).sum
+        math.floor(s.toDouble / n.toDouble).toLong
+      }
+    }
+    for {
+      la <- cent.keys; lb <- cent.keys if la < lb
+    } {
+      val (a, b) = (cent(la), cent(lb))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      val want =
+        math.floor(dot.toDouble * 1e6 / math.sqrt(na.toDouble * nb.toDouble)).toLong
+      assert(got((la, lb)) == want, s"pair ($la,$lb)")
+    }
+  }
+
+  test("q_snapshot_diff tallies match direct modular recounts") {
+    val got = run("q_snapshot_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = Tables.load(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(got("added") == ids.count(_ % 29 == 0))
+    assert(got("removed") == ids.count(_ % 17 == 3))
+    assert(got("changed") == ids.count(i => i % 13 == 5 && i % 17 != 3))
+    assert(got("unchanged") ==
+      ids.count(i => i % 17 != 3 && !(i % 13 == 5 && i % 17 != 3)))
+    assert(got.values.sum == ids.length + ids.count(_ % 29 == 0))
+  }
+
+  test("q_soft_dedup conserves weight mass per cluster") {
+    val rows = run("q_soft_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // singletons keep full weight
+    assert(rows.filter(_._2 == 1L).forall(_._3 == 1000000L))
+    // the planted copies (doc_id < 20 duplicated at +100000) cluster
+    assert(rows.filter(r => r._1 < 20 || r._1 >= 100000).forall(_._2 >= 2L))
+    // integer weights: size · (1e6 div size) never exceeds the unit
+    assert(rows.forall(r => r._2 * r._3 <= 1000000L))
+    assert(rows.forall(r => (r._2 + 1) * r._3 > 1000000L)) // tight floor
+  }
+
+  test("q_bleu_pairs precisions are clipped, bounded, and exercised") {
+    val rows = run("q_bleu_pairs").collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (refLen, candLen, n1, d1, n2, d2, q) =>
+      assert(n1 <= d1 && n2 <= d2)
+      assert(candLen == d1)
+      assert(q >= 0L && q <= 1000000L)
+      if (d1 > 0 && d2 > 0)
+        assert(q == math.floor(math.sqrt(
+          (n1 * n2).toDouble / (d1 * d2).toDouble) * 1e6).toLong)
+      assert(refLen > 0)
+    }
+    // mutations/stutters must actually cost precision somewhere —
+    // a corpus-wide perfect score would mean the edits never applied
+    assert(rows.exists { case (_, _, n1, d1, _, _, _) => n1 < d1 })
+    assert(rows.exists { case (_, _, _, _, n2, d2, _) => n2 < d2 })
+  }
+
+  test("q_retrieval_metrics invariants hold per query") {
+    val rows = run("q_retrieval_metrics").collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (rel10, fr, mrr, recall) =>
+      assert(rel10 >= 0L && rel10 <= 10L)
+      assert(recall >= 0L && recall <= 1000000L)
+      if (fr == 0L) { assert(mrr == 0L && rel10 == 0L) }
+      else {
+        assert(fr >= 1L && fr <= 10L)
+        assert(mrr == 1000000L / fr)
+        assert(rel10 >= 1L)
+      }
+    }
+    // with 10-class structure in the embeddings, at least one query
+    // must actually find a same-label neighbor in its top 10
+    assert(rows.exists(_._2 > 0L))
+  }
+}
