@@ -99,17 +99,22 @@ object AnalyticsQueries {
   }
 
   /** Cumulative Poisson(1) inverse-CDF thresholds P(X ≤ k), k = 0..6,
-    * scaled to the 2⁶⁰ md5-draw domain — transcendental constants
+    * scaled to a 16-BIT draw domain — transcendental constants
     * computed ONCE here and injected into both engines as integer
     * literals (the ndcg-discount stance), so neither engine evaluates
     * exp(). A draw ≥ the last threshold caps the multiplicity at 7
-    * (P ≈ 8×10⁻⁵ — negligible bias, bounded row expansion). */
-  private val poissonCum: Seq[Long] = {
+    * (P ≈ 8×10⁻⁵ — negligible bias, bounded row expansion). 16 bits,
+    * not the usual 60: one md5 then yields EIGHT independent 4-hex-char
+    * draws, so 32 replicates cost 4 hashes per row instead of 32 — the
+    * hash is the dominant per-row cost of the bootstrap pass, and the
+    * ≤2⁻¹⁶ CDF quantization is noise three orders below the bootstrap
+    * resampling error itself. */
+  private val poissonCum16: Seq[Long] = {
     val e = math.exp(-1.0)
     val terms = Iterator.iterate((e, 0)) { case (t, k) => (t / (k + 1), k + 1) }
       .map(_._1).take(7).toSeq
     terms.scanLeft(0.0)(_ + _).tail
-      .map(p => math.floor(p * math.pow(2.0, 60)).toLong)
+      .map(p => math.floor(p * 65536.0).toLong)
   }
 
   /** Unrolled majority-label-propagation recurrence — the same packed
@@ -348,31 +353,45 @@ object AnalyticsQueries {
     // data. Classic bootstrap resampling needs global coordination;
     // the Poisson(1) approximation (Chamandy et al.) draws each row's
     // per-replicate multiplicity INDEPENDENTLY — exactly the map-side
-    // shape that survives 100 TB — and here the draw is a salted md5,
+    // shape that survives 100 TB — and here the draws are salted md5s,
     // so all 32 replicates are deterministic and engine-replayable.
     // The inverse-CDF thresholds are transcendental → computed ONCE in
-    // Scala ([[poissonCum]], scaled to the 2⁶⁰ hash domain) and
-    // injected into both engines as integer literals (the ndcg-
-    // discount stance). Replicate means are exact integer micro-units
-    // (value cents, non-negative — integer division is engine-safe);
-    // the CI summary is order statistics over the 32-row replicate
-    // relation. One corpus pass × B map-combined aggregations.
+    // Scala ([[poissonCum16]]) and injected into both engines as
+    // integer literals (the ndcg-discount stance). Replicate means are
+    // exact integer micro-units (value cents, non-negative — integer
+    // division is engine-safe); the CI summary is order statistics
+    // over the 32-row replicate relation. Plan shape: ONE corpus scan,
+    // no per-replicate hashing — each row computes 4 md5s in an array
+    // literal, a `transform` lambda slices each into 8 draws (the
+    // lambda variable binds the hash ONCE — no repeated-subtree risk),
+    // and posexplode yields the 32 (b, u) pairs feeding a 32-group
+    // map-side-combined aggregate. Each expression unit stays small,
+    // so the whole chain lives inside whole-stage codegen — the
+    // one-struct-per-replicate mega-aggregate variant (66 sum slots ×
+    // 8-deep ladders) blew past hugeMethodLimit and fell back to
+    // interpreted eval, twice the runtime of this form. (The first
+    // form crossJoined events × 32 and paid one md5 per pair — 8× the
+    // hash work; 6.97 → ~3.5 (mega-agg) → this.)
     "q_bootstrap_ci" -> Q(
       (s, dir) => {
-        import s.implicits._
         val ev = t(s, dir, "events").select(col("event_id"),
           expr("CAST(round(value * 100) AS LONG)").as("vc"))
-        val reps = (0 until 32).toDF("b")
-        val u = graft.text.Dedup.md5Hash60(concat(lit("bs:"),
-          col("b").cast("string"), lit(":"), col("event_id").cast("string")))
-        val w = poissonCum.zipWithIndex.foldRight(lit(7L): org.apache.spark.sql.Column) {
-          case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
-        }
-        val m = ev.crossJoin(broadcast(reps))
+        val hArr = array((0 until 4).map(g =>
+          md5(concat(lit(s"bs:$g:"), col("event_id").cast("string")))): _*)
+        val uArr = flatten(transform(hArr, h =>
+          array((0 until 8).map(i =>
+            conv(substring(h, 1 + i * 4, 4), 16, 10).cast("long")): _*)))
+        val w = poissonCum16.zipWithIndex
+          .foldRight(lit(7L): org.apache.spark.sql.Column) {
+            case ((thr, k), rest) =>
+              when(col("u") < thr, k.toLong).otherwise(rest)
+          }
+        val m = ev
+          .select(col("vc"), posexplode(uArr).as(Seq("b", "u")))
           .select(col("b"), w.as("w"), col("vc"))
           .groupBy(col("b"))
           .agg(sum(col("w") * col("vc")).as("sv"), sum(col("w")).as("sw"))
-          .select(col("b"), expr("sv * 1000000L div sw").as("mean_micro"))
+          .select(expr("sv * 1000000L div sw").as("mean_micro"))
         val orig = ev.agg(
           expr("CAST(sum(vc) * 1000000L div count(*) AS LONG)").as("orig"))
         m.agg(sort_array(collect_list(col("mean_micro"))).as("xs"),
@@ -385,7 +404,7 @@ object AnalyticsQueries {
             element_at(col("xs"), 32).as("boot_max"))
       },
       Some {
-        val ladder = poissonCum.zipWithIndex
+        val ladder = poissonCum16.zipWithIndex
           .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
           .mkString("\n      ")
         s"""WITH ev AS (
@@ -399,8 +418,8 @@ object AnalyticsQueries {
            |      ELSE 7 END AS w
            |  FROM (
            |    SELECT r.b, e.vc,
-           |      ('0x' || substr(md5('bs:' || r.b || ':' || e.event_id),
-           |        1, 15))::BIGINT AS u
+           |      ('0x' || substr(md5('bs:' || (r.b // 8) || ':' || e.event_id),
+           |        1 + (r.b % 8) * 4, 4))::BIGINT AS u
            |    FROM ev e, reps r)),
            |m AS (
            |  SELECT b, CAST(sum(w * vc) * 1000000 // sum(w) AS BIGINT)
