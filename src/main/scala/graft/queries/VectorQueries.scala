@@ -1040,7 +1040,138 @@ object VectorQueries {
              |    ELSE a.rel_at_10 * 1000000 // (lc.n_label - 1) END
              |    AS recall10_micro
              |FROM agg a JOIN lc ON lc.label = a.qlabel
-             |ORDER BY a.qid""".stripMargin))
+             |ORDER BY a.qid""".stripMargin)),
+
+    // Distributed PCA (top principal component) by POWER ITERATION —
+    // the embedding analytic whose scale story is the whole point: the
+    // corpus appears in exactly ONE pass that reduces it to a d×d
+    // covariance relation (each row emits its d(d+1)/2 upper-triangle
+    // products inside the row — nested transform over the quantized
+    // vector, so only (a, b, product) cells ever shuffle and they
+    // map-side combine to 2,080 groups), and every subsequent step —
+    // centering, rescale, 6 unrolled v ← C·v rounds, sign fix — runs
+    // driver-side on the COLLECTED d² matrix — the MLlib precedent
+    // (RowMatrix.computePrincipalComponents collects the Gramian the
+    // same way): a 64×64 covariance is bounded by DESIGN, independent
+    // of corpus size, and a distributed formulation of the iteration
+    // costs 12 shuffle stages of scheduling overhead to move 64 rows
+    // (measured 6.6 s vs ~1 s for this form at sf0.1). Bit-stability
+    // across engines: components quantize to exact integer milli-units
+    // (floor(x·1e3 + .5) — float→double conversion is exact, so both
+    // engines see identical integers), the covariance is the exact
+    // integer n·Σqq − ΣqΣq, and the iteration never touches a float:
+    // each round renormalizes by `u div greatest(max|u| div 1e6, 1)`
+    // (truncating integer division — Scala `/`, Spark `div` and DuckDB
+    // `//` all truncate toward zero, verified on negatives). Bounds:
+    // |q| ≤ 2 580 (planted), so n·S ≤ 2.7e13 at sf0.1 and the iterate
+    // products stay < 2e17 ≪ 2⁶³; at 100 TB row counts the covariance
+    // accumulators move to DECIMAL(38,0) (or a two-level sum), the
+    // only change. The planted fixture shifts dim 0 of every even
+    // vector by +2.0, making dim 0 the dominant variance direction —
+    // EvalOpsSpec asserts the recovered loading concentrates there;
+    // the oracle replays all six rounds exactly, converged or not.
+    // λ comes out as the final round's max|u| (exact integer, in
+    // c·v units) with the covariance rescale factor alongside.
+    "q_pca_power" -> Q(
+      (s, dir) => {
+        val d = 64
+        val emb = Tables.load(s, dir, "embeddings")
+        val planted = emb.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0 && col("vec_id") % 2 === 0, x + lit(2.0f))
+              .otherwise(x)).as("e"))
+        val qv = planted.select(col("vec_id"),
+          transform(col("e"), x =>
+            floor(x.cast("double") * lit(1000d) + lit(0.5d))).as("q"))
+        // THE one corpus pass: per-row upper-triangle products computed
+        // inside the row (nested transform — only cells shuffle), plus
+        // the per-dim totals and the row count riding the same scan
+        val stats = qv.select(
+          explode(flatten(transform(col("q"), (qa, a) =>
+            transform(slice(col("q"), a + lit(1), lit(d)), (qb, bo) =>
+              struct(a.as("a"), (a + bo).as("b"), (qa * qb).as("p"))))))
+            .as("c"))
+          .select(col("c.a").as("a"), col("c.b").as("b"), col("c.p").as("p"))
+          .groupBy(col("a"), col("b")).agg(sum(col("p")).as("s"))
+        val tm = qv.select(posexplode(col("q")).as(Seq("a", "qa")))
+          .groupBy(col("a")).agg(sum(col("qa")).as("t"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val n = qv.count()
+        // bounded collect: d(d+1)/2 = 2,080 exact-integer cells
+        val S = stats.collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        def cFull(a: Int, b: Int): Long = {
+          val s0 = if (a <= b) S((a, b)) else S((b, a))
+          n * s0 - tm(a) * tm(b)
+        }
+        val maxC = (for (a <- 0 until d; b <- 0 until d)
+          yield math.abs(cFull(a, b))).max
+        val r0 = math.max(maxC / 1000000000L, 1L)
+        val cm = Array.tabulate(d, d)((a, b) => cFull(a, b) / r0)
+        var v = Array.fill(d)(1000000L)
+        var lambda = 0L
+        for (_ <- 1 to 6) {
+          val u = Array.tabulate(d)(a =>
+            (0 until d).map(b => cm(a)(b) * v(b)).sum)
+          lambda = u.map(math.abs).max
+          val g = math.max(lambda / 1000000L, 1L)
+          v = u.map(_ / g)
+        }
+        val dmax = (0 until d).minBy(a => (-math.abs(v(a)), a))
+        val sg = if (v(dmax) >= 0) 1L else -1L
+        import s.implicits._
+        (0 until d).map(a => (a, v(a) * sg, lambda, r0))
+          .toDF("dim", "loading_micro", "lambda_q", "rescale")
+          .orderBy(col("dim"))
+      },
+      Some {
+        val rounds = (1 to 6).map { k =>
+          val pv = if (k == 1) "v0" else s"v${k - 1}"
+          s"""u$k AS (
+             |  SELECT cm.a, CAST(sum(cm.c * $pv.v) AS BIGINT) AS u
+             |  FROM cm JOIN $pv ON cm.b = $pv.a GROUP BY cm.a),
+             |m$k AS (SELECT max(abs(u)) AS m,
+             |          greatest(max(abs(u)) // 1000000, 1) AS g FROM u$k),
+             |v$k AS (SELECT a, u // m$k.g AS v FROM u$k, m$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH planted AS (
+           |  SELECT vec_id,
+           |    list_transform(range(len(embedding)), i ->
+           |      CASE WHEN i = 0 AND vec_id % 2 = 0
+           |        THEN embedding[i+1] + CAST(2.0 AS FLOAT)
+           |        ELSE embedding[i+1] END) AS e
+           |  FROM embeddings),
+           |qv AS (
+           |  SELECT vec_id, list_transform(e, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+           |  FROM planted),
+           |tri AS (
+           |  SELECT t1.ia AS a, t2.ib AS b,
+           |    CAST(sum(q[t1.ia + 1] * q[t2.ib + 1]) AS BIGINT) AS s
+           |  FROM qv, range(0, 64) t1(ia), range(0, 64) t2(ib)
+           |  WHERE t1.ia <= t2.ib GROUP BY 1, 2),
+           |tm AS (
+           |  SELECT t1.ia AS a, CAST(sum(q[t1.ia + 1]) AS BIGINT) AS t
+           |  FROM qv, range(0, 64) t1(ia) GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qv),
+           |cf0 AS (
+           |  SELECT tri.a, tri.b, nn.n * tri.s - ta.t * tb.t AS cc
+           |  FROM tri JOIN tm ta ON ta.a = tri.a
+           |           JOIN tm tb ON tb.a = tri.b, nn),
+           |cf AS (SELECT a, b, cc FROM cf0
+           |  UNION ALL SELECT b AS a, a AS b, cc FROM cf0 WHERE a <> b),
+           |rr AS (SELECT greatest(max(abs(cc)) // 1000000000, 1) AS r FROM cf),
+           |cm AS (SELECT a, b, cc // rr.r AS c FROM cf, rr),
+           |v0 AS (SELECT t1.ia AS a, CAST(1000000 AS BIGINT) AS v
+           |       FROM range(0, 64) t1(ia)),
+           |$rounds,
+           |sg AS (SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg
+           |       FROM v6 ORDER BY abs(v) DESC, a LIMIT 1)
+           |SELECT CAST(v6.a AS INT) AS dim,
+           |  CAST(v6.v * sg.sg AS BIGINT) AS loading_micro,
+           |  m6.m AS lambda_q, rr.r AS rescale
+           |FROM v6, sg, m6, rr ORDER BY dim""".stripMargin
+      })
   )
 
   /** row_number() is int on both engines, but keep the cast explicit

@@ -121,4 +121,22 @@ class EvalOpsSpec extends AnyFunSuite {
     // must actually find a same-label neighbor in its top 10
     assert(rows.exists(_._2 > 0L))
   }
+
+  test("q_pca_power recovers the planted dominant direction") {
+    val rows = run("q_pca_power").orderBy(col("dim")).collect()
+    assert(rows.length == 64)
+    val loadings = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the fixture shifts dim 0 of every even vector by +2.0 — after
+    // centering that is variance ≈ 1 along dim 0 vs ~0.01 per natural
+    // dim, so the top eigenvector must concentrate there; the L∞
+    // normalization puts the dominant component at exactly +1e6 after
+    // the sign fix (it IS the max-abs element the sign is taken from)
+    assert(loadings(0) == 1000000L, s"dim0 = ${loadings(0)}")
+    val offAxis = loadings.filter(_._1 != 0).values.map(math.abs).max
+    assert(offAxis < 200000L, s"max off-axis loading $offAxis")
+    // λ and the rescale factor are positive exact integers, constant
+    // over the relation
+    assert(rows.map(_.getLong(2)).distinct.length == 1)
+    assert(rows.head.getLong(2) > 0L && rows.head.getLong(3) >= 1L)
+  }
 }
