@@ -1262,6 +1262,117 @@ object AnalyticsQueries {
              |      - 3.0 * mean * mean * mean * mean)
              |    / ((ex2 - mean * mean) * (ex2 - mean * mean)) - 3.0, 6)
              |    AS kurtosis
-             |FROM m ORDER BY source""".stripMargin))
+             |FROM m ORDER BY source""".stripMargin)),
+
+    // Robust per-source outlier gate: EXACT median + MAD (median
+    // absolute deviation) with the classic |x − med| > 3·MAD flag —
+    // the curation stage that drops pathological documents (truncated
+    // fragments, concatenation blobs) without a distribution
+    // assumption. The scale trick is that NO corpus sort exists
+    // anywhere: order statistics come from HISTOGRAM CUMULATION over
+    // the quantized domain — token counts are already integers, so
+    // `groupBy (source, len)` reduces the corpus to a bounded relation
+    // (distinct lengths per source, a few hundred rows), and the
+    // cumulative window runs over THAT histogram, never over documents
+    // (contrast q_quantile_norm's documented per-source rank, which
+    // windows over corpus rows). Median = smallest value whose
+    // cumulative count reaches (n+1) div 2 (lower median — exact,
+    // tie-safe); MAD repeats the same cumulation over |len − med|.
+    // Two corpus-reducing passes + one gate scan, every join a
+    // broadcast of the enum-sized stats relation, all integers.
+    // Fixture plants 5 padded 3000-token blobs and 5 two-token stubs
+    // so both tails must flag.
+    "q_mad_gate" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val pad = array_join(
+          transform(sequence(lit(1), lit(3000)),
+            i => concat(lit("padz"), i.cast("string"))), " ")
+        val planted = docs
+          .unionByName(docs.filter(col("doc_id") < 5).select(
+            (col("doc_id") + 900000).as("doc_id"), col("source"),
+            concat(col("text"), lit(" "), pad).as("text")))
+          .unionByName(docs.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+            .select((col("doc_id") + 910000).as("doc_id"), col("source"),
+              lit("tiny doc").as("text")))
+        // the tokenize pass runs once; (source, len) is all that shuffles
+        val lens = planted
+          .select(col("source"),
+            graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+              .as("len"))
+          .transform(graft.plans.Materialize.stage)
+        def histMedian(xs: DataFrame, valCol: String): DataFrame = {
+          val h = xs.groupBy(col("source"), col(valCol))
+            .agg(count(lit(1)).as("cnt"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col(valCol))
+          val nTot = h.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+          h.withColumn("cum", sum(col("cnt")).over(w))
+            .join(broadcast(nTot), Seq("source"))
+            .filter(col("cum") >= expr("(n + 1) div 2"))
+            .groupBy(col("source"))
+            .agg(min(col(valCol)).as("med"), max(col("n")).as("n"))
+        }
+        val med = histMedian(lens, "len")
+        val dev = lens.join(broadcast(med.select(col("source"), col("med"))),
+            Seq("source"))
+          .select(col("source"), abs(col("len") - col("med")).as("dv"))
+        val mad = histMedian(dev, "dv")
+          .select(col("source"), col("med").as("mad"))
+        val stats = med.join(mad, Seq("source"))
+        lens.join(broadcast(stats), Seq("source"))
+          .groupBy(col("source"))
+          .agg(max(col("n")).as("n_docs"), max(col("med")).as("median_len"),
+            max(col("mad")).as("mad"),
+            sum(when(abs(col("len") - col("med")) > lit(3L) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 900000 AS doc_id, source,
+             |    text || ' ' || array_to_string(
+             |      list_transform(range(1, 3001), i -> 'padz' || i), ' ')
+             |      AS text
+             |  FROM documents WHERE doc_id < 5
+             |  UNION ALL
+             |  SELECT doc_id + 910000 AS doc_id, source, 'tiny doc' AS text
+             |  FROM documents WHERE doc_id >= 5 AND doc_id < 10),
+             |lens AS (
+             |  SELECT source,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |      AS len
+             |  FROM planted),
+             |h1 AS (SELECT source, len, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM lens GROUP BY 1, 2),
+             |n1 AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+             |       FROM h1 GROUP BY 1),
+             |c1 AS (SELECT source, len,
+             |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY len)
+             |           AS BIGINT) AS cum
+             |       FROM h1),
+             |med AS (SELECT c1.source, min(c1.len) AS med, max(n1.n) AS n
+             |        FROM c1 JOIN n1 USING (source)
+             |        WHERE c1.cum >= (n1.n + 1) // 2 GROUP BY 1),
+             |dev AS (SELECT l.source, abs(l.len - m.med) AS dv
+             |        FROM lens l JOIN med m USING (source)),
+             |h2 AS (SELECT source, dv, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM dev GROUP BY 1, 2),
+             |c2 AS (SELECT source, dv,
+             |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY dv)
+             |           AS BIGINT) AS cum
+             |       FROM h2),
+             |mad AS (SELECT c2.source, min(c2.dv) AS mad
+             |        FROM c2 JOIN med USING (source)
+             |        WHERE c2.cum >= (med.n + 1) // 2 GROUP BY 1)
+             |SELECT l.source, max(med.n) AS n_docs, max(med.med) AS median_len,
+             |  max(mad.mad) AS mad,
+             |  CAST(sum(CASE WHEN abs(l.len - med.med) > 3 * mad.mad
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM lens l JOIN med USING (source) JOIN mad USING (source)
+             |GROUP BY l.source
+             |ORDER BY l.source""".stripMargin))
   )
 }

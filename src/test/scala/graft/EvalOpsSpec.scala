@@ -139,4 +139,21 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).distinct.length == 1)
     assert(rows.head.getLong(2) > 0L && rows.head.getLong(3) >= 1L)
   }
+
+  test("q_mad_gate flags the planted tails and keeps exact invariants") {
+    val rows = run("q_mad_gate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == nDocs + 10) // corpus + 10 planted
+    rows.foreach { case (src, n, med, mad, out) =>
+      assert(n > 0 && med > 0 && mad >= 0 && out >= 0, src)
+      assert(out < n, src) // a gate that flags everything is broken
+    }
+    // every padded 3000-token blob deviates ~2 950 from a ~50-token
+    // median — far past any 3·MAD the natural corpus can produce, so
+    // at least those 5 must flag somewhere
+    assert(rows.map(_._5).sum >= 5L, rows.mkString(","))
+  }
 }
