@@ -117,6 +117,24 @@ object AnalyticsQueries {
       .map(p => math.floor(p * 65536.0).toLong)
   }
 
+  /** Discrete-Laplace (two-sided geometric) inverse-CDF thresholds for
+    * the ε = 0.5, Δ = 1 geometric mechanism, scaled to the 2⁶⁰ md5-draw
+    * domain: noise = first k ∈ [−12, 11] whose cumulative probability
+    * exceeds the draw, else 12 (the clipped tail holds < 0.2 % of the
+    * mass). F(k) = α^(−k)/(1+α) for k < 0 and 1 − α^(k+1)/(1+α) for
+    * k ≥ 0, α = e^(−ε) — transcendental, so computed ONCE here and
+    * injected into both engines as integer literals (the poissonCum16
+    * stance). */
+  private val dlapCum: Seq[(Int, Long)] = {
+    val alpha = math.exp(-0.5)
+    (-12 to 11).map { k =>
+      val f =
+        if (k < 0) math.pow(alpha, -k) / (1.0 + alpha)
+        else 1.0 - math.pow(alpha, k + 1) / (1.0 + alpha)
+      k -> math.floor(f * math.pow(2.0, 60)).toLong
+    }
+  }
+
   /** Unrolled majority-label-propagation recurrence — the same packed
     * argmax as [[graft.plans.LabelProp]] (2⁴⁰ pack constants inline:
     * 1099511627776 = 2⁴⁰, 1099511627775 = 2⁴⁰−1). */
@@ -1373,6 +1391,58 @@ object AnalyticsQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM lens l JOIN med USING (source) JOIN mad USING (source)
              |GROUP BY l.source
-             |ORDER BY l.source""".stripMargin))
+             |ORDER BY l.source""".stripMargin)),
+
+    // Differentially-private corpus histogram — the data-card release
+    // a corpus owner publishes WITHOUT exposing exact membership
+    // counts: every (source, lang) cell gets discrete-Laplace noise
+    // (the geometric mechanism; ε = 0.5, sensitivity 1 — each document
+    // lives in exactly one cell, so parallel composition covers the
+    // whole table). The noise draw is a salted md5 of the CELL KEY
+    // pushed through the [[dlapCum]] integer inverse-CDF ladder —
+    // deterministic, engine-replayable, and independent of the count
+    // it protects (the mechanism's randomness must not depend on the
+    // data beyond the released statistic). Plan: one corpus-reducing
+    // groupBy, then noise as a map-side expression on the enum-sized
+    // cell relation; negative releases are kept (clamping would bias
+    // downstream sums — consumers clamp if they must). 100 TB: the
+    // only corpus-sized step is the count itself.
+    "q_dp_histogram" -> Q(
+      (s, dir) => {
+        val cells = Tables.load(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+        val u = graft.text.Dedup.md5Hash60(
+          concat(lit("dp:"), col("source"), lit(":"), col("lang")))
+        val noise = dlapCum.foldRight(lit(12L): org.apache.spark.sql.Column) {
+          case ((k, thr), rest) => when(u < thr, k.toLong).otherwise(rest)
+        }
+        cells.select(col("source"), col("lang"),
+            (col("n") + noise).as("noisy_n"),
+            lit(500000L).as("epsilon_micro"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some {
+        val ladder = dlapCum
+          .map { case (k, thr) => s"WHEN u < $thr THEN $k" }
+          .mkString("\n      ")
+        s"""WITH cells AS (
+           |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1, 2),
+           |noised AS (
+           |  SELECT source, lang, n,
+           |    CASE
+           |      $ladder
+           |      ELSE 12 END AS noise
+           |  FROM (
+           |    SELECT source, lang, n,
+           |      ('0x' || substr(md5('dp:' || source || ':' || lang),
+           |        1, 15))::BIGINT AS u
+           |    FROM cells))
+           |SELECT source, lang, n + noise AS noisy_n,
+           |  CAST(500000 AS BIGINT) AS epsilon_micro
+           |FROM noised
+           |ORDER BY source, lang""".stripMargin
+      })
   )
 }

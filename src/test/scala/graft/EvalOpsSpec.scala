@@ -156,4 +156,19 @@ class EvalOpsSpec extends AnyFunSuite {
     // at least those 5 must flag somewhere
     assert(rows.map(_._5).sum >= 5L, rows.mkString(","))
   }
+
+  test("q_dp_histogram noise is bounded, keyed, and non-degenerate") {
+    val noisy = run("q_dp_histogram").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = Tables.load(spark, sf, "documents")
+      .groupBy(col("source"), col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(noisy.keySet == exact.keySet)
+    val noises = noisy.map { case (k, v) => v - exact(k) }
+    // the clipped geometric ladder can only emit [-12, 12]
+    assert(noises.forall(n => n >= -12L && n <= 12L), noises.mkString(","))
+    // ...and over ~100 cells must actually vary and take both signs
+    assert(noises.toSet.size > 3, noises.mkString(","))
+    assert(noises.exists(_ < 0) && noises.exists(_ > 0))
+  }
 }
