@@ -1491,6 +1491,52 @@ object TextQueries {
               |FROM scored WHERE containment >= 0.9
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Exact set-similarity self-join by PREFIX FILTERING (the SSJoin/
+    // PPJoin family) — the LOSSLESS counterpart to MinHash-LSH:
+    // provably every 3-gram-set pair with Jaccard ≥ 0.5, no
+    // probabilistic recall argument needed. The oracle is the BRUTE-
+    // FORCE all-pairs Jaccard (oracle scale only), so each run
+    // re-proves the prefix filter dropped nothing. Fixture plants 10
+    // three-token-suffix copies (adds ≤ 4 grams: J ≥ 0.5 for any real
+    // doc) on top of whatever natural near-dups the corpus holds.
+    // Output score is the exact integer `inter·1e6 div union`.
+    "q_setjoin_prefix" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 10).select(
+            (col("doc_id") + 950000).as("doc_id"),
+            concat(col("text"), lit(" sjx sjy sjz")).as("text")))
+        Dedup.prefixJaccardPairs(planted, "doc_id", "text",
+            thresholdMicro = 500000L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 950000 AS doc_id,
+             |    text || ' sjx sjy sjz' AS text
+             |  FROM documents WHERE doc_id < 10),
+             |toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM planted),
+             |sets AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, len(t) - 1),
+             |    i -> array_to_string(t[i:i+2], ' '))) AS ts
+             |  FROM toks),
+             |ne AS (SELECT doc_id, ts FROM sets WHERE len(ts) > 0),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+             |    CAST(len(a.ts) + len(b.ts)
+             |      - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
+             |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, inter * 1000000 // uni AS jaccard_micro
+             |FROM pairs WHERE inter * 1000000 >= uni * 500000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Near-dup CLUSTERING: connected components over the verified pair
     // graph, every doc labeled with its component's min id (what a
     // training pipeline dedupes ON — transitive copies a→b→c collapse

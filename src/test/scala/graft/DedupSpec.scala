@@ -445,4 +445,37 @@ class DedupSpec extends AnyFunSuite {
     assert(total > 500L * 990, s"unexpected gram count $total")
     assert(sec < 60.0, f"portable gram pass took $sec%.1f s — quadratic re-evaluation is back")
   }
+
+  test("prefix join: exact threshold boundary, lossless vs brute force") {
+    // gram sets: A {abc,bcd,cde}, B {abc,bcd,cdf} → J = 2/4 = 0.5
+    // exactly (must KEEP: the contract is ≥); C shares 1 of 3 with A
+    // → J = 1/5 < 0.5 (must drop); D has < 3 tokens (empty gram set,
+    // silently excluded); E is an exact copy of A (J = 1).
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),
+      (3L, "a b c x y"),
+      (4L, "a b"),
+      (5L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Dedup.prefixJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L)),
+      got.keySet.toString)
+    assert(got((1L, 2L)) == 500000L) // exactly at the threshold
+    assert(got((1L, 5L)) == 1000000L)
+    // brute force over the same gram sets confirms nothing else ≥ 0.5
+    def grams(t: String) = t.split("\\s+").sliding(3)
+      .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val all = Seq(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "a b c x y",
+      5L -> "a b c d e")
+    val brute = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      ga = grams(ta); gb = grams(tb)
+      inter = (ga & gb).size; uni = (ga | gb).size
+      if inter * 2 >= uni
+    } yield (ia, ib) -> inter.toLong * 1000000L / uni).toMap
+    assert(got == brute, s"$got vs $brute")
+  }
 }
