@@ -280,5 +280,83 @@ object ExtractionQueries {
            |  CAST($nnzSql AS INT) AS nnz
            |FROM v
            |ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // Content-level PII scrub — the redaction pass a released corpus
+    // gets BEFORE training (distinct from the reference's column-level
+    // masking fork, which protects known schema fields; this finds PII
+    // embedded in free text): per-document match counts per category
+    // plus the redacted text's fingerprint. Patterns live in the
+    // RE2-safe subset both engines run identically (explicit character
+    // classes and counted repeats — no \d, \b or lookaround), and the
+    // replace chain order is part of the contract: email first, then
+    // SSN, then phone — SSN and phone shapes share digit-dash
+    // structure, so a fixed order is what makes the composition
+    // deterministic (both engines scan leftmost, non-overlapping).
+    // Plan: one codegen'd map pass at scan speed, no shuffle but the
+    // final count rollup; the fixture plants all three categories on
+    // 20 docs so every pattern fires on every run.
+    "q_pii_scrub" -> Q(
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+        val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 20,
+              concat(col("text"),
+                lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com or 555-123-4567 ssn 123-45-6789")))
+              .otherwise(col("text")).as("text"))
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "[EMAIL]"),
+            ssn, "[SSN]"),
+          phone, "[PHONE]")
+        val perDoc = docs.select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+          regexp_count(regexp_replace(col("text"), email, "[EMAIL]"),
+            lit(ssn)).cast("long").as("n_ssn"),
+          regexp_count(regexp_replace(
+              regexp_replace(col("text"), email, "[EMAIL]"), ssn, "[SSN]"),
+            lit(phone)).cast("long").as("n_phone"),
+          md5(redacted).as("redacted_fp"))
+        perDoc.filter(col("n_email") + col("n_ssn") + col("n_phone") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 20
+             |      THEN text || ' contact user' || doc_id
+             |        || '@example.com or 555-123-4567 ssn 123-45-6789'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |scrub AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+             |      AS BIGINT) AS n_email,
+             |    regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+             |      '[EMAIL]', 'g') AS t1
+             |  FROM planted),
+             |s2 AS (
+             |  SELECT doc_id, n_email,
+             |    CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+             |      AS BIGINT) AS n_ssn,
+             |    regexp_replace(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g')
+             |      AS t2
+             |  FROM scrub),
+             |s3 AS (
+             |  SELECT doc_id, n_email, n_ssn,
+             |    CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+             |      AS BIGINT) AS n_phone,
+             |    regexp_replace(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]',
+             |      'g') AS t3
+             |  FROM s2)
+             |SELECT doc_id, n_email, n_ssn, n_phone, md5(t3) AS redacted_fp
+             |FROM s3
+             |WHERE n_email + n_ssn + n_phone > 0
+             |ORDER BY doc_id""".stripMargin))
+  )
 }
