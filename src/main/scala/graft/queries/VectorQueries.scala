@@ -1042,6 +1042,132 @@ object VectorQueries {
              |FROM agg a JOIN lc ON lc.label = a.qlabel
              |ORDER BY a.qid""".stripMargin)),
 
+    // Parallel-pair (bitext) MINING by the CSLS margin (Artetxe &
+    // Schwenk 2019) — how parallel training corpora are actually
+    // built: a raw cosine threshold drowns in hubness (some vectors
+    // are near everything), so each candidate pair's cosine is
+    // RESCALED by the two endpoints' neighborhood densities — the
+    // average of each side's top-4 cosines — and pairs that stand OUT
+    // of their neighborhoods survive. Label 0 is the X "language",
+    // label 1 the Y side; 10 planted perturbed translations of X
+    // vectors must mine out. Exactness: quantized integer components →
+    // exact integer dot/norm sums (zip_with + aggregate, no explode
+    // join on the engine side), ONE IEEE expression per pair for
+    // cos_q (the q_centroid_sim stance), then pure integer windows
+    // and divisions. Scale: the X×Y candidate cross is the oracle-
+    // scale stand-in for ANN candidates — at 100 TB the pair relation
+    // comes from the IVF cell probe (q_ann_ivf_stage) and the CSLS
+    // rescale is candidate-local (top-4 windows over per-endpoint
+    // candidate lists, k-bounded).
+    "q_bitext_mining" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val xs = emb.filter(col("label") === 0)
+          .select(col("vec_id").as("x_id"), col("embedding"))
+        val plantedY = emb.filter(col("label") === 0 && col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 990000).as("y_id"),
+            transform(col("embedding"), (v, i) =>
+              v + lit(0.002f) *
+                ((i * 3 + col("vec_id")) % 5 - 2).cast("float"))
+              .as("embedding"))
+        val ys = emb.filter(col("label") === 1)
+          .select(col("vec_id").as("y_id"), col("embedding"))
+          .unionByName(plantedY)
+        def quant(c: org.apache.spark.sql.Column) =
+          transform(c, v => floor(v.cast("double") * lit(1000000.0))
+            .cast("long"))
+        def norm2(c: org.apache.spark.sql.Column) =
+          aggregate(c, lit(0L), (a, v) => a + v * v)
+        val qxs = xs.select(col("x_id"), quant(col("embedding")).as("qx"))
+          .withColumn("nx", norm2(col("qx")))
+        val qys = ys.select(col("y_id"), quant(col("embedding")).as("qy"))
+          .withColumn("ny", norm2(col("qy")))
+        val pairs = qxs.crossJoin(qys)
+          .select(col("x_id"), col("y_id"),
+            aggregate(zip_with(col("qx"), col("qy"), (a, b) => a * b),
+              lit(0L), (a, v) => a + v).as("dot"),
+            col("nx"), col("ny"))
+          .select(col("x_id"), col("y_id"),
+            floor(col("dot").cast("double") * lit(1000000.0) /
+              sqrt(col("nx").cast("double") * col("ny").cast("double")))
+              .cast("long").as("cos_q"))
+          .transform(graft.plans.Materialize.stage)
+        val wx = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("x_id")).orderBy(col("cos_q").desc, col("y_id"))
+        val wy = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("y_id")).orderBy(col("cos_q").desc, col("x_id"))
+        val rx = pairs.withColumn("rn", row_number().over(wx))
+          .filter(col("rn") <= 4).groupBy(col("x_id"))
+          .agg(expr("sum(cos_q) div count(*)").as("rx"))
+        val ry = pairs.withColumn("rn", row_number().over(wy))
+          .filter(col("rn") <= 4).groupBy(col("y_id"))
+          .agg(expr("sum(cos_q) div count(*)").as("ry"))
+        pairs.join(broadcast(rx), Seq("x_id"))
+          .join(broadcast(ry), Seq("y_id"))
+          .withColumn("den", expr("(rx + ry) div 2"))
+          .filter(col("den") > 0 && col("cos_q") >= 800000L)
+          .withColumn("margin_micro", expr("cos_q * 1000000L div den"))
+          .filter(col("margin_micro") >= 1500000L)
+          .select(col("x_id"), col("y_id"), col("cos_q"), col("margin_micro"))
+          .orderBy(col("x_id"), col("y_id"))
+      },
+      Some("""WITH xs AS (
+             |  SELECT vec_id AS id, embedding FROM embeddings
+             |  WHERE label = 0),
+             |ys AS (
+             |  SELECT vec_id AS id, embedding FROM embeddings
+             |  WHERE label = 1
+             |  UNION ALL
+             |  SELECT vec_id + 990000 AS id,
+             |    list_transform(range(len(embedding)), i ->
+             |      embedding[i+1] + CAST(0.002 AS FLOAT)
+             |        * CAST((i * 3 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
+             |  FROM embeddings WHERE label = 0 AND vec_id % 10 = 0),
+             |xq AS (
+             |  SELECT id AS x_id, s.i AS d,
+             |    CAST(floor(CAST(s.x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+             |  FROM (SELECT id,
+             |          unnest(list_transform(range(1, len(embedding) + 1),
+             |            i -> struct_pack(i := i, x := embedding[i]))) AS s
+             |        FROM xs)),
+             |yq AS (
+             |  SELECT id AS y_id, s.i AS d,
+             |    CAST(floor(CAST(s.x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+             |  FROM (SELECT id,
+             |          unnest(list_transform(range(1, len(embedding) + 1),
+             |            i -> struct_pack(i := i, x := embedding[i]))) AS s
+             |        FROM ys)),
+             |nx AS (SELECT x_id, CAST(sum(q * q) AS BIGINT) AS nx
+             |       FROM xq GROUP BY 1),
+             |ny AS (SELECT y_id, CAST(sum(q * q) AS BIGINT) AS ny
+             |       FROM yq GROUP BY 1),
+             |dots AS (
+             |  SELECT xq.x_id, yq.y_id, CAST(sum(xq.q * yq.q) AS BIGINT)
+             |    AS dot
+             |  FROM xq JOIN yq ON xq.d = yq.d GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT d.x_id, d.y_id,
+             |    CAST(floor(CAST(d.dot AS DOUBLE) * 1000000.0
+             |      / sqrt(CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE)))
+             |      AS BIGINT) AS cos_q
+             |  FROM dots d JOIN nx USING (x_id) JOIN ny USING (y_id)),
+             |rx AS (
+             |  SELECT x_id, CAST(sum(cos_q) // count(*) AS BIGINT) AS rx
+             |  FROM (SELECT x_id, cos_q, row_number() OVER (
+             |          PARTITION BY x_id ORDER BY cos_q DESC, y_id) AS rn
+             |        FROM pairs) WHERE rn <= 4 GROUP BY 1),
+             |ry AS (
+             |  SELECT y_id, CAST(sum(cos_q) // count(*) AS BIGINT) AS ry
+             |  FROM (SELECT y_id, cos_q, row_number() OVER (
+             |          PARTITION BY y_id ORDER BY cos_q DESC, x_id) AS rn
+             |        FROM pairs) WHERE rn <= 4 GROUP BY 1)
+             |SELECT p.x_id, p.y_id, p.cos_q,
+             |  p.cos_q * 1000000 // ((rx.rx + ry.ry) // 2) AS margin_micro
+             |FROM pairs p JOIN rx USING (x_id) JOIN ry USING (y_id)
+             |WHERE (rx.rx + ry.ry) // 2 > 0 AND p.cos_q >= 800000
+             |  AND p.cos_q * 1000000 // ((rx.rx + ry.ry) // 2) >= 1500000
+             |ORDER BY p.x_id, p.y_id""".stripMargin)),
+
     // Distributed PCA (top principal component) by POWER ITERATION —
     // the embedding analytic whose scale story is the whole point: the
     // corpus appears in exactly ONE pass that reduces it to a d×d

@@ -157,6 +157,21 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sum >= 5L, rows.mkString(","))
   }
 
+  test("q_bitext_mining recovers every planted translation, nothing else") {
+    val got = run("q_bitext_mining").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val plantedSrc = Tables.load(spark, sf, "embeddings")
+      .filter(col("label") === 0 && col("vec_id") % 10 === 0)
+      .collect().map(_.getLong(0)).toSet
+    // exact recall: each planted translation (x, x+990000) mines out
+    assert(got.map(r => (r._1, r._2)).toSet ==
+      plantedSrc.map(x => (x, x + 990000L)), got.mkString(","))
+    got.foreach { case (_, _, cosQ, margin) =>
+      assert(cosQ > 990000L, s"planted pair cos $cosQ") // near-identical
+      assert(margin >= 1500000L) // stands out of its neighborhood
+    }
+  }
+
   test("q_dp_histogram noise is bounded, keyed, and non-degenerate") {
     val noisy = run("q_dp_histogram").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
