@@ -238,6 +238,82 @@ object TextQueries {
              |FROM grams GROUP BY gram
              |ORDER BY freq DESC, gram LIMIT 200""".stripMargin)),
 
+    // Vocabulary COVERAGE CURVE — the "what vocab size covers 95 % of
+    // tokens" table every tokenizer decision reads. The scale trick is
+    // the q_mad_gate one applied to the frequency domain: ranking
+    // individual tokens by count is a corpus-vocabulary sort, but the
+    // curve only needs COUNT LEVELS — group tokens BY their count c
+    // into (c, n_types, mass = c·n_types), cumulate over the bounded
+    // level relation (distinct count values, a few hundred rows — the
+    // one unpartitioned window runs over THAT), and answer each
+    // coverage target with the smallest level prefix that reaches it.
+    // Level granularity is the contract: a target is answered by whole
+    // count-levels (the vocab size reported is the one you can
+    // actually CUT at — "keep every token seen ≥ c times"), which is
+    // also what makes the answer deterministic without a token-level
+    // tie-break. All integers: mass/cum/thresholds in exact counts,
+    // coverage in micro-units.
+    "q_vocab_coverage" -> Q(
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0)).as("tok"))
+        val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val levels = counts.groupBy(col("c"))
+          .agg(count(lit(1)).as("n_types"))
+          .select(col("c"), col("n_types"), (col("c") * col("n_types")).as("mass"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc)
+        val cum = levels
+          .withColumn("cum_mass", sum(col("mass")).over(w))
+          .withColumn("cum_types", sum(col("n_types")).over(w))
+        val tot = levels.agg(sum(col("mass")).as("t"))
+        val targets = Seq(90, 95, 99)
+          .foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, p) =>
+            val d = s.range(1).select(lit(p).as("target_pct"))
+            Some(acc.map(_.unionByName(d)).getOrElse(d))
+          }.get
+        val hit = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(targets))
+          .filter(col("cum_mass") * 100 >= col("t") * col("target_pct"))
+          .groupBy(col("target_pct")).agg(max(col("c")).as("count_cutoff"))
+        hit.join(cum.select(col("c").as("count_cutoff"),
+              col("cum_types").as("vocab_size"), col("cum_mass")),
+            Seq("count_cutoff"))
+          .crossJoin(broadcast(tot))
+          .select(col("target_pct"), col("count_cutoff"), col("vocab_size"),
+            expr("cum_mass * 1000000L div t").as("coverage_micro"))
+          .orderBy(col("target_pct"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> length(x) > 0)) AS tok
+             |  FROM documents),
+             |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             |           FROM toks GROUP BY tok),
+             |levels AS (
+             |  SELECT c, CAST(count(*) AS BIGINT) AS n_types,
+             |    CAST(c * count(*) AS BIGINT) AS mass
+             |  FROM counts GROUP BY c),
+             |cum AS (
+             |  SELECT c, n_types, mass,
+             |    CAST(sum(mass) OVER (ORDER BY c DESC) AS BIGINT) AS cum_mass,
+             |    CAST(sum(n_types) OVER (ORDER BY c DESC) AS BIGINT)
+             |      AS cum_types
+             |  FROM levels),
+             |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM levels),
+             |targets AS (SELECT unnest([90, 95, 99]) AS target_pct),
+             |hit AS (
+             |  SELECT tg.target_pct, max(cum.c) AS count_cutoff
+             |  FROM cum, tot, targets tg
+             |  WHERE cum.cum_mass * 100 >= tot.t * tg.target_pct
+             |  GROUP BY 1)
+             |SELECT h.target_pct AS target_pct, h.count_cutoff,
+             |  cum.cum_types AS vocab_size,
+             |  cum.cum_mass * 1000000 // tot.t AS coverage_micro
+             |FROM hit h JOIN cum ON cum.c = h.count_cutoff, tot
+             |ORDER BY h.target_pct""".stripMargin)),
+
     // Token-budget sampling: take documents per language, in salted-
     // hash order (deterministic reshuffle, same md5-bucket construction
     // as the splits), until each language's 5000-subword budget fills —
