@@ -1740,6 +1740,111 @@ object CorpusQueries {
              |FROM g GROUP BY seq_id
              |ORDER BY seq_id""".stripMargin)),
 
+    // T5/UL2-style SPAN CORRUPTION — the denoising-objective layout
+    // step: ~1/7 of each document's 3-token spans mask out, the input
+    // keeps one sentinel token per masked span, and the target is the
+    // sentinel-delimited concatenation of exactly the masked spans.
+    // Masking is a salted md5 of (doc, span) — deterministic, so both
+    // engines build the identical example pair and the output can be
+    // fingerprinted. Span machinery is pure windows over the token
+    // relation (sentinel index = dense_rank over a doc's masked spans;
+    // span start = pos ≡ 0 mod 3); the rebuilt sequences use the
+    // ordered re-collect the numericalization family established.
+    // One token explode, shuffles only on doc_id.
+    "q_span_corruption" -> Q(
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), posexplode(
+            filter(split(trim(col("text")), "\\s+"), t => length(t) > 0))
+            .as(Seq("pos", "tok")))
+          .withColumn("g", expr("pos div 3"))
+        val t2 = toks.withColumn("m",
+          pmod(graft.text.Dedup.md5Hash60(concat(lit("t5:"),
+            col("doc_id").cast("string"), lit(":"), col("g").cast("string"))),
+            lit(7L)) === 0)
+        val wSpan = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("g"))
+        // dense_rank runs over ONLY the masked rows (rank among masked
+        // spans — unmasked groups must not advance sentinel numbering)
+        val maskedRows = t2.filter(col("m"))
+          .withColumn("k", dense_rank().over(wSpan) - 1)
+        val inputRows = t2.filter(!col("m"))
+          .select(col("doc_id"), col("pos"), col("tok"))
+          .unionByName(maskedRows.filter(col("pos") === col("g") * 3)
+            .select(col("doc_id"), col("pos"),
+              concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))
+                .as("tok")))
+        val input = inputRows.groupBy(col("doc_id"))
+          .agg(array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("tok")))), x => x.getField("tok")), " ")
+            .as("corrupted"))
+        val target = maskedRows
+          .select(col("doc_id"), col("pos"), col("k"),
+            when(col("pos") === col("g") * 3,
+              concat(lit("<extra_id_"), col("k").cast("string"), lit("> "),
+                col("tok"))).otherwise(col("tok")).as("tt"))
+          .groupBy(col("doc_id"))
+          .agg(array_join(transform(array_sort(collect_list(
+              struct(col("pos"), col("tt")))), x => x.getField("tt")), " ")
+              .as("target"),
+            count(lit(1)).as("n_masked"),
+            (max(col("k")) + 1).as("n_spans"))
+        val nTok = t2.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+        nTok.join(input, Seq("doc_id"))
+          .join(target, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+            coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+            md5(col("corrupted")).as("input_fp"),
+            md5(coalesce(col("target"), lit(""))).as("target_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, s.i - 1 AS pos, s.tok AS tok,
+             |    (s.i - 1) // 3 AS g
+             |  FROM (SELECT doc_id,
+             |          unnest(list_transform(range(1, len(t) + 1),
+             |            i -> struct_pack(i := i, tok := t[i]))) AS s
+             |        FROM (SELECT doc_id,
+             |                list_filter(string_split_regex(trim(text),
+             |                  '\s+'), x -> length(x) > 0) AS t
+             |              FROM documents))),
+             |t2 AS (
+             |  SELECT *,
+             |    ('0x' || substr(md5('t5:' || doc_id || ':' || g), 1, 15))
+             |      ::BIGINT % 7 = 0 AS m
+             |  FROM toks),
+             |mrows AS (
+             |  SELECT doc_id, pos, tok, g,
+             |    dense_rank() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS k
+             |  FROM t2 WHERE m),
+             |irows AS (
+             |  SELECT doc_id, pos, tok FROM t2 WHERE NOT m
+             |  UNION ALL
+             |  SELECT doc_id, pos, '<extra_id_' || k || '>' AS tok
+             |  FROM mrows WHERE pos = g * 3),
+             |input AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS corrupted
+             |  FROM irows GROUP BY doc_id),
+             |target AS (
+             |  SELECT doc_id,
+             |    string_agg(CASE WHEN pos = g * 3
+             |      THEN '<extra_id_' || k || '> ' || tok ELSE tok END,
+             |      ' ' ORDER BY pos) AS target,
+             |    CAST(count(*) AS BIGINT) AS n_masked,
+             |    CAST(max(k) + 1 AS BIGINT) AS n_spans
+             |  FROM mrows GROUP BY doc_id),
+             |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+             |       FROM t2 GROUP BY doc_id)
+             |SELECT nt.doc_id, nt.n_tokens,
+             |  coalesce(tg.n_spans, 0) AS n_spans,
+             |  coalesce(tg.n_masked, 0) AS n_masked,
+             |  md5(i.corrupted) AS input_fp,
+             |  md5(coalesce(tg.target, '')) AS target_fp
+             |FROM nt JOIN input i USING (doc_id)
+             |LEFT JOIN target tg USING (doc_id)
+             |ORDER BY nt.doc_id""".stripMargin)),
+
     // Cross-document shared-FRAME detection — the partial-content-
     // reuse screen whole-payload hashing can't see (the video/audio
     // near-dup analogue: two files sharing an intro segment hash

@@ -172,6 +172,25 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_span_corruption masking is consistent and non-degenerate") {
+    val rows = run("q_span_corruption").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5)))
+    assert(rows.nonEmpty)
+    val emptyFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    rows.foreach { case (id, nTok, nSpans, nMasked, targetFp) =>
+      assert(nMasked <= nTok, s"doc $id")
+      // each masked span is 1-3 tokens, so spans ≤ masked ≤ 3·spans
+      assert(nSpans <= nMasked && nMasked <= nSpans * 3, s"doc $id")
+      if (nSpans == 0) assert(targetFp == emptyFp, s"doc $id")
+      else assert(targetFp != emptyFp, s"doc $id")
+    }
+    // the 1/7 salted-hash rate must actually fire across the corpus
+    val masked = rows.map(_._4).sum.toDouble / rows.map(_._2).sum
+    assert(masked > 0.05 && masked < 0.30, s"mask rate $masked")
+  }
+
   test("q_dp_histogram noise is bounded, keyed, and non-degenerate") {
     val noisy = run("q_dp_histogram").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
