@@ -709,6 +709,116 @@ object TextQueries {
              |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 10000 < cut
              |ORDER BY doc_id""".stripMargin)),
 
+    // WATER-FILLING mixture allocation — the practical form of the
+    // mixture problem temperatureMixture leaves open: a τ-tempered
+    // target share can EXCEED a small source's availability, and naive
+    // proportional allocation silently under-spends the token budget.
+    // Water-filling saturates over-subscribed sources at their full
+    // size and redistributes the surplus over the rest — here 3
+    // unrolled rounds (each: proportional allocation by √n weights
+    // over the UNSATURATED pool, saturation test `alloc ≥ n`), then a
+    // final clamp. Everything after ONE corpus token-count aggregate
+    // runs on the enum-sized source relation; all arithmetic is exact
+    // integers (weights are floor(√n) — IEEE sqrt on exact counts is
+    // correctly rounded in both engines; allocations are rem·w div W).
+    // Budget = half the corpus tokens, so the small sources genuinely
+    // saturate and the redistribution is exercised, not decorative.
+    // (100 TB note: rem·w needs DECIMAL(38) once corpus tokens × √n
+    // pass 2⁶³ — the relation is enum-sized, so that swap is free.)
+    "q_mixture_waterfill" -> Q(
+      (s, dir) => {
+        // two planted TINY sources (3 docs each): the natural sources
+        // are near-uniform, so without them nothing over-subscribes
+        // and the redistribution never fires — the plants' √n share of
+        // a half-total budget exceeds their availability by design
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 6).select(col("doc_id"),
+            when(col("doc_id") < 3, lit("tiny_a")).otherwise(lit("tiny_b"))
+              .as("source"),
+            col("text")))
+        // pinned: the unrolled rounds read this enum-sized relation
+        // through 2^rounds lazy subtrees — the corpus token count must
+        // evaluate once, not once per subtree
+        val stats = planted
+          .groupBy(col("source"))
+          .agg(sum(graft.text.TextFunctions.tokenCount(col("text"))
+            .cast("long")).as("n"))
+          .select(col("source"), col("n"),
+            floor(sqrt(col("n").cast("double"))).cast("long").as("w"))
+          .transform(graft.plans.Materialize.stage)
+        val budget = stats.agg(expr("sum(n) div 2").as("b"))
+        var cur = stats.crossJoin(broadcast(budget))
+          .withColumn("sat", lit(false))
+        for (_ <- 1 to 3) {
+          val pool = cur.agg(
+            sum(when(col("sat"), col("n")).otherwise(0L)).as("taken"),
+            sum(when(!col("sat"), col("w")).otherwise(0L)).as("wsum"))
+          cur = cur.crossJoin(broadcast(pool))
+            .withColumn("sat",
+              col("sat") ||
+                (expr("(b - taken) * w div greatest(wsum, 1L)") >= col("n")))
+            .drop("taken", "wsum")
+        }
+        val fin = cur.agg(
+          sum(when(col("sat"), col("n")).otherwise(0L)).as("taken"),
+          sum(when(!col("sat"), col("w")).otherwise(0L)).as("wsum"))
+        cur.crossJoin(broadcast(fin))
+          .select(col("source"), col("n").as("n_tokens"), col("w").as("weight"),
+            col("sat").as("saturated"),
+            when(col("sat"), col("n"))
+              .otherwise(expr("(b - taken) * w div greatest(wsum, 1L)"))
+              .as("take_tokens"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          val p = k - 1
+          s"""pool$k AS (
+             |  SELECT CAST(sum(CASE WHEN sat THEN n ELSE 0 END) AS BIGINT)
+             |      AS taken,
+             |    CAST(sum(CASE WHEN sat THEN 0 ELSE w END) AS BIGINT) AS wsum
+             |  FROM r$p),
+             |r$k AS (
+             |  SELECT r$p.source, r$p.n, r$p.w, r$p.b,
+             |    r$p.sat OR ((r$p.b - pool$k.taken) * r$p.w
+             |      // greatest(pool$k.wsum, 1) >= r$p.n) AS sat
+             |  FROM r$p, pool$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH planted AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id < 3 THEN 'tiny_a' ELSE 'tiny_b' END AS source,
+           |    text
+           |  FROM documents WHERE doc_id < 6),
+           |stats AS (
+           |  SELECT source,
+           |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+           |      AS BIGINT) AS n
+           |  FROM planted GROUP BY source),
+           |sw AS (
+           |  SELECT source, n,
+           |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+           |  FROM stats),
+           |bb AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b FROM sw),
+           |r0 AS (SELECT sw.*, bb.b, false AS sat FROM sw, bb),
+           |$rounds,
+           |fin AS (
+           |  SELECT CAST(sum(CASE WHEN sat THEN n ELSE 0 END) AS BIGINT)
+           |      AS taken,
+           |    CAST(sum(CASE WHEN sat THEN 0 ELSE w END) AS BIGINT) AS wsum
+           |  FROM r3)
+           |SELECT r3.source, r3.n AS n_tokens, r3.w AS weight, r3.sat
+           |    AS saturated,
+           |  CASE WHEN r3.sat THEN r3.n
+           |    ELSE (r3.b - fin.taken) * r3.w // greatest(fin.wsum, 1) END
+           |    AS take_tokens
+           |FROM r3, fin
+           |ORDER BY r3.source""".stripMargin
+      }),
+
     // Exact repeated-substring removal (the Lee et al. ExactSubstr
     // pass): every token span occurring more than once corpus-wide is
     // excised from ALL occurrences — sub-document dedup, where the

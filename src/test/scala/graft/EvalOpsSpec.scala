@@ -172,6 +172,34 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mixture_waterfill saturates the planted sources and respects the budget") {
+    val rows = run("q_mixture_waterfill").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3), r.getLong(4)))
+    val bySrc = rows.map(r => r._1 -> r).toMap
+    // the planted tiny sources MUST saturate (their √n share of the
+    // half-total budget exceeds availability by construction)
+    assert(bySrc("tiny_a")._3 && bySrc("tiny_b")._3)
+    rows.foreach { case (src, n, sat, take) =>
+      if (sat) assert(take == n, src) // saturated = take everything
+      else assert(take <= n, src)     // never oversample availability
+      assert(take >= 0L, src)
+    }
+    // allocation never exceeds the budget (truncating divisions can
+    // under-spend, never over-spend)
+    val budget = rows.map(_._2).sum / 2
+    assert(rows.map(_._4).sum <= budget, s"${rows.map(_._4).sum} > $budget")
+    // surplus actually redistributed: each unsaturated source gets at
+    // least its naive no-cap integer share (the real-valued share can
+    // only grow when saturated sources leave the pool — each satisfied
+    // b·w ≥ n·W — so only truncation can cost, and at most 1)
+    val unsat = rows.filter(!_._3)
+    val wAll = rows.map(r => math.sqrt(r._2.toDouble).toLong).sum
+    unsat.foreach { case (src, n, _, take) =>
+      val naiveFloor = budget * math.sqrt(n.toDouble).toLong / wAll
+      assert(take >= naiveFloor - 1, s"$src take $take < $naiveFloor - 1")
+    }
+  }
+
   test("q_span_corruption masking is consistent and non-degenerate") {
     val rows = run("q_span_corruption").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
