@@ -97,6 +97,51 @@ object VectorQueries {
       |          + list_dot_product(c.e, c.e), c.cid) AS rn
       |    FROM q, c1 c) WHERE rn = 1)""".stripMargin
 
+  /** The quantized grouped-Lloyd PQ replay shared by q_pq_encode and
+    * q_ann_pq (CTEs: q → sv → seeds → pa1 → pc1 → pa2) — one definition
+    * so the codebooks and anything served from them can never drift.
+    * Mirrors [[graft.vector.Pq.fitCodebooks]] at m=8, ksub=16, iters=2:
+    * per-subspace salted-md5 seeds, one update round, final assignment
+    * with per-subspace distortion. */
+  private val pqCtes: String =
+    """q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> floor(x * 1000)) AS e
+      |  FROM embeddings),
+      |sv AS (
+      |  SELECT vec_id, CAST(t.sub AS INT) AS sub,
+      |    list_slice(e, t.sub * 8 + 1, t.sub * 8 + 8) AS v
+      |  FROM q, range(0, 8) t(sub)),
+      |seeds AS (
+      |  SELECT sub, vec_id AS code, v FROM (
+      |    SELECT sub, vec_id, v, row_number() OVER (PARTITION BY sub
+      |      ORDER BY
+      |        ('0x' || substr(md5('pq:' || sub || ':' || vec_id), 1, 15))::BIGINT,
+      |        vec_id) AS rn
+      |    FROM sv) WHERE rn <= 16),
+      |pa1 AS (
+      |  SELECT vec_id, sub, v, code FROM (
+      |    SELECT s.vec_id, s.sub, s.v, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+      |        list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.v)
+      |          + list_dot_product(c.v, c.v), c.code) AS rn
+      |    FROM sv s JOIN seeds c USING (sub)) WHERE rn = 1),
+      |pc1 AS (
+      |  SELECT sub, code, list(m ORDER BY i) AS v FROM (
+      |    SELECT sub, code, i, floor(sum(v[i]) / count(*)) AS m
+      |    FROM pa1, range(1, 9) t(i) GROUP BY sub, code, i)
+      |  GROUP BY sub, code),
+      |pa2 AS (
+      |  SELECT vec_id, sub, code, dist FROM (
+      |    SELECT s.vec_id, s.sub, c.code,
+      |      list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.v)
+      |        + list_dot_product(c.v, c.v) AS dist,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+      |        list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.v)
+      |          + list_dot_product(c.v, c.v), c.code) AS rn
+      |    FROM sv s JOIN pc1 c USING (sub)) WHERE rn = 1)""".stripMargin
+
   /** One oracle for BOTH IVF entries (inline and stage-table-served):
     * the stored index memoizes the assignment pass without changing a
     * row, so a single SQL reimplementation of the full pipeline —
@@ -701,6 +746,79 @@ object VectorQueries {
              |  CAST(list_max(list_transform(v,
              |    x -> greatest(floor(x * scale), -127))) AS INT) AS q_max
              |FROM s ORDER BY vec_id""".stripMargin)),
+
+    // Product quantization (graft.vector.Pq): 8 subspaces × 16 codes,
+    // codebooks trained JOINTLY (one job per Lloyd round over the
+    // exploded (id, sub, subvector) relation; per-subspace assignment
+    // is a CASE-dispatched projection against codebook literals, seeds
+    // ride the k-bounded graft_topk aggregate — no per-subspace window
+    // sort anywhere). A 64-dim float32 vector stores as 8 code ids.
+    // The oracle replays the whole trainer: per-subspace md5 seeds, the
+    // update round, the final assignment, and the exact-integer
+    // per-subspace distortions (quantized grid — every distance is an
+    // exact int, so codes and distortion hash-compare across engines).
+    "q_pq_encode" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val books = graft.vector.Pq.fitCodebooks(emb, "vec_id", "embedding",
+          m = 8, dim = 64, ksub = 16, iters = 2)
+        graft.vector.Pq.encode(emb, "vec_id", "embedding", 8, 64, books)
+          .groupBy(col("vec_id"))
+          .agg(
+            array_join(transform(array_sort(collect_list(
+              struct(col("sub"), col("code")))),
+              x => x.getField("code").cast("string")), " ").as("codes"),
+            sum(col("sdist")).cast("long").as("distortion"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $pqCtes
+             |SELECT vec_id,
+             |  array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), ' ')
+             |    AS codes,
+             |  CAST(sum(dist) AS BIGINT) AS distortion
+             |FROM pa2 GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ADC retrieval over the PQ codes (asymmetric distance): the query
+    // batch expands to a broadcast (qid, sub, code) → distance lookup
+    // table (nq·8·16 rows), the encoded corpus joins it on (sub, code)
+    // — the corpus VECTORS are never reread at serve time, only the
+    // 8-code rows — and a map-side-combining sum + graft_topk yields
+    // per-query top-5 with no per-query sort. Oracle: the same
+    // codebooks (shared CTEs), the same lookup table, the same summed
+    // exact-integer distances, windowed top-5.
+    "q_ann_pq" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val books = graft.vector.Pq.fitCodebooks(emb, "vec_id", "embedding",
+          m = 8, dim = 64, ksub = 16, iters = 2)
+        val codes = graft.vector.Pq
+          .encode(emb, "vec_id", "embedding", 8, 64, books)
+          .select(col("vec_id"), col("sub"), col("code"))
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        graft.vector.Pq.adcTopK(codes, queries, "vec_id", "embedding", "qid",
+            m = 8, dim = 64, books = books, k = 5)
+          .select(col("qid"), col("vec_id"), cast_rank, col("adc"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $pqCtes,
+             |qs AS (SELECT vec_id AS qid, sub, v FROM sv
+             |       WHERE vec_id % 100 = 0),
+             |dt AS (
+             |  SELECT q.qid, c.sub, c.code,
+             |    list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.v)
+             |      + list_dot_product(c.v, c.v) AS qdist
+             |  FROM qs q JOIN pc1 c USING (sub)),
+             |sc AS (
+             |  SELECT d.qid, e.vec_id, CAST(sum(d.qdist) AS BIGINT) AS adc
+             |  FROM pa2 e JOIN dt d ON d.sub = e.sub AND d.code = e.code
+             |  GROUP BY d.qid, e.vec_id)
+             |SELECT qid, vec_id, CAST(rn AS INT) AS rank, adc
+             |FROM (SELECT qid, vec_id, adc,
+             |        row_number() OVER (PARTITION BY qid
+             |          ORDER BY adc, vec_id) AS rn
+             |      FROM sc)
+             |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // Two-stage SQ8 retrieval: int8 coarse scan (exact integer dot,
     // corpus-side scale correction) → float cosine rerank of the top-50
