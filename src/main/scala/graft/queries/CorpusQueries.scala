@@ -329,6 +329,70 @@ object CorpusQueries {
              |HAVING count(*) >= ceil((SELECT total FROM tot) * 0.033)
              |ORDER BY tok""".stripMargin)),
 
+    // Count-min sketch point-frequency estimation (CorpusStats
+    // .countMinEstimates): 4 salted-md5 hash rows × 128 counters —
+    // fixed memory no matter the key universe — over the corpus's word
+    // 2-gram stream (916 distinct phrases at sf0.01, so each hash row
+    // genuinely collides and the min-over-rows has work to do; the
+    // 31-token unigram vocabulary would make the sketch vacuous).
+    // Served for a deterministic 1/7 key probe sample with the exact
+    // count as the error twin. The sketch build shuffles ≤ depth·width
+    // rows per partition (key-set-independent, the Misra-Gries scale
+    // argument); estimates are min-over-rows of broadcast cells. The
+    // oracle replays cells, probes and minima exactly, and the
+    // overcount column makes the CMS ≥-guarantee hash-checked: one
+    // undercounting cell anywhere turns the row red.
+    "q_countmin" -> Q(
+      (s, dir) => {
+        val t = filter(graft.text.TextFunctions.tokens(
+          trim(lower(col("text")))), x => length(x) > 0)
+        val grams = Tables.load(s, dir, "documents")
+          .select(t.as("t"))
+          .select(explode(filter(
+            zip_with(col("t"), slice(col("t"), lit(2),
+              greatest(size(col("t")) - 1, lit(0))),
+              (a, b) => concat(a, lit(" "), b)),
+            g => g.isNotNull)).as("g"))
+        CorpusStats.countMinEstimates(grams, "g",
+          depth = 4, width = 128, probeMod = 7)
+          .orderBy(col("g"))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> length(x) > 0) AS t
+             |  FROM documents),
+             |gs AS (
+             |  SELECT unnest(list_transform(range(1, len(t)),
+             |    i -> t[i] || ' ' || t[i + 1])) AS g
+             |  FROM t0 WHERE len(t) >= 2),
+             |gj AS (
+             |  SELECT g, t.j AS j,
+             |    ('0x' || substr(md5('cm' || t.j || ':' || g), 1, 15))::BIGINT
+             |      % 128 AS b
+             |  FROM gs, range(0, 4) t(j)),
+             |cells AS (
+             |  SELECT j, b, CAST(count(*) AS BIGINT) AS c
+             |  FROM gj GROUP BY j, b),
+             |keyset AS (
+             |  SELECT g, CAST(count(*) AS BIGINT) AS exact
+             |  FROM gs GROUP BY g),
+             |probes AS (
+             |  SELECT g, exact FROM keyset
+             |  WHERE ('0x' || substr(md5('cmprobe:' || g), 1, 15))::BIGINT
+             |    % 7 = 0),
+             |pj AS (
+             |  SELECT p.g, p.exact, t.j AS j,
+             |    ('0x' || substr(md5('cm' || t.j || ':' || p.g), 1, 15))::BIGINT
+             |      % 128 AS b
+             |  FROM probes p, range(0, 4) t(j)),
+             |est AS (
+             |  SELECT pj.g, pj.exact, min(c.c) AS est
+             |  FROM pj JOIN cells c ON c.j = pj.j AND c.b = pj.b
+             |  GROUP BY pj.g, pj.exact)
+             |SELECT g, exact, CAST(est AS BIGINT) AS est,
+             |  CAST(est - exact AS BIGINT) AS overcount
+             |FROM est ORDER BY g""".stripMargin)),
+
     // Boilerplate share: fraction of each doc's distinct 2-grams that
     // are corpus-frequent (appear in ≥ 30 docs) — the phrase-level
     // chrome detector.

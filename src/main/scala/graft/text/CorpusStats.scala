@@ -71,6 +71,58 @@ object CorpusStats {
         round(col("cnt").cast("double") / total.toDouble, 6).as("freq"))
   }
 
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005) with the exact count carried alongside as the error twin —
+    * the fixed-memory answer to "how often does this key occur" when
+    * the key universe (phrases, URLs, n-grams) is too large to keep: the
+    * sketch is `depth × width` counters regardless of corpus or key-set
+    * size, and every estimate is GUARANTEED ≥ the true count
+    * (a CMS never undercounts; collisions only inflate).
+    *
+    * Determinism: the d hash rows are salted md5 buckets
+    * (`cm<j>:<tok>`), so cell contents — and therefore every estimate —
+    * are engine-exact and replayable by the SQL oracle; there is no RNG
+    * and no merge-order sensitivity (cells are plain sums).
+    *
+    * Shape: building the sketch is one explode pass → groupBy(j, b)
+    * with map-side partial sums — the shuffle is ≤ depth·width rows per
+    * partition, vocabulary-independent (the same scale argument as the
+    * Misra–Gries pass above, trading [[heavyTokens]]' top-k identity
+    * question for point-frequency queries). The probe set (a
+    * deterministic 1/`probeMod` key sample) joins the depth·width-row
+    * cell relation broadcast, so serving is map-side too. The
+    * exact twin pays one key-set-sized groupBy — the verification
+    * cost, not the production path; `overcount = est − exact ≥ 0` is
+    * the per-row contract a spec and the oracle both pin. */
+  def countMinEstimates(keys: DataFrame, keyCol: String,
+                        depth: Int = 4, width: Int = 512,
+                        probeMod: Int = 29): DataFrame = {
+    val ks = keys.select(col(keyCol).as("__k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ks.count() // eager fill: the sketch pass and the exact twin
+      def bucket(j: Int, k: org.apache.spark.sql.Column) =
+        pmod(Dedup.md5Hash60(concat(lit(s"cm$j:"), k)), lit(width.toLong))
+      val cells = ks
+        .select(posexplode(array((0 until depth).map(j =>
+          bucket(j, col("__k"))): _*)).as(Seq("j", "b")))
+        .groupBy(col("j"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val probes = ks.groupBy(col("__k")).agg(count(lit(1)).as("exact"))
+        .filter(pmod(Dedup.md5Hash60(concat(lit("cmprobe:"), col("__k"))),
+          lit(probeMod.toLong)) === 0L)
+      probes
+        .select(col("__k"), col("exact"),
+          posexplode(array((0 until depth).map(j =>
+            bucket(j, col("__k"))): _*)).as(Seq("j", "b")))
+        .join(broadcast(cells), Seq("j", "b"))
+        .groupBy(col("__k"), col("exact"))
+        .agg(min(col("c")).as("est"))
+        .select(col("__k").as(keyCol), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+    } finally ks.unpersist(false)
+  }
+
   /** 64-bit hashes of the same token stream (empty tokens dropped
     * BEFORE hashing, so an all-whitespace document contributes nothing
     * — same as [[tokenRows]]'s length filter). */

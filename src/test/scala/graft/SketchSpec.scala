@@ -47,4 +47,29 @@ class SketchSpec extends AnyFunSuite {
     assert(fullPlan.contains("approx_count_distinct"), fullPlan)
     assert(exactPercentile.findFirstIn(fullPlan.toLowerCase).isDefined, fullPlan)
   }
+
+  test("count-min sketch never undercounts and is repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    val grams = Tables.load(spark, sf, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val a = text.CorpusStats
+      .countMinEstimates(grams, "w", depth = 4, width = 16, probeMod = 1)
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    // the CMS guarantee: estimates are exact counts plus non-negative
+    // collision noise — one undercount anywhere is a sketch bug
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("overcount")) >= 0L, r.toString)
+    }
+    // width 16 over this stream forces collisions — the min-over-rows
+    // must actually be doing estimation, not echoing exact counts
+    assert(rows.exists(r => r.getLong(r.fieldIndex("overcount")) > 0L))
+    // cells are plain sums of deterministic hashes: any partitioning
+    // lands on identical estimates
+    val b = text.CorpusStats
+      .countMinEstimates(grams.repartition(17), "w",
+        depth = 4, width = 16, probeMod = 1)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
