@@ -820,6 +820,122 @@ object VectorQueries {
              |      FROM sc)
              |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // MMR diversity re-rank (graft.vector.Mmr): top-8 cosine candidates
+    // per query, then 4 greedy rounds of λ·rel − (1−λ)·max-sim-to-
+    // selected at λ=0.5 (chosen so 1−λ is binary-exact on both engines
+    // — see Mmr's determinism note). All post-candidate work is
+    // k-bounded (8 candidates, 8×7 pairwise sims per query); the greedy
+    // rounds are DataFrame aggregates unrolled in k, staged per round.
+    // The oracle replays candidate generation, the pairwise sim matrix,
+    // and all four rounds (the q_mixture_waterfill unrolled-rounds
+    // precedent) — cosine doubles are bit-equal across engines (the
+    // q_cosine_topk contract), and every argmax tie breaks on id.
+    "q_mmr_rerank" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val cands = Ann.exactTopK(emb, queries, "vec_id", "embedding", "qid",
+            k = 8)
+          .select(col("qid"), col("vec_id"), col("sim").as("rel"))
+          .transform(graft.plans.Materialize.stage)
+        val cv = cands.join(emb, Seq("vec_id"))
+          .select(col("qid"), col("vec_id"), col("embedding"))
+        val pairs = cv.as("x")
+          .join(cv.as("y"),
+            col("x.qid") === col("y.qid") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.qid").as("qid"), col("x.vec_id").as("a"),
+            col("y.vec_id").as("b"),
+            VectorFunctions.cosine(col("x.embedding"), col("y.embedding"))
+              .as("sim"))
+        graft.vector.Mmr.rerank(cands, pairs, "qid", "vec_id",
+            k = 4, lam = 0.5)
+          .select(col("qid"), col("vec_id"), col("score"), cast_rank)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH data AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |qs AS (SELECT vec_id AS qid, v AS qv FROM data
+             |       WHERE vec_id % 100 = 0),
+             |sc AS (
+             |  SELECT q.qid, d.vec_id,
+             |    list_cosine_similarity(d.v, q.qv) AS sim
+             |  FROM data d, qs q WHERE d.vec_id <> q.qid),
+             |cand AS (
+             |  SELECT qid, vec_id, sim AS rel FROM (
+             |    SELECT qid, vec_id, sim, row_number() OVER (
+             |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM sc) WHERE rn <= 8),
+             |cv AS (SELECT c.qid, c.vec_id, d.v
+             |       FROM cand c JOIN data d USING (vec_id)),
+             |pr AS (
+             |  SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
+             |    list_cosine_similarity(x.v, y.v) AS sim
+             |  FROM cv x JOIN cv y
+             |    ON x.qid = y.qid AND x.vec_id <> y.vec_id),
+             |s1 AS (
+             |  SELECT qid, vec_id, score FROM (
+             |    SELECT qid, vec_id, 0.5 * rel AS score, row_number() OVER (
+             |      PARTITION BY qid ORDER BY 0.5 * rel DESC, vec_id) AS rn
+             |    FROM cand) WHERE rn = 1),
+             |m2 AS (SELECT p.qid, p.a, max(p.sim) AS ms FROM pr p
+             |       JOIN s1 ON s1.qid = p.qid AND s1.vec_id = p.b
+             |       GROUP BY 1, 2),
+             |s2 AS (
+             |  SELECT qid, vec_id, score FROM (
+             |    SELECT e.qid, e.vec_id,
+             |      0.5 * e.rel - 0.5 * coalesce(m.ms, 0) AS score,
+             |      row_number() OVER (PARTITION BY e.qid
+             |        ORDER BY 0.5 * e.rel - 0.5 * coalesce(m.ms, 0) DESC,
+             |          e.vec_id) AS rn
+             |    FROM (SELECT c.* FROM cand c LEFT JOIN s1
+             |            ON s1.qid = c.qid AND s1.vec_id = c.vec_id
+             |          WHERE s1.vec_id IS NULL) e
+             |    LEFT JOIN m2 m ON m.qid = e.qid AND m.a = e.vec_id)
+             |  WHERE rn = 1),
+             |sel2 AS (SELECT qid, vec_id FROM s1
+             |         UNION ALL SELECT qid, vec_id FROM s2),
+             |m3 AS (SELECT p.qid, p.a, max(p.sim) AS ms FROM pr p
+             |       JOIN sel2 ON sel2.qid = p.qid AND sel2.vec_id = p.b
+             |       GROUP BY 1, 2),
+             |s3 AS (
+             |  SELECT qid, vec_id, score FROM (
+             |    SELECT e.qid, e.vec_id,
+             |      0.5 * e.rel - 0.5 * coalesce(m.ms, 0) AS score,
+             |      row_number() OVER (PARTITION BY e.qid
+             |        ORDER BY 0.5 * e.rel - 0.5 * coalesce(m.ms, 0) DESC,
+             |          e.vec_id) AS rn
+             |    FROM (SELECT c.* FROM cand c LEFT JOIN sel2
+             |            ON sel2.qid = c.qid AND sel2.vec_id = c.vec_id
+             |          WHERE sel2.vec_id IS NULL) e
+             |    LEFT JOIN m3 m ON m.qid = e.qid AND m.a = e.vec_id)
+             |  WHERE rn = 1),
+             |sel3 AS (SELECT qid, vec_id FROM sel2
+             |         UNION ALL SELECT qid, vec_id FROM s3),
+             |m4 AS (SELECT p.qid, p.a, max(p.sim) AS ms FROM pr p
+             |       JOIN sel3 ON sel3.qid = p.qid AND sel3.vec_id = p.b
+             |       GROUP BY 1, 2),
+             |s4 AS (
+             |  SELECT qid, vec_id, score FROM (
+             |    SELECT e.qid, e.vec_id,
+             |      0.5 * e.rel - 0.5 * coalesce(m.ms, 0) AS score,
+             |      row_number() OVER (PARTITION BY e.qid
+             |        ORDER BY 0.5 * e.rel - 0.5 * coalesce(m.ms, 0) DESC,
+             |          e.vec_id) AS rn
+             |    FROM (SELECT c.* FROM cand c LEFT JOIN sel3
+             |            ON sel3.qid = c.qid AND sel3.vec_id = c.vec_id
+             |          WHERE sel3.vec_id IS NULL) e
+             |    LEFT JOIN m4 m ON m.qid = e.qid AND m.a = e.vec_id)
+             |  WHERE rn = 1)
+             |SELECT qid, vec_id, score, CAST(1 AS INT) AS rank FROM s1
+             |UNION ALL SELECT qid, vec_id, score, CAST(2 AS INT) FROM s2
+             |UNION ALL SELECT qid, vec_id, score, CAST(3 AS INT) FROM s3
+             |UNION ALL SELECT qid, vec_id, score, CAST(4 AS INT) FROM s4
+             |ORDER BY qid, rank""".stripMargin)),
+
     // Two-stage SQ8 retrieval: int8 coarse scan (exact integer dot,
     // corpus-side scale correction) → float cosine rerank of the top-50
     // survivors → top-10. The oracle recomputes BOTH stages: the int8
