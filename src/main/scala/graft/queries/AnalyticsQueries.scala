@@ -236,6 +236,48 @@ object AnalyticsQueries {
 
   val defs: Seq[(String, Q)] = Seq(
 
+    // Triangle counting (plans/Triangles): per-node triangle
+    // participation over the high-quantity co-purchase projection
+    // (customers sharing a supplier at l_quantity ≥ 50 — the threshold
+    // keeps per-supplier fan-out bounded, the df-cap stance the LSH
+    // family uses for its posting lists). The engine counts via
+    // DEGREE-ORDERED forward wedges (out-degree capped at O(√E), wedge
+    // relation O(E^1.5) even on a skewed graph); the oracle replays the
+    // simple id-ordered orientation — per-node counts are
+    // orientation-independent, so the two must agree row-for-row.
+    "q_triangles" -> Q(
+      (s, dir) => {
+        val cs = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 50),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+          .distinct()
+          .transform(graft.plans.Materialize.stage) // both projection sides
+        val edges = cs.as("x")
+          .join(cs.as("y"),
+            col("x.sup") === col("y.sup") && col("x.c") < col("y.c"))
+          .select(col("x.c").as("a"), col("y.c").as("b"))
+          .distinct()
+        graft.plans.Triangles.perNodeCounts(edges).orderBy(col("node"))
+      },
+      Some("""WITH cs AS (
+             |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+             |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  WHERE l.l_quantity >= 50),
+             |e AS (
+             |  SELECT DISTINCT x.c AS a, y.c AS b
+             |  FROM cs x JOIN cs y ON x.s = y.s AND x.c < y.c),
+             |tri AS (
+             |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |corners AS (
+             |  SELECT a AS node FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri)
+             |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+             |FROM corners GROUP BY node ORDER BY node""".stripMargin)),
+
     // Fixed-iteration PageRank over the customer→supplier interaction
     // graph (orders ⋈ lineitem, high-quantity edges), in exact integer
     // micro-units: integer per-edge division + integer damping make

@@ -1679,12 +1679,19 @@ object TextQueries {
 
     // Exact set-similarity self-join by PREFIX FILTERING (the SSJoin/
     // PPJoin family) — the LOSSLESS counterpart to MinHash-LSH:
-    // provably every 3-gram-set pair with Jaccard ≥ 0.5, no
+    // provably every 3-gram-set pair with Jaccard ≥ τ, no
     // probabilistic recall argument needed. The oracle is the BRUTE-
     // FORCE all-pairs Jaccard (oracle scale only), so each run
     // re-proves the prefix filter dropped nothing. Fixture plants 10
-    // three-token-suffix copies (adds ≤ 4 grams: J ≥ 0.5 for any real
-    // doc) on top of whatever natural near-dups the corpus holds.
+    // three-token-suffix copies (adds ≤ 4 grams: J ≈ n/(n+4) ≫ τ) on
+    // top of whatever natural near-dups the corpus holds. τ = 0.8:
+    // every true pair in this corpus sits above 0.81 (verified at both
+    // oracle SFs), and at 0.5 the prefix filter cannot select on the
+    // 31-token template vocabulary (df ≥ 2 prunes nothing, prefixes
+    // are half of every doc — 311k candidates / 26 s at sf0.1 for the
+    // same 36-pair answer; τ = 0.8 shrinks prefixes to ⌈0.2n⌉+1 and
+    // tightens the length ratio to [0.8, 1.25]). The 0.5 boundary
+    // semantics stay spec-pinned on hand fixtures (DedupSpec).
     // Output score is the exact integer `inter·1e6 div union`.
     "q_setjoin_prefix" -> Q(
       (s, dir) => {
@@ -1695,7 +1702,7 @@ object TextQueries {
             (col("doc_id") + 950000).as("doc_id"),
             concat(col("text"), lit(" sjx sjy sjz")).as("text")))
         Dedup.prefixJaccardPairs(planted, "doc_id", "text",
-            thresholdMicro = 500000L)
+            thresholdMicro = 800000L)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH planted AS (
@@ -1720,7 +1727,7 @@ object TextQueries {
              |      - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
              |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
              |SELECT id_a, id_b, inter * 1000000 // uni AS jaccard_micro
-             |FROM pairs WHERE inter * 1000000 >= uni * 500000
+             |FROM pairs WHERE inter * 1000000 >= uni * 800000
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Near-dup CLUSTERING: connected components over the verified pair

@@ -776,7 +776,11 @@ object VectorQueries {
              |  array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), ' ')
              |    AS codes,
              |  CAST(sum(dist) AS BIGINT) AS distortion
-             |FROM pa2 GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+             |FROM pa2 GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      // superseded-generation bench prune: q_ann_pq is the PQ family's
+      // timed gate (same training + encode, plus the ADC serve);
+      // this entry stays oracle-gated every round but is not timed
+      bench = false),
 
     // ADC retrieval over the PQ codes (asymmetric distance): the query
     // batch expands to a broadcast (qid, sub, code) → distance lookup
