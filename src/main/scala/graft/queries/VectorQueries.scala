@@ -824,6 +824,99 @@ object VectorQueries {
              |      FROM sc)
              |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // IVF-PQ retrieval (the FAISS IVFADC composition, no-residual
+    // variant): the coarse k-means quantizer routes each query to its
+    // 4 nearest cells (Ann.ivfCandidates — the stored (id, cid) index,
+    // corpus never scanned for routing), and ONLY those cells' rows
+    // pay the PQ lookup-table sum (Pq.adcTopKWithin) — scoring cost
+    // drops from the corpus to the probed fraction, and what the scan
+    // reads per candidate is 8 code bytes, not 256 float bytes. The
+    // oracle composes the two families' shared CTE blocks: the 16-cell
+    // 'km:' trainer + float-cosine probe replay (the q_ann_ivf
+    // machinery) and the 'pq:' codebook replay (pqCtes), joined on the
+    // candidate set.
+    "q_ann_ivfpq" -> Q(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val cents = graft.vector.KMeans.fitCentroids(
+          emb, "vec_id", "embedding", k = 16, iters = 2)
+        import s.implicits._
+        val centroids = cents.toDF("cid", "embedding")
+        val assign = Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
+        val books = graft.vector.Pq.fitCodebooks(emb, "vec_id", "embedding",
+          m = 8, dim = 64, ksub = 16, iters = 2)
+        val codes = graft.vector.Pq
+          .encode(emb, "vec_id", "embedding", 8, 64, books)
+          .select(col("vec_id"), col("sub"), col("code"))
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val cands = Ann.ivfCandidates(assign, queries, "vec_id", "qid",
+          "embedding", centroids, nprobe = 4)
+        graft.vector.Pq.adcTopKWithin(codes, cands, queries,
+            "vec_id", "embedding", "qid", m = 8, dim = 64, books, k = 5)
+          .select(col("qid"), col("vec_id"), cast_rank, col("adc"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH $pqCtes,
+             |data AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |seeds16 AS (
+             |  SELECT vec_id AS cid, e FROM q
+             |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
+             |    vec_id
+             |  LIMIT 16),
+             |ka1 AS (
+             |  SELECT vec_id, e, cid FROM (
+             |    SELECT q.vec_id, q.e, s.cid,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
+             |          + list_dot_product(s.e, s.e), s.cid) AS rn
+             |    FROM q, seeds16 s) WHERE rn = 1),
+             |cents AS (
+             |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
+             |    FROM ka1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+             |dassign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT d.vec_id, c.cid, row_number() OVER (
+             |      PARTITION BY d.vec_id
+             |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid)
+             |      AS crank
+             |    FROM data d, cents c) WHERE crank = 1),
+             |qs AS (SELECT vec_id AS qid, v AS qv FROM data
+             |       WHERE vec_id % 100 = 0),
+             |qassign AS (
+             |  SELECT s2.qid, c.cid, row_number() OVER (PARTITION BY s2.qid
+             |    ORDER BY list_cosine_similarity(s2.qv, c.cv) DESC, c.cid)
+             |    AS crank
+             |  FROM qs s2, cents c),
+             |cand AS (
+             |  SELECT p.qid, da.vec_id
+             |  FROM (SELECT qid, cid FROM qassign WHERE crank <= 4) p
+             |  JOIN dassign da ON da.cid = p.cid
+             |  WHERE da.vec_id <> p.qid),
+             |dt AS (
+             |  SELECT s3.vec_id AS qid, c.sub, c.code,
+             |    list_dot_product(s3.v, s3.v) - 2 * list_dot_product(s3.v, c.v)
+             |      + list_dot_product(c.v, c.v) AS qdist
+             |  FROM sv s3 JOIN pc1 c USING (sub)
+             |  WHERE s3.vec_id % 100 = 0),
+             |sc AS (
+             |  SELECT cd.qid, cd.vec_id, CAST(sum(d.qdist) AS BIGINT) AS adc
+             |  FROM cand cd
+             |  JOIN pa2 e ON e.vec_id = cd.vec_id
+             |  JOIN dt d ON d.qid = cd.qid AND d.sub = e.sub
+             |    AND d.code = e.code
+             |  GROUP BY cd.qid, cd.vec_id)
+             |SELECT qid, vec_id, CAST(rn AS INT) AS rank, adc
+             |FROM (SELECT qid, vec_id, adc,
+             |        row_number() OVER (PARTITION BY qid
+             |          ORDER BY adc, vec_id) AS rn
+             |      FROM sc)
+             |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // MMR diversity re-rank (graft.vector.Mmr): top-8 cosine candidates
     // per query, then 4 greedy rounds of λ·rel − (1−λ)·max-sim-to-
     // selected at λ=0.5 (chosen so 1−λ is binary-exact on both engines

@@ -262,6 +262,25 @@ object Ann {
     serveIvf(dataAssigned, queries, idCol, vecCol, qidCol, k, cents, nprobe)
   }
 
+  /** IVF candidate routing WITHOUT the scoring stage: per query, the
+    * ids in its `nprobe` nearest cells (self excluded) — the candidate
+    * feed for a downstream scorer that is not plain cosine (PQ-ADC,
+    * a learned reranker). The probed query side is nq·nprobe rows and
+    * broadcasts; the stored assignment relation routes by cell id, so
+    * the corpus is never scanned here at all. */
+  def ivfCandidates(assign: DataFrame, queries: DataFrame, idCol: String,
+                    qidCol: String, vecCol: String, centroids: DataFrame,
+                    nprobe: Int = 4): DataFrame = {
+    val cents = centroidSeq(centroids, vecCol)
+    assign.select(col(idCol), col("cid"))
+      .join(broadcast(
+        withProbes(queries.select(col(qidCol), col(vecCol)), vecCol,
+          cents, nprobe)
+          .select(col(qidCol), col("cid"))), Seq("cid"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol))
+  }
+
   /** The centroid set is tiny and deterministic by construction, so it
     * is collected once to the driver (a documented O3 scalar fetch). */
   private def centroidSeq(centroids: DataFrame,

@@ -179,14 +179,47 @@ object Pq {
               idCol: String, vecCol: String, qidCol: String,
               m: Int, dim: Int, books: Seq[(Int, Seq[(Long, Seq[Double])])],
               k: Int, scale: Int = 1000): DataFrame = {
-    val qsubs = subvectors(queries, qidCol, vecCol, m, dim, scale)
-    val dt = qsubs
+    val dt = distTable(queries, qidCol, vecCol, m, dim, books, scale)
+    emitTopK(
+      codes.join(broadcast(dt), Seq("sub", "code")), idCol, qidCol, k)
+  }
+
+  /** ADC top-k RESTRICTED to a candidate relation (qid, id) — the
+    * IVF-PQ composition: the coarse quantizer routes candidates
+    * ([[Ann.ivfCandidates]]), and only their code rows pay the lookup
+    * sum. The candidate join is a plain id equi-join (at 100 TB the
+    * candidate set is nq·(n/cells)·nprobe — never broadcastable), the
+    * lookup table still broadcasts, and scoring cost drops from the
+    * full corpus to the probed fraction. */
+  def adcTopKWithin(codes: DataFrame, cands: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, qidCol: String,
+                    m: Int, dim: Int,
+                    books: Seq[(Int, Seq[(Long, Seq[Double])])],
+                    k: Int, scale: Int = 1000): DataFrame = {
+    val dt = distTable(queries, qidCol, vecCol, m, dim, books, scale)
+    emitTopK(
+      codes.join(cands, Seq(idCol))
+        .join(broadcast(dt), Seq(qidCol, "sub", "code")),
+      idCol, qidCol, k)
+  }
+
+  /** The per-query lookup table: (qid, sub, code) → exact-integer
+    * distance, nq·m·ksub rows. */
+  private def distTable(queries: DataFrame, qidCol: String, vecCol: String,
+                        m: Int, dim: Int,
+                        books: Seq[(Int, Seq[(Long, Seq[Double])])],
+                        scale: Int): DataFrame =
+    subvectors(queries, qidCol, vecCol, m, dim, scale)
       .join(broadcast(codebookDf(queries.sparkSession, books)), Seq("sub"))
       .select(col(qidCol), col("sub"), col("code"),
         (col("__svv") - lit(2.0) * VectorFunctions.dot(col("__sv"), col("cv"))
           + VectorFunctions.dot(col("cv"), col("cv"))).as("qdist"))
-    codes
-      .join(broadcast(dt), Seq("sub", "code"))
+
+  /** Sum the m lookup terms per (qid, id) and keep the per-query top-k
+    * via graft_topk — map-side combining all the way, no sort. */
+  private def emitTopK(joined: DataFrame, idCol: String, qidCol: String,
+                       k: Int): DataFrame =
+    joined
       .groupBy(col(qidCol), col(idCol))
       .agg(sum(col("qdist")).cast("long").as("adc"))
       .groupBy(col(qidCol))
@@ -195,5 +228,4 @@ object Pq {
       .select(col(qidCol), posexplode(col("top")))
       .select(col(qidCol), (col("pos") + 1).as("rank"),
         col("col.payload").as(idCol), (-col("col.score")).as("adc"))
-  }
 }

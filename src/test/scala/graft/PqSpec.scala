@@ -77,6 +77,40 @@ class PqSpec extends AnyFunSuite {
     assert(distortion(books) < distortion(seedOnly))
   }
 
+  test("adcTopKWithin over the full candidate set equals adcTopK") {
+    val codes = Pq.encode(emb, "vec_id", "embedding", M, DIM, books)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val full = Pq.adcTopK(codes, queries, "vec_id", "embedding", "qid",
+      M, DIM, books, k = 5)
+    // candidates = every (qid, id) pair — the restriction must vanish
+    val allCands = queries.select(col("qid"))
+      .crossJoin(emb.select(col("vec_id")))
+    val within = Pq.adcTopKWithin(codes, allCands, queries,
+      "vec_id", "embedding", "qid", M, DIM, books, k = 5)
+    assert(full.exceptAll(within).isEmpty && within.exceptAll(full).isEmpty)
+  }
+
+  test("ivf candidates: every id comes from a probed cell, self excluded") {
+    val cents = graft.vector.KMeans.fitCentroids(
+      emb, "vec_id", "embedding", k = 16, iters = 2)
+    import spark.implicits._
+    val centroids = cents.toDF("cid", "embedding")
+    val assign = graft.vector.Ann.ivfAssign(emb, "vec_id", "embedding",
+      centroids)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cands = graft.vector.Ann.ivfCandidates(assign, queries,
+      "vec_id", "qid", "embedding", centroids, nprobe = 4)
+    assert(cands.filter(col("vec_id") === col("qid")).isEmpty)
+    // probed fraction: 4 of 16 cells — candidates must be well under
+    // the full corpus per query (the point of the coarse quantizer)
+    val perQuery = cands.groupBy(col("qid")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perQuery < emb.count(), s"candidates not restricted: $perQuery")
+  }
+
   test("serve plan: ADC search carries no Window and no vector reread") {
     val codes = Pq.encode(emb, "vec_id", "embedding", M, DIM, books)
       .select(col("vec_id"), col("sub"), col("code"))
