@@ -1704,6 +1704,69 @@ object CorpusQueries {
       // oracle-gated every round but is no longer timed
       bench = false),
 
+    // Curriculum schedule — difficulty-ordered staged pretraining
+    // (easy→hard phase assignment under token budgets, the
+    // curriculum-learning data layout): per-doc difficulty is the
+    // per-token unigram log-prob average (rarer tokens → more negative
+    // → HARDER; ordering ascending puts common/easy text first, the
+    // convention of perplexity-ordered curricula), docs order by a
+    // PACKED unique key (difficulty-milli · 2^20 + doc_id — doc ids
+    // stay below 2^20, so the packing is the lexicographic
+    // (difficulty, id) order in one integer column), and the
+    // cumulative token position comes from the distributed two-pass
+    // PrefixSum — NOT a global single-task window; the oracle replays
+    // the same cumulation AS a window, which must agree exactly.
+    // Phase = 1 + (3·offset) div total ∈ {1,2,3}: exact integer
+    // thirds of the token stream, never a row count (long docs shift
+    // the boundary, which is the point of a TOKEN budget).
+    "q_curriculum" -> Q(
+      (s, dir) => {
+        val lp = CorpusStats.unigramLogProb(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        val keyed = lp.select(col("doc_id"), col("n_tokens"),
+          floor(col("logprob_micro").cast("double") * lit(1000.0)
+            / col("n_tokens").cast("double")).cast("long").as("dk"))
+          .withColumn("__key", col("dk") * lit(1048576L) + col("doc_id"))
+        val tot = keyed.agg(sum(col("n_tokens")).as("tot"))
+        graft.plans.PrefixSum.exclusiveOffsets(keyed, "__key", "n_tokens")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_tokens"), col("dk"),
+            col("offset").as("cum_tokens_before"),
+            (expr("(offset * 3) div tot") + 1).cast("int").as("phase"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |    FROM documents)
+             |  WHERE length(tok) > 0),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tf),
+             |c AS (
+             |  SELECT doc_id, count(*) OVER (PARTITION BY tok) AS c
+             |  FROM tf),
+             |lp AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CAST(floor(1e6 * (ln(CAST(c AS DOUBLE)) - ln(n.n)))
+             |      AS BIGINT)) AS BIGINT) AS lpm
+             |  FROM c, n GROUP BY doc_id),
+             |k AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(floor(CAST(lpm AS DOUBLE) * 1000
+             |      / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS dk
+             |  FROM lp),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM k),
+             |o AS (
+             |  SELECT doc_id, n_tokens, dk,
+             |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY dk, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS cum_tokens_before
+             |  FROM k)
+             |SELECT o.doc_id, o.n_tokens, o.dk, o.cum_tokens_before,
+             |  CAST((o.cum_tokens_before * 3) // tot.tot + 1 AS INT) AS phase
+             |FROM o, tot ORDER BY o.doc_id""".stripMargin)),
+
     // Training-sequence construction — the LAST layout step before
     // tensors: every document's id stream (same top-512 vocab as
     // q_token_ids) plus an EOS separator (−1) concatenates in doc_id

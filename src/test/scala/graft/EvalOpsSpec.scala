@@ -219,6 +219,32 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(masked > 0.05 && masked < 0.30, s"mask rate $masked")
   }
 
+  test("q_curriculum: phases are difficulty-monotone exact token thirds") {
+    val rows = run("q_curriculum").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_tokens")),
+        r.getLong(r.fieldIndex("dk")),
+        r.getLong(r.fieldIndex("cum_tokens_before")),
+        r.getInt(r.fieldIndex("phase"))))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    // offsets are the exclusive prefix sum of tokens in (dk, doc_id)
+    // order — replay it sequentially and require exact agreement
+    var cum = 0L
+    rows.sortBy(t => (t._3, t._1)).foreach { case (id, n, _, off, ph) =>
+      assert(off == cum, s"doc $id: offset $off != $cum")
+      assert(ph == (off * 3 / total + 1).toInt, s"doc $id phase")
+      cum += n
+    }
+    assert(cum == total)
+    // all three phases populated; phase boundaries respect the
+    // (dk, doc_id) order — an easier (dk, id) key can never land in a
+    // LATER phase than a harder one
+    assert(rows.map(_._5).toSet == Set(1, 2, 3))
+    val phasesInOrder = rows.sortBy(t => (t._3, t._1)).map(_._5)
+    assert(phasesInOrder.zip(phasesInOrder.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q_dp_histogram noise is bounded, keyed, and non-degenerate") {
     val noisy = run("q_dp_histogram").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
