@@ -690,34 +690,43 @@ object Dedup {
   /** Exact set-similarity self-join by PREFIX FILTERING (Chaudhuri/
     * Xiao et al.'s SSJoin/PPJoin family) — the LOSSLESS alternative to
     * MinHash when the contract is "every pair with Jaccard ≥ t, no
-    * recall luck": order each document's token SET by global document
-    * frequency (rarest first, (df, tok) — a total order, no dense rank
-    * and therefore no corpus-wide window), keep only the first
-    * |s| − ⌈t·|s|⌉ + 1 tokens as the document's PREFIX, and equi-join
-    * on prefix tokens. Theory: two sets with J ≥ t must share at
-    * least one prefix token under ANY common total order, so the
-    * candidate set provably contains every qualifying pair — the
-    * brute-force oracle re-proves it on every run. The rarest-first
-    * order makes prefixes collide as little as the data allows, and
-    * the size filter (t·|a| ≤ |b| ≤ |a|/t) prunes candidates before
-    * the exact verify. Scale shape: element relation shuffles once for
-    * the df join, prefixes (a t-fraction sliver) feed the self-join,
-    * and only candidate pairs reach the exact intersect/union — all
-    * integers end to end (`jaccard_micro = inter·1e6 div union`), no
-    * float anywhere. `thresholdMicro` is Jaccard in exact micro-units
-    * (500000 = 0.5). Set elements are w-GRAM hashes, not raw tokens:
-    * token-set Jaccard is order-blind, so template-generated corpora
-    * (shared vocabulary, different phrasing) collapse into dense
-    * high-J cliques whose PAIR LIST is quadratic — measured 95k pairs
-    * at sf0.01 / 15 s at sf0.1 on the token-set form vs a selective
-    * shingle result; gram sets are what every other detector in this
-    * family blocks on, for the same reason. The default gram hash is
-    * the FAST in-engine one: unlike the seed-gram index, nothing in
-    * the OUTPUT depends on hash identity — completeness holds under
-    * any common total order and the score is set Jaccard — so the
-    * oracle can brute-force raw gram STRINGS while the engine never
-    * allocates one (the md5-portable form measured 2× the cost for
-    * zero contract value here). */
+    * recall luck": order each document's token SET by a global total
+    * order, keep only the first |s| − ⌈t·|s|⌉ + 1 tokens as the
+    * document's PREFIX, and equi-join on prefix tokens. Theory: two
+    * sets with J ≥ t must share at least one prefix token under ANY
+    * common total order, so the candidate set provably contains every
+    * qualifying pair — the brute-force oracle re-proves it on every
+    * run. The size filter (t·|a| ≤ |b| ≤ |a|/t) prunes candidates
+    * before the exact verify.
+    *
+    * The total order here is the gram HASH itself, so the prefix is a
+    * pure per-row `slice(sort_array(ts))` — no corpus explode, no df
+    * dictionary join, no per-doc re-sort aggregate. The textbook
+    * df-ascending (rarest-first) order was implemented and MEASURED
+    * against this: on the template corpus it cut candidates 81k → 44k
+    * (sf0.1, t = 0.8) but paid three extra codegen-heavy stages and a
+    * broadcast for it, and the verify of the extra 37k candidates is
+    * two array_intersects per pair — the dictionary machinery cost
+    * multiples of what it saved. (At a scale where candidate volume
+    * dominates verify — short prefixes, heavy-tailed df — the
+    * df-ordered variant is the right swap, and completeness is
+    * unaffected either way.) Scale shape: prefixes (a (1−t)-fraction
+    * sliver) feed the self-join, only candidate pairs reach the exact
+    * intersect/union — all integers end to end
+    * (`jaccard_micro = inter·1e6 div union`), no float anywhere.
+    * `thresholdMicro` is Jaccard in exact micro-units (500000 = 0.5).
+    * Set elements are w-GRAM hashes, not raw tokens: token-set Jaccard
+    * is order-blind, so template-generated corpora (shared vocabulary,
+    * different phrasing) collapse into dense high-J cliques whose PAIR
+    * LIST is quadratic — measured 95k pairs at sf0.01 / 15 s at sf0.1
+    * on the token-set form vs a selective shingle result; gram sets
+    * are what every other detector in this family blocks on, for the
+    * same reason. The default gram hash is the FAST in-engine one:
+    * unlike the seed-gram index, nothing in the OUTPUT depends on hash
+    * identity — completeness holds under any common total order and
+    * the score is set Jaccard — so the oracle can brute-force raw gram
+    * STRINGS while the engine never allocates one (the md5-portable
+    * form measured 2× the cost for zero contract value here). */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          thresholdMicro: Long = 500000L,
                          gramFn: Column => Column =
@@ -727,32 +736,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sets.count() // eager fill: feeds the prefix build AND both verify sides
-      val toks = sets.select(col("id"), explode(col("ts")).as("tok"))
-      // only REPEATED grams matter: a df = 1 gram collides with nobody,
-      // so it needs no df row (coalesce to 1 below keeps its order
-      // slot) and no prefix row (it can never produce a candidate) —
-      // the collision dictionary is a sliver of the vocabulary. No
-      // broadcast HINT on the attach: locally AQE converts it to a
-      // broadcast join from runtime stats, and at cluster scale a
-      // dictionary past the driver's budget degrades to a shuffle
-      // join instead of an OOM — the hint would force the OOM.
-      val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-      // per-doc canonical order: each document sorts its OWN tokens by
-      // the global (df, tok) key — bounded by document length, so the
-      // global order is realized without any corpus-wide ranking
-      val ordered = toks.join(dfreq, Seq("tok"), "left")
-        .groupBy(col("id"))
-        .agg(array_sort(collect_list(
-            struct(coalesce(col("df"), lit(1L)).as("df"), col("tok"))))
-            .as("st"),
-          count(lit(1)).as("n"))
-      val prefLen = col("n") -
-        expr(s"(n * $thresholdMicro + 999999) div 1000000") + lit(1L)
-      val pref = ordered.select(col("id"), col("n"),
-          explode(slice(col("st"), lit(1), prefLen)).as("s"))
-        .filter(col("s.df") >= 2)
-        .select(col("id"), col("n"), col("s.tok").as("tok"))
+      val prefLen = (col("n") -
+        expr(s"(n * $thresholdMicro + 999999L) div 1000000L") + lit(1L))
+        .cast("int")
+      val pref = sets
+        .select(col("id"), size(col("ts")).cast("long").as("n"),
+          sort_array(col("ts")).as("st"))
+        .select(col("id"), col("n"),
+          explode(slice(col("st"), lit(1), prefLen)).as("tok"))
       val cand = pref.as("a")
         .join(pref.as("b"),
           col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&

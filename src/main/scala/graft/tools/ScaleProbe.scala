@@ -20,7 +20,7 @@ import graft.Tables
   * pairs quadratically in N by construction — a different, known-
   * superlinear problem.)
   *
-  * Usage: `runMain graft.tools.ScaleProbe <workDir> [--vectors]
+  * Usage: `runMain graft.tools.ScaleProbe <workDir> [--vectors|--graph]
   * <scale...>` with `SPARK_GRAFT_SF_DIR` as the base corpus, e.g.
   * scales `1 3 10`. Each scale writes
   * `<workDir>/x<N>/documents.parquet` (reused when present) and runs
@@ -28,7 +28,10 @@ import graft.Tables
   * `embeddings` table instead (vec_id offset per copy, vectors and
   * labels unchanged — identical geometry per replica, so only the
   * engine's scan/train/join cost grows) and runs the ANN/k-means
-  * family. Output: one JSON line per scale plus a fitted exponent per
+  * family; `--graph` scales orders + lineitem with disjoint key
+  * spaces per copy (isolated identical graph components — constant
+  * density/degree/triangle structure) and runs the graph family.
+  * Output: one JSON line per scale plus a fitted exponent per
   * entry — log(t_hi/t_lo)/log(hi/lo) over the largest/smallest scale,
   * ~1.0 for a linear operator; shuffle/setup constants bias sub-linear
   * at these sizes, so read >1.3 as the smoke signal. */
@@ -41,6 +44,38 @@ object ScaleProbe {
   val vectorEntries: Seq[String] = Seq(
     "q_cosine_topk", "q_kmeans", "q_ann_lsh", "q_ann_ivf",
     "q_ann_rerank")
+
+  val graphEntries: Seq[String] = Seq(
+    "q_triangles", "q_pagerank_dangling", "q_hits", "q_label_prop")
+
+  /** ×`scale` replica of the orders + lineitem pair with DISJOINT key
+    * spaces per copy (custkey, suppkey and orderkey all offset, so
+    * copy c's interaction graph is an isolated component identical to
+    * the base's): edge density, degree distribution, component and
+    * triangle structure stay CONSTANT while node/edge counts grow —
+    * growth measures the engine's join/iteration cost, not a denser
+    * graph. */
+  def buildGraph(spark: SparkSession, baseDir: String, scale: Int,
+                 dir: String): Unit = {
+    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    val oCopies = (0 until scale).map { c =>
+      if (c == 0) orders
+      else orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(c.toLong * 10000000L))
+    }
+    val lCopies = (0 until scale).map { c =>
+      if (c == 0) li
+      else li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * 100000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c.toLong * 10000000L))
+    }
+    oCopies.reduce(_.unionByName(_)).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lCopies.reduce(_.unionByName(_)).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
 
   /** Vocabulary-disjoint ×`scale` replica of the base documents table
     * (see the object doc) — shared with [[StreamProbe]]. */
@@ -83,10 +118,12 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleProbe <workDir> [--vectors] <scale...>")
+      "usage: ScaleProbe <workDir> [--vectors|--graph] <scale...>")
     val workDir = args(0)
     val vectors = args.contains("--vectors")
-    val scales = args.drop(1).filterNot(_ == "--vectors")
+    val graph = args.contains("--graph")
+    val scales = args.drop(1)
+      .filterNot(a => a == "--vectors" || a == "--graph")
       .map(_.toInt).toSeq.sorted
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session("graft-scale-probe")
@@ -109,13 +146,20 @@ object ScaleProbe {
     // whole family
     val entries = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(if (vectors) vectorEntries else heavyEntries)
+      .getOrElse(if (vectors) vectorEntries
+      else if (graph) graphEntries
+      else heavyEntries)
     val results = scales.map { scale =>
       val dir =
-        if (vectors) s"$workDir/v$scale" else s"$workDir/x$scale"
+        if (vectors) s"$workDir/v$scale"
+        else if (graph) s"$workDir/g$scale"
+        else s"$workDir/x$scale"
       if (vectors) {
         if (!new java.io.File(s"$dir/embeddings.parquet").exists())
           buildVectors(scale, dir)
+      } else if (graph) {
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
+          buildGraph(spark, baseDir, scale, dir)
       } else if (!new java.io.File(s"$dir/documents.parquet").exists())
         buildCorpus(scale, dir)
       val times = entries.map { name =>
