@@ -40,6 +40,25 @@ class TrianglesSpec extends AnyFunSuite {
     assert(counts(star) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("seeded random graphs match the in-test brute force") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      val adj = edges.toSet
+      val brute = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for {
+        x <- 0L until n; y <- (x + 1) until n; z <- (y + 1) until n
+        if adj((x, y)) && adj((y, z)) && adj((x, z))
+      } { brute(x) += 1; brute(y) += 1; brute(z) += 1 }
+      assert(counts(edges) == brute.toMap, s"seed $seed")
+    }
+  }
+
   test("no cartesian product in the plan") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
     val plan = Triangles.perNodeCounts(edges)
