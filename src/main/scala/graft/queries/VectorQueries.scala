@@ -824,6 +824,100 @@ object VectorQueries {
              |      FROM sc)
              |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // Cross-modal dedup CONSENSUS — the precision-tiering report a
+    // curation pipeline runs when it holds BOTH a lexical detector
+    // (MinHash-LSH + exact Jaccard verify) and a semantic one
+    // (embedding-cosine near-dup): pairs flagged by both are
+    // highest-confidence removals; single-modality pairs go to review/
+    // softer treatment. Ids are the doc_id ∩ vec_id space (< 500);
+    // plants exercise all three categories — ids < 10 get a text copy
+    // AND a perturbed embedding at id+10000 (→ both), ids 10-19 a text
+    // copy only (→ lexical_only), ids 20-29 an embedding copy only
+    // (→ semantic_only). The oracle brute-forces BOTH modalities
+    // all-pairs and replays the full-outer categorization, so either
+    // detector dropping or inventing a pair turns the row red.
+    "q_dedup_consensus" -> Q(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") < 500)
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val pd = docs.unionByName(
+          docs.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        val pe = emb.unionByName(
+          emb.filter(col("vec_id") < 10 ||
+              (col("vec_id") >= 20 && col("vec_id") < 30))
+            .select((col("vec_id") + 10000).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                x + lit(0.002f) * ((i * 7 + col("vec_id")) % 5 - 2)
+                  .cast("float")).as("embedding")))
+        val lex = graft.text.Dedup
+          .verifiedNearDuplicates(pd, "doc_id", "text", threshold = 0.5)
+          .select(col("id_a"), col("id_b"), lit(true).as("lex"))
+        val sem = Ann.cosineNearDuplicates(pe, "vec_id", "embedding",
+            threshold = 0.98, probes = 1,
+            n = Tables.parquetRowCount(s, dir, "embeddings") + 20)
+          .select(col("id_a"), col("id_b"), lit(true).as("sem"))
+        lex.join(sem, Seq("id_a", "id_b"), "full_outer")
+          .select(col("id_a"), col("id_b"),
+            coalesce(col("lex"), lit(false)).as("lexical"),
+            coalesce(col("sem"), lit(false)).as("semantic"),
+            when(coalesce(col("lex"), lit(false)) &&
+              coalesce(col("sem"), lit(false)), lit("both"))
+              .when(coalesce(col("lex"), lit(false)), lit("lexical_only"))
+              .otherwise(lit("semantic_only")).as("category"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH docs2 AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+             |  UNION ALL
+             |  SELECT doc_id + 10000 AS doc_id,
+             |    concat(text, ' trailing') AS text
+             |  FROM documents WHERE doc_id < 20),
+             |toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM docs2),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             |    i -> array_to_string(t[i:i+2], ' '))) AS g
+             |  FROM toks),
+             |lex AS (
+             |  SELECT id_a, id_b FROM (
+             |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |      CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+             |      CAST(len(a.g) + len(b.g)
+             |        - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
+             |    FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+             |  WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5),
+             |embs AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 10000 AS vec_id,
+             |    list_transform(range(len(embedding)), i ->
+             |      embedding[i+1] + CAST(0.002 AS FLOAT)
+             |        * CAST((i * 7 + vec_id) % 5 - 2 AS FLOAT)) AS embedding
+             |  FROM embeddings
+             |  WHERE vec_id < 10 OR (vec_id >= 20 AND vec_id < 30)),
+             |sem AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM embs a JOIN embs b ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[]))
+             |        >= 0.98)
+             |SELECT coalesce(l.id_a, s2.id_a) AS id_a,
+             |  coalesce(l.id_b, s2.id_b) AS id_b,
+             |  l.id_a IS NOT NULL AS lexical,
+             |  s2.id_a IS NOT NULL AS semantic,
+             |  CASE WHEN l.id_a IS NOT NULL AND s2.id_a IS NOT NULL
+             |         THEN 'both'
+             |       WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+             |       ELSE 'semantic_only' END AS category
+             |FROM lex l FULL OUTER JOIN sem s2
+             |  ON l.id_a = s2.id_a AND l.id_b = s2.id_b
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // IVF-PQ retrieval (the FAISS IVFADC composition, no-residual
     // variant): the coarse k-means quantizer routes each query to its
     // 4 nearest cells (Ann.ivfCandidates — the stored (id, cid) index,
