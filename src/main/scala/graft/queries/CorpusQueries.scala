@@ -1710,9 +1710,10 @@ object CorpusQueries {
     // per-token unigram log-prob average (rarer tokens → more negative
     // → HARDER; ordering ascending puts common/easy text first, the
     // convention of perplexity-ordered curricula), docs order by a
-    // PACKED unique key (difficulty-milli · 2^20 + doc_id — doc ids
-    // stay below 2^20, so the packing is the lexicographic
-    // (difficulty, id) order in one integer column), and the
+    // PACKED unique key (difficulty-milli · 2^27 + doc_id — doc ids
+    // stay below 2^27 even in the ×100 probe replicas, and
+    // |dk| · 2^27 ≤ ~3.4e18 stays inside a long, so the packing is the
+    // lexicographic (difficulty, id) order in one integer column), and the
     // cumulative token position comes from the distributed two-pass
     // PrefixSum — NOT a global single-task window; the oracle replays
     // the same cumulation AS a window, which must agree exactly.
@@ -1727,7 +1728,7 @@ object CorpusQueries {
         val keyed = lp.select(col("doc_id"), col("n_tokens"),
           floor(col("logprob_micro").cast("double") * lit(1000.0)
             / col("n_tokens").cast("double")).cast("long").as("dk"))
-          .withColumn("__key", col("dk") * lit(1048576L) + col("doc_id"))
+          .withColumn("__key", col("dk") * lit(134217728L) + col("doc_id"))
         val tot = keyed.agg(sum(col("n_tokens")).as("tot"))
         graft.plans.PrefixSum.exclusiveOffsets(keyed, "__key", "n_tokens")
           .crossJoin(broadcast(tot))
