@@ -375,6 +375,121 @@ object TextQueries {
              |       ELSE 'fr' END AS lang_detected
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Code-switch detection — per-SEGMENT language ID (30-token
+    // windows) rolled up to a document verdict: majority language,
+    // distinct-language count, mixed flag. Doc-level lang-ID (q_lang_id)
+    // averages a mixed document into one label; real pipelines segment
+    // first so a half-English/half-Spanish page can be split or routed
+    // instead of mislabeled. Fixture plants 60 Spanish stopword tokens
+    // onto docs < 10 (≥ one full window is Spanish at ANY alignment):
+    // every planted doc whose BASE language isn't Spanish must come
+    // back mixed (6 of 10 at sf0.01 — the other 4 are natural-es docs,
+    // where appending Spanish correctly mixes nothing), and the
+    // natural corpus reports zero mixed docs. Same langId heuristic as
+    // q_lang_id applied per window; majority ties break to the
+    // smallest lang code via struct ordering (the oracle's rn=1
+    // replay).
+    "q_lang_segments" -> Q(
+      (s, dir) => {
+        val planted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") < 10,
+              concat(col("text"), lit(
+                " el la de que los las" * 10))).otherwise(col("text"))
+              .as("text"))
+        val toks = planted.select(col("doc_id"),
+          filter(TextFunctions.tokens(trim(col("text"))),
+            t => length(t) > 0).as("t"))
+          .filter(size(col("t")) > 0)
+        val segs = toks.select(col("doc_id"),
+          explode(sequence(lit(0),
+            ceil(size(col("t")).cast("double") / lit(30.0)).cast("int")
+              - 1)).as("s"), col("t"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("t"), col("s") * 30 + 1, lit(30)))
+              .as("seg"))
+          .select(col("doc_id"), TextFunctions.langId(col("seg")).as("sl"))
+        // 'und' windows (no stopword hits) are UNKNOWN, not a language:
+        // counting them as a lang would flag every doc with one
+        // stopword-free window as code-switched (275/500 on this
+        // corpus). They still count as segments; a doc that is all-und
+        // reports majority 'und' and zero known languages.
+        val counts = segs.groupBy(col("doc_id"), col("sl"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_segments"),
+            count(when(col("sl") =!= "und", 1)).as("n_langs"),
+            min(when(col("sl") =!= "und",
+              struct((-col("c")).as("nc"), col("sl").as("l"))))
+              .getField("l").as("mj"))
+          .select(col("doc_id"), col("n_segments"), col("n_langs"),
+            coalesce(col("mj"), lit("und")).as("majority_lang"),
+            (col("n_langs") > 1).as("mixed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id < 10 THEN text || repeat(' el la de que los las', 10)
+             |         ELSE text END AS text
+             |  FROM documents),
+             |t0 AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> length(x) > 0) AS t
+             |  FROM planted),
+             |segs AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_slice(t, s * 30 + 1, s * 30 + 30),
+             |      ' ') AS seg
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(0, CAST(ceil(len(t) / 30.0) AS BIGINT)))
+             |            AS s
+             |        FROM t0 WHERE len(t) > 0)),
+             |sl AS (
+             |  SELECT doc_id,
+             |  CASE WHEN len(regexp_extract_all(seg, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+             |       WHEN len(regexp_extract_all(lower(seg), '\b(the|and|of|to|in|is)\b')) = 0
+             |        AND len(regexp_extract_all(lower(seg), '\b(el|la|de|que|los|las)\b')) = 0
+             |        AND len(regexp_extract_all(lower(seg), '\b(der|die|und|das|ist|nicht)\b')) = 0
+             |        AND len(regexp_extract_all(lower(seg), '\b(le|la|et|les|des|est)\b')) = 0
+             |       THEN 'und'
+             |       WHEN len(regexp_extract_all(lower(seg), '\b(the|and|of|to|in|is)\b'))
+             |         >= len(regexp_extract_all(lower(seg), '\b(el|la|de|que|los|las)\b'))
+             |        AND len(regexp_extract_all(lower(seg), '\b(the|and|of|to|in|is)\b'))
+             |         >= len(regexp_extract_all(lower(seg), '\b(der|die|und|das|ist|nicht)\b'))
+             |        AND len(regexp_extract_all(lower(seg), '\b(the|and|of|to|in|is)\b'))
+             |         >= len(regexp_extract_all(lower(seg), '\b(le|la|et|les|des|est)\b'))
+             |       THEN 'en'
+             |       WHEN len(regexp_extract_all(lower(seg), '\b(el|la|de|que|los|las)\b'))
+             |         >= len(regexp_extract_all(lower(seg), '\b(der|die|und|das|ist|nicht)\b'))
+             |        AND len(regexp_extract_all(lower(seg), '\b(el|la|de|que|los|las)\b'))
+             |         >= len(regexp_extract_all(lower(seg), '\b(le|la|et|les|des|est)\b'))
+             |       THEN 'es'
+             |       WHEN len(regexp_extract_all(lower(seg), '\b(der|die|und|das|ist|nicht)\b'))
+             |         >= len(regexp_extract_all(lower(seg), '\b(le|la|et|les|des|est)\b'))
+             |       THEN 'de'
+             |       ELSE 'fr' END AS sl
+             |  FROM segs),
+             |cnt AS (
+             |  SELECT doc_id, sl, CAST(count(*) AS BIGINT) AS c
+             |  FROM sl GROUP BY doc_id, sl),
+             |mj AS (
+             |  SELECT doc_id, sl AS majority_lang FROM (
+             |    SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY c DESC, sl) AS rn
+             |    FROM cnt WHERE sl <> 'und') WHERE rn = 1),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(sum(c) AS BIGINT) AS n_segments,
+             |    CAST(count(*) FILTER (WHERE sl <> 'und') AS BIGINT)
+             |      AS n_langs
+             |  FROM cnt GROUP BY doc_id)
+             |SELECT a.doc_id, a.n_segments, a.n_langs,
+             |  coalesce(m.majority_lang, 'und') AS majority_lang,
+             |  a.n_langs > 1 AS mixed
+             |FROM agg a LEFT JOIN mj m USING (doc_id)
+             |ORDER BY a.doc_id""".stripMargin)),
+
     // Quality scoring: length / word-shape / punctuation components.
     "q_quality" -> Q(
       (s, dir) => Tables.load(s, dir, "documents")
