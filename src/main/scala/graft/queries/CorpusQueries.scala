@@ -1184,8 +1184,7 @@ object CorpusQueries {
             java.nio.file.attribute.FileTime.fromMillis(
               1000000000000L + i * 60000L))
         }
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = graft.queries.StreamFixtures.childSession(s, 4)
         val scoresTable = graft.catalog.ParquetTable(
           ss, "cls_scores", s"$tmp/scores",
           graft.text.Classifier.scoreWith(arriving.limit(0), "doc_id",
@@ -2652,8 +2651,7 @@ object CorpusQueries {
           1000000000000L)
         writeOne(arriving.filter(col("doc_id") % 4 === 3), "b",
           1000000060000L)
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = graft.queries.StreamFixtures.childSession(s, 4)
         val resTable = graft.catalog.ParquetTable(
           ss, "drift_res", s"$tmp/res", score(arriving.limit(0)).schema)
         val raw = ss.readStream

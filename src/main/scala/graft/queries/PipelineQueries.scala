@@ -19,6 +19,35 @@ object PipelineQueries {
 
   private val fixedNow = Timestamp.valueOf("2024-01-15 10:00:00")
 
+  /** Shared by `q_stream_neardup` (stateful LSH index) and
+    * `q_stream_neardup_hybrid` (zero-state stored-index form): both
+    * must land on the exact all-pairs ≥ 0.5 Jaccard replay — the index
+    * representation decides recall mechanics only, never the verified
+    * answer. */
+  private val streamNeardupOracleSql: String =
+    """WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
+      |  FROM documents WHERE doc_id < 20),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM docs2),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS g
+      |  FROM toks),
+      |scored AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+      |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  CASE WHEN un = 0 THEN 0.0 ELSE inter / un END AS jaccard
+      |FROM scored
+      |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Deterministic single-file CSV feed from `nation` (25 rows): exactly
     * one source file → exactly one micro-batch → BatchId=1. */
   private def writeNationCsv(s: SparkSession, dir: String, tmp: Path,
@@ -243,8 +272,7 @@ object PipelineQueries {
         // process-global conf.set would race any concurrent entry). On
         // a real cluster this knob is sized to state volume, not to
         // the session default.
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         def src(sub: String) = {
           val d = Files.createDirectories(tmp.resolve(sub))
           Files.createSymbolicLink(d.resolve("events.parquet"),
@@ -303,8 +331,7 @@ object PipelineQueries {
         // dedup state stores per shuffle partition: scope the count to
         // the (tiny) state like q_stream_join — on a CHILD session, so
         // the caller's conf is never mutated
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         val raw = ss.readStream
           .schema(ss.read.parquet(s"$dir/events.parquet").schema)
           .parquet(srcDir.toString)
@@ -355,8 +382,7 @@ object PipelineQueries {
           parts = 8, mtimeMs = 1000000000000L)
         StreamFixtures.writeBatch(tmp, src, planted, "b",
           parts = 1, mtimeMs = 1000000060000L)
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         val raw = ss.readStream
           .schema(ss.read.parquet(src.toString).schema)
           .option("maxFilesPerTrigger", "8")
@@ -387,28 +413,84 @@ object PipelineQueries {
             cands, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH docs2 AS (
-              |  SELECT doc_id, text FROM documents
-              |  UNION ALL
-              |  SELECT doc_id + 100000 AS doc_id, concat(text, ' trailing') AS text
-              |  FROM documents WHERE doc_id < 20),
-              |toks AS (
-              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-              |  FROM docs2),
-              |grams AS (
-              |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-              |    i -> array_to_string(t[i:i+2], ' '))) AS g
-              |  FROM toks),
-              |scored AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
-              |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS un
-              |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
-              |SELECT id_a, id_b,
-              |  CASE WHEN un = 0 THEN 0.0 ELSE inter / un END AS jaccard
-              |FROM scored
-              |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
-              |ORDER BY id_a, id_b""".stripMargin)),
+      Some(streamNeardupOracleSql)),
+
+    // The ZERO-STATE hybrid of q_stream_neardup — weak-mark closure
+    // for the unbounded stream index (r10 verdict #1): the bulk band
+    // index lives in a ParquetTable STAGE TABLE, not the state store.
+    // Each micro-batch signs its documents map-side, bucket-joins the
+    // new band rows against the STORED index (new-vs-bulk) and against
+    // itself (new-vs-new), appends found candidates to a pairs table,
+    // then appends its own band rows to the index — so stream state is
+    // EMPTY at every point (no flatMapGroupsWithState anywhere), the
+    // index is columnar storage that compacts/buckets like any table,
+    // and recall is FULL at any horizon (nothing ever evicts). Per-
+    // batch cost is sized by the batch, never the corpus: the bucket
+    // equi-join touches only matching (band, bh) keys. The oracle is
+    // q_stream_neardup's verbatim — the index representation changes
+    // recall MECHANICS only; after the exact batch-side verify both
+    // forms must land on the identical all-pairs ≥ 0.5 replay.
+    "q_stream_neardup_hybrid" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-ndh")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" trailing")).as("text"))
+        StreamFixtures.writeBatch(tmp, src, docs, "a",
+          parts = 8, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src, planted, "b",
+          parts = 1, mtimeMs = 1000000060000L)
+        val ss = StreamFixtures.childSession(s, 4)
+        import graft.streaming.StreamNearDup
+        val bandSchema = StreamNearDup.bandRelation(
+          graft.Tables.load(ss, dir, "documents").limit(0),
+          "doc_id", "text").schema
+        val idxTable = graft.catalog.ParquetTable(
+          ss, "ndh_idx", s"$tmp/idx", bandSchema)
+        idxTable.createIfNotExists()
+        val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType)))
+        val pairTable = graft.catalog.ParquetTable(
+          ss, "ndh_pairs", s"$tmp/pairs", pairSchema)
+        pairTable.createIfNotExists()
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "8")
+          .parquet(src.toString)
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // sign once, consume twice (candidate joins + index append)
+            val nb = graft.plans.Materialize.stage(
+              StreamNearDup.bandRelation(batch, "doc_id", "text"))
+            pairTable.append(
+              StreamNearDup.hybridCandidates(nb, idxTable.read(),
+                threshold = 0.5))
+            idxTable.append(nb)
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cands = pairTable.read().distinct()
+          .transform(graft.plans.Materialize.stage)
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        val docsB = graft.Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val allB = docsB.unionByName(
+          docsB.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        graft.text.Dedup.verifyPairsJaccard(allB, "doc_id", "text",
+            cands, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(streamNeardupOracleSql)),
 
     // Streaming seed-gram containment: the winnowing posting list as
     // STREAM STATE (StreamSeedGram). Same extreme-asymmetry fixture as
@@ -448,8 +530,7 @@ object PipelineQueries {
           parts = 8, mtimeMs = 1000000000000L)
         StreamFixtures.writeBatch(tmp, src, buried(docs), "b",
           parts = 1, mtimeMs = 1000000060000L)
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val ss = StreamFixtures.childSession(s, 8)
         val raw = ss.readStream
           .schema(ss.read.parquet(src.toString).schema)
           .option("maxFilesPerTrigger", "8")
@@ -583,8 +664,7 @@ object PipelineQueries {
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-late")
         val src = Files.createDirectories(tmp.resolve("src"))
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         val ev = graft.Tables.load(ss, dir, "events")
           .select(col("ts"), col("user_id"), col("value"))
         val dmaxDay = ev.agg(date_trunc("day", max(col("ts")))).head()
@@ -665,8 +745,7 @@ object PipelineQueries {
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-sw")
         val srcDir = tmp.resolve("src").toString
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         ss.read.parquet(s"$dir/events.parquet").repartition(4)
           .write.parquet(srcDir)
         val ev = ss.readStream
@@ -728,8 +807,7 @@ object PipelineQueries {
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-sess")
         val src = Files.createDirectories(tmp.resolve("src"))
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         import ss.implicits._
         val gapMs = 12 * 3600 * 1000L
         val ev = graft.Tables.load(ss, dir, "events")
@@ -813,8 +891,7 @@ object PipelineQueries {
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-topk")
         val srcDir = tmp.resolve("src").toString
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         // four source files + maxFilesPerTrigger=1 → four micro-batches:
         // the state store must serialize/restore the topk buffers
         // BETWEEN batches, which a single-file source never exercises
@@ -874,8 +951,7 @@ object PipelineQueries {
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-funnel")
         val src = Files.createDirectories(tmp.resolve("src"))
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         val ev = graft.Tables.load(ss, dir, "events")
           .select(col("event_id"), col("user_id"), col("ts"),
             col("event_type"), col("value"))
@@ -965,8 +1041,7 @@ object PipelineQueries {
           wave(col("s_suppkey") % 3 === 0, 100.0), "b", 1, 1000000060000L)
         StreamFixtures.writeBatch(tmp, src,
           wave(col("s_suppkey") % 5 === 0, 1000.0), "c", 1, 1000000120000L)
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         val schema = ss.read.parquet(src.toString).schema
         val table = graft.catalog.ParquetTable(
           ss, "cdc_target", tmp.resolve("target").toString, schema)

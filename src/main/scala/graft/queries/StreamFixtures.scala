@@ -16,6 +16,32 @@ import java.nio.file.{Files, Path}
   * attempts otherwise accumulate corpus copies under java.io.tmpdir. */
 object StreamFixtures {
 
+  /** System property consulted by [[childSession]]: set to a state
+    * store provider FQN (e.g.
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider)
+    * to run every streaming entry's child session under that provider.
+    * The default HDFS-backed provider keeps state deserialized on the
+    * JVM heap; at 100 TB a long-lived index (stream_neardup measured
+    * 1.12 GB of state at the ×100 probe) is RocksDB territory —
+    * off-heap, incremental-checkpointed, bounded memory. Results must
+    * be byte-identical under either provider (StreamingSpec pins this
+    * across the stateful family); the flag only moves WHERE state
+    * lives, never what it contains. */
+  val ProviderProp = "graft.stateStoreProvider"
+
+  /** The per-entry child session: streaming entries size state-scoped
+    * shuffle partitions to the (tiny) state rather than the corpus and
+    * must not mutate the caller's conf — and the state-store provider
+    * ships here so one JVM flag flips the whole family to RocksDB. */
+  def childSession(s: org.apache.spark.sql.SparkSession,
+                   shufflePartitions: Int): org.apache.spark.sql.SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    sys.props.get(ProviderProp).foreach(p =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    ss
+  }
+
   /** Write `df` as `parts` files `name_0..name_{parts-1}` in `src`, all
     * stamped `mtimeMs`. `tmp` hosts the write staging dir. */
   def writeBatch(tmp: Path, src: Path, df: DataFrame, name: String,

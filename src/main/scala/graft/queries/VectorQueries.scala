@@ -194,6 +194,141 @@ object VectorQueries {
       |SELECT qid, vec_id, CAST(rn AS INT) AS rank
       |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Shared by `q_ann_ivfpq` and `q_ann_ivfpq_stage`: the stage tables
+    * only memoize the trained quantizers and the assignment/encode
+    * passes, so the SQL replays BOTH stages (16-cell 'km:' coarse
+    * trainer + float-cosine probe routing, 'pq:' codebook replay +
+    * ADC sum over the candidate set) and must land on identical rows
+    * for either serve path. */
+  private lazy val ivfpqOracleSql: String =
+    s"""WITH $pqCtes,
+       |data AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |seeds16 AS (
+       |  SELECT vec_id AS cid, e FROM q
+       |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
+       |    vec_id
+       |  LIMIT 16),
+       |ka1 AS (
+       |  SELECT vec_id, e, cid FROM (
+       |    SELECT q.vec_id, q.e, s.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
+       |          + list_dot_product(s.e, s.e), s.cid) AS rn
+       |    FROM q, seeds16 s) WHERE rn = 1),
+       |cents AS (
+       |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+       |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
+       |    FROM ka1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+       |dassign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT d.vec_id, c.cid, row_number() OVER (
+       |      PARTITION BY d.vec_id
+       |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid)
+       |      AS crank
+       |    FROM data d, cents c) WHERE crank = 1),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM data
+       |       WHERE vec_id % 100 = 0),
+       |qassign AS (
+       |  SELECT s2.qid, c.cid, row_number() OVER (PARTITION BY s2.qid
+       |    ORDER BY list_cosine_similarity(s2.qv, c.cv) DESC, c.cid)
+       |    AS crank
+       |  FROM qs s2, cents c),
+       |cand AS (
+       |  SELECT p.qid, da.vec_id
+       |  FROM (SELECT qid, cid FROM qassign WHERE crank <= 4) p
+       |  JOIN dassign da ON da.cid = p.cid
+       |  WHERE da.vec_id <> p.qid),
+       |dt AS (
+       |  SELECT s3.vec_id AS qid, c.sub, c.code,
+       |    list_dot_product(s3.v, s3.v) - 2 * list_dot_product(s3.v, c.v)
+       |      + list_dot_product(c.v, c.v) AS qdist
+       |  FROM sv s3 JOIN pc1 c USING (sub)
+       |  WHERE s3.vec_id % 100 = 0),
+       |sc AS (
+       |  SELECT cd.qid, cd.vec_id, CAST(sum(d.qdist) AS BIGINT) AS adc
+       |  FROM cand cd
+       |  JOIN pa2 e ON e.vec_id = cd.vec_id
+       |  JOIN dt d ON d.qid = cd.qid AND d.sub = e.sub
+       |    AND d.code = e.code
+       |  GROUP BY cd.qid, cd.vec_id)
+       |SELECT qid, vec_id, CAST(rn AS INT) AS rank, adc
+       |FROM (SELECT qid, vec_id, adc,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY adc, vec_id) AS rn
+       |      FROM sc)
+       |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Per-JVM cache of built IVF-PQ stage-table directories, keyed by
+    * sf dir — the benchFn serve path builds the index at most once and
+    * every subsequent timed attempt reads the stage tables only, so
+    * min-of-attempts measures the production serve cost (the index is
+    * built once, served many times — per-run retraining was the r10
+    * suite's slowest entry). */
+  private val ivfpqStageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage 1 of the persisted IVF-PQ index: train the coarse quantizer
+    * and the PQ codebooks ONCE and land all four index relations in
+    * [[graft.catalog.ParquetTable]] stage tables under `tmp` —
+    * centroids, the (id, cid) assignment, the (sub, code, cv) codebook
+    * relation, and the encoded corpus (id, sub, code). Returns `tmp`. */
+  private def buildIvfpqStage(s: org.apache.spark.sql.SparkSession,
+                              dir: String, tmp: String): String = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.vector.KMeans.fitCentroids(
+      emb, "vec_id", "embedding", k = 16, iters = 2)
+    import s.implicits._
+    val centroids = cents.toDF("cid", "embedding")
+    val centTable = graft.catalog.ParquetTable(
+      s, "ivfpq_centroids", s"$tmp/centroids", centroids.schema)
+    centTable.overwrite(centroids)
+    val assign = Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val assignTable = graft.catalog.ParquetTable(
+      s, "ivfpq_assign", s"$tmp/assign", assign.schema)
+    assignTable.overwrite(assign)
+    val books = graft.vector.Pq.fitCodebooks(emb, "vec_id", "embedding",
+      m = 8, dim = 64, ksub = 16, iters = 2)
+    val bookDf = graft.vector.Pq.codebookDf(s, books)
+    val bookTable = graft.catalog.ParquetTable(
+      s, "ivfpq_codebooks", s"$tmp/codebooks", bookDf.schema)
+    bookTable.overwrite(bookDf)
+    val codes = graft.vector.Pq
+      .encode(emb, "vec_id", "embedding", 8, 64, books)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val codeTable = graft.catalog.ParquetTable(
+      s, "ivfpq_codes", s"$tmp/codes", codes.schema)
+    codeTable.overwrite(codes)
+    tmp
+  }
+
+  /** Stage 2: serve a query batch from the STORED index only — cell
+    * routing via the persisted centroids + assignment
+    * (Ann.ivfCandidates; the tiny centroid relation is collected to
+    * probe literals, a documented O3 scalar fetch), ADC scoring via the
+    * persisted codebook relation over ONLY the probed cells' code rows
+    * (Pq.adcTopKWithinIndexed). No k-means or codebook-training lineage
+    * anywhere in the plan — PlanSpec pins this. Stage tables self-
+    * describe their schema through the parquet footers. */
+  private def serveIvfpqStage(s: org.apache.spark.sql.SparkSession,
+                              dir: String, stage: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cands = Ann.ivfCandidates(s.read.parquet(s"$stage/assign"), queries,
+      "vec_id", "qid", "embedding", s.read.parquet(s"$stage/centroids"),
+      nprobe = 4)
+    graft.vector.Pq.adcTopKWithinIndexed(s.read.parquet(s"$stage/codes"),
+        cands, queries, "vec_id", "embedding", "qid", m = 8, dim = 64,
+        s.read.parquet(s"$stage/codebooks"), k = 5)
+      .select(col("qid"), col("vec_id"), cast_rank, col("adc"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Deterministic k-means (graft.vector.KMeans): 2 Lloyd rounds over
@@ -481,8 +616,7 @@ object VectorQueries {
           java.nio.file.Files.setLastModifiedTime(src.resolve(s"$n.parquet"),
             java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
         }
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ss = StreamFixtures.childSession(s, 4)
         val assignTable = graft.catalog.ParquetTable(
           ss, "sv_assign", s"$tmp/assign",
           Ann.ivfAssign(emb.limit(0), "vec_id", "embedding", centroids).schema)
@@ -952,64 +1086,38 @@ object VectorQueries {
           .select(col("qid"), col("vec_id"), cast_rank, col("adc"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH $pqCtes,
-             |data AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             |  FROM embeddings),
-             |seeds16 AS (
-             |  SELECT vec_id AS cid, e FROM q
-             |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
-             |    vec_id
-             |  LIMIT 16),
-             |ka1 AS (
-             |  SELECT vec_id, e, cid FROM (
-             |    SELECT q.vec_id, q.e, s.cid,
-             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
-             |          + list_dot_product(s.e, s.e), s.cid) AS rn
-             |    FROM q, seeds16 s) WHERE rn = 1),
-             |cents AS (
-             |  SELECT cid, list(m ORDER BY i) AS cv FROM (
-             |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
-             |    FROM ka1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
-             |dassign AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT d.vec_id, c.cid, row_number() OVER (
-             |      PARTITION BY d.vec_id
-             |      ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid)
-             |      AS crank
-             |    FROM data d, cents c) WHERE crank = 1),
-             |qs AS (SELECT vec_id AS qid, v AS qv FROM data
-             |       WHERE vec_id % 100 = 0),
-             |qassign AS (
-             |  SELECT s2.qid, c.cid, row_number() OVER (PARTITION BY s2.qid
-             |    ORDER BY list_cosine_similarity(s2.qv, c.cv) DESC, c.cid)
-             |    AS crank
-             |  FROM qs s2, cents c),
-             |cand AS (
-             |  SELECT p.qid, da.vec_id
-             |  FROM (SELECT qid, cid FROM qassign WHERE crank <= 4) p
-             |  JOIN dassign da ON da.cid = p.cid
-             |  WHERE da.vec_id <> p.qid),
-             |dt AS (
-             |  SELECT s3.vec_id AS qid, c.sub, c.code,
-             |    list_dot_product(s3.v, s3.v) - 2 * list_dot_product(s3.v, c.v)
-             |      + list_dot_product(c.v, c.v) AS qdist
-             |  FROM sv s3 JOIN pc1 c USING (sub)
-             |  WHERE s3.vec_id % 100 = 0),
-             |sc AS (
-             |  SELECT cd.qid, cd.vec_id, CAST(sum(d.qdist) AS BIGINT) AS adc
-             |  FROM cand cd
-             |  JOIN pa2 e ON e.vec_id = cd.vec_id
-             |  JOIN dt d ON d.qid = cd.qid AND d.sub = e.sub
-             |    AND d.code = e.code
-             |  GROUP BY cd.qid, cd.vec_id)
-             |SELECT qid, vec_id, CAST(rn AS INT) AS rank, adc
-             |FROM (SELECT qid, vec_id, adc,
-             |        row_number() OVER (PARTITION BY qid
-             |          ORDER BY adc, vec_id) AS rn
-             |      FROM sc)
-             |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
+      Some(ivfpqOracleSql)),
+
+    // IVF-PQ with the WHOLE index persisted between build and serve —
+    // the production retrieval shape at 100 TB and the staged
+    // counterpart of q_ann_ivfpq, exactly as q_ann_ivf_stage stages
+    // plain IVF. Stage 1 (build, once): train the 16-cell coarse
+    // quantizer and the 8×16 PQ codebooks, then land FOUR stage tables
+    // — centroids (cid, embedding), the (id, cid) assignment, the
+    // codebook relation (sub, code, cv) and the encoded corpus
+    // (id, sub, code), ~9 bytes a row. Stage 2 (serve, every query
+    // batch): route queries to their 4 nearest stored centroids
+    // (Ann.ivfCandidates — corpus never scanned), then ADC-score ONLY
+    // the probed cells' code rows against the stored codebook relation
+    // (Pq.adcTopKWithinIndexed) — the serve plan carries NO k-means or
+    // codebook-training lineage (PlanSpec pins this), and what it
+    // reads per candidate is 8 code bytes, not 256 vector bytes. The
+    // oracle is q_ann_ivfpq's verbatim: the stage tables only memoize
+    // the trained model, so the full two-stage replay must land on
+    // identical rows. Bench times the serve path against a per-JVM
+    // memoized index (min-of-attempts = pure serve cost).
+    "q_ann_ivfpq_stage" -> Q(
+      (s, dir) => {
+        val stage = buildIvfpqStage(s, dir,
+          java.nio.file.Files
+            .createTempDirectory("graft-ivfpq-stage").toString)
+        serveIvfpqStage(s, dir, stage)
+      },
+      Some(ivfpqOracleSql),
+      benchFn = Some((s, dir) => serveIvfpqStage(s, dir,
+        ivfpqStageDirs.computeIfAbsent(dir, d =>
+          buildIvfpqStage(s, d, java.nio.file.Files
+            .createTempDirectory("graft-ivfpq-bench").toString))))),
 
     // MMR diversity re-rank (graft.vector.Mmr): top-8 cosine candidates
     // per query, then 4 greedy rounds of λ·rel − (1−λ)·max-sim-to-

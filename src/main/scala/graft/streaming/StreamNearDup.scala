@@ -50,14 +50,83 @@ import graft.text.Dedup
   * collisions for bounded fan-out. */
 object StreamNearDup {
 
-  /** One document's membership in one band bucket. */
-  final case class BucketDoc(band: Int, bh: Long, doc_id: Long, sig: Array[Long])
+  /** One document's membership in one band bucket; `ts` is the event
+    * time (null when the index runs without a TTL). It stays a raw
+    * TIMESTAMP column end to end: the watermark rides the column's
+    * attribute metadata, which an expression (unix_millis, cast) would
+    * strip — and EventTimeTimeout requires the watermarked column to
+    * be present in the grouped input. */
+  final case class BucketDoc(band: Int, bh: Long, doc_id: Long,
+                             sig: Array[Long], ts: java.sql.Timestamp)
 
   /** Unordered candidate pair, id_a < id_b. */
   final case class CandidatePair(id_a: Long, id_b: Long)
 
   /** Bucket state: accumulated members (id + signature). */
   final case class Member(id: Long, sig: Array[Long])
+
+  /** The band-bucket relation of an (idCol, textCol) relation — one
+    * row per (band, bh, doc_id, sig), map-only (the text column ends
+    * here; only the ~0.5 KB signature travels further). Shared by the
+    * stateful index ([[candidateStream]]) and the stored-index hybrid
+    * ([[hybridCandidates]]); works on batch and streaming input alike. */
+  def bandRelation(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
+    bandRelationTs(docs, idCol, textCol, w, k, bands, None).drop("ts")
+
+  /** [[bandRelation]] carrying a raw timestamp event-time column `ts`
+    * (null when `tsCol` is None) — the TTL'd stateful index needs each
+    * member's arrival time to anchor its bucket's eviction deadline,
+    * and the column passes through UNWRAPPED so watermark metadata
+    * survives (see [[BucketDoc]]). */
+  private def bandRelationTs(docs: DataFrame, idCol: String, textCol: String,
+                             w: Int, k: Int, bands: Int,
+                             tsCol: Option[String]): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.tokenHashes(col(textCol)).as("th"),
+        tsCol.map(col).getOrElse(lit(null).cast("timestamp")).as("__ts"))
+      .select(col("doc_id"),
+        Dedup.minhashFromBaseHashes(
+          Dedup.shingleHashesFromTokenHashes(col("th"), w), k).as("sig"),
+        col("__ts"))
+      .select(col("doc_id"), col("sig"), col("__ts"),
+        explode(Dedup.bandHashes(col("sig"), k, bands)).as("b"))
+      .select(col("b.band").as("band"), col("b.bh").as("bh"),
+        col("doc_id"), col("sig"), col("__ts").as("ts"))
+
+  /** Candidate pairs of ONE arriving batch against a STORED band index
+    * plus itself — the zero-state hybrid: the bulk index lives in a
+    * stage table (appended per batch by the caller's foreachBatch),
+    * stream state stays EMPTY, and each micro-batch pays two bucket
+    * equi-joins (new-vs-stored + new-vs-new) sized by the batch, never
+    * the corpus. This is the 100 TB answer to the stateful index's
+    * linear state growth: storage holds the index (columnar,
+    * compactable, bucketable by (band, bh)), the state store holds
+    * nothing, and recall is FULL — a duplicate arriving years after
+    * its original still finds it through the stored buckets, where the
+    * TTL'd stateful form would have evicted it.
+    *
+    * `newBands`/`index` are [[bandRelation]] relations. Emitted pairs
+    * are unordered (id_a < id_b), distinct within the batch; the same
+    * 4σ pre-filter as [[candidateStream]] applies, so callers pipe
+    * through [[graft.text.Dedup.verifyPairsJaccard]] identically. */
+  def hybridCandidates(newBands: DataFrame, index: DataFrame,
+                       threshold: Double = 0.7, k: Int = 64): DataFrame = {
+    val cutoff = math.max(0.0, threshold - 2.0 / math.sqrt(k.toDouble))
+    def renamed(df: DataFrame) = df.select(col("band"), col("bh"),
+      col("doc_id").as("o_id"), col("sig").as("o_sig"))
+    val cross = newBands.join(renamed(index), Seq("band", "bh"))
+      .filter(col("o_id") =!= col("doc_id"))
+      .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
+      .select(least(col("doc_id"), col("o_id")).as("id_a"),
+        greatest(col("doc_id"), col("o_id")).as("id_b"))
+    val within = newBands.join(renamed(newBands), Seq("band", "bh"))
+      .filter(col("doc_id") < col("o_id"))
+      .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
+      .select(col("doc_id").as("id_a"), col("o_id").as("id_b"))
+    cross.unionByName(within).distinct()
+  }
 
   /** Agreement fraction of two k-slot signatures — the JVM mirror of
     * the codegen'd `graft_sig_agreement` expression (equal slots / k),
@@ -74,48 +143,84 @@ object StreamNearDup {
     * Emits every same-bucket pair whose estimated Jaccard clears
     * `threshold - 2/√k` (the 4σ pre-filter), as append-mode output.
     * Follow with [[graft.text.Dedup.verifyPairsJaccard]] on the
-    * corresponding batch relation for exact precision. */
+    * corresponding batch relation for exact precision.
+    *
+    * `stateTtlMs` (with `eventTimeCol`, its arrival-time anchor)
+    * bounds the index to a RECENT WINDOW: a bucket whose newest member
+    * is older than the TTL when the watermark passes is evicted
+    * (EVENT-time timeout — deterministic under replay, where a
+    * processing-time TTL would evict by wall clock AND livelock
+    * `processAllAvailable`: ProcessingTimeTimeout makes every batch
+    * schedule a successor forever), so state holds the arrival horizon
+    * instead of everything ever seen — the ×100 probe measured 765k
+    * rows / 1.12 GB for the unbounded form, growing linearly forever.
+    * The documented trade: a duplicate arriving AFTER its original's
+    * bucket evicted is not paired here — beyond-horizon dups are the
+    * batch path's job (re-run [[graft.text.Dedup.candidatePairs]] over
+    * the landed corpus, or serve the bulk from a stored band index as
+    * `q_stream_neardup_hybrid` does with ZERO stream state). `None`
+    * (default) keeps the unbounded exact-index behavior. */
   def candidateStream(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, w: Int = 3,
                       k: Int = 64, bands: Int = 16,
-                      maxBucket: Int = 10000)(
+                      maxBucket: Int = 10000,
+                      stateTtlMs: Option[Long] = None,
+                      eventTimeCol: Option[String] = None)(
       implicit spark: SparkSession): Dataset[CandidatePair] = {
     import spark.implicits._
+    require(stateTtlMs.isEmpty || eventTimeCol.nonEmpty,
+      "stateTtlMs needs eventTimeCol: the eviction horizon is event-time")
     val cutoff = math.max(0.0, threshold - 2.0 / math.sqrt(k.toDouble))
+    // watermark BEFORE signing: zero lateness slack — the TTL horizon
+    // itself is the slack, and the watermark only drives eviction
+    val src = (stateTtlMs, eventTimeCol) match {
+      case (Some(_), Some(c)) => docs.withWatermark(c, "0 milliseconds")
+      case _ => docs
+    }
     // sign + band map-side: the text column ends here
-    val exploded = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        Dedup.tokenHashes(col(textCol)).as("th"))
-      .select(col("doc_id"),
-        Dedup.minhashFromBaseHashes(
-          Dedup.shingleHashesFromTokenHashes(col("th"), w), k).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        explode(Dedup.bandHashes(col("sig"), k, bands)).as("b"))
-      .select(col("b.band").as("band"), col("b.bh").as("bh"),
-        col("doc_id"), col("sig"))
+    val exploded = bandRelationTs(src, idCol, textCol, w, k, bands,
+      if (stateTtlMs.isDefined) eventTimeCol else None)
       .as[BucketDoc]
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     exploded
       .groupByKey(d => (d.band, d.bh))
       .flatMapGroupsWithState[List[Member], CandidatePair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_, rows: Iterator[BucketDoc], state) =>
-          var members = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[CandidatePair]
-          // id order makes within-batch processing deterministic; the
-          // emitted pair set is order-independent either way (unordered
-          // pairs, emitted when the later member arrives)
-          rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!members.exists(_.id == d.doc_id) && members.size < maxBucket) {
-              members.foreach { m =>
-                if (agreement(m.sig, d.sig) >= cutoff)
-                  out += CandidatePair(math.min(m.id, d.doc_id),
-                    math.max(m.id, d.doc_id))
+          if (state.hasTimedOut) {
+            // recent-window eviction: the bucket went `stateTtlMs`
+            // without a member — drop its membership list
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[CandidatePair]
+            val batch = rows.toSeq
+            // id order makes within-batch processing deterministic; the
+            // emitted pair set is order-independent either way (unordered
+            // pairs, emitted when the later member arrives)
+            batch.sortBy(_.doc_id).foreach { d =>
+              if (!members.exists(_.id == d.doc_id) && members.size < maxBucket) {
+                members.foreach { m =>
+                  if (agreement(m.sig, d.sig) >= cutoff)
+                    out += CandidatePair(math.min(m.id, d.doc_id),
+                      math.max(m.id, d.doc_id))
+                }
+                members = Member(d.doc_id, d.sig) :: members
               }
-              members = Member(d.doc_id, d.sig) :: members
             }
+            state.update(members)
+            // eviction deadline: newest arrival + TTL, clamped above
+            // the watermark (setTimeoutTimestamp rejects past stamps)
+            stateTtlMs.foreach { ttl =>
+              state.setTimeoutTimestamp(
+                math.max(batch.map(_.ts.getTime).max + ttl,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          state.update(members)
-          out.result().iterator
       }
   }
 }

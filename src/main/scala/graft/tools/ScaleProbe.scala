@@ -59,6 +59,19 @@ object ScaleProbe {
                  dir: String): Unit = {
     val orders = spark.read.parquet(s"$baseDir/orders.parquet")
     val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    // the fixed replica offsets below assume the base key spaces fit
+    // under them; at TPC-H sf>=30 orderkeys pass 1e8 and copies would
+    // alias into cross-copy edges, silently breaking the probe's
+    // constant-structure premise — fail loudly instead
+    val maxKeys = orders.agg(max(col("o_orderkey")), max(col("o_custkey")))
+      .collect()(0)
+    val maxSupp = li.agg(max(col("l_suppkey"))).collect()(0).getLong(0)
+    require(maxKeys.getLong(0) < 100000000L,
+      s"base o_orderkey max ${maxKeys.getLong(0)} >= 1e8: replica key " +
+        "spaces would alias — raise the orderkey offset")
+    require(maxKeys.getLong(1) < 10000000L && maxSupp < 10000000L,
+      s"base custkey/suppkey max (${maxKeys.getLong(1)}, $maxSupp) >= " +
+        "1e7: replica key spaces would alias — raise the offsets")
     val oCopies = (0 until scale).map { c =>
       if (c == 0) orders
       else orders

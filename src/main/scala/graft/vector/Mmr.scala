@@ -32,11 +32,20 @@ object Mmr {
 
   /** @param cands (qidCol, idCol, rel) — per-query candidate relevance
     * @param pairs (qidCol, a, b, sim) — pairwise similarity between
-    *              candidates of the same query (both orientations)
+    *              candidates of the same query; either orientation (or
+    *              both) per pair — symmetrized internally, because the
+    *              max-sim join only matches `b` against selected ids
+    *              and a one-sided input would silently under-penalize
+    *              near-duplicates instead of failing
     * @return (qidCol, idCol, score, rank) — the k MMR picks per query */
   def rerank(cands: DataFrame, pairs: DataFrame, qidCol: String,
              idCol: String, k: Int, lam: Double = 0.5): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    // union of both orientations; no distinct needed — the consumer is
+    // a max() aggregate, which duplicate rows cannot perturb
+    val sym = pairs.select(col(qidCol), col("a"), col("b"), col("sim"))
+      .unionByName(pairs.select(col(qidCol), col("b").as("a"),
+        col("a").as("b"), col("sim")))
     def argmax(scored: DataFrame, r: Int): DataFrame = scored
       .groupBy(col(qidCol))
       .agg(min(struct((-col("score")).as("ns"), col(idCol).as("id"),
@@ -48,7 +57,7 @@ object Mmr {
       cands.select(col(qidCol), col(idCol),
         (lit(lam) * col("rel")).as("score")), 1))
     for (r <- 2 to k) {
-      val ms = pairs
+      val ms = sym
         .join(all.select(col(qidCol), col(idCol).as("b")), Seq(qidCol, "b"))
         .groupBy(col(qidCol), col("a"))
         .agg(max(col("sim")).as("ms"))

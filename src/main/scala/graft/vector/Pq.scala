@@ -115,7 +115,9 @@ object Pq {
       var books: Seq[(Int, Seq[(Long, Seq[Double])])] = subs
         .join(broadcast(seedIds),
           col("sub") === col("__ssub") && col(idCol) === col("__sid"))
-        .select(col("sub"), col(idCol), col("__sv"))
+        // cast mirrors seedIds' __id cast: an IntegerType id column is
+        // valid API input, and getLong on a raw int would throw here
+        .select(col("sub"), col(idCol).cast("long"), col("__sv"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (sub, rows) =>
@@ -198,7 +200,35 @@ object Pq {
                     k: Int, scale: Int = 1000): DataFrame = {
     val dt = distTable(queries, qidCol, vecCol, m, dim, books, scale)
     emitTopK(
-      codes.join(cands, Seq(idCol))
+      // duplicate (qid, id) candidate rows would multiply each subspace
+      // term and inflate the summed ADC distance, so the candidate
+      // relation is deduped here rather than trusting the producer —
+      // the dedup shuffle lands on the same (qid, id) keys the scoring
+      // groupBy shuffles on anyway, so at scale it costs one exchange
+      // over the probed fraction, not the corpus
+      codes.join(cands.select(col(qidCol), col(idCol)).dropDuplicates(
+          qidCol, idCol), Seq(idCol))
+        .join(broadcast(dt), Seq(qidCol, "sub", "code")),
+      idCol, qidCol, k)
+  }
+
+  /** ADC top-k within candidates, served from a STORED codebook
+    * relation (sub, code, cv) instead of driver-held book literals —
+    * the persisted-index serve path: train once, land [[codebookDf]]
+    * and the encoded corpus in stage tables, and let every query batch
+    * run this with NO training lineage in its plan (codebooks arrive
+    * through a broadcast scan of the stage table, codes through the
+    * candidate equi-join). Identical results to [[adcTopKWithin]] over
+    * the same books — the relation only memoizes the codebook rows. */
+  def adcTopKWithinIndexed(codes: DataFrame, cands: DataFrame,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           qidCol: String, m: Int, dim: Int,
+                           codebooks: DataFrame, k: Int,
+                           scale: Int = 1000): DataFrame = {
+    val dt = distTableFrom(queries, qidCol, vecCol, m, dim, codebooks, scale)
+    emitTopK(
+      codes.join(cands.select(col(qidCol), col(idCol)).dropDuplicates(
+          qidCol, idCol), Seq(idCol))
         .join(broadcast(dt), Seq(qidCol, "sub", "code")),
       idCol, qidCol, k)
   }
@@ -209,8 +239,18 @@ object Pq {
                         m: Int, dim: Int,
                         books: Seq[(Int, Seq[(Long, Seq[Double])])],
                         scale: Int): DataFrame =
+    distTableFrom(queries, qidCol, vecCol, m, dim,
+      codebookDf(queries.sparkSession, books), scale)
+
+  /** [[distTable]] against an arbitrary (sub, code, cv) relation —
+    * shared by the literal-books and stage-table serve paths. The
+    * quantized grid stores exact integers in doubles, so a parquet
+    * round-trip of cv changes nothing. */
+  private def distTableFrom(queries: DataFrame, qidCol: String,
+                            vecCol: String, m: Int, dim: Int,
+                            codebooks: DataFrame, scale: Int): DataFrame =
     subvectors(queries, qidCol, vecCol, m, dim, scale)
-      .join(broadcast(codebookDf(queries.sparkSession, books)), Seq("sub"))
+      .join(broadcast(codebooks), Seq("sub"))
       .select(col(qidCol), col("sub"), col("code"),
         (col("__svv") - lit(2.0) * VectorFunctions.dot(col("__sv"), col("cv"))
           + VectorFunctions.dot(col("cv"), col("cv"))).as("qdist"))

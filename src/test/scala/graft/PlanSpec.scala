@@ -307,6 +307,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("IVF-PQ stage composition: serve plan reads stage tables, no training lineage") {
+    // q_ann_ivfpq_stage lands the coarse centroids, the (id, cid)
+    // assignment, the codebook relation and the encoded corpus in stage
+    // tables; the SERVE plan must scan those tables — never retrain.
+    // Training scans `embeddings` repeatedly (seed pick + Lloyd rounds
+    // + encode); the serve lineage is allowed exactly ONE embeddings
+    // scan (the query batch) plus the stage-table scans, and its joins
+    // are the candidate route (assign ⋈ broadcast probes), the code
+    // equi-join, the lookup-table join and the codebook broadcast — 4
+    // joins, 0 windows (top-k rides the graft_topk aggregate).
+    val df = SparkEntry.queries("q_ann_ivfpq_stage")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("graft-ivfpq-stage"),
+      s"serve plan does not scan the stage tables:\n$plan")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert("\\bJoin\\b".r.findAllIn(logical).size == 4, logical)
+    assert(!"\\bWindow\\b".r.findAllIn(logical).hasNext, logical)
+    // one embeddings scan (queries); every other Relation is a stage table
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.toString
+        }
+    }
+    // the QUERY batch is derived from embeddings here (fixture) and
+    // feeds two consumers (probe routing + the ADC lookup table) → two
+    // scans of the query side; in production the batch is its own tiny
+    // relation. The point of the gate: no FURTHER embeddings scans —
+    // training would add seed/Lloyd/encode passes over the corpus.
+    assert(scans.count(_.contains("embeddings.parquet")) == 2, scans)
+    assert(scans.count(_.contains("graft-ivfpq-stage")) == 3, scans)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("corpus pipeline: no join — the dedup consumes the scored pass once") {
     // the window dedup must keep the plan single-branch: a groupBy-min +
     // semi join would add a Join node and re-evaluate the expensive

@@ -92,6 +92,41 @@ class PqSpec extends AnyFunSuite {
     assert(full.exceptAll(within).isEmpty && within.exceptAll(full).isEmpty)
   }
 
+  test("staged serve equals literal-books serve after a parquet round-trip") {
+    // adcTopKWithinIndexed consumes the codebooks as a stage-table
+    // relation; the quantized grid stores exact integers in doubles, so
+    // a parquet round-trip must change nothing vs the driver-held books
+    val codes = Pq.encode(emb, "vec_id", "embedding", M, DIM, books)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cands = queries.select(col("qid"))
+      .crossJoin(emb.select(col("vec_id")).filter(col("vec_id") % 3 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("pq-books").toString
+    Pq.codebookDf(spark, books).write.mode("overwrite").parquet(tmp)
+    val staged = Pq.adcTopKWithinIndexed(codes, cands, queries,
+      "vec_id", "embedding", "qid", M, DIM, spark.read.parquet(tmp), k = 5)
+    val direct = Pq.adcTopKWithin(codes, cands, queries,
+      "vec_id", "embedding", "qid", M, DIM, books, k = 5)
+    assert(staged.exceptAll(direct).isEmpty && direct.exceptAll(staged).isEmpty)
+  }
+
+  test("duplicate candidate rows cannot inflate ADC distances") {
+    // the candidate relation is deduped internally: a producer emitting
+    // (qid, id) twice must not double each subspace term
+    val codes = Pq.encode(emb, "vec_id", "embedding", M, DIM, books)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cands = queries.select(col("qid"))
+      .crossJoin(emb.select(col("vec_id")).filter(col("vec_id") % 3 === 0))
+    val once = Pq.adcTopKWithin(codes, cands, queries,
+      "vec_id", "embedding", "qid", M, DIM, books, k = 5)
+    val doubled = Pq.adcTopKWithin(codes, cands.unionAll(cands), queries,
+      "vec_id", "embedding", "qid", M, DIM, books, k = 5)
+    assert(once.exceptAll(doubled).isEmpty && doubled.exceptAll(once).isEmpty)
+  }
+
   test("ivf candidates: every id comes from a probed cell, self excluded") {
     val cents = graft.vector.KMeans.fitCentroids(
       emb, "vec_id", "embedding", k = 16, iters = 2)

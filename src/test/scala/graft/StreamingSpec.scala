@@ -684,6 +684,135 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  test("TTL'd LSH index holds the recent window only: idle buckets evict, late dups miss") {
+    // the bounded-state mode (r10 verdict #3): with stateTtlMs set, a
+    // bucket whose newest member ages past the TTL is evicted when the
+    // EVENT-time watermark passes — state tracks the arrival horizon
+    // instead of everything ever seen, deterministically under replay.
+    // The documented trade is asserted too: a near-copy arriving after
+    // its original evicted is NOT paired (beyond-horizon dups are the
+    // batch path's / the stored-index hybrid's job).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val t0 = ts("2024-03-01 10:00:00").getTime
+    def at(deltaSec: Int) = new Timestamp(t0 + deltaSec * 1000L)
+    val q = graft.streaming.StreamNearDup.candidateStream(
+        input.toDF().toDF("doc_id", "text", "arrival"), "doc_id", "text",
+        threshold = 0.7, stateTtlMs = Some(5000L),
+        eventTimeCol = Some("arrival"))
+      .writeStream.format("memory").queryName("nd_ttl").outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData((1L, base, at(0)))
+      q.processAllAvailable()
+      // batch 2, ten event-seconds later: the watermark passes doc 1's
+      // eviction deadline (t0+5s) and its idle buckets drop
+      input.addData((3L, "completely different words about streaming state stores in spark engines", at(10)))
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // only doc 3's 16 band buckets remain — doc 1's were evicted
+      assert(rows == 16, s"state rows $rows: eviction did not bound state")
+      // the late near-copy of doc 1 finds nothing: its bucket mates are gone
+      input.addData((2L, base + " extra", at(11)))
+      q.processAllAvailable()
+      assert(spark.table("nd_ttl").count() == 0)
+      // but a copy arriving WITHIN the horizon still pairs through state
+      input.addData((4L, base + " fresh", at(12)))
+      q.processAllAvailable()
+      val pairs = spark.table("nd_ttl").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((2L, 4L)), pairs)
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("stored-index hybrid: cross-batch dup found through the stage table, stream state EMPTY") {
+    // q_stream_neardup_hybrid's machinery at unit scale: the band index
+    // lives in a ParquetTable, each batch bucket-joins against it, and
+    // the streaming query carries NO stateful operator at all — the
+    // 100 TB answer to unbounded index state.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamNearDup
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndh-spec")
+    val bandSchema = StreamNearDup.bandRelation(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").schema
+    val idx = graft.catalog.ParquetTable(
+      spark, "ndh_spec_idx", s"$tmp/idx", bandSchema).createIfNotExists()
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val nb = graft.plans.Materialize.stage(
+          StreamNearDup.bandRelation(batch, "doc_id", "text"))
+        found ++= StreamNearDup.hybridCandidates(nb, idx.read(), threshold = 0.7)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        idx.append(nb)
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData((1L, base),
+        (3L, "completely different words about streaming state stores in spark engines"))
+      q.processAllAvailable()
+      assert(found.isEmpty, found)
+      // the near-copy arrives a batch later: found via the STORED index
+      input.addData((2L, base + " extra"))
+      q.processAllAvailable()
+      assert(found.toSet == Set((1L, 2L)), found)
+      // no stateful operator anywhere in the streaming query
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally {
+      q.stop(); q.awaitTermination()
+      graft.ingest.FileOps.deleteRecursively(tmp)
+    }
+  }
+
+  test("childSession ships the state-store provider from the JVM flag") {
+    // the one-flag RocksDB flip for the whole streaming family rests on
+    // this plumbing — gate it directly so a silent break cannot turn
+    // the provider-equivalence test into default-vs-default
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val plain = graft.queries.StreamFixtures.childSession(spark, 4)
+    assert(plain.conf.get("spark.sql.shuffle.partitions") == "4")
+    assert(plain.conf.getOption(key).forall(_ != rocks))
+    System.setProperty(graft.queries.StreamFixtures.ProviderProp, rocks)
+    try {
+      val ss = graft.queries.StreamFixtures.childSession(spark, 4)
+      assert(ss.conf.get(key) == rocks)
+      // the parent session's conf must never be mutated
+      assert(spark.conf.getOption(key).forall(_ != rocks))
+    } finally System.clearProperty(graft.queries.StreamFixtures.ProviderProp)
+  }
+
+  test("stateful registry entries are byte-identical under RocksDB vs the default provider") {
+    // weak-mark closure (r10 verdict #1): the streaming state family
+    // must produce the same rows when state lives in RocksDB —
+    // serialize/restore round-trips every get/put through the encoder,
+    // a genuinely different codepath than heap-held state. Run the
+    // three state-heavy oracle entries under both providers end to end
+    // (fixture build, micro-batch replay, state restore, batch-side
+    // verify) and require identical collected output.
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for (name <- Seq("q_stream_neardup", "q_stream_containment",
+        "q_stream_sessionize")) {
+      val base = SparkEntry.queries(name)(spark, TestSpark.sf).collect().toSeq
+      System.setProperty(graft.queries.StreamFixtures.ProviderProp, rocks)
+      try {
+        val rocksRows =
+          SparkEntry.queries(name)(spark, TestSpark.sf).collect().toSeq
+        assert(base == rocksRows,
+          s"$name differs under RocksDBStateStoreProvider")
+        assert(base.nonEmpty, s"$name produced no rows")
+      } finally {
+        System.clearProperty(graft.queries.StreamFixtures.ProviderProp)
+      }
+    }
+  }
+
   test("streaming seed-gram posting emits one row per shared seed across batches; df cap stops indexing") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
