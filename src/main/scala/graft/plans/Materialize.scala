@@ -32,4 +32,29 @@ object Materialize {
         ss.sparkContext.getCheckpointDir.isDefined
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
   }
+
+  /** Driver-held MODEL-STATE fetch — the one audited idiom for every
+    * bounded `.collect()` in the library (k-means centroids and their
+    * per-round updates, PQ codebook seeds/updates, BPE's per-round
+    * top pair, IVF probe centroids). The contract: the relation is
+    * MODEL-sized — bounded by k, k·dim, vocab-k or a literal limit,
+    * never corpus-derived — and `what` names the bound so a grep for
+    * `modelState(` surfaces every driver-held relation with its
+    * justification in one sweep.
+    *
+    * The fetch goes through `limit(maxRows + 1)` (a CollectLimit — the
+    * driver never buffers more than the cap even when the contract is
+    * violated) and FAILS LOUDLY if the cap is hit: an accidental
+    * corpus-sized collect becomes an immediate, named error instead of
+    * a driver OOM minutes later. Row order is whatever collect yields
+    * — all callers aggregate/sort driver-side or pre-limit with an
+    * orderBy, so the cap's pass-through is order-agnostic. */
+  def modelState(df: DataFrame, what: String,
+                 maxRows: Int = 1 << 20): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"model-state fetch '$what' exceeded $maxRows rows — " +
+        "this relation is not model-sized; stage it instead of collecting")
+    rows
+  }
 }

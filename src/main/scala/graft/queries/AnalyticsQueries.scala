@@ -341,7 +341,9 @@ object AnalyticsQueries {
         graft.plans.Hits.scores(edges, iterations = 3)
           .orderBy(col("node"))
       },
-      Some(hitsOracle(3))),
+      Some(hitsOracle(3)),
+      // timed family gate: q_pagerank_dangling (oracle still gates this entry)
+      bench = false),
 
     // Community detection by synchronous majority LABEL PROPAGATION
     // (plans/LabelProp) over the same interaction graph as
@@ -363,7 +365,9 @@ object AnalyticsQueries {
         graft.plans.LabelProp.labels(edges, rounds = 3)
           .orderBy(col("node"))
       },
-      Some(labelPropOracle(3))),
+      Some(labelPropOracle(3)),
+      // timed family gate: q_triangles (oracle still gates this entry)
+      bench = false),
 
     // Markov TRANSITION MATRIX over per-user event sequences — the
     // sequence statistic a behavioral-cloning / next-event-prediction
@@ -491,7 +495,9 @@ object AnalyticsQueries {
            |SELECT CAST(32 AS INT) AS n_reps, o.orig AS orig_mean_micro,
            |  xs[1] AS boot_min, xs[16] AS boot_p50, xs[32] AS boot_max
            |FROM o, l""".stripMargin
-      }),
+      },
+      // timed family gate: q_bt_ratings (oracle still gates this entry)
+      bench = false),
 
     // TPC-H Q3 shape: unshipped-order revenue for one market segment.
     // Join order matters at scale: customer is filtered to 1/5 then
@@ -1189,7 +1195,9 @@ object AnalyticsQueries {
              |           - g.g * INTERVAL '12 hours' AS ws
              |  FROM events, range(2) g(g)) b
              |GROUP BY ws
-             |ORDER BY window_start""".stripMargin)),
+             |ORDER BY window_start""".stripMargin),
+      // timed family gate: q_time_windows (oracle still gates this entry)
+      bench = false),
 
     // Ordered conversion funnel (view → click → purchase, each next
     // stage within 24 h of the previous — without a conversion window

@@ -922,7 +922,9 @@ object Core {
              |  octet_length(encode(text)) AS byte_len,
              |  sha256(text) AS digest,
              |  lower(hex(encode(substring(text, 1, 8)))) AS magic
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      // timed family gate: q_media_histogram (oracle still gates this entry)
+      bench = false),
 
     // Media featurization that needs NO stub: per-payload byte-value
     // histogram (content sniffing / corruption screens) — the
@@ -1003,6 +1005,8 @@ object Core {
              |  CAST(length(fh) // 2 AS BIGINT) AS frame_len,
              |  fh AS frame_hex
              |FROM fr WHERE length(fh) > 0
-             |ORDER BY doc_id, frame_no""".stripMargin))
+             |ORDER BY doc_id, frame_no""".stripMargin),
+      // timed family gate: q_media_phash (oracle still gates this entry)
+      bench = false)
   )
 }

@@ -137,6 +137,32 @@ object CorpusQueries {
     * the planted margin contribution well above the per-doc
     * token-mix noise. */
   private val classifierLabelSql = "source IN ('src0', 'src1')"
+  /** Top-512 vocabulary (id = rank by count desc, token asc) WITHOUT
+    * ranking the whole type relation through one window task: the
+    * 512th-largest frequency comes from the k-bounded graft_topk
+    * aggregate (map-side buffers cap at 512 rows per partition), and
+    * only types AT or ABOVE that cutoff enter the rank window — 512 +
+    * the cutoff's tie class, not the vocabulary. (If the cutoff falls
+    * in the hapax tail — k approaching the vocabulary size — the tie
+    * class degenerates to the tail and a global rank is inherent to
+    * the ask.) Ranks are unchanged vs a full-relation window: every
+    * excluded type had ≥ 512 types strictly above its count. Shared by
+    * q_token_ids and q_train_sequences so the two can't drift. */
+  private def top512Vocab(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cutoff = counts
+      .agg(call_function("graft_topk", col("c"), col("c"), lit(512)).as("t"))
+      .select(element_at(col("t"), size(col("t")))
+        .getField("score").as("cut"))
+    counts.crossJoin(broadcast(cutoff))
+      .filter(col("c") >= col("cut"))
+      .withColumn("id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))))
+      .filter(col("id") <= 512)
+      .select(col("tok"), col("id"))
+  }
+
   private def classifierLabel = col("source").isin("src0", "src1")
   private val classifierMarker = "qualmarker qualmarker qualmarker"
 
@@ -391,7 +417,9 @@ object CorpusQueries {
              |  GROUP BY pj.g, pj.exact)
              |SELECT g, exact, CAST(est AS BIGINT) AS est,
              |  CAST(est - exact AS BIGINT) AS overcount
-             |FROM est ORDER BY g""".stripMargin)),
+             |FROM est ORDER BY g""".stripMargin),
+      // timed family gate: q_sketch_error (oracle still gates this entry)
+      bench = false),
 
     // Boilerplate share: fraction of each doc's distinct 2-grams that
     // are corpus-frequent (appear in ≥ 30 docs) — the phrase-level
@@ -1518,7 +1546,39 @@ object CorpusQueries {
              |FROM gated g JOIN r USING (lang)
              |WHERE ('0x' || substr(md5('mix3:' || g.doc_id), 1, 15))::BIGINT
              |      % 10000 < cut
-             |ORDER BY g.doc_id""".stripMargin)),
+             |ORDER BY g.doc_id""".stripMargin),
+      // production form: the top-30% margin gate is an
+      // approx_percentile THRESHOLD (one scalar broadcast, map-side
+      // filter) instead of the exact corpus-wide rank window the
+      // oracle form pays — the q_classifier_filter_approx adjudicated
+      // pattern; the only remaining global windows are enum-sized
+      // (mixture rates over strata counts)
+      benchFn = Some((s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            when(col("doc_id") >= 400 && col("doc_id") < 420,
+              lit("duplicate corpus boilerplate entry"))
+              .otherwise(col("text")).as("text"))
+        val fixture = base.select(col("doc_id"), col("lang"), col("source"),
+          when(classifierLabel,
+            concat(col("text"), lit(" " + classifierMarker)))
+            .otherwise(col("text")).as("text"))
+        val surv = graft.text.Dedup.exactDedup(fixture, "doc_id", "text")
+          .transform(graft.plans.Materialize.stage)
+        val sc = graft.text.Classifier.scored(surv, "doc_id", "text",
+          classifierLabel, buckets = 4096)
+          .select(col("id"), graft.text.Classifier.avgMargin.as("am"))
+        val thr = sc.agg(expr("approx_percentile(am, 0.7D, 10000)").as("thr"))
+        val keep = sc.crossJoin(broadcast(thr))
+          .filter(col("am") >= col("thr"))
+          .select(col("id").as("doc_id"))
+        val gated = surv.select(col("doc_id"), col("lang"), col("source"))
+          .join(keep, Seq("doc_id"))
+        graft.plans.Sampling.temperatureMixture(gated, "doc_id", "lang",
+          temperature = 0.5, seed = "mix3")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      })),
 
     // Min-K% Prob membership scoring (Shi et al. 2023): a document's
     // score is the mean of its BOTTOM 20% bigram log-probs under the
@@ -1654,11 +1714,7 @@ object CorpusQueries {
             t => length(t) > 0).as("t"))
         val counts = toks.select(explode(col("t")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        val vocab = counts.withColumn("id",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("c").desc, col("tok"))))
-          .filter(col("id") <= 512)
-          .select(col("tok"), col("id"))
+        val vocab = top512Vocab(counts)
         val pos = toks.select(col("doc_id"),
           posexplode(col("t")).as(Seq("pos", "tok")))
         pos.join(broadcast(vocab), Seq("tok"), "left")
@@ -1787,11 +1843,7 @@ object CorpusQueries {
             t => length(t) > 0).as("t"))
         val counts = toks.select(explode(col("t")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        val vocab = counts.withColumn("id",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("c").desc, col("tok"))))
-          .filter(col("id") <= 512)
-          .select(col("tok"), col("id"))
+        val vocab = top512Vocab(counts)
         val posIds = toks
           .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
           .join(broadcast(vocab), Seq("tok"), "left")
@@ -2026,7 +2078,9 @@ object CorpusQueries {
              |  CAST(count(*) AS BIGINT) AS n_frames,
              |  min(doc_id) AS min_doc
              |FROM fr GROUP BY fh HAVING count(DISTINCT doc_id) > 1
-             |ORDER BY frame_sig""".stripMargin)),
+             |ORDER BY frame_sig""".stripMargin),
+      // timed family gate: q_media_phash (oracle still gates this entry)
+      bench = false),
 
     // Global shard layout — the file-stitching planner: every document
     // is assigned to the output shard its global token OFFSET starts
@@ -2713,7 +2767,9 @@ object CorpusQueries {
               |SELECT CAST(wave AS BIGINT) AS wave, nb,
               |  CAST(sum(cn) AS BIGINT) AS js_nano
               |FROM c GROUP BY wave, nb
-              |ORDER BY wave""".stripMargin)),
+              |ORDER BY wave""".stripMargin),
+      // timed family gate: q_stream_classify (oracle still gates this entry)
+      bench = false),
 
     // Classifier CALIBRATION — the reliability diagram + expected
     // calibration error (ECE) a model-gated curation pipeline reports
@@ -2802,6 +2858,8 @@ object CorpusQueries {
           |  round(CAST(sum(sum_q) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
           |    / 1000000.0, 6) AS conf
           |FROM pb2
-          |ORDER BY bin""".stripMargin)))
+          |ORDER BY bin""".stripMargin)),
+      // timed family gate: q_classifier_auc_hist (oracle still gates this entry)
+      bench = false)
   )
 }

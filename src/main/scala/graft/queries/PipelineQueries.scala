@@ -251,7 +251,9 @@ object PipelineQueries {
       Some("""SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
              |  count(*) AS n, round(sum(e.value), 2) AS total
              |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
-             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+             |GROUP BY 1 ORDER BY segment""".stripMargin),
+      // timed family gate: q_stream_windows (oracle still gates this entry)
+      bench = false),
 
     // Stream-stream interval join as a REAL streaming query: clicks
     // attributed to purchases by the same user within 10 minutes, both
@@ -311,7 +313,9 @@ object PipelineQueries {
              |  ON r.user_id = l.user_id
              | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
              |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
-             |GROUP BY 1 ORDER BY user_bucket""".stripMargin)),
+             |GROUP BY 1 ORDER BY user_bucket""".stripMargin),
+      // timed family gate: q_stream_windows (oracle still gates this entry)
+      bench = false),
 
     // Streaming exact dedup under redelivery: the SAME events file is
     // exposed to the stream source twice (two symlinks), so every
@@ -354,7 +358,9 @@ object PipelineQueries {
       },
       Some("""SELECT event_type, count(*) AS n,
              |  round(sum(value), 2) AS sum_value
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // timed family gate: q_stream_cdc_merge (oracle still gates this entry)
+      bench = false),
 
     // Streaming LSH near-dup: the MinHash signature index lives in the
     // STATE STORE (StreamNearDup) and each micro-batch's documents are
@@ -731,7 +737,9 @@ object PipelineQueries {
              |FROM events, mx
              |WHERE ts >= dmax - INTERVAL 2 DAY
              |GROUP BY 1
-             |ORDER BY 1""".stripMargin)),
+             |ORDER BY 1""".stripMargin),
+      // timed family gate: q_stream_session_window (oracle still gates this entry)
+      bench = false),
 
     // ENGINE-managed session state on a stream: the native
     // session_window aggregation over four micro-batches — the state
@@ -876,7 +884,9 @@ object PipelineQueries {
              |  CAST(count(*) AS BIGINT) AS n_events,
              |  round(sum(value), 2) AS total_value
              |FROM numbered GROUP BY user_id, session_id
-             |ORDER BY user_id, session_start""".stripMargin)),
+             |ORDER BY user_id, session_start""".stripMargin),
+      // timed family gate: q_stream_session_window (oracle still gates this entry)
+      bench = false),
 
     // Custom aggregate INSIDE Structured Streaming: the top-k
     // TypedImperativeAggregate runs as a streaming windowed
@@ -935,7 +945,9 @@ object PipelineQueries {
              |      AS BIGINT) AS rk
              |  FROM events)
              |WHERE rk <= 3
-             |ORDER BY window_start, event_type, rk""".stripMargin)),
+             |ORDER BY window_start, event_type, rk""".stripMargin),
+      // timed family gate: q_stream_windows (oracle still gates this entry)
+      bench = false),
 
     // Sequential-pattern matching ON A STREAM (the CEP /
     // MATCH_RECOGNIZE shape Spark lacks): the per-user funnel stage
@@ -1012,7 +1024,9 @@ object PipelineQueries {
             col("users"))
           .orderBy(col("stage"))
       },
-      Some(AnalyticsQueries.funnelOracle)),
+      Some(AnalyticsQueries.funnelOracle),
+      // timed family gate: q_funnel (oracle still gates this entry)
+      bench = false),
 
     // CDC landing as a REAL stream: three change batches (initial
     // load, then two update/insert waves) drive the exactly-once

@@ -178,6 +178,52 @@ object TextQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** The SSJoin fixture + plan shared by `q_setjoin_prefix` (hash-
+    * order prefixes) and `q_setjoin_prefix_df` (df-order): one
+    * definition so the two modes can only differ in the prefix ORDER,
+    * which losslessness is independent of. */
+  private def setjoinPrefixPlan(s: SparkSession, dir: String,
+                                dfOrdered: Boolean): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 950000).as("doc_id"),
+        concat(col("text"), lit(" sjx sjy sjz")).as("text")))
+    Dedup.prefixJaccardPairs(planted, "doc_id", "text",
+        thresholdMicro = 800000L, dfOrdered = dfOrdered)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force all-pairs Jaccard replay (oracle scale only) — mode-
+    * independent by construction, so both prefix orders must land on
+    * it identically. */
+  private val setjoinPrefixOracleSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 950000 AS doc_id,
+      |    text || ' sjx sjy sjz' AS text
+      |  FROM documents WHERE doc_id < 10),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM planted),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS ts
+      |  FROM toks),
+      |ne AS (SELECT doc_id, ts FROM sets WHERE len(ts) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+      |    CAST(len(a.ts) + len(b.ts)
+      |      - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, inter * 1000000 // uni AS jaccard_micro
+      |FROM pairs WHERE inter * 1000000 >= uni * 800000
+      |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Token counting (whitespace + BPE-ish regex) and fingerprinting.
@@ -1728,7 +1774,9 @@ object TextQueries {
              |        - len(list_intersect(n.g, r.g)) AS DOUBLE), 1.0) >= 0.5)
              |SELECT doc_id, md5(text) AS text_fp FROM newdocs
              |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin),
+      // timed family gate: q_leakage_split (oracle still gates this entry)
+      bench = false),
 
     // Containment at EXTREME asymmetry: the seed-gram index. Fixture
     // buries 10 documents inside ~1500 novel pad tokens each (computed
@@ -1790,10 +1838,14 @@ object TextQueries {
               |  JOIN gh gb ON gb.doc_id = c.id_b)
               |SELECT id_a, id_b, containment
               |FROM scored WHERE containment >= 0.9
-              |ORDER BY id_a, id_b""".stripMargin)),
+              |ORDER BY id_a, id_b""".stripMargin),
+      // timed family gate: q_stream_containment (oracle still gates this entry)
+      bench = false),
 
     // Exact set-similarity self-join by PREFIX FILTERING (the SSJoin/
-    // PPJoin family) — the LOSSLESS counterpart to MinHash-LSH:
+    // PPJoin family; shared plan + oracle with the df-ordered mode
+    // below via setjoinPrefixPlan/setjoinPrefixOracleSql) — the
+    // LOSSLESS counterpart to MinHash-LSH:
     // provably every 3-gram-set pair with Jaccard ≥ τ, no
     // probabilistic recall argument needed. The oracle is the BRUTE-
     // FORCE all-pairs Jaccard (oracle scale only), so each run
@@ -1809,41 +1861,23 @@ object TextQueries {
     // semantics stay spec-pinned on hand fixtures (DedupSpec).
     // Output score is the exact integer `inter·1e6 div union`.
     "q_setjoin_prefix" -> Q(
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text"))
-        val planted = docs.unionByName(
-          docs.filter(col("doc_id") < 10).select(
-            (col("doc_id") + 950000).as("doc_id"),
-            concat(col("text"), lit(" sjx sjy sjz")).as("text")))
-        Dedup.prefixJaccardPairs(planted, "doc_id", "text",
-            thresholdMicro = 800000L)
-          .orderBy(col("id_a"), col("id_b"))
-      },
-      Some("""WITH planted AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 950000 AS doc_id,
-             |    text || ' sjx sjy sjz' AS text
-             |  FROM documents WHERE doc_id < 10),
-             |toks AS (
-             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-             |  FROM planted),
-             |sets AS (
-             |  SELECT doc_id, list_distinct(list_transform(
-             |    range(1, len(t) - 1),
-             |    i -> array_to_string(t[i:i+2], ' '))) AS ts
-             |  FROM toks),
-             |ne AS (SELECT doc_id, ts FROM sets WHERE len(ts) > 0),
-             |pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
-             |    CAST(len(a.ts) + len(b.ts)
-             |      - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
-             |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
-             |SELECT id_a, id_b, inter * 1000000 // uni AS jaccard_micro
-             |FROM pairs WHERE inter * 1000000 >= uni * 800000
-             |ORDER BY id_a, id_b""".stripMargin)),
+      (s, dir) => setjoinPrefixPlan(s, dir, dfOrdered = false),
+      Some(setjoinPrefixOracleSql)),
+
+    // The df-ordered (rarest-first, PPJoin-style) prefix mode of the
+    // same SSJoin — the documented swap for heavy-tailed df regimes
+    // where candidate volume, not stage count, dominates (r10
+    // forensics: on THIS sub-MB corpus it cuts candidates 81k → 44k
+    // but pays a df aggregation + grouped re-sort for it, so the
+    // hash-order form stays the timed family gate). Losslessness is
+    // order-independent, so the IDENTICAL brute-force oracle re-proves
+    // the filter dropped nothing under this order too, and DedupSpec
+    // pins bit-equal output across the two modes.
+    "q_setjoin_prefix_df" -> Q(
+      (s, dir) => setjoinPrefixPlan(s, dir, dfOrdered = true),
+      Some(setjoinPrefixOracleSql),
+      // timed family gate: q_setjoin_prefix (oracle still gates this entry)
+      bench = false),
 
     // Near-dup CLUSTERING: connected components over the verified pair
     // graph, every doc labeled with its component's min id (what a
@@ -1947,7 +1981,9 @@ object TextQueries {
               |    PARTITION BY l.comp_id ORDER BY q.quality DESC, l.doc_id) AS r
               |  FROM lab l JOIN q USING (doc_id))
               |SELECT doc_id, quality FROM rk WHERE r = 1
-              |ORDER BY doc_id""".stripMargin)),
+              |ORDER BY doc_id""".stripMargin),
+      // timed family gate: q_components_stage (oracle still gates this entry)
+      bench = false),
 
     // MATERIALIZED-STAGE composition — the production pipeline shape:
     // the LSH → verify → components lineage runs ONCE and lands in a
@@ -2360,7 +2396,9 @@ object TextQueries {
              |  CAST(sum(tok) * 1000000 // (sum(chunks) * seq_len) AS BIGINT)
              |    AS efficiency_micro
              |FROM x GROUP BY seq_len
-             |ORDER BY seq_len""".stripMargin)),
+             |ORDER BY seq_len""".stripMargin),
+      // timed family gate: q_pack_bins (oracle still gates this entry)
+      bench = false),
 
     // Cross-source score CALIBRATION by quantile normalization — the
     // step between heterogeneous quality scorers and one global gate:
@@ -2716,7 +2754,9 @@ object TextQueries {
              |FROM base b
              |LEFT JOIN uni u ON u.doc_id = b.doc_id
              |LEFT JOIN big g ON g.doc_id = b.doc_id
-             |ORDER BY b.doc_id""".stripMargin)),
+             |ORDER BY b.doc_id""".stripMargin),
+      // timed family gate: q_bt_ratings (oracle still gates this entry)
+      bench = false),
 
     // BPE merge LEARNING (Sennrich et al. 2016) — the tokenizer-
     // training step itself, not its application (q_subword_counts

@@ -484,7 +484,9 @@ object VectorQueries {
              |SELECT qid,
              |  CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS same_label,
              |  count(*) AS n
-             |FROM ranked WHERE rn <= 10 GROUP BY qid ORDER BY qid""".stripMargin)),
+             |FROM ranked WHERE rn <= 10 GROUP BY qid ORDER BY qid""".stripMargin),
+      // timed family gate: q_cosine_topk (oracle still gates this entry)
+      bench = false),
 
     // Embedding-cosine near-duplicate detection (the vector analogue of
     // MinHash dedup): planted perturbed copies must surface as pairs.
@@ -535,7 +537,9 @@ object VectorQueries {
           .select(col("qid"), col("vec_id"), cast_rank)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(ivfOracleSql)),
+      Some(ivfOracleSql),
+      // timed family gate: q_ann_ivf_stage (oracle still gates this entry)
+      bench = false),
 
     // IVF with the index PERSISTED between build and serve — the
     // production shape at 100 TB: train centroids once, store them and
@@ -641,7 +645,9 @@ object VectorQueries {
           .select(col("qid"), col("vec_id"), cast_rank)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(ivfOracleSql)),
+      Some(ivfOracleSql),
+      // timed family gate: q_stream_cdc_merge (oracle still gates this entry)
+      bench = false),
 
     // LSH-bucketed ANN (random hyperplanes, multi-probe d≤1): the scale
     // path — candidates from bucket equi-joins, exact re-rank. `bits`
@@ -956,7 +962,9 @@ object VectorQueries {
              |        row_number() OVER (PARTITION BY qid
              |          ORDER BY adc, vec_id) AS rn
              |      FROM sc)
-             |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
+             |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin),
+      // timed family gate: q_ann_ivfpq_stage (oracle still gates this entry)
+      bench = false),
 
     // Cross-modal dedup CONSENSUS — the precision-tiering report a
     // curation pipeline runs when it holds BOTH a lexical detector
@@ -1050,7 +1058,9 @@ object VectorQueries {
              |       ELSE 'semantic_only' END AS category
              |FROM lex l FULL OUTER JOIN sem s2
              |  ON l.id_a = s2.id_a AND l.id_b = s2.id_b
-             |ORDER BY id_a, id_b""".stripMargin)),
+             |ORDER BY id_a, id_b""".stripMargin),
+      // timed family gate: q_components_stage (oracle still gates this entry)
+      bench = false),
 
     // IVF-PQ retrieval (the FAISS IVFADC composition, no-residual
     // variant): the coarse k-means quantizer routes each query to its
@@ -1086,7 +1096,9 @@ object VectorQueries {
           .select(col("qid"), col("vec_id"), cast_rank, col("adc"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(ivfpqOracleSql)),
+      Some(ivfpqOracleSql),
+      // timed family gate: q_ann_ivfpq_stage (oracle still gates this entry)
+      bench = false),
 
     // IVF-PQ with the WHOLE index persisted between build and serve —
     // the production retrieval shape at 100 TB and the staged

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Distributed BPE merge learning (Sennrich et al. 2016) over a word
   * DICTIONARY relation — the tokenizer-training step itself.
@@ -55,7 +56,8 @@ object Bpe {
         val topRow: Option[Row] = wn.filter(col("nxt").isNotNull)
           .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("f"))
           .orderBy(col("f").desc, col("sym"), col("nxt")).limit(1)
-          .collect().headOption
+          .pipe(graft.plans.Materialize.modelState(_, "BPE round's top pair (1 row)"))
+          .headOption
         topRow match {
           case None => exhausted = true // every word is one symbol
           case Some(top) =>

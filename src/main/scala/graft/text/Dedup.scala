@@ -710,7 +710,8 @@ object Dedup {
     * multiples of what it saved. (At a scale where candidate volume
     * dominates verify — short prefixes, heavy-tailed df — the
     * df-ordered variant is the right swap, and completeness is
-    * unaffected either way.) Scale shape: prefixes (a (1−t)-fraction
+    * unaffected either way; `dfOrdered = true` selects it as a config
+    * flip, same answer spec-pinned.) Scale shape: prefixes (a (1−t)-fraction
     * sliver) feed the self-join, only candidate pairs reach the exact
     * intersect/union — all integers end to end
     * (`jaccard_micro = inter·1e6 div union`), no float anywhere.
@@ -730,7 +731,8 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          thresholdMicro: Long = 500000L,
                          gramFn: Column => Column =
-                           fastGramHashes(_, 3)): DataFrame = {
+                           fastGramHashes(_, 3),
+                         dfOrdered: Boolean = false): DataFrame = {
     val sets = df.select(col(idCol).as("id"), gramFn(col(textCol)).as("ts"))
       .filter(size(col("ts")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -739,9 +741,35 @@ object Dedup {
       val prefLen = (col("n") -
         expr(s"(n * $thresholdMicro + 999999L) div 1000000L") + lit(1L))
         .cast("int")
-      val pref = sets
-        .select(col("id"), size(col("ts")).cast("long").as("n"),
-          sort_array(col("ts")).as("st"))
+      // The prefix filter is LOSSLESS under ANY total order shared by
+      // all sets, so the order is a cost knob, not a correctness one:
+      //  - hash order (default): a free sort_array per set, zero extra
+      //    jobs — the right call on small/benign relations, where plan
+      //    cost ≈ generated stages + broadcasts (the r10 forensics:
+      //    a df dictionary cost 5× the entry at sub-MB scale).
+      //  - df order (dfOrdered = true): tokens ascend by global
+      //    document frequency, so prefixes hold each set's RAREST
+      //    tokens and the candidate equi-join shrinks by orders of
+      //    magnitude on heavy-tailed df regimes (the PPJoin ordering).
+      //    Costs one df aggregation + one grouped re-sort of the gram
+      //    relation — worth it exactly when candidates, not stages,
+      //    dominate. Same answer either way (spec-pinned).
+      val ordered =
+        if (!dfOrdered)
+          sets.select(col("id"), size(col("ts")).cast("long").as("n"),
+            sort_array(col("ts")).as("st"))
+        else {
+          val dfRel = sets.select(explode(col("ts")).as("tok"))
+            .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          sets.select(col("id"), explode(col("ts")).as("tok"))
+            .join(dfRel, Seq("tok"))
+            .groupBy(col("id"))
+            .agg(count(lit(1)).as("n"),
+              transform(array_sort(collect_list(
+                struct(col("df"), col("tok")))),
+                x => x.getField("tok")).as("st"))
+        }
+      val pref = ordered
         .select(col("id"), col("n"),
           explode(slice(col("st"), lit(1), prefLen)).as("tok"))
       val cand = pref.as("a")

@@ -54,8 +54,7 @@ object StreamProbe {
       concat(col("text"), lit(" trailing")).as("text"))
     graft.queries.StreamFixtures.writeBatch(tmp, src, docs, "a", 8, 1000000000000L)
     graft.queries.StreamFixtures.writeBatch(tmp, src, planted, "b", 1, 1000000060000L)
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
     val raw = ss.readStream
       .schema(ss.read.parquet(src.toString).schema)
       .option("maxFilesPerTrigger", "8")
@@ -74,6 +73,96 @@ object StreamProbe {
     probe
   }
 
+  /** The TTL'd near-dup index under a REALISTIC growth model: corpus
+    * growth = a longer arrival history at a FIXED ingest rate (one
+    * 25k-doc wave per event-hour), not a bigger instant. TTL = 1.5
+    * event-hours, so only ~2 waves of buckets are live at any batch —
+    * peak state is set by rate × horizon and stays FLAT as the corpus
+    * (= wave count) grows, where the unbounded index's state grows
+    * linearly forever. This is the probe evidence for the bounded-
+    * state mode; recall beyond the horizon is explicitly the stored-
+    * index hybrid's job ([[nearDupHybrid]]). */
+  def nearDupTtl(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-ndttl")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val waveSize = 25000L
+    val waves = math.max(2,
+      ((graft.Tables.parquetRowCount(s, dir, "documents") + waveSize - 1)
+        / waveSize).toInt)
+    val t0 = 1700000000000L
+    (0 until waves).foreach { wv =>
+      val wave = docs
+        .filter(col("doc_id") % waves === wv)
+        .withColumn("arrival",
+          lit(new java.sql.Timestamp(t0 + wv * 3600000L)))
+      graft.queries.StreamFixtures.writeBatch(tmp, src, wave, s"w$wv",
+        parts = 1, mtimeMs = 1000000000000L + wv * 60000L)
+    }
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val name = s"sprobe_ndttl_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+    val probe = withStream {
+      graft.streaming.StreamNearDup
+        .candidateStream(raw, "doc_id", "text", threshold = 0.5,
+          stateTtlMs = Some(5400000L), eventTimeCol = Some("arrival"))(ss)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    ss.catalog.dropTempView(name)
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    probe
+  }
+
+  /** q_stream_neardup_hybrid's machinery: the band index in a stage
+    * table, candidates via per-batch bucket joins, stream state ZERO at
+    * every scale — the second bounded-state answer. Per arriving batch
+    * the cost is one broadcast-join scan of the stored index (the
+    * arriving side's bucket keys broadcast; the index never shuffles). */
+  def nearDupHybrid(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-ndh")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000000L).as("doc_id"),
+      concat(col("text"), lit(" trailing")).as("text"))
+    graft.queries.StreamFixtures.writeBatch(tmp, src, docs, "a", 8, 1000000000000L)
+    graft.queries.StreamFixtures.writeBatch(tmp, src, planted, "b", 1, 1000000060000L)
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.StreamNearDup
+    val bandSchema = StreamNearDup.bandRelation(
+      graft.Tables.load(ss, dir, "documents").limit(0), "doc_id", "text").schema
+    val idxTable = graft.catalog.ParquetTable(
+      ss, "sprobe_ndh_idx", s"$tmp/idx", bandSchema).createIfNotExists()
+    val out = tmp.resolve("pairs").toString
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(src.toString)
+    val probe = withStream {
+      raw.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val nb = graft.plans.Materialize.stage(
+            StreamNearDup.bandRelation(batch, "doc_id", "text"))
+          StreamNearDup.hybridCandidates(nb, idxTable.read(), threshold = 0.5)
+            .write.mode("append").parquet(out)
+          idxTable.append(nb)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    probe
+  }
+
   /** q_stream_containment's machinery: seed-gram posting state. */
   def containment(s: SparkSession, dir: String): Probe = {
     val tmp = Files.createTempDirectory("graft-sprobe-sc")
@@ -88,8 +177,7 @@ object StreamProbe {
       concat(col("text"), lit(" "), pad).as("text"))
     graft.queries.StreamFixtures.writeBatch(tmp, src, docs, "a", 8, 1000000000000L)
     graft.queries.StreamFixtures.writeBatch(tmp, src, buried, "b", 1, 1000000060000L)
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
     val raw = ss.readStream
       .schema(ss.read.parquet(src.toString).schema)
       .option("maxFilesPerTrigger", "8")
@@ -125,8 +213,7 @@ object StreamProbe {
       emb.filter(col("vec_id") % 2 === 0), "a", 4, 1000000000000L)
     graft.queries.StreamFixtures.writeBatch(tmp, src,
       emb.filter(col("vec_id") % 2 === 1), "b", 4, 1000000060000L)
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ss = graft.queries.StreamFixtures.childSession(s, 4)
     val out = tmp.resolve("assign").toString
     val raw = ss.readStream
       .schema(ss.read.parquet(src.toString).schema)
@@ -153,10 +240,18 @@ object StreamProbe {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Tables.session("graft-stream-probe")
     graft.Tables.load(spark, baseDir, "nation").count()
-    val pipelines: Seq[(String, (SparkSession, String) => Probe)] = Seq(
+    val all: Seq[(String, (SparkSession, String) => Probe)] = Seq(
       "stream_neardup" -> nearDup,
+      "stream_neardup_ttl" -> nearDupTtl,
+      "stream_neardup_hybrid" -> nearDupHybrid,
       "stream_containment" -> containment,
       "stream_vector_ingest" -> vectorIngest)
+    val pipelines = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES") match {
+      case Some(sel) =>
+        val names = sel.split(",").map(_.trim).toSet
+        all.filter { case (n, _) => names(n) }
+      case None => all
+    }
 
     def reset(): Unit = {
       try org.apache.spark.sql.execution.streaming.state

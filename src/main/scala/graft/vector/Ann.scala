@@ -3,6 +3,7 @@ package graft.vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Approximate nearest-neighbor search over an embedding column.
   *
@@ -287,7 +288,8 @@ object Ann {
                           vecCol: String): Seq[(Any, Seq[Double])] =
     centroids
       .select(col("cid"), VectorFunctions.toDoubleArray(col(vecCol)))
-      .collect().toSeq
+      .pipe(graft.plans.Materialize.modelState(_, "IVF probe centroids (k rows)"))
+      .toSeq
       .map(r => (r.get(0), r.getSeq[Double](1)))
       // a zero-norm centroid has no direction to probe toward, and its
       // cnorm would turn the scoring division into an ANSI

@@ -2,6 +2,7 @@ package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Deterministic distributed k-means (Lloyd) over an embedding column —
   * the trainer that produces [[Ann.ivfTopK]]'s centroids instead of
@@ -64,7 +65,7 @@ object KMeans {
         concat(lit(s"$seed:"), col(idCol).cast("string"))), col(idCol))
       .limit(k)
       .select(col(idCol), col("__e"))
-      .collect()
+      .pipe(graft.plans.Materialize.modelState(_, s"k-means seeds (k = $k rows)"))
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
       .toSeq
 
@@ -73,7 +74,7 @@ object KMeans {
       .select(col("cluster"), posexplode(col("__e")).as(Seq("pos", "v")))
       .groupBy(col("cluster"), col("pos"))
       .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("m"))
-      .collect()
+      .pipe(graft.plans.Materialize.modelState(_, "k-means centroid update (k*dim rows)"))
       .groupBy(_.getLong(0))
       .map { case (cid, rows) =>
         cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector

@@ -2,6 +2,7 @@ package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Product quantization (Jégou et al., "Product Quantization for
   * Nearest Neighbor Search", TPAMI 2011) — the vector-COMPRESSION
@@ -118,7 +119,7 @@ object Pq {
         // cast mirrors seedIds' __id cast: an IntegerType id column is
         // valid API input, and getLong on a raw int would throw here
         .select(col("sub"), col(idCol).cast("long"), col("__sv"))
-        .collect()
+        .pipe(graft.plans.Materialize.modelState(_, "PQ codebook seeds (m*ksub rows)"))
         .groupBy(_.getInt(0))
         .map { case (sub, rows) =>
           sub -> rows.map(r => r.getLong(1) -> r.getSeq[Double](2).toVector)
@@ -134,7 +135,7 @@ object Pq {
             posexplode(col("__sv")).as(Seq("pos", "v")))
           .groupBy(col("sub"), col("__code"), col("pos"))
           .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("mval"))
-          .collect()
+          .pipe(graft.plans.Materialize.modelState(_, "PQ codebook update (m*ksub*dsub rows)"))
           .groupBy(_.getInt(0))
           .map { case (sub, rows) =>
             sub -> rows.groupBy(_.getLong(1)).map { case (code, rs) =>

@@ -478,4 +478,30 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, ib) -> inter.toLong * 1000000L / uni).toMap
     assert(got == brute, s"$got vs $brute")
   }
+
+  test("prefix join: df-ordered mode is bit-equal to hash-ordered on real documents") {
+    // losslessness holds under ANY shared total order, so the two
+    // prefix orders are pure cost knobs — pin that the answers cannot
+    // drift, on the real corpus plus planted near-copies (the
+    // q_setjoin_prefix fixture shape) AND on the boundary fixture
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 950000).as("doc_id"),
+        concat(col("text"), lit(" sjx sjy sjz")).as("text")))
+    val hashMode = graft.text.Dedup.prefixJaccardPairs(
+      planted, "doc_id", "text", thresholdMicro = 800000L)
+    val dfMode = graft.text.Dedup.prefixJaccardPairs(
+      planted, "doc_id", "text", thresholdMicro = 800000L, dfOrdered = true)
+    assert(hashMode.exceptAll(dfMode).isEmpty && dfMode.exceptAll(hashMode).isEmpty)
+    val boundary = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c x y"),
+      (4L, "a b"), (5L, "a b c d e")).toDF("doc_id", "text")
+    val gotDf = graft.text.Dedup.prefixJaccardPairs(
+      boundary, "doc_id", "text", dfOrdered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotDf.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L)), gotDf.keySet)
+    assert(gotDf((1L, 2L)) == 500000L)
+  }
 }
