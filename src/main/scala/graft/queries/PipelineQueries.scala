@@ -419,7 +419,10 @@ object PipelineQueries {
             cands, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(streamNeardupOracleSql)),
+      Some(streamNeardupOracleSql),
+      // timed family gate: q_stream_neardup_hybrid (the zero-state production
+      // shape; this unbounded-state baseline stays oracle-gated and probed)
+      bench = false),
 
     // The ZERO-STATE hybrid of q_stream_neardup — weak-mark closure
     // for the unbounded stream index (r10 verdict #1): the bulk band

@@ -178,6 +178,45 @@ object TextQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** Per-JVM cache of built BM25 inverted-index stage dirs, keyed by
+    * sf dir — the benchFn serve path builds the index at most once so
+    * min-of-attempts measures the serve cost (the q_ann_ivfpq_stage
+    * pattern: an index is built once and served many times). */
+  private val bm25StageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage 1 of the persisted BM25 index: postings (tok, doc_id, tf)
+    * sorted by tok so the serve scan's pushed IN filter prunes row
+    * groups, document lengths, and the one-row corpus stats — all in
+    * ParquetTable stage tables under `tmp`. */
+  private def buildBm25Stage(s: SparkSession, dir: String,
+                             tmp: String): String = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val (postings, doclen, stats) =
+      graft.text.Bm25.buildIndex(docs, "doc_id", "text")
+    val sorted = postings.repartition(col("tok")).sortWithinPartitions("tok")
+    val pTable = graft.catalog.ParquetTable(
+      s, "bm25_postings", s"$tmp/postings", sorted.schema)
+    pTable.overwrite(sorted)
+    val dTable = graft.catalog.ParquetTable(
+      s, "bm25_doclen", s"$tmp/doclen", doclen.schema)
+    dTable.overwrite(doclen)
+    val sTable = graft.catalog.ParquetTable(
+      s, "bm25_stats", s"$tmp/stats", stats.schema)
+    sTable.overwrite(stats)
+    tmp
+  }
+
+  /** Stage 2: serve a query from the stored index only — the corpus is
+    * never scanned; the postings read carries the pushed IN filter. */
+  private def serveBm25Stage(s: SparkSession, stage: String): DataFrame =
+    graft.text.Bm25.topDocsIndexed(
+      s.read.parquet(s"$stage/postings"),
+      s.read.parquet(s"$stage/doclen"),
+      s.read.parquet(s"$stage/stats"),
+      "doc_id", bm25Terms, k = 20)
+
   /** The SSJoin fixture + plan shared by `q_setjoin_prefix` (hash-
     * order prefixes) and `q_setjoin_prefix_df` (df-order): one
     * definition so the two modes can only differ in the prefix ORDER,
@@ -834,6 +873,26 @@ object TextQueries {
         Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", bm25Terms, k = 20),
       Some(bm25Oracle)),
+
+    // BM25 from a PERSISTED inverted index — what q_bm25's per-query
+    // corpus scan becomes at 100 TB: postings/doclen/stats stage
+    // tables built once (Bm25.buildIndex; postings sorted by tok), and
+    // every query served by a term-filtered postings read (the IN
+    // filter reaches the parquet footers — PlanSpec pins it) + tf
+    // pivot + the VERBATIM q_bm25 scoring composition, so the doubles
+    // agree bit-for-bit and the SAME oracle gates both serve paths.
+    // Bench times the serve against a per-JVM memoized index.
+    "q_bm25_index" -> Q(
+      (s, dir) => {
+        val stage = buildBm25Stage(s, dir, java.nio.file.Files
+          .createTempDirectory("graft-bm25-stage").toString)
+        serveBm25Stage(s, stage)
+      },
+      Some(bm25Oracle),
+      benchFn = Some((s, dir) => serveBm25Stage(s,
+        bm25StageDirs.computeIfAbsent(dir, d =>
+          buildBm25Stage(s, d, java.nio.file.Files
+            .createTempDirectory("graft-bm25-bench").toString))))),
 
     // Stratified sampling (graft.plans.Sampling): deterministic
     // hash-threshold keep per language stratum (downsample dominant

@@ -61,4 +61,70 @@ object Bm25 {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** The INVERTED-INDEX relations for build-once/serve-many retrieval
+    * — what [[topDocs]]'s per-query corpus scan becomes at 100 TB:
+    * postings (tok, id, tf), document lengths (id, dl) and the one-row
+    * corpus stats (n_docs, avgdl), each landed in a stage table by the
+    * caller. The postings build is the one corpus-wide pass (explode +
+    * groupBy); at scale the table is written sorted by `tok` so a
+    * term-filtered serve scan prunes row groups via the pushed IN
+    * filter. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("__t"))
+    val doclen = toks.select(col(idCol), size(col("__t")).cast("long").as("dl"))
+    val postings = toks
+      .select(col(idCol), explode(col("__t")).as("tok"))
+      .groupBy(col("tok"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("tok"), col(idCol), col("tf"))
+    val stats = doclen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    (postings, doclen, stats)
+  }
+
+  /** Top-`k` served from the STORED index: the postings scan is
+    * filtered to the query terms (an IN filter pushed to the parquet
+    * footers — only matching postings are read, the corpus never is),
+    * per-term document frequencies fall out of the SAME filtered
+    * relation (df_i = matching-posting count, identical to the stats
+    * pass's), tfs pivot to one column per term, and the scoring
+    * expression is [[topDocs]]'s VERBATIM left-to-right composition —
+    * so the two serve paths produce bit-identical doubles before the
+    * 4-decimal rounding and one oracle gates both. A document with no
+    * matching posting scores 0 in [[topDocs]] and is absent here;
+    * callers take top-k where k ≪ matching docs, so the cut is
+    * identical. */
+  def topDocsIndexed(postings: DataFrame, doclen: DataFrame,
+                     stats: DataFrame, idCol: String,
+                     queryTerms: Seq[String], k: Int = 20,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.forall(_.nonEmpty))
+    // matching postings feed the df aggregate AND the tf pivot — pin
+    // once; the relation is query-sized (terms × matching docs)
+    val p = graft.plans.Materialize.stage(
+      postings.filter(col("tok").isin(queryTerms: _*)))
+    val dfAggs = queryTerms.indices.map(i =>
+      sum(when(col("tok") === queryTerms(i), 1L).otherwise(0L)).as(s"df_$i"))
+    val dfRow = p.agg(dfAggs.head, dfAggs.tail: _*)
+    val tfAggs = queryTerms.indices.map(i =>
+      sum(when(col("tok") === queryTerms(i), col("tf")).otherwise(0L))
+        .cast("long").as(s"tf_$i"))
+    val tfs = p.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+    val perTerm: Seq[Column] = queryTerms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val dfq = col(s"df_$i")
+      val idf = log((col("n_docs") - dfq + 0.5) / (dfq + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
+    }
+    tfs.join(doclen, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfRow))
+      .select(col(idCol), round(perTerm.reduce(_ + _), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }
