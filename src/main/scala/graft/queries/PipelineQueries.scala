@@ -48,6 +48,52 @@ object PipelineQueries {
       |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared by `q_stream_containment` (stateful posting index) and
+    * `q_stream_containment_hybrid` (zero-state stored-index form):
+    * the full-pipeline replay — seed selection, min-shared-seeds,
+    * exact containment verify — must equal the batch
+    * q_containment_seed answer bit-for-bit for either index
+    * representation. */
+  private val streamContainmentOracleSql: String =
+    """WITH docs5 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 500000 AS doc_id,
+              |    concat(text, ' ', array_to_string(
+              |      list_transform(range(1, 1500), i -> 'pady' || i), ' ')) AS text
+              |  FROM documents WHERE doc_id < 10),
+              |toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              |  FROM docs5),
+              |gh AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    range(1, len(t) - 1),
+              |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT))
+              |    AS g
+              |  FROM toks),
+              |seeds AS (
+              |  SELECT doc_id, unnest(list_filter(g, h -> h % 8 = 0)) AS h
+              |  FROM gh),
+              |rare AS (SELECT h FROM seeds GROUP BY h HAVING count(*) <= 1000),
+              |idx AS (SELECT s.doc_id, s.h FROM seeds s JOIN rare r ON s.h = r.h),
+              |cand AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |scored AS (
+              |  SELECT c.id_a, c.id_b,
+              |    round(CASE WHEN least(len(ga.g), len(gb.g)) = 0 THEN 0.0
+              |      ELSE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+              |           / CAST(least(len(ga.g), len(gb.g)) AS DOUBLE) END, 4)
+              |      AS containment
+              |  FROM cand c
+              |  JOIN gh ga ON ga.doc_id = c.id_a
+              |  JOIN gh gb ON gb.doc_id = c.id_b)
+              |SELECT id_a, id_b, containment FROM scored
+              |WHERE containment >= 0.9
+              |ORDER BY id_a, id_b""".stripMargin
+
+
   /** Deterministic single-file CSV feed from `nation` (25 rows): exactly
     * one source file → exactly one micro-batch → BatchId=1. */
   private def writeNationCsv(s: SparkSession, dir: String, tmp: Path,
@@ -574,43 +620,87 @@ object PipelineQueries {
             gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3)))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH docs5 AS (
-              |  SELECT doc_id, text FROM documents
-              |  UNION ALL
-              |  SELECT doc_id + 500000 AS doc_id,
-              |    concat(text, ' ', array_to_string(
-              |      list_transform(range(1, 1500), i -> 'pady' || i), ' ')) AS text
-              |  FROM documents WHERE doc_id < 10),
-              |toks AS (
-              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-              |  FROM docs5),
-              |gh AS (
-              |  SELECT doc_id, list_distinct(list_transform(
-              |    range(1, len(t) - 1),
-              |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT))
-              |    AS g
-              |  FROM toks),
-              |seeds AS (
-              |  SELECT doc_id, unnest(list_filter(g, h -> h % 8 = 0)) AS h
-              |  FROM gh),
-              |rare AS (SELECT h FROM seeds GROUP BY h HAVING count(*) <= 1000),
-              |idx AS (SELECT s.doc_id, s.h FROM seeds s JOIN rare r ON s.h = r.h),
-              |cand AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2 HAVING count(*) >= 2),
-              |scored AS (
-              |  SELECT c.id_a, c.id_b,
-              |    round(CASE WHEN least(len(ga.g), len(gb.g)) = 0 THEN 0.0
-              |      ELSE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-              |           / CAST(least(len(ga.g), len(gb.g)) AS DOUBLE) END, 4)
-              |      AS containment
-              |  FROM cand c
-              |  JOIN gh ga ON ga.doc_id = c.id_a
-              |  JOIN gh gb ON gb.doc_id = c.id_b)
-              |SELECT id_a, id_b, containment FROM scored
-              |WHERE containment >= 0.9
-              |ORDER BY id_a, id_b""".stripMargin)),
+      Some(streamContainmentOracleSql)),
+
+    // The ZERO-STATE hybrid of q_stream_containment — the
+    // q_stream_neardup_hybrid pattern applied to the containment
+    // family's posting index: seed publications land in a ParquetTable
+    // stage table, each micro-batch joins its own (batch-broadcast)
+    // seed hashes against the STORED postings (new-vs-bulk) and itself
+    // (new-vs-new), emits one row per shared seed, and appends its
+    // publications — no flatMapGroupsWithState anywhere, state EMPTY
+    // at every point, full recall at any horizon, and the stop-gram
+    // cap becomes the batch HAVING evaluated against everything landed
+    // so far. Same fixture, same recovery (>= 2 shared seeds), same
+    // exact verify, same oracle as the stateful form.
+    "q_stream_containment_hybrid" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-sch")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val pad = array_join(
+          transform(sequence(lit(1), lit(1499)),
+            i => concat(lit("pady"), i.cast("string"))), " ")
+        def buried(d: org.apache.spark.sql.DataFrame) =
+          d.filter(col("doc_id") < 10).select(
+            (col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" "), pad).as("text"))
+        StreamFixtures.writeBatch(tmp, src, docs, "a",
+          parts = 8, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src, buried(docs), "b",
+          parts = 1, mtimeMs = 1000000060000L)
+        val ss = StreamFixtures.childSession(s, 8)
+        import graft.streaming.StreamSeedGram
+        val seedSchema = StreamSeedGram.seedRelation(
+          graft.Tables.load(ss, dir, "documents").limit(0),
+          "doc_id", "text").schema
+        val idxTable = graft.catalog.ParquetTable(
+          ss, "sch_idx", s"$tmp/idx", seedSchema).createIfNotExists()
+        val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType)))
+        val pairTable = graft.catalog.ParquetTable(
+          ss, "sch_pairs", s"$tmp/pairs", pairSchema).createIfNotExists()
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "8")
+          .parquet(src.toString)
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val nb = graft.plans.Materialize.stage(
+              StreamSeedGram.seedRelation(batch, "doc_id", "text",
+                w = 3, seedMod = 8,
+                gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3))))
+            pairTable.append(StreamSeedGram.hybridSeedPairs(
+              nb, idxTable.read(), maxDf = 1000))
+            idxTable.append(nb)
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cands = pairTable.read()
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+          .select(col("id_a"), col("id_b"))
+          .transform(graft.plans.Materialize.stage)
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        val docsB = graft.Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val allB = docsB.unionByName(buried(docsB))
+        graft.text.Dedup.verifyPairsContainment(allB, "doc_id", "text",
+            cands, threshold = 0.9, w = 3,
+            gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3)))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(streamContainmentOracleSql),
+      // timed family gate: q_stream_containment (this zero-state form's
+      // scale story is probe-measured: 0 state rows, 2x faster at x100)
+      bench = false),
 
     "q_stream_windows" -> Q(
       (s, dir) => {

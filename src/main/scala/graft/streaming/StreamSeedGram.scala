@@ -45,6 +45,65 @@ object StreamSeedGram {
   /** Unordered candidate pair (id_a < id_b), one row per shared seed. */
   final case class SeedPair(id_a: Long, id_b: Long)
 
+  /** The seed-posting relation of an (idCol, textCol) relation — one
+    * row per (h, doc_id) publication, map-only (the text ends here).
+    * Shared by the stateful index ([[seedPairStream]]) and the
+    * stored-index hybrid ([[hybridSeedPairs]]); batch or streaming. */
+  def seedRelation(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int = 3, seedMod: Int = 8,
+                   gramFn: Option[Column => Column] = None): DataFrame = {
+    val gram: Column => Column =
+      gramFn.getOrElse(Dedup.fastGramHashes(_: Column, w))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        gram(col(textCol)).as("g"))
+      .select(col("doc_id"),
+        explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"))
+      .select(col("h"), col("doc_id"))
+  }
+
+  /** Per-shared-seed pairs of ONE arriving batch against a STORED
+    * posting index plus itself — the zero-state hybrid (the
+    * [[graft.streaming.StreamNearDup.hybridCandidates]] pattern for
+    * the containment family): the posting list lives in a stage table
+    * appended per batch by the caller's foreachBatch, stream state
+    * stays EMPTY, recall is full at any horizon. Per-batch cost is
+    * batch-sized: the arriving batch's distinct seed hashes broadcast,
+    * only matching stored postings are read/aggregated, and the index
+    * never shuffles.
+    *
+    * Stop-gram cap: a seed whose TOTAL df (stored + arriving) exceeds
+    * `maxDf` emits nothing this batch — the batch path's `HAVING
+    * df <= maxDf` evaluated against everything landed so far, which is
+    * at least as strict as the stateful form's prefix-of-arrival cap;
+    * below the cap all three forms agree, and the oracle fixtures sit
+    * far below it. Emits one unordered (id_a < id_b) row PER SHARED
+    * SEED, exactly like [[seedPairStream]], so the same
+    * `groupBy(pair).count >= minSeeds` recovery applies. */
+  def hybridSeedPairs(newSeeds: DataFrame, index: DataFrame,
+                      maxDf: Int = 1000): DataFrame = {
+    // matching stored postings feed the df count AND the cross join —
+    // pin once; the relation is batch-seed-sized, not index-sized
+    val matching = graft.plans.Materialize.stage(
+      index.join(broadcast(newSeeds.select(col("h")).distinct()), Seq("h")))
+    val newDf = newSeeds.groupBy(col("h")).agg(count(lit(1)).as("ndf"))
+    val storedDf = matching.groupBy(col("h")).agg(count(lit(1)).as("sdf"))
+    val okSeeds = newDf.join(storedDf, Seq("h"), "left")
+      .filter(col("ndf") + coalesce(col("sdf"), lit(0L)) <= maxDf)
+      .select(col("h"))
+    val nb = newSeeds.join(broadcast(okSeeds), Seq("h"))
+    val cross = nb
+      .join(matching.select(col("h"), col("doc_id").as("o_id")), Seq("h"))
+      .filter(col("o_id") =!= col("doc_id"))
+      .select(least(col("doc_id"), col("o_id")).as("id_a"),
+        greatest(col("doc_id"), col("o_id")).as("id_b"))
+    val within = nb
+      .join(nb.select(col("h"), col("doc_id").as("o_id")), Seq("h"))
+      .filter(col("doc_id") < col("o_id"))
+      .select(col("doc_id").as("id_a"), col("o_id").as("id_b"))
+    cross.unionByName(within)
+  }
+
   /** Per-shared-seed candidate pairs over a STREAMING (idCol, textCol)
     * relation. Aggregate to `>= minSeeds` and exact-verify batch-side.
     * `gramFn` defaults to the fast in-engine hash; pass
@@ -55,14 +114,7 @@ object StreamSeedGram {
                      gramFn: Option[Column => Column] = None)(
       implicit spark: SparkSession): Dataset[SeedPair] = {
     import spark.implicits._
-    val gram: Column => Column =
-      gramFn.getOrElse(Dedup.fastGramHashes(_: Column, w))
-    val seeds = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        gram(col(textCol)).as("g"))
-      .select(col("doc_id"),
-        explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"))
-      .select(col("h"), col("doc_id"))
+    val seeds = seedRelation(docs, idCol, textCol, w, seedMod, gramFn)
       .as[SeedDoc]
     seeds
       .groupByKey(_.h)

@@ -163,6 +163,51 @@ object StreamProbe {
     probe
   }
 
+  /** q_stream_containment_hybrid's machinery: the posting list in a
+    * stage table, per-batch broadcast joins, stream state ZERO. */
+  def containmentHybrid(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-sch")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pad = array_join(
+      transform(sequence(lit(1), lit(1499)),
+        i => concat(lit("pady"), i.cast("string"))), " ")
+    val buried = docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 500000000L).as("doc_id"),
+      concat(col("text"), lit(" "), pad).as("text"))
+    graft.queries.StreamFixtures.writeBatch(tmp, src, docs, "a", 8, 1000000000000L)
+    graft.queries.StreamFixtures.writeBatch(tmp, src, buried, "b", 1, 1000000060000L)
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.StreamSeedGram
+    val seedSchema = StreamSeedGram.seedRelation(
+      graft.Tables.load(ss, dir, "documents").limit(0), "doc_id", "text").schema
+    val idxTable = graft.catalog.ParquetTable(
+      ss, "sprobe_sch_idx", s"$tmp/idx", seedSchema).createIfNotExists()
+    val out = tmp.resolve("pairs").toString
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(src.toString)
+    val probe = withStream {
+      raw.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val nb = graft.plans.Materialize.stage(
+            StreamSeedGram.seedRelation(batch, "doc_id", "text",
+              w = 3, seedMod = 8,
+              gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3))))
+          StreamSeedGram.hybridSeedPairs(nb, idxTable.read(), maxDf = 1000)
+            .write.mode("append").parquet(out)
+          idxTable.append(nb)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    probe
+  }
+
   /** q_stream_containment's machinery: seed-gram posting state. */
   def containment(s: SparkSession, dir: String): Probe = {
     val tmp = Files.createTempDirectory("graft-sprobe-sc")
@@ -245,6 +290,7 @@ object StreamProbe {
       "stream_neardup_ttl" -> nearDupTtl,
       "stream_neardup_hybrid" -> nearDupHybrid,
       "stream_containment" -> containment,
+      "stream_containment_hybrid" -> containmentHybrid,
       "stream_vector_ingest" -> vectorIngest)
     val pipelines = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES") match {
       case Some(sel) =>

@@ -768,6 +768,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stored-posting hybrid: shared seeds found through the stage table, state EMPTY, cap binds") {
+    // q_stream_containment_hybrid's machinery at unit scale — the
+    // seed-gram counterpart of the near-dup hybrid: postings in a
+    // ParquetTable, per-batch joins, no stateful operator; the df cap
+    // is the batch HAVING over everything landed so far.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamSeedGram
+    val input = MemoryStream[(Long, String)]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sch-spec")
+    val seedSchema = StreamSeedGram.seedRelation(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      w = 3, seedMod = 1).schema
+    val idx = graft.catalog.ParquetTable(
+      spark, "sch_spec_idx", s"$tmp/idx", seedSchema).createIfNotExists()
+    val found = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val nb = graft.plans.Materialize.stage(
+          StreamSeedGram.seedRelation(batch, "doc_id", "text",
+            w = 3, seedMod = 1))
+        found ++= StreamSeedGram.hybridSeedPairs(nb, idx.read(), maxDf = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        idx.append(nb)
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData((1L, "p q r s"), (9L, "unrelated words entirely here"))
+      q.processAllAvailable()
+      assert(found.isEmpty, found)
+      // doc 2 shares both of doc 1's grams — found via the STORED
+      // postings, one row PER shared seed ("p q r" and "q r s")
+      input.addData((2L, "p q r s t"))
+      q.processAllAvailable()
+      assert(found.groupBy(identity).view.mapValues(_.size).toMap ==
+        Map((1L, 2L) -> 2), found)
+      // both seeds now carry df 2 = the cap: a third carrier's total
+      // df would be 3 > maxDf — the batch HAVING drops the seeds and
+      // nothing is emitted
+      input.addData((3L, "p q r s u"))
+      q.processAllAvailable()
+      assert(found.size == 2, found)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally {
+      q.stop(); q.awaitTermination()
+      graft.ingest.FileOps.deleteRecursively(tmp)
+    }
+  }
+
   test("childSession ships the state-store provider from the JVM flag") {
     // the one-flag RocksDB flip for the whole streaming family rests on
     // this plumbing — gate it directly so a silent break cannot turn
