@@ -200,7 +200,7 @@ object VectorQueries {
     * trainer + float-cosine probe routing, 'pq:' codebook replay +
     * ADC sum over the candidate set) and must land on identical rows
     * for either serve path. */
-  private lazy val ivfpqOracleSql: String =
+  private def ivfpqOracleSql(keepCond: String): String =
     s"""WITH $pqCtes,
        |data AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -239,7 +239,7 @@ object VectorQueries {
        |  SELECT p.qid, da.vec_id
        |  FROM (SELECT qid, cid FROM qassign WHERE crank <= 4) p
        |  JOIN dassign da ON da.cid = p.cid
-       |  WHERE da.vec_id <> p.qid),
+       |  WHERE da.vec_id <> p.qid AND $keepCond),
        |dt AS (
        |  SELECT s3.vec_id AS qid, c.sub, c.code,
        |    list_dot_product(s3.v, s3.v) - 2 * list_dot_product(s3.v, c.v)
@@ -259,6 +259,9 @@ object VectorQueries {
        |          ORDER BY adc, vec_id) AS rn
        |      FROM sc)
        |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The unfiltered replay — every indexed id is a candidate. */
+  private lazy val ivfpqOracleSqlAll: String = ivfpqOracleSql("TRUE")
 
   /** Per-JVM cache of built IVF-PQ stage-table directories, keyed by
     * sf dir — the benchFn serve path builds the index at most once and
@@ -579,6 +582,34 @@ object VectorQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(ivfOracleSql)),
+
+    // INDEX MAINTENANCE on the persisted IVF-PQ index — the day-2 DML
+    // every retrieval deployment needs: ids retired by dedup, takedown
+    // or retention leave the INDEX without retraining (quantizers are
+    // stable; only the stored assignment and code relations shrink).
+    // Composes the catalog's DELETE ... WHERE (ParquetTable.deleteWhere
+    // — here the non-partition-predicate whole-relation rewrite, the
+    // documented parquet trade) with the staged serve: deleted ids can
+    // never be candidates (absent from the assignment) nor score
+    // (absent from the codes). The oracle is the two-stage replay with
+    // the delete predicate applied to the candidate routing — trained
+    // on the FULL corpus, served over the survivors, exactly what
+    // delete-without-retrain means.
+    "q_ann_index_delete" -> Q(
+      (s, dir) => {
+        val stage = buildIvfpqStage(s, dir, java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-del").toString)
+        val assignT = graft.catalog.ParquetTable(s, "ivfpq_assign",
+          s"$stage/assign", s.read.parquet(s"$stage/assign").schema)
+        assignT.deleteWhere(col("vec_id") % 7 === 3)
+        val codesT = graft.catalog.ParquetTable(s, "ivfpq_codes",
+          s"$stage/codes", s.read.parquet(s"$stage/codes").schema)
+        codesT.deleteWhere(col("vec_id") % 7 === 3)
+        serveIvfpqStage(s, dir, stage)
+      },
+      Some(ivfpqOracleSql("da.vec_id % 7 <> 3")),
+      // timed family gate: q_ann_ivfpq_stage (oracle still gates this entry)
+      bench = false),
 
     // STREAMING vector ingestion into the IVF index — the day-2 shape
     // of q_ann_ivf_stage: centroids are trained once on the historical
@@ -1096,7 +1127,7 @@ object VectorQueries {
           .select(col("qid"), col("vec_id"), cast_rank, col("adc"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(ivfpqOracleSql),
+      Some(ivfpqOracleSqlAll),
       // timed family gate: q_ann_ivfpq_stage (oracle still gates this entry)
       bench = false),
 
@@ -1125,7 +1156,7 @@ object VectorQueries {
             .createTempDirectory("graft-ivfpq-stage").toString)
         serveIvfpqStage(s, dir, stage)
       },
-      Some(ivfpqOracleSql),
+      Some(ivfpqOracleSqlAll),
       benchFn = Some((s, dir) => serveIvfpqStage(s, dir,
         ivfpqStageDirs.computeIfAbsent(dir, d =>
           buildIvfpqStage(s, d, java.nio.file.Files
