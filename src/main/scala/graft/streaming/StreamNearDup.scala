@@ -99,8 +99,11 @@ object StreamNearDup {
     * plus itself — the zero-state hybrid: the bulk index lives in a
     * stage table (appended per batch by the caller's foreachBatch),
     * stream state stays EMPTY, and each micro-batch pays two bucket
-    * equi-joins (new-vs-stored + new-vs-new) sized by the batch, never
-    * the corpus. This is the 100 TB answer to the stateful index's
+    * equi-joins: new-vs-new is batch-sized, and new-vs-stored scans the
+    * stored index ONCE, map-only (the batch side broadcasts; the index
+    * never shuffles and only matching rows survive the join) — the
+    * per-batch index scan is the price of zero state, amortized by
+    * batch sizing and columnar layout. This is the 100 TB answer to the stateful index's
     * linear state growth: storage holds the index (columnar,
     * compactable, bucketable by (band, bh)), the state store holds
     * nothing, and recall is FULL — a duplicate arriving years after

@@ -67,10 +67,12 @@ object StreamSeedGram {
     * [[graft.streaming.StreamNearDup.hybridCandidates]] pattern for
     * the containment family): the posting list lives in a stage table
     * appended per batch by the caller's foreachBatch, stream state
-    * stays EMPTY, recall is full at any horizon. Per-batch cost is
-    * batch-sized: the arriving batch's distinct seed hashes broadcast,
-    * only matching stored postings are read/aggregated, and the index
-    * never shuffles.
+    * stays EMPTY, recall is full at any horizon. Per batch, the
+    * arriving side's distinct seed hashes broadcast and the stored
+    * postings are scanned ONCE, map-only (the index never shuffles;
+    * only matching postings survive into the df count and the cross
+    * join) — the per-batch index scan is the price of zero state,
+    * amortized by batch sizing and columnar layout.
     *
     * Stop-gram cap: a seed whose TOTAL df (stored + arriving) exceeds
     * `maxDf` emits nothing this batch — the batch path's `HAVING
