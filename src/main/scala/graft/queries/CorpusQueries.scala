@@ -152,8 +152,11 @@ object CorpusQueries {
       : org.apache.spark.sql.DataFrame = {
     val cutoff = counts
       .agg(call_function("graft_topk", col("c"), col("c"), lit(512)).as("t"))
-      .select(element_at(col("t"), size(col("t")))
-        .getField("score").as("cut"))
+      // empty corpus -> empty top-k array: element_at(t, 0) would be a
+      // runtime error; an open cutoff keeps the (empty) relation flowing
+      .select(when(size(col("t")) > 0,
+        element_at(col("t"), size(col("t"))).getField("score"))
+        .otherwise(lit(Long.MinValue)).as("cut"))
     counts.crossJoin(broadcast(cutoff))
       .filter(col("c") >= col("cut"))
       .withColumn("id",

@@ -661,6 +661,8 @@ object PipelineQueries {
           org.apache.spark.sql.types.StructField("id_a",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("h",
             org.apache.spark.sql.types.LongType)))
         val pairTable = graft.catalog.ParquetTable(
           ss, "sch_pairs", s"$tmp/pairs", pairSchema).createIfNotExists()
@@ -684,7 +686,8 @@ object PipelineQueries {
         q.awaitTermination()
         val cands = pairTable.read()
           .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("shared"))
+          // DISTINCT seeds, not rows: idempotent under batch replay
+          .agg(countDistinct(col("h")).as("shared"))
           .filter(col("shared") >= 2)
           .select(col("id_a"), col("id_b"))
           .transform(graft.plans.Materialize.stage)

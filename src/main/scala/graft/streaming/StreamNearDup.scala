@@ -113,13 +113,27 @@ object StreamNearDup {
     * `newBands`/`index` are [[bandRelation]] relations. Emitted pairs
     * are unordered (id_a < id_b), distinct within the batch; the same
     * 4σ pre-filter as [[candidateStream]] applies, so callers pipe
-    * through [[graft.text.Dedup.verifyPairsJaccard]] identically. */
+    * through [[graft.text.Dedup.verifyPairsJaccard]] identically.
+    * Micro-batch REPLAY (failure redelivery) re-appends index rows and
+    * re-emits the same pairs — callers dedup the pair relation (the
+    * entries' distinct, which replay cannot perturb); production
+    * appends route through the txn-marker machinery
+    * ([[graft.streaming.UpsertSink]]) for exactly-once. */
   def hybridCandidates(newBands: DataFrame, index: DataFrame,
                        threshold: Double = 0.7, k: Int = 64): DataFrame = {
     val cutoff = math.max(0.0, threshold - 2.0 / math.sqrt(k.toDouble))
     def renamed(df: DataFrame) = df.select(col("band"), col("bh"),
       col("doc_id").as("o_id"), col("sig").as("o_sig"))
-    val cross = newBands.join(renamed(index), Seq("band", "bh"))
+    // restrict the index scan through the batch's BUCKET KEYS first —
+    // the key set broadcasts at any realistic batch size (16 bytes a
+    // key, vs ~0.5 KB a full band row, which could blow past the
+    // broadcast threshold and flip the index join to a sort-merge
+    // shuffle of the whole index); the subsequent row join then runs
+    // batch-vs-matching, never batch-vs-index
+    val matching = index.join(
+      broadcast(newBands.select(col("band"), col("bh")).distinct()),
+      Seq("band", "bh"))
+    val cross = newBands.join(renamed(matching), Seq("band", "bh"))
       .filter(col("o_id") =!= col("doc_id"))
       .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
       .select(least(col("doc_id"), col("o_id")).as("id_a"),
@@ -177,7 +191,11 @@ object StreamNearDup {
     // watermark BEFORE signing: zero lateness slack — the TTL horizon
     // itself is the slack, and the watermark only drives eviction
     val src = (stateTtlMs, eventTimeCol) match {
-      case (Some(_), Some(c)) => docs.withWatermark(c, "0 milliseconds")
+      // a null event time cannot anchor an eviction horizon (and would
+      // NPE in the state function) — TTL mode drops such rows at the
+      // source, loudly documented rather than silently crashing
+      case (Some(_), Some(c)) =>
+        docs.filter(col(c).isNotNull).withWatermark(c, "0 milliseconds")
       case _ => docs
     }
     // sign + band map-side: the text column ends here

@@ -79,9 +79,17 @@ object StreamSeedGram {
     * df <= maxDf` evaluated against everything landed so far, which is
     * at least as strict as the stateful form's prefix-of-arrival cap;
     * below the cap all three forms agree, and the oracle fixtures sit
-    * far below it. Emits one unordered (id_a < id_b) row PER SHARED
-    * SEED, exactly like [[seedPairStream]], so the same
-    * `groupBy(pair).count >= minSeeds` recovery applies. */
+    * far below it. Emits one unordered (id_a < id_b, h) row PER SHARED
+    * SEED, CARRYING the seed hash so recovery counts DISTINCT seeds
+    * (`groupBy(pair).agg(countDistinct(h)) >= minSeeds`) — which makes
+    * the pair recovery idempotent under micro-batch REPLAY: a
+    * redelivered batch re-appends index rows and re-emits the same
+    * (h, pair) rows, and the distinct-seed count is unchanged (a bare
+    * row count would double and promote 1-seed pairs past the gate).
+    * Replayed index rows bias only the df cap, in the conservative
+    * direction (recall loss, never false pairs); production appends
+    * route through the txn-marker machinery
+    * ([[graft.streaming.UpsertSink]]) for exactly-once. */
   def hybridSeedPairs(newSeeds: DataFrame, index: DataFrame,
                       maxDf: Int = 1000): DataFrame = {
     // matching stored postings feed the df count AND the cross join —
@@ -98,11 +106,11 @@ object StreamSeedGram {
       .join(matching.select(col("h"), col("doc_id").as("o_id")), Seq("h"))
       .filter(col("o_id") =!= col("doc_id"))
       .select(least(col("doc_id"), col("o_id")).as("id_a"),
-        greatest(col("doc_id"), col("o_id")).as("id_b"))
+        greatest(col("doc_id"), col("o_id")).as("id_b"), col("h"))
     val within = nb
       .join(nb.select(col("h"), col("doc_id").as("o_id")), Seq("h"))
       .filter(col("doc_id") < col("o_id"))
-      .select(col("doc_id").as("id_a"), col("o_id").as("id_b"))
+      .select(col("doc_id").as("id_a"), col("o_id").as("id_b"), col("h"))
     cross.unionByName(within)
   }
 

@@ -93,10 +93,11 @@ object Bm25 {
     * pass's), tfs pivot to one column per term, and the scoring
     * expression is [[topDocs]]'s VERBATIM left-to-right composition —
     * so the two serve paths produce bit-identical doubles before the
-    * 4-decimal rounding and one oracle gates both. A document with no
-    * matching posting scores 0 in [[topDocs]] and is absent here;
-    * callers take top-k where k ≪ matching docs, so the cut is
-    * identical. */
+    * 4-decimal rounding and one oracle gates both. When fewer than k
+    * documents match any term, the result is padded with 0.0-score
+    * documents in id order — exactly [[topDocs]]'s ranking of
+    * non-matching documents — so the two paths stay row-identical even
+    * in the degenerate under-k case (spec-pinned). */
   def topDocsIndexed(postings: DataFrame, doclen: DataFrame,
                      stats: DataFrame, idCol: String,
                      queryTerms: Seq[String], k: Int = 20,
@@ -120,11 +121,32 @@ object Bm25 {
       idf * (tf * (k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
     }
-    tfs.join(doclen, Seq(idCol))
+    val matchedTop = tfs.join(doclen, Seq(idCol))
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(dfRow))
       .select(col(idCol), round(perTerm.reduce(_ + _), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+    // [[topDocs]] ranks NON-matching documents too (score 0.0, then by
+    // id) — when fewer than k documents match any term, bring in the k
+    // lowest-id unmatched docs (no other unmatched doc can reach the
+    // top-k: they all tie at 0.0 and break by id) and re-rank the
+    // union, so the two serve paths stay row-identical even when a
+    // matched score ROUNDS to 0.0000 and ties with unmatched docs at
+    // the cut. The matched count is one cheap job over the staged
+    // match relation; the pad branch — the only doclen-wide rank —
+    // runs solely in this degenerate matches < k case.
+    val nMatched = p.select(col(idCol)).distinct().count()
+    if (nMatched >= k) matchedTop
+    else {
+      val pad = doclen.select(col(idCol))
+        .join(p.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .orderBy(col(idCol))
+        .limit(k)
+        .select(col(idCol), lit(0.0).as("score"))
+      matchedTop.unionByName(pad)
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    }
   }
 }

@@ -294,7 +294,12 @@ object StreamProbe {
       "stream_vector_ingest" -> vectorIngest)
     val pipelines = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES") match {
       case Some(sel) =>
-        val names = sel.split(",").map(_.trim).toSet
+        val names = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val known = all.map(_._1).toSet
+        val unknown = names.diff(known)
+        require(unknown.isEmpty,
+          s"unknown probe entries: ${unknown.mkString(", ")} — " +
+            s"known: ${known.mkString(", ")}")
         all.filter { case (n, _) => names(n) }
       case None => all
     }
