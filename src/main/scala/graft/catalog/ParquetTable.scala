@@ -46,7 +46,8 @@ final class ParquetTable(
     val name: String,
     val path: String,
     val schema: StructType,
-    val partitionCols: Seq[String] = Nil) {
+    val partitionCols: Seq[String] = Nil,
+    val writeOptions: Map[String, String] = Map.empty) {
 
   require(partitionCols.forall(schema.fieldNames.contains),
     s"partition columns ${partitionCols.mkString(",")} must be in the schema")
@@ -203,7 +204,14 @@ final class ParquetTable(
   }
 
   private def writer(df: DataFrame) = {
-    val w = align(df).write
+    // writeOptions flow into every write path (append, overwrite,
+    // compact, partition rewrites) — an INDEX table sets a small
+    // `parquet.block.size` here so a key-sorted layout yields many
+    // tightly-bounded row groups and a pushed IN filter prunes the
+    // serve scan to ~the matching pages regardless of index size.
+    val w = writeOptions.foldLeft(align(df).write) {
+      case (acc, (k, v)) => acc.option(k, v)
+    }
     if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
   }
 
@@ -747,6 +755,16 @@ final class ParquetTable(
 
 object ParquetTable {
   def apply(spark: SparkSession, name: String, path: String, schema: StructType,
-            partitionCols: Seq[String] = Nil): ParquetTable =
-    new ParquetTable(spark, name, path, schema, partitionCols)
+            partitionCols: Seq[String] = Nil,
+            writeOptions: Map[String, String] = Map.empty): ParquetTable =
+    new ParquetTable(spark, name, path, schema, partitionCols, writeOptions)
+
+  /** Write options for a stored SECONDARY INDEX (band buckets, seed
+    * postings): 1 MiB row groups instead of the 128 MiB data default.
+    * Index rows are small and served through a pushed key filter, so
+    * many small, key-sorted row groups are what makes footer min/max
+    * pruning fine-grained enough that a batch of K keys reads ~K row
+    * groups no matter how large the index has grown. */
+  val IndexWriteOptions: Map[String, String] =
+    Map("parquet.block.size" -> (1024 * 1024).toString)
 }

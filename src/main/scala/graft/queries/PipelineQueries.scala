@@ -504,7 +504,8 @@ object PipelineQueries {
           graft.Tables.load(ss, dir, "documents").limit(0),
           "doc_id", "text").schema
         val idxTable = graft.catalog.ParquetTable(
-          ss, "ndh_idx", s"$tmp/idx", bandSchema)
+          ss, "ndh_idx", s"$tmp/idx", bandSchema,
+          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
         idxTable.createIfNotExists()
         val pairSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id_a",
@@ -519,14 +520,23 @@ object PipelineQueries {
           .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val q = raw.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             // sign once, consume twice (candidate joins + index append)
             val nb = graft.plans.Materialize.stage(
               StreamNearDup.bandRelation(batch, "doc_id", "text"))
             pairTable.append(
               StreamNearDup.hybridCandidates(nb, idxTable.read(),
                 threshold = 0.5))
-            idxTable.append(nb)
+            // append key-sorted so footer stats stay tight for the next
+            // batch's pushed IN filter; compaction (a production
+            // pipeline runs it every N batches) re-sorts the whole
+            // index by bh and defragments the per-batch file sets —
+            // here after the bulk batch, so batch 2 serves the
+            // compacted layout (StreamingSpec pins compaction
+            // byte-identity; rewriting again after the final tiny
+            // batch would buy nothing)
+            idxTable.append(nb.sortWithinPartitions("bh"))
+            if (bid == 0L) idxTable.compact(Seq("bh"))
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -546,6 +556,66 @@ object PipelineQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(streamNeardupOracleSql)),
+
+    // The TTL'd (recent-window) mode of the streaming near-dup index,
+    // ORACLE-GATED: the fixture's duplicate pairs all arrive INSIDE
+    // the horizon (originals at event-time t0, planted copies at
+    // t0 + 1 h against a 2 h TTL), so the bounded index must land on
+    // the SAME exact all-pairs replay as the unbounded form — the TTL
+    // changes what is EVENTUALLY evicted, never what is found inside
+    // the horizon. Eviction semantics themselves (beyond-horizon
+    // bucket drop, deterministic event-time timeout under replay) stay
+    // spec-pinned in StreamingSpec; the probe row (stream_neardup_ttl)
+    // carries the flat-state evidence at a fixed ingest rate.
+    "q_stream_neardup_ttl" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-ndttl")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val t0 = 1700000000000L
+        def at(ms: Long) = lit(new java.sql.Timestamp(ms)).as("arrival")
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" trailing")).as("text"))
+        StreamFixtures.writeBatch(tmp, src,
+          docs.select(col("doc_id"), col("text"), at(t0)), "a",
+          parts = 8, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src,
+          planted.select(col("doc_id"), col("text"), at(t0 + 3600000L)), "b",
+          parts = 1, mtimeMs = 1000000060000L)
+        val ss = StreamFixtures.childSession(s, 4)
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "8")
+          .parquet(src.toString)
+        val name = s"stream_ndttl_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val q = graft.streaming.StreamNearDup
+          .candidateStream(raw, "doc_id", "text", threshold = 0.5,
+            stateTtlMs = Some(2L * 3600000L),
+            eventTimeCol = Some("arrival"))(ss)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val cands = ss.table(name).distinct()
+          .transform(graft.plans.Materialize.stage)
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        val docsB = graft.Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val allB = docsB.unionByName(
+          docsB.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        graft.text.Dedup.verifyPairsJaccard(allB, "doc_id", "text",
+            cands, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(streamNeardupOracleSql),
+      // timed family gate: q_stream_neardup_hybrid (the TTL mode's
+      // scale story is the StreamProbe flat-state row)
+      bench = false),
 
     // Streaming seed-gram containment: the winnowing posting list as
     // STREAM STATE (StreamSeedGram). Same extreme-asymmetry fixture as
@@ -656,7 +726,9 @@ object PipelineQueries {
           graft.Tables.load(ss, dir, "documents").limit(0),
           "doc_id", "text").schema
         val idxTable = graft.catalog.ParquetTable(
-          ss, "sch_idx", s"$tmp/idx", seedSchema).createIfNotExists()
+          ss, "sch_idx", s"$tmp/idx", seedSchema,
+          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+          .createIfNotExists()
         val pairSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id_a",
             org.apache.spark.sql.types.LongType),
@@ -671,14 +743,17 @@ object PipelineQueries {
           .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val q = raw.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val nb = graft.plans.Materialize.stage(
               StreamSeedGram.seedRelation(batch, "doc_id", "text",
                 w = 3, seedMod = 8,
                 gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3))))
             pairTable.append(StreamSeedGram.hybridSeedPairs(
               nb, idxTable.read(), maxDf = 1000))
-            idxTable.append(nb)
+            // h-sorted appends + bulk-batch compaction: the layout the
+            // pushed seed-key IN filter prunes against
+            idxTable.append(nb.sortWithinPartitions("h"))
+            if (bid == 0L) idxTable.compact(Seq("h"))
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -29,15 +29,42 @@ object StreamFixtures {
     * lives, never what it contains. */
   val ProviderProp = "graft.stateStoreProvider"
 
+  /** [[ProviderProp]] snapshotted ONCE at class init — the JVM-flag
+    * contract is "set at launch for the whole run" (Verify/Bench under
+    * `-Dgraft.stateStoreProvider=…`), so later mutations of the global
+    * sys.props must not leak into sessions built mid-run. */
+  private val startupProvider: Option[String] = sys.props.get(ProviderProp)
+
+  /** Thread-scoped provider override for provider-equivalence specs:
+    * scoping through a DynamicVariable instead of mutating the global
+    * property means a concurrently-running entry or parallel suite on
+    * another thread keeps the startup provider — the set/clear window
+    * race the sys.props form had. */
+  private val providerOverride =
+    new scala.util.DynamicVariable[Option[String]](startupProvider)
+
+  /** Run `f` with every [[childSession]] built on THIS thread using
+    * `provider` as its state-store provider. */
+  def withStateStoreProvider[T](provider: String)(f: => T): T =
+    providerOverride.withValue(Some(provider))(f)
+
+  /** The provider [[childSession]] would use right now: the thread's
+    * override if inside [[withStateStoreProvider]], else the startup
+    * JVM-flag snapshot. */
+  def currentProvider: Option[String] = providerOverride.value
+
   /** The per-entry child session: streaming entries size state-scoped
     * shuffle partitions to the (tiny) state rather than the corpus and
     * must not mutate the caller's conf — and the state-store provider
-    * ships here so one JVM flag flips the whole family to RocksDB. */
+    * ships here so one JVM flag flips the whole family to RocksDB
+    * (explicit parameter beats thread override beats startup flag). */
   def childSession(s: org.apache.spark.sql.SparkSession,
-                   shufflePartitions: Int): org.apache.spark.sql.SparkSession = {
+                   shufflePartitions: Int,
+                   stateStoreProvider: Option[String] = None)
+      : org.apache.spark.sql.SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
-    sys.props.get(ProviderProp).foreach(p =>
+    stateStoreProvider.orElse(currentProvider).foreach(p =>
       ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     ss
   }

@@ -118,21 +118,59 @@ object StreamNearDup {
     * re-emits the same pairs — callers dedup the pair relation (the
     * entries' distinct, which replay cannot perturb); production
     * appends route through the txn-marker machinery
-    * ([[graft.streaming.UpsertSink]]) for exactly-once. */
+    * ([[graft.streaming.UpsertSink]]) for exactly-once.
+    *
+    * Index-scan PRUNING: the batch's distinct `bh` keys (bounded:
+    * batch docs × bands, a driver-held model-state fetch) are pushed
+    * into the index read as an IN filter. When the index table is
+    * written key-sorted with small row groups
+    * ([[graft.catalog.ParquetTable.IndexWriteOptions]]) and compacted
+    * by `bh`, parquet footer min/max stats prune the scan to ~the
+    * matching row groups, so per-batch serve cost tracks the BATCH
+    * size, not the index size — the steady-state 100 TB shape. A batch
+    * whose key set exceeds `pruneKeyCap` (≈ 2 MiB of plan literals)
+    * falls back to the full bucket join: a batch that wide amortizes
+    * the scan it pays for, and the first bulk-load batch always lands
+    * on an empty index anyway.
+    *
+    * `maxBucket` mirrors [[candidateStream]]'s hot-bucket cap on the
+    * STORED side: a bucket whose stored membership is at or past the
+    * cap (degenerate boilerplate signatures) emits no cross pairs this
+    * batch — without it the bucket equi-join is quadratic in bucket
+    * size, unbounded as the index grows. The membership count reads
+    * only the join-key columns of the already-pruned scan (column
+    * pruning keeps the wide `sig` out), and the recall trade is the
+    * same one the stateful form and the batch stop-gram df cap make. */
   def hybridCandidates(newBands: DataFrame, index: DataFrame,
-                       threshold: Double = 0.7, k: Int = 64): DataFrame = {
+                       threshold: Double = 0.7, k: Int = 64,
+                       maxBucket: Int = 10000,
+                       pruneKeyCap: Int = 1 << 18): DataFrame = {
     val cutoff = math.max(0.0, threshold - 2.0 / math.sqrt(k.toDouble))
     def renamed(df: DataFrame) = df.select(col("band"), col("bh"),
       col("doc_id").as("o_id"), col("sig").as("o_sig"))
-    // restrict the index scan through the batch's BUCKET KEYS first —
-    // the key set broadcasts at any realistic batch size (16 bytes a
-    // key, vs ~0.5 KB a full band row, which could blow past the
-    // broadcast threshold and flip the index join to a sort-merge
-    // shuffle of the whole index); the subsequent row join then runs
-    // batch-vs-matching, never batch-vs-index
-    val matching = index.join(
-      broadcast(newBands.select(col("band"), col("bh")).distinct()),
-      Seq("band", "bh"))
+    val keyRows = graft.plans.Materialize.modelState(
+      newBands.select(col("bh")).distinct().limit(pruneKeyCap + 1),
+      "hybrid batch bucket keys (bh; bounded by batch docs × bands, " +
+        "pre-limited to pruneKeyCap + 1)", pruneKeyCap + 1)
+    val pruned =
+      if (keyRows.length > pruneKeyCap) index
+      else index.filter(
+        col("bh").isInCollection(keyRows.map(_.getLong(0)).toSeq))
+    // restrict the scan through the batch's BUCKET KEYS — the key set
+    // broadcasts at any realistic batch size (16 bytes a key, vs
+    // ~0.5 KB a full band row, which could blow past the broadcast
+    // threshold and flip the index join to a sort-merge shuffle of the
+    // whole index); the row join then runs batch-vs-matching
+    val batchKeys = newBands.select(col("band"), col("bh")).distinct()
+    // stored membership per matched bucket, from the pruned scan's
+    // key columns only; buckets at/over the cap are dropped before the
+    // row join ever sees their members
+    val okBuckets = pruned.join(broadcast(batchKeys), Seq("band", "bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") < maxBucket)
+      .select(col("band"), col("bh"))
+    val matching = pruned.join(broadcast(okBuckets), Seq("band", "bh"))
     val cross = newBands.join(renamed(matching), Seq("band", "bh"))
       .filter(col("o_id") =!= col("doc_id"))
       .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)

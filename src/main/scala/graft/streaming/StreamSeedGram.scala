@@ -89,13 +89,33 @@ object StreamSeedGram {
     * Replayed index rows bias only the df cap, in the conservative
     * direction (recall loss, never false pairs); production appends
     * route through the txn-marker machinery
-    * ([[graft.streaming.UpsertSink]]) for exactly-once. */
+    * ([[graft.streaming.UpsertSink]]) for exactly-once.
+    *
+    * Index-scan PRUNING (the
+    * [[graft.streaming.StreamNearDup.hybridCandidates]] contract): the
+    * batch's distinct seed hashes are pushed into the posting read as
+    * an IN filter, so an `h`-sorted index written with
+    * [[graft.catalog.ParquetTable.IndexWriteOptions]] and compacted by
+    * `h` serves a batch by reading ~the matching row groups — per-batch
+    * cost tracks the batch, not the landed corpus. Batches whose seed
+    * set exceeds `pruneKeyCap` fall back to the full posting join (a
+    * bulk load amortizes its scan; the first batch lands on an empty
+    * index regardless). */
   def hybridSeedPairs(newSeeds: DataFrame, index: DataFrame,
-                      maxDf: Int = 1000): DataFrame = {
+                      maxDf: Int = 1000,
+                      pruneKeyCap: Int = 1 << 18): DataFrame = {
+    val keyRows = graft.plans.Materialize.modelState(
+      newSeeds.select(col("h")).distinct().limit(pruneKeyCap + 1),
+      "hybrid batch seed keys (h; bounded by batch docs × seeds/doc, " +
+        "pre-limited to pruneKeyCap + 1)", pruneKeyCap + 1)
+    val pruned =
+      if (keyRows.length > pruneKeyCap) index
+      else index.filter(
+        col("h").isInCollection(keyRows.map(_.getLong(0)).toSeq))
     // matching stored postings feed the df count AND the cross join —
     // pin once; the relation is batch-seed-sized, not index-sized
     val matching = graft.plans.Materialize.stage(
-      index.join(broadcast(newSeeds.select(col("h")).distinct()), Seq("h")))
+      pruned.join(broadcast(newSeeds.select(col("h")).distinct()), Seq("h")))
     val newDf = newSeeds.groupBy(col("h")).agg(count(lit(1)).as("ndf"))
     val storedDf = matching.groupBy(col("h")).agg(count(lit(1)).as("sdf"))
     val okSeeds = newDf.join(storedDf, Seq("h"), "left")

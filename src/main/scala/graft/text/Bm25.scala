@@ -128,16 +128,24 @@ object Bm25 {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
     // [[topDocs]] ranks NON-matching documents too (score 0.0, then by
-    // id) — when fewer than k documents match any term, bring in the k
-    // lowest-id unmatched docs (no other unmatched doc can reach the
+    // id) — an unmatched doc can reach the top-k in two degenerate
+    // cases: (a) fewer than k documents match any term, and (b) the
+    // k-th MATCHED score ROUNDS to 0.0000 (a near-ubiquitous term:
+    // idf ≈ (unmatched + 0.5)/df), where topDocs breaks the 0.0 tie by
+    // id across matched and unmatched alike. Either way, bring in the
+    // k lowest-id unmatched docs (no other unmatched doc can reach the
     // top-k: they all tie at 0.0 and break by id) and re-rank the
-    // union, so the two serve paths stay row-identical even when a
-    // matched score ROUNDS to 0.0000 and ties with unmatched docs at
-    // the cut. The matched count is one cheap job over the staged
-    // match relation; the pad branch — the only doclen-wide rank —
-    // runs solely in this degenerate matches < k case.
+    // union, so the two serve paths stay row-identical. The matched
+    // count and the min-of-top-k probe are two cheap jobs over the
+    // staged match relation; the pad branch — the only doclen-wide
+    // rank — runs solely in these degenerate cases.
     val nMatched = p.select(col(idCol)).distinct().count()
-    if (nMatched >= k) matchedTop
+    val minTopRounded: Double =
+      if (nMatched == 0L) 0.0
+      else graft.plans.Materialize.modelState(
+        matchedTop.agg(min(col("score")).as("m")),
+        "bm25 matched top-k min rounded score (1 row)", 1).head.getDouble(0)
+    if (nMatched >= k && minTopRounded > 0.0) matchedTop
     else {
       val pad = doclen.select(col(idCol))
         .join(p.select(col(idCol)).distinct(), Seq(idCol), "left_anti")

@@ -116,6 +116,8 @@ object SubwordVocab {
     * thing that legitimately lives on the driver. */
   def induce(df: DataFrame, textCol: String, size: Int = 32768,
              nMin: Int = 2, nMax: Int = 5): Seq[String] =
-    induceNgramTable(df, textCol, size, nMin, nMax)
-      .collect().map(_.getString(0)).toSeq
+    graft.plans.Materialize.modelState(
+      induceNgramTable(df, textCol, size, nMin, nMax),
+      s"induced subword vocabulary (limit $size rows)", size)
+      .map(_.getString(0)).toSeq
 }

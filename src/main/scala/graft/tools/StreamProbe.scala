@@ -140,7 +140,9 @@ object StreamProbe {
     val bandSchema = StreamNearDup.bandRelation(
       graft.Tables.load(ss, dir, "documents").limit(0), "doc_id", "text").schema
     val idxTable = graft.catalog.ParquetTable(
-      ss, "sprobe_ndh_idx", s"$tmp/idx", bandSchema).createIfNotExists()
+      ss, "sprobe_ndh_idx", s"$tmp/idx", bandSchema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
     val out = tmp.resolve("pairs").toString
     val raw = ss.readStream
       .schema(ss.read.parquet(src.toString).schema)
@@ -148,12 +150,15 @@ object StreamProbe {
       .parquet(src.toString)
     val probe = withStream {
       raw.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val nb = graft.plans.Materialize.stage(
             StreamNearDup.bandRelation(batch, "doc_id", "text"))
           StreamNearDup.hybridCandidates(nb, idxTable.read(), threshold = 0.5)
             .write.mode("append").parquet(out)
-          idxTable.append(nb)
+          idxTable.append(nb.sortWithinPartitions("bh"))
+          // compact after the bulk batch only: the probe has two
+          // batches, and a production cadence amortizes the rewrite
+          if (bid == 0L) idxTable.compact(Seq("bh"))
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -183,7 +188,9 @@ object StreamProbe {
     val seedSchema = StreamSeedGram.seedRelation(
       graft.Tables.load(ss, dir, "documents").limit(0), "doc_id", "text").schema
     val idxTable = graft.catalog.ParquetTable(
-      ss, "sprobe_sch_idx", s"$tmp/idx", seedSchema).createIfNotExists()
+      ss, "sprobe_sch_idx", s"$tmp/idx", seedSchema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
     val out = tmp.resolve("pairs").toString
     val raw = ss.readStream
       .schema(ss.read.parquet(src.toString).schema)
@@ -191,14 +198,15 @@ object StreamProbe {
       .parquet(src.toString)
     val probe = withStream {
       raw.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val nb = graft.plans.Materialize.stage(
             StreamSeedGram.seedRelation(batch, "doc_id", "text",
               w = 3, seedMod = 8,
               gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3))))
           StreamSeedGram.hybridSeedPairs(nb, idxTable.read(), maxDf = 1000)
             .write.mode("append").parquet(out)
-          idxTable.append(nb)
+          idxTable.append(nb.sortWithinPartitions("h"))
+          if (bid == 0L) idxTable.compact(Seq("h"))
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -206,6 +214,77 @@ object StreamProbe {
     }
     graft.ingest.FileOps.deleteRecursively(tmp)
     probe
+  }
+
+  /** STEADY-STATE serve cost of the near-dup hybrid: the band index is
+    * pre-built over the WHOLE ×N corpus (bh-sorted, 1 MiB row groups,
+    * compacted — the layout the entries maintain), and the probe times
+    * ONLY one small arriving batch's serve (candidate joins + pair
+    * write + index append). This is the row that must stay near-FLAT
+    * as the index grows ×1→×100: the batch's bucket keys push into the
+    * index read as an IN filter, so the scan reads ~the matching row
+    * groups, not the index. Index build time is excluded — it is the
+    * bulk load every form pays once. */
+  def nearDupHybridServe(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-ndhs")
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.StreamNearDup
+    val docs = graft.Tables.load(ss, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bands = StreamNearDup.bandRelation(docs, "doc_id", "text")
+    val idxTable = graft.catalog.ParquetTable(
+      ss, "sprobe_ndhs_idx", s"$tmp/idx", bands.schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    idxTable.append(bands.sortWithinPartitions("bh"))
+    idxTable.compact(Seq("bh"))
+    val planted = docs.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000000L).as("doc_id"),
+      concat(col("text"), lit(" trailing")).as("text"))
+    val nb = graft.plans.Materialize.stage(
+      StreamNearDup.bandRelation(planted, "doc_id", "text"))
+    val t0 = System.nanoTime()
+    StreamNearDup.hybridCandidates(nb, idxTable.read(), threshold = 0.5)
+      .write.mode("append").parquet(tmp.resolve("pairs").toString)
+    idxTable.append(nb.sortWithinPartitions("bh"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    Probe(sec, 0L, 0L)
+  }
+
+  /** Steady-state serve cost of the containment hybrid — the
+    * [[nearDupHybridServe]] measurement for the posting index. */
+  def containmentHybridServe(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-schs")
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.StreamSeedGram
+    val docs = graft.Tables.load(ss, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val gramFn = Some(graft.text.Dedup.portableGramHashes(_: org.apache.spark.sql.Column, 3))
+    val seeds = StreamSeedGram.seedRelation(docs, "doc_id", "text",
+      w = 3, seedMod = 8, gramFn = gramFn)
+    val idxTable = graft.catalog.ParquetTable(
+      ss, "sprobe_schs_idx", s"$tmp/idx", seeds.schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    idxTable.append(seeds.sortWithinPartitions("h"))
+    idxTable.compact(Seq("h"))
+    val pad = array_join(
+      transform(sequence(lit(1), lit(1499)),
+        i => concat(lit("pady"), i.cast("string"))), " ")
+    val buried = docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 500000000L).as("doc_id"),
+      concat(col("text"), lit(" "), pad).as("text"))
+    val nb = graft.plans.Materialize.stage(
+      StreamSeedGram.seedRelation(buried, "doc_id", "text",
+        w = 3, seedMod = 8, gramFn = gramFn))
+    val t0 = System.nanoTime()
+    StreamSeedGram.hybridSeedPairs(nb, idxTable.read(), maxDf = 1000)
+      .write.mode("append").parquet(tmp.resolve("pairs").toString)
+    idxTable.append(nb.sortWithinPartitions("h"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    Probe(sec, 0L, 0L)
   }
 
   /** q_stream_containment's machinery: seed-gram posting state. */
@@ -289,8 +368,10 @@ object StreamProbe {
       "stream_neardup" -> nearDup,
       "stream_neardup_ttl" -> nearDupTtl,
       "stream_neardup_hybrid" -> nearDupHybrid,
+      "stream_neardup_hybrid_serve" -> nearDupHybridServe,
       "stream_containment" -> containment,
       "stream_containment_hybrid" -> containmentHybrid,
+      "stream_containment_hybrid_serve" -> containmentHybridServe,
       "stream_vector_ingest" -> vectorIngest)
     val pipelines = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES") match {
       case Some(sel) =>

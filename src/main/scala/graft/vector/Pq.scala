@@ -161,6 +161,22 @@ object Pq {
       .select(col(idCol), col("sub"), col("__a").getField("code").as("code"),
         col("__a").getField("dist").as("sdist"))
 
+  /** Rebuild the driver-held books structure from a STORED (sub, code,
+    * cv) codebook relation — the day-2 ingest path: quantizers are
+    * model-sized (m·ksub rows), so collecting them back to literals is
+    * the centroid O3 stance, and per-batch encode stays map-side.
+    * Rows are sorted (sub, code) for determinism; assignment itself is
+    * order-independent (array_min ties break by lowest code). */
+  def booksFrom(codebooks: DataFrame): Seq[(Int, Seq[(Long, Seq[Double])])] =
+    graft.plans.Materialize.modelState(
+      codebooks.select(col("sub"), col("code"), col("cv")),
+      "PQ codebook relation (m·ksub rows)", 1 << 14)
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sub, rows) =>
+        (sub, rows.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
+      }
+
   /** The codebooks as a (sub, code, cv) relation for ADC joins. */
   def codebookDf(spark: org.apache.spark.sql.SparkSession,
                  books: Seq[(Int, Seq[(Long, Seq[Double])])]): DataFrame = {

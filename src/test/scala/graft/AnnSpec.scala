@@ -152,4 +152,44 @@ class AnnSpec extends AnyFunSuite {
     assert(top.head.getDouble(1) == 1.0)
     assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("q_hybrid_retrieval timed variant: staged serve tracks the exact RRF fusion") {
+    // the Q contract spec for the staged hybrid serve: the lexical
+    // side is BIT-IDENTICAL (stored postings replay the corpus-scan
+    // BM25 exactly — the Bm25Spec contract), so wherever a doc carries
+    // a lexical rank in both outputs the ranks must be EQUAL; the
+    // dense side is the adjudicated IVF-PQ approximation, so the fused
+    // top-20 is required to overlap, not to match.
+    val fn = SparkEntry.queries("q_hybrid_retrieval")(spark, TestSpark.sf)
+    val timed = graft.queries.Registry
+      .benchQueries("q_hybrid_retrieval")(spark, TestSpark.sf)
+    assert(fn.schema == timed.schema,
+      s"schema drift: ${fn.schema} vs ${timed.schema}")
+    val a = fn.collect()
+    val b = timed.collect()
+    assert(a.nonEmpty && b.nonEmpty)
+    def lexRanks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getLong(0) -> r.getInt(1))).toMap
+    val (la, lb) = (lexRanks(a), lexRanks(b))
+    la.keySet.intersect(lb.keySet).foreach { id =>
+      assert(la(id) == lb(id), s"lexical rank drift for doc $id: ${la(id)} vs ${lb(id)}")
+    }
+    val ids = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(_.getLong(0)).toSet
+    // the fused-set floor is deliberately LOW: the synthetic embeddings
+    // are near-random (pairwise cosines ≈ 0.26–0.45 — the documented
+    // AnnSpec property), where cell-routed candidates structurally miss
+    // most of the exact top-100, so the dense lists disagree by DATA,
+    // not by defect (measured jaccard ≈ 0.21 at sf0.001). The floor
+    // guards against a BROKEN fusion (disjoint/empty); composition
+    // correctness rides the lexical bit-identity above plus the
+    // component oracles (ivfCandidates + adcTopKWithinIndexed are both
+    // replayed bit-for-bit by q_ann_ivfpq_stage's DuckDB oracle, the
+    // postings serve by q_bm25_index's).
+    val overlap = ids(a).intersect(ids(b)).size.toDouble /
+      ids(a).union(ids(b)).size
+    assert(overlap >= 0.1,
+      s"fused top-20 diverged: jaccard=$overlap fn=${ids(a)} timed=${ids(b)}")
+  }
 }

@@ -50,4 +50,25 @@ class Bm25Spec extends AnyFunSuite {
     assert(inline.map(_._1) == Seq(2L, 5L, 1L, 7L), inline)
     assert(inline.drop(2).forall(_._2 == 0.0), inline)
   }
+
+  test("rounds-to-zero tie: indexed serve matches inline when every matched score rounds to 0.0000") {
+    // a near-ubiquitous term (idf ≈ 1.5/40000) scores ~4e-5 per matched
+    // doc → 0.0000 after the 4-decimal rounding, so the inline path's
+    // (score desc, id) ranking ties matched docs WITH the unmatched doc
+    // 0 at 0.0 and breaks by id — doc 0 (unmatched!) wins. The indexed
+    // path's nMatched >= k branch alone would return matched docs only;
+    // the min-rounded-score probe must detect the tie and take the pad
+    // union.
+    val n = 40000L
+    val docs = spark.range(1L, n + 1L)
+      .select(col("id").as("doc_id"), lit("zz").as("text"))
+      .unionByName(Seq((0L, "aa bb")).toDF("doc_id", "text"))
+    val inline = Bm25.topDocs(docs, "doc_id", "text", Seq("zz"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = indexed(docs, Seq("zz"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inline == idx, s"inline $inline vs indexed $idx")
+    assert(inline.map(_._1) == Seq(0L, 1L, 2L), inline)
+    assert(inline.forall(_._2 == 0.0), inline)
+  }
 }

@@ -152,4 +152,30 @@ class ClassifierSpec extends AnyFunSuite {
       s"hist=$hist exact=$exact")
     assert(hist > 0.55 && hist < 0.95, s"degenerate fixture: $hist")
   }
+
+  test("q_curation_v3 timed variant: approx-threshold survivors track the exact top-30% gate") {
+    // the Q contract: a benchFn is the same operator minus the oracle
+    // scaffolding, asserted by a spec. The timed curation plan swaps
+    // the exact corpus-wide rank gate (top 30% by margin) for an
+    // approx_percentile(am, 0.7) threshold — at accuracy 10000 over a
+    // corpus-sized margin relation the two survivor sets must agree up
+    // to the estimator's rank error, so the emitted row SETS must stay
+    // near-identical (same schema, high overlap, close counts); exact
+    // equality is NOT promised — that is precisely the trade the
+    // adjudicated q_classifier_filter_approx pattern makes.
+    val fn = SparkEntry.queries("q_curation_v3")(spark, TestSpark.sf)
+    val timed = graft.queries.Registry
+      .benchQueries("q_curation_v3")(spark, TestSpark.sf)
+    assert(fn.schema == timed.schema,
+      s"schema drift: ${fn.schema} vs ${timed.schema}")
+    val a = fn.collect().map(_.toSeq).toSet
+    val b = timed.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && b.nonEmpty)
+    val overlap = (a intersect b).size.toDouble / (a union b).size
+    assert(overlap >= 0.9,
+      s"survivor sets diverged: jaccard=$overlap |fn|=${a.size} |timed|=${b.size}")
+    val rel = math.abs(a.size - b.size).toDouble / a.size
+    assert(rel <= 0.1,
+      s"survivor counts diverged: |fn|=${a.size} |timed|=${b.size}")
+  }
 }

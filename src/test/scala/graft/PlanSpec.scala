@@ -295,11 +295,14 @@ class PlanSpec extends AnyFunSuite {
     // the stored assignment table joined to corpus vectors — exactly 2
     // joins (index join on id + candidate join on cell), 1 window (the
     // final rank), and no k-means/argmax recomputation anywhere.
-    val df = SparkEntry.queries("q_ann_ivf_stage")(spark, sf)
+    // the BENCH path: its per-JVM memoized stage dir persists, where
+    // the correctness fn pins its result and reclaims its stage dir
+    // (the plan of a pinned result is just the checkpoint scan)
+    val df = graft.queries.Registry.benchQueries("q_ann_ivf_stage")(spark, sf)
     df.collect() // finalize the adaptive plan
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("graft-ivf-stage"),
+    assert(plan.contains("graft-ivf-bench"),
       s"serve plan does not scan the stage table:\n$plan")
     val logical = df.queryExecution.optimizedPlan.toString
     assert("\\bJoin\\b".r.findAllIn(logical).size == 2, logical)
@@ -317,11 +320,12 @@ class PlanSpec extends AnyFunSuite {
     // are the candidate route (assign ⋈ broadcast probes), the code
     // equi-join, the lookup-table join and the codebook broadcast — 4
     // joins, 0 windows (top-k rides the graft_topk aggregate).
-    val df = SparkEntry.queries("q_ann_ivfpq_stage")(spark, sf)
+    // bench path for the same reason as the IVF gate above
+    val df = graft.queries.Registry.benchQueries("q_ann_ivfpq_stage")(spark, sf)
     df.collect() // finalize the adaptive plan
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("graft-ivfpq-stage"),
+    assert(plan.contains("graft-ivfpq-bench"),
       s"serve plan does not scan the stage tables:\n$plan")
     val logical = df.queryExecution.optimizedPlan.toString
     assert("\\bJoin\\b".r.findAllIn(logical).size == 4, logical)
@@ -341,7 +345,7 @@ class PlanSpec extends AnyFunSuite {
     // relation. The point of the gate: no FURTHER embeddings scans —
     // training would add seed/Lloyd/encode passes over the corpus.
     assert(scans.count(_.contains("embeddings.parquet")) == 2, scans)
-    assert(scans.count(_.contains("graft-ivfpq-stage")) == 3, scans)
+    assert(scans.count(_.contains("graft-ivfpq-bench")) == 3, scans)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
@@ -351,17 +355,18 @@ class PlanSpec extends AnyFunSuite {
     // — training would add a documents scan — and (b) push the query-
     // term IN filter into the postings parquet scan so only matching
     // row groups are read (the inverted-index story at 100 TB).
-    val df = SparkEntry.queries("q_bm25_index")(spark, sf)
+    // bench path for the same reason as the IVF gate above
+    val df = graft.queries.Registry.benchQueries("q_bm25_index")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("graft-bm25-stage"),
+    assert(plan.contains("graft-bm25-bench"),
       s"serve plan does not scan the stage tables:\n$plan")
     // the matching-postings relation is staged (multi-consumer pin), so
     // its scan runs inside the eager materialization and is invisible
     // in the output plan — probe the filtered postings read directly
     // against the same stage dir (recovered from the output plan)
-    val stageDir = "/tmp/graft-bm25-stage[0-9]+".r.findFirstIn(plan)
+    val stageDir = "/tmp/graft-bm25-bench[0-9]+".r.findFirstIn(plan)
       .getOrElse(fail(s"no stage dir in plan:\n$plan"))
     val pplan = spark.read.parquet(s"$stageDir/postings")
       .filter(col("tok").isin("spark", "stream", "merge", "window"))
@@ -377,7 +382,136 @@ class PlanSpec extends AnyFunSuite {
         }
     }
     assert(scans.count(_.contains("documents.parquet")) == 0, scans)
-    assert(scans.count(_.contains("graft-bm25-stage")) >= 2, scans)
+    assert(scans.count(_.contains("graft-bm25-bench")) >= 2, scans)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hybrid index serve: batch bucket keys are pushed into the stored-index scan") {
+    // the zero-state hybrids' steady-state shape: each micro-batch's
+    // bounded bucket-key set must reach the index parquet scan as an
+    // IN filter, so a bh/h-sorted small-row-group index serves a batch
+    // by reading ~the matching row groups — per-batch cost tracks the
+    // batch, not the landed corpus
+    import spark.implicits._
+    import graft.streaming.{StreamNearDup, StreamSeedGram}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hyb-plan")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "other words entirely unrelated to anything stored before now"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+
+    val bands = StreamNearDup.bandRelation(docs, "doc_id", "text")
+    val bIdx = graft.catalog.ParquetTable(spark, "hyb_plan_b",
+      s"$tmp/bidx", bands.schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    bIdx.append(bands.sortWithinPartitions("bh"))
+    val nb = graft.plans.Materialize.stage(StreamNearDup.bandRelation(
+      Seq((3L, a + " trailing")).toDF("doc_id", "text"), "doc_id", "text"))
+    val servedB = StreamNearDup.hybridCandidates(nb, bIdx.read(),
+      threshold = 0.5)
+    val planB = servedB.queryExecution.executedPlan.toString
+    assert(planB.contains("PushedFilters: [In(bh"),
+      s"bucket-key IN filter not pushed to the band-index scan:\n$planB")
+    // key cap exceeded → documented fallback to the full bucket join,
+    // same answer (a batch that wide amortizes the scan it pays for)
+    val fullB = StreamNearDup.hybridCandidates(nb, bIdx.read(),
+      threshold = 0.5, pruneKeyCap = 1)
+    assert(!fullB.queryExecution.executedPlan.toString.contains("In(bh"))
+    assert(fullB.collect().toSet == servedB.collect().toSet)
+    assert(servedB.collect().nonEmpty)
+
+    val seeds = StreamSeedGram.seedRelation(docs, "doc_id", "text",
+      w = 3, seedMod = 1)
+    val sIdx = graft.catalog.ParquetTable(spark, "hyb_plan_s",
+      s"$tmp/sidx", seeds.schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    sIdx.append(seeds.sortWithinPartitions("h"))
+    val ns = graft.plans.Materialize.stage(StreamSeedGram.seedRelation(
+      Seq((3L, a + " trailing")).toDF("doc_id", "text"), "doc_id", "text",
+      w = 3, seedMod = 1))
+    // the matching-postings relation is staged inside hybridSeedPairs
+    // (multi-consumer pin), so the pushed filter is invisible in the
+    // OUTPUT plan — probe the filtered posting read the same way the
+    // bm25 gate does
+    val keyed = sIdx.read().filter(col("h").isInCollection(
+      ns.select(col("h")).distinct().collect().map(_.getLong(0)).toSeq))
+    val planS = keyed.queryExecution.executedPlan.toString
+    assert(planS.contains("PushedFilters: [In(h"),
+      s"seed-key IN filter not pushed to the posting-index scan:\n$planS")
+    val servedS = StreamSeedGram.hybridSeedPairs(ns, sIdx.read(), maxDf = 100)
+    assert(servedS.collect().nonEmpty)
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
+  test("index-insert per-batch plan: assign + encode are map-side, no training lineage") {
+    // q_ann_index_insert's foreachBatch runs exactly these two plans
+    // per arriving batch: nearest-stored-centroid assignment and PQ
+    // encoding against stored codebooks. Both quantizers ride the plan
+    // as literals (model-sized collects), so each plan must be ONE
+    // scan of the batch with no shuffle, no join, no window, no
+    // aggregate — training lineage (Lloyd rounds, graft_topk seed
+    // picks) would surface as aggregates/shuffles here.
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.vector.KMeans.fitCentroids(
+      emb, "vec_id", "embedding", k = 16, iters = 2)
+    import spark.implicits._
+    val centroids = cents.toDF("cid", "embedding")
+    val books = graft.vector.Pq.fitCodebooks(emb, "vec_id", "embedding",
+      m = 8, dim = 64, ksub = 16, iters = 2)
+    val batch = emb.filter(col("vec_id") % 2 === 0)
+    for (df <- Seq(
+        graft.vector.Ann.ivfAssign(batch, "vec_id", "embedding", centroids),
+        graft.vector.Pq.encode(batch, "vec_id", "embedding", 8, 64, books)
+          .select(col("vec_id"), col("sub"), col("code")))) {
+      df.collect()
+      val nodes = executedNodes(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        nodes.mkString("\n"))
+      assert(!nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]), nodes.mkString("\n"))
+      assert(!nodes.exists(n => n.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+        n.isInstanceOf[
+          org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+        n.isInstanceOf[
+          org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+        nodes.mkString("\n"))
+      assert(nodes.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.FileSourceScanExec]) == 1,
+        nodes.mkString("\n"))
+    }
+  }
+
+  test("staged hybrid retrieval: timed serve reads both stored indexes, never the corpora") {
+    // q_hybrid_retrieval's benchFn composes the persisted BM25 postings
+    // serve with the persisted IVF-PQ cell-routed serve under the same
+    // RRF fusion — the timed plan must scan the stage tables and the
+    // one-row query fetch only: a documents scan means the lexical side
+    // regressed to the corpus pass, further embeddings scans mean
+    // training or brute-force leaked back in.
+    val df = graft.queries.Registry
+      .benchQueries("q_hybrid_retrieval")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("graft-hybrid-bench"),
+      s"serve plan does not scan the stage tables:\n$plan")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.count(_.contains("documents.parquet")) == 0, scans)
+    // the query vector fetch feeds two consumers (probe routing + the
+    // ADC lookup table) — same allowance as the IVF-PQ stage gate
+    assert(scans.count(_.contains("embeddings.parquet")) == 2, scans)
+    assert(scans.count(_.contains("graft-hybrid-bench")) >= 3, scans)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 

@@ -817,23 +817,115 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("childSession ships the state-store provider from the JVM flag") {
+  test("hybrid stored-index hot buckets are capped: boilerplate buckets emit no cross pairs") {
+    // the stored-side analogue of candidateStream's maxBucket: without
+    // it a hot (band, bh) bucket (degenerate boilerplate signatures)
+    // makes the per-batch bucket equi-join quadratic in bucket size,
+    // unbounded as the index grows
+    import graft.streaming.StreamNearDup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndh-cap")
+    val boiler = "same boilerplate text repeated across many documents word word word"
+    val other = "a completely different document about unrelated topics and words"
+    val idxDocs = Seq((11L, boiler), (12L, boiler), (13L, boiler),
+      (21L, other)).toDF("doc_id", "text")
+    val bands = StreamNearDup.bandRelation(idxDocs, "doc_id", "text")
+    val idx = graft.catalog.ParquetTable(
+      spark, "ndh_cap_idx", s"$tmp/idx", bands.schema).createIfNotExists()
+    idx.append(bands)
+    val nb = graft.plans.Materialize.stage(StreamNearDup.bandRelation(
+      Seq((1L, boiler), (2L, other)).toDF("doc_id", "text"),
+      "doc_id", "text"))
+    def pairs(maxBucket: Int): Set[(Long, Long)] =
+      StreamNearDup.hybridCandidates(nb, idx.read(), threshold = 0.7,
+          maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap far above the fixture: every stored near-dup is found
+    assert(pairs(10000) == Set((1L, 11L), (1L, 12L), (1L, 13L), (2L, 21L)))
+    // cap 3 = the boilerplate buckets' stored membership: those buckets
+    // are skipped this batch; the cold bucket still serves
+    assert(pairs(3) == Set((2L, 21L)))
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
+  test("index compaction preserves the hybrid serve answer and defragments the file sets") {
+    // per-batch appends fragment the stored index (one file set per
+    // micro-batch); compact(Seq("bh")) rewrites it globally bh-sorted —
+    // the layout the pushed IN filter prunes — and must not change a
+    // single served pair
+    import graft.streaming.StreamNearDup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndh-compact")
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val bandsOf = (rows: Seq[(Long, String)]) =>
+      StreamNearDup.bandRelation(rows.toDF("doc_id", "text"), "doc_id", "text")
+    val idx = graft.catalog.ParquetTable(
+      spark, "ndh_compact_idx", s"$tmp/idx", bandsOf(Seq()).schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    // three micro-batch appends, two files each
+    Seq(Seq(1L -> base, 2L -> "entirely different words about state stores"),
+        Seq(3L -> (base + " extra")),
+        Seq(4L -> "another unrelated document with novel tokens throughout"))
+      .foreach(rows => idx.append(
+        bandsOf(rows).repartition(2).sortWithinPartitions("bh")))
+    def dataFiles(): Int = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$tmp/idx"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val nb = graft.plans.Materialize.stage(bandsOf(Seq(9L -> (base + " more"))))
+    def served(): Seq[(Long, Long)] =
+      StreamNearDup.hybridCandidates(nb, idx.read(), threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val filesBefore = dataFiles()
+    val before = served()
+    assert(before.nonEmpty)
+    idx.compact(Seq("bh"))
+    assert(served() == before, "compaction changed the served pairs")
+    assert(dataFiles() < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> ${dataFiles()}")
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
+  test("childSession ships the state-store provider from the scoped override") {
     // the one-flag RocksDB flip for the whole streaming family rests on
     // this plumbing — gate it directly so a silent break cannot turn
-    // the provider-equivalence test into default-vs-default
+    // the provider-equivalence test into default-vs-default. The
+    // override is THREAD-scoped (DynamicVariable), not a sys.props
+    // mutation: a concurrent suite on another thread must keep the
+    // startup provider.
     val key = "spark.sql.streaming.stateStore.providerClass"
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     val plain = graft.queries.StreamFixtures.childSession(spark, 4)
     assert(plain.conf.get("spark.sql.shuffle.partitions") == "4")
     assert(plain.conf.getOption(key).forall(_ != rocks))
-    System.setProperty(graft.queries.StreamFixtures.ProviderProp, rocks)
-    try {
+    // a SIBLING thread (created outside the scope — a parallel suite,
+    // a concurrently-running entry) must keep the startup provider;
+    // DynamicVariable inheritance applies only to threads the scoped
+    // work itself spawns
+    var otherThreadConf: Option[String] = None
+    val sibling = new Thread(() => {
+      otherThreadConf = graft.queries.StreamFixtures
+        .childSession(spark, 4).conf.getOption(key)
+    })
+    graft.queries.StreamFixtures.withStateStoreProvider(rocks) {
       val ss = graft.queries.StreamFixtures.childSession(spark, 4)
       assert(ss.conf.get(key) == rocks)
       // the parent session's conf must never be mutated
       assert(spark.conf.getOption(key).forall(_ != rocks))
-    } finally System.clearProperty(graft.queries.StreamFixtures.ProviderProp)
+      sibling.start(); sibling.join()
+      assert(otherThreadConf.forall(_ != rocks),
+        "provider override leaked to a sibling thread")
+    }
+    // scope exited: back to default
+    val after = graft.queries.StreamFixtures.childSession(spark, 4)
+    assert(after.conf.getOption(key).forall(_ != rocks))
+    // explicit parameter beats the scope
+    val explicit = graft.queries.StreamFixtures
+      .childSession(spark, 4, Some(rocks))
+    assert(explicit.conf.get(key) == rocks)
   }
 
   test("stateful registry entries are byte-identical under RocksDB vs the default provider") {
@@ -849,16 +941,13 @@ class StreamingSpec extends AnyFunSuite {
     for (name <- Seq("q_stream_neardup", "q_stream_containment",
         "q_stream_sessionize")) {
       val base = SparkEntry.queries(name)(spark, TestSpark.sf).collect().toSeq
-      System.setProperty(graft.queries.StreamFixtures.ProviderProp, rocks)
-      try {
-        val rocksRows =
+      val rocksRows =
+        graft.queries.StreamFixtures.withStateStoreProvider(rocks) {
           SparkEntry.queries(name)(spark, TestSpark.sf).collect().toSeq
-        assert(base == rocksRows,
-          s"$name differs under RocksDBStateStoreProvider")
-        assert(base.nonEmpty, s"$name produced no rows")
-      } finally {
-        System.clearProperty(graft.queries.StreamFixtures.ProviderProp)
-      }
+        }
+      assert(base == rocksRows,
+        s"$name differs under RocksDBStateStoreProvider")
+      assert(base.nonEmpty, s"$name produced no rows")
     }
   }
 
