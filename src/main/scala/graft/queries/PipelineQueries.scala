@@ -520,23 +520,21 @@ object PipelineQueries {
           .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val q = raw.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             // sign once, consume twice (candidate joins + index append)
             val nb = graft.plans.Materialize.stage(
               StreamNearDup.bandRelation(batch, "doc_id", "text"))
             pairTable.append(
               StreamNearDup.hybridCandidates(nb, idxTable.read(),
                 threshold = 0.5))
-            // append key-sorted so footer stats stay tight for the next
-            // batch's pushed IN filter; compaction (a production
-            // pipeline runs it every N batches) re-sorts the whole
-            // index by bh and defragments the per-batch file sets —
-            // here after the bulk batch, so batch 2 serves the
-            // compacted layout (StreamingSpec pins compaction
-            // byte-identity; rewriting again after the final tiny
-            // batch would buy nothing)
+            // append key-sorted so footer stats stay tight for the
+            // next batch's pushed IN filter. Compaction runs on a
+            // CADENCE in production (compact(Seq("bh")) every N
+            // batches — StreamingSpec pins pair byte-identity across
+            // it, StreamProbe's serve row measures against the
+            // compacted layout); a 2-batch fixture is below any sane
+            // cadence, and per-append bh-sorted files already prune.
             idxTable.append(nb.sortWithinPartitions("bh"))
-            if (bid == 0L) idxTable.compact(Seq("bh"))
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -743,17 +741,16 @@ object PipelineQueries {
           .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val q = raw.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val nb = graft.plans.Materialize.stage(
               StreamSeedGram.seedRelation(batch, "doc_id", "text",
                 w = 3, seedMod = 8,
                 gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3))))
             pairTable.append(StreamSeedGram.hybridSeedPairs(
               nb, idxTable.read(), maxDf = 1000))
-            // h-sorted appends + bulk-batch compaction: the layout the
-            // pushed seed-key IN filter prunes against
+            // h-sorted appends: the layout the pushed seed-key IN
+            // filter prunes against (cadence compaction as above)
             idxTable.append(nb.sortWithinPartitions("h"))
-            if (bid == 0L) idxTable.compact(Seq("h"))
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

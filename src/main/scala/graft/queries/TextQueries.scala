@@ -901,6 +901,72 @@ object TextQueries {
           buildBm25Stage(s, d, java.nio.file.Files
             .createTempDirectory("graft-bm25-bench").toString))))),
 
+    // STREAMING ingest into the BM25 inverted index — the day-2 shape
+    // of q_bm25_index (the q_ann_index_insert pattern for the text
+    // index): arriving document batches are tokenized and posting-ized
+    // map-side per batch (each doc lands in exactly one batch, so the
+    // per-batch groupBy(tok, doc) equals the one-shot postings build
+    // row for row), appended tok-sorted to the postings stage table
+    // (IndexWriteOptions + a bulk-batch compaction keep the pushed
+    // term-IN filter pruning), document lengths appended alongside.
+    // The corpus STATS are not stored at all: n_docs and avgdl are
+    // DERIVED from the doclen table at serve (one aggregate over a
+    // two-column relation; dl is an exact long, so the distributed sum
+    // is order-independent and avgdl lands bit-identical to the
+    // one-shot stats pass). The SAME BM25 oracle gates the streamed
+    // index: the serve must be row-identical to the corpus-scan form.
+    "q_bm25_index_stream" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-str")
+        val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        StreamFixtures.writeBatch(tmp, src,
+          docs.filter(col("doc_id") % 2 === 0), "a",
+          parts = 4, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src,
+          docs.filter(col("doc_id") % 2 === 1), "b",
+          parts = 4, mtimeMs = 1000000060000L)
+        val ss = StreamFixtures.childSession(s, 4)
+        val (p0, d0, _) = graft.text.Bm25.buildIndex(
+          graft.Tables.load(ss, dir, "documents").limit(0), "doc_id", "text")
+        val pTable = graft.catalog.ParquetTable(
+          ss, "bm25s_postings", s"$tmp/postings", p0.schema,
+          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+          .createIfNotExists()
+        val dTable = graft.catalog.ParquetTable(
+          ss, "bm25s_doclen", s"$tmp/doclen", d0.schema).createIfNotExists()
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "4")
+          .parquet(src.toString)
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val (p, d, _) = graft.text.Bm25.buildIndex(batch, "doc_id", "text")
+            pTable.append(p.sortWithinPartitions("tok"))
+            dTable.append(d)
+            if (bid == 0L) pTable.compact(Seq("tok"))
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val doclen = s.read.parquet(s"$tmp/doclen")
+        val stats = doclen.agg(count(lit(1)).as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val out = graft.plans.Materialize.stage(
+          graft.text.Bm25.topDocsIndexed(
+            s.read.parquet(s"$tmp/postings"), doclen, stats,
+            "doc_id", bm25Terms, k = 20))
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        out
+      },
+      Some(bm25Oracle),
+      // timed family gate: q_bm25_index (the streamed index serves the
+      // identical relations; per-batch ingest cost is the map-side
+      // posting build)
+      bench = false),
+
     // Stratified sampling (graft.plans.Sampling): deterministic
     // hash-threshold keep per language stratum (downsample dominant
     // 'en' to 20%) — map-side, engine-recomputable, stable under

@@ -128,10 +128,12 @@ object StreamNearDup {
     * by `bh`, parquet footer min/max stats prune the scan to ~the
     * matching row groups, so per-batch serve cost tracks the BATCH
     * size, not the index size — the steady-state 100 TB shape. A batch
-    * whose key set exceeds `pruneKeyCap` (≈ 2 MiB of plan literals)
-    * falls back to the full bucket join: a batch that wide amortizes
-    * the scan it pays for, and the first bulk-load batch always lands
-    * on an empty index anyway.
+    * whose key set exceeds `pruneKeyCap` falls back to the full bucket
+    * join: driver-held key plumbing costs grow with the key count
+    * (measured ~3 s of planning at 76k keys) while a batch that wide
+    * amortizes the one scan it pays for — and the bulk-load batches
+    * that produce such key sets land on a small index anyway. Raise
+    * the cap when serving wide batches against a truly huge index.
     *
     * `maxBucket` mirrors [[candidateStream]]'s hot-bucket cap on the
     * STORED side: a bucket whose stored membership is at or past the
@@ -144,27 +146,45 @@ object StreamNearDup {
   def hybridCandidates(newBands: DataFrame, index: DataFrame,
                        threshold: Double = 0.7, k: Int = 64,
                        maxBucket: Int = 10000,
-                       pruneKeyCap: Int = 1 << 18): DataFrame = {
+                       pruneKeyCap: Int = 8192): DataFrame = {
     val cutoff = math.max(0.0, threshold - 2.0 / math.sqrt(k.toDouble))
     def renamed(df: DataFrame) = df.select(col("band"), col("bh"),
       col("doc_id").as("o_id"), col("sig").as("o_sig"))
+    // ONE distinct job computes the batch's bucket-key set; below the
+    // cap the driver-held rows then serve BOTH pruning consumers — the
+    // pushed bh IN filter and the (band, bh) key join's broadcast side
+    // (a local relation: no second distributed distinct per consumer)
+    val keySchema = newBands.select(col("band"), col("bh")).schema
     val keyRows = graft.plans.Materialize.modelState(
-      newBands.select(col("bh")).distinct().limit(pruneKeyCap + 1),
-      "hybrid batch bucket keys (bh; bounded by batch docs × bands, " +
-        "pre-limited to pruneKeyCap + 1)", pruneKeyCap + 1)
-    val pruned =
-      if (keyRows.length > pruneKeyCap) index
-      else index.filter(
-        col("bh").isInCollection(keyRows.map(_.getLong(0)).toSeq))
+      newBands.select(col("band"), col("bh")).distinct()
+        .limit(pruneKeyCap + 1),
+      "hybrid batch bucket keys (band, bh; bounded by batch docs × " +
+        "bands, pre-limited to pruneKeyCap + 1)", pruneKeyCap + 1)
     // restrict the scan through the batch's BUCKET KEYS — the key set
     // broadcasts at any realistic batch size (16 bytes a key, vs
     // ~0.5 KB a full band row, which could blow past the broadcast
     // threshold and flip the index join to a sort-merge shuffle of the
-    // whole index); the row join then runs batch-vs-matching
-    val batchKeys = newBands.select(col("band"), col("bh")).distinct()
-    // stored membership per matched bucket, from the pruned scan's
-    // key columns only; buckets at/over the cap are dropped before the
-    // row join ever sees their members
+    // whole index); the row join then runs batch-vs-matching. Two
+    // PRUNED scans, deliberately NOT pinned: the membership-count scan
+    // reads only the key columns (column pruning keeps the wide `sig`
+    // out — a hot bucket is counted without ever materializing its
+    // members), and keeping `matching` a straight FileScan join
+    // preserves its size estimate so the cross join below broadcasts
+    // it (an eagerly staged RDD loses stats and flips the cross join
+    // into a full shuffle of the batch — measured 3× slower).
+    val (pruned, batchKeys) =
+      if (keyRows.length > pruneKeyCap)
+        // key set too wide to hold driver-side: the documented
+        // fallback — full scan, distributed key distinct
+        (index, newBands.select(col("band"), col("bh")).distinct())
+      else
+        (if (keyRows.isEmpty) index.filter(lit(false))
+         else index.filter(org.apache.spark.sql.graft.ColumnBridge
+           .inSet("bh", keyRows.map(r => Long.box(r.getLong(1))).toSet)),
+          newBands.sparkSession.createDataFrame(
+            java.util.Arrays.asList(keyRows: _*), keySchema))
+    // buckets at/over the cap are dropped before the row join ever
+    // multiplies their members
     val okBuckets = pruned.join(broadcast(batchKeys), Seq("band", "bh"))
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__n"))

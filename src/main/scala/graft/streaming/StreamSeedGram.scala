@@ -98,24 +98,35 @@ object StreamSeedGram {
     * [[graft.catalog.ParquetTable.IndexWriteOptions]] and compacted by
     * `h` serves a batch by reading ~the matching row groups — per-batch
     * cost tracks the batch, not the landed corpus. Batches whose seed
-    * set exceeds `pruneKeyCap` fall back to the full posting join (a
-    * bulk load amortizes its scan; the first batch lands on an empty
-    * index regardless). */
+    * set exceeds `pruneKeyCap` fall back to the full posting join:
+    * driver-held key plumbing costs grow with the key count while a
+    * batch that wide amortizes its one scan (the
+    * StreamNearDup.hybridCandidates measurement); raise the cap to
+    * serve wide batches against a truly huge index. */
   def hybridSeedPairs(newSeeds: DataFrame, index: DataFrame,
                       maxDf: Int = 1000,
-                      pruneKeyCap: Int = 1 << 18): DataFrame = {
+                      pruneKeyCap: Int = 8192): DataFrame = {
+    // one distinct job; below the cap the driver-held keys serve both
+    // the pushed IN filter and the posting join's broadcast side (the
+    // StreamNearDup.hybridCandidates stance)
+    val keySchema = newSeeds.select(col("h")).schema
     val keyRows = graft.plans.Materialize.modelState(
       newSeeds.select(col("h")).distinct().limit(pruneKeyCap + 1),
       "hybrid batch seed keys (h; bounded by batch docs × seeds/doc, " +
         "pre-limited to pruneKeyCap + 1)", pruneKeyCap + 1)
-    val pruned =
-      if (keyRows.length > pruneKeyCap) index
-      else index.filter(
-        col("h").isInCollection(keyRows.map(_.getLong(0)).toSeq))
     // matching stored postings feed the df count AND the cross join —
     // pin once; the relation is batch-seed-sized, not index-sized
     val matching = graft.plans.Materialize.stage(
-      pruned.join(broadcast(newSeeds.select(col("h")).distinct()), Seq("h")))
+      if (keyRows.length > pruneKeyCap)
+        index.join(broadcast(newSeeds.select(col("h")).distinct()), Seq("h"))
+      else {
+        val pruned =
+          if (keyRows.isEmpty) index.filter(lit(false))
+          else index.filter(org.apache.spark.sql.graft.ColumnBridge
+            .inSet("h", keyRows.map(r => Long.box(r.getLong(0))).toSet))
+        pruned.join(broadcast(newSeeds.sparkSession.createDataFrame(
+          java.util.Arrays.asList(keyRows: _*), keySchema)), Seq("h"))
+      })
     val newDf = newSeeds.groupBy(col("h")).agg(count(lit(1)).as("ndf"))
     val storedDf = matching.groupBy(col("h")).agg(count(lit(1)).as("sdf"))
     val okSeeds = newDf.join(storedDf, Seq("h"), "left")

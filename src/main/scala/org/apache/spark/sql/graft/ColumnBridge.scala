@@ -26,6 +26,19 @@ object ColumnBridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `name IN values` as a CONSTANT-SIZE plan node: `isInCollection`
+    * over K values builds an `In` tree with K literal children that
+    * the analyzer and optimizer walk repeatedly — measured ~seconds of
+    * driver time per query at K ≈ 10⁵ — while `InSet` carries the
+    * value set as DATA (one node), still folds to false on an empty
+    * set, and still pushes to parquet as a `sources.In` filter (the
+    * hybrid-index serve relies on that footer pruning). */
+  def inSet(name: String, values: Set[Any]): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.InSet(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(name),
+        values))
+
   /** The predicate's top-level AND conjuncts, each classified. Handles
     * both tree dialects a Column can carry: the connect-agnostic
     * ColumnNode form that `col("x") === lit(v)` builds, and catalyst
