@@ -1887,8 +1887,12 @@ object VectorQueries {
         val ry = pairs.withColumn("rn", row_number().over(wy))
           .filter(col("rn") <= 4).groupBy(col("y_id"))
           .agg(expr("sum(cos_q) div count(*)").as("ry"))
-        pairs.join(broadcast(rx), Seq("x_id"))
-          .join(broadcast(ry), Seq("y_id"))
+        // rx/ry are one row per ENDPOINT with candidates — sized by the
+        // mined strata, not by any model bound — so no broadcast hint:
+        // AQE broadcast-converts them at fixture scale, and at 100 TB
+        // the equi-join shuffles on the key it already carries
+        pairs.join(rx, Seq("x_id"))
+          .join(ry, Seq("y_id"))
           .withColumn("den", expr("(rx + ry) div 2"))
           .filter(col("den") > 0 && col("cos_q") >= 800000L)
           .withColumn("margin_micro", expr("cos_q * 1000000L div den"))
@@ -2031,8 +2035,9 @@ object VectorQueries {
         val ry = pairs.withColumn("rn", row_number().over(wy))
           .filter(col("rn") <= 4).groupBy(col("y_id"))
           .agg(expr("sum(cos_q) div count(*)").as("ry"))
-        val mined = pairs.join(broadcast(rx), Seq("x_id"))
-          .join(broadcast(ry), Seq("y_id"))
+        // endpoint-sized aggregates (see the cross twin): unhinted
+        val mined = pairs.join(rx, Seq("x_id"))
+          .join(ry, Seq("y_id"))
           .withColumn("den", expr("(rx + ry) div 2"))
           .filter(col("den") > 0 && col("cos_q") >= 800000L)
           .withColumn("margin_micro", expr("cos_q * 1000000L div den"))

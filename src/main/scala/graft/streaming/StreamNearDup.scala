@@ -135,12 +135,16 @@ object StreamNearDup {
     * that produce such key sets land on a small index anyway. Raise
     * the cap when serving wide batches against a truly huge index.
     *
-    * `maxBucket` mirrors [[candidateStream]]'s hot-bucket cap on the
-    * STORED side: a bucket whose stored membership is at or past the
-    * cap (degenerate boilerplate signatures) emits no cross pairs this
-    * batch — without it the bucket equi-join is quadratic in bucket
-    * size, unbounded as the index grows. The membership count reads
-    * only the join-key columns of the already-pruned scan (column
+    * `maxBucket` mirrors [[candidateStream]]'s hot-bucket cap, counted
+    * over a bucket's TOTAL membership — stored index PLUS this batch:
+    * a bucket at or past the cap (degenerate boilerplate signatures)
+    * emits no pairs this batch, neither cross NOR within-batch —
+    * without the stored count the new-vs-stored equi-join is quadratic
+    * in bucket size as the index grows, and without the batch count a
+    * degenerate bulk batch makes the within-batch self-join quadratic
+    * in the batch (the same both-sides HAVING
+    * [[StreamSeedGram.hybridSeedPairs]]'s maxDf applies). Both counts
+    * read only join-key columns of batch-key-bounded relations (column
     * pruning keeps the wide `sig` out), and the recall trade is the
     * same one the stateful form and the batch stop-gram df cap make. */
   def hybridCandidates(newBands: DataFrame, index: DataFrame,
@@ -183,20 +187,30 @@ object StreamNearDup {
            .inSet("bh", keyRows.map(r => Long.box(r.getLong(1))).toSet)),
           newBands.sparkSession.createDataFrame(
             java.util.Arrays.asList(keyRows: _*), keySchema))
-    // buckets at/over the cap are dropped before the row join ever
-    // multiplies their members
-    val okBuckets = pruned.join(broadcast(batchKeys), Seq("band", "bh"))
+    // buckets whose TOTAL membership (stored + this batch) is at/over
+    // the cap are dropped before either row join multiplies their
+    // members — counting the batch side too keeps the WITHIN-batch
+    // self-join bounded against a degenerate bulk batch (a boilerplate
+    // signature shared by the whole batch is quadratic without it),
+    // the same both-sides HAVING the containment hybrid's maxDf makes.
+    // Both count scans are key-columns-only (column pruning keeps the
+    // wide `sig` out) and batch-key-bounded.
+    val storedCnt = pruned.join(broadcast(batchKeys), Seq("band", "bh"))
       .groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") < maxBucket)
+      .agg(count(lit(1)).as("__sn"))
+    val okBuckets = newBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__nn"))
+      .join(storedCnt, Seq("band", "bh"), "left")
+      .filter(col("__nn") + coalesce(col("__sn"), lit(0L)) < maxBucket)
       .select(col("band"), col("bh"))
+    val nb = newBands.join(broadcast(okBuckets), Seq("band", "bh"))
     val matching = pruned.join(broadcast(okBuckets), Seq("band", "bh"))
-    val cross = newBands.join(renamed(matching), Seq("band", "bh"))
+    val cross = nb.join(renamed(matching), Seq("band", "bh"))
       .filter(col("o_id") =!= col("doc_id"))
       .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
       .select(least(col("doc_id"), col("o_id")).as("id_a"),
         greatest(col("doc_id"), col("o_id")).as("id_b"))
-    val within = newBands.join(renamed(newBands), Seq("band", "bh"))
+    val within = nb.join(renamed(nb), Seq("band", "bh"))
       .filter(col("doc_id") < col("o_id"))
       .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
       .select(col("doc_id").as("id_a"), col("o_id").as("id_b"))

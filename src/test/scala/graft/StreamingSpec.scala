@@ -841,9 +841,20 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // cap far above the fixture: every stored near-dup is found
     assert(pairs(10000) == Set((1L, 11L), (1L, 12L), (1L, 13L), (2L, 21L)))
-    // cap 3 = the boilerplate buckets' stored membership: those buckets
-    // are skipped this batch; the cold bucket still serves
+    // cap 3 ≤ the boilerplate buckets' total membership (3 stored + 1
+    // arriving): those buckets are skipped this batch; the cold bucket
+    // still serves
     assert(pairs(3) == Set((2L, 21L)))
+    // the cap also bounds the WITHIN-batch self-join: a degenerate
+    // bulk batch (4 boilerplate docs) emits no within pairs at cap 4
+    // (4 batch + 3 stored ≥ 4) while the distinct pair still lands
+    val bulk = graft.plans.Materialize.stage(StreamNearDup.bandRelation(
+      Seq((1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler),
+        (5L, other)).toDF("doc_id", "text"), "doc_id", "text"))
+    val capped = StreamNearDup.hybridCandidates(bulk, idx.read(),
+        threshold = 0.7, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((5L, 21L)))
     graft.ingest.FileOps.deleteRecursively(tmp)
   }
 
