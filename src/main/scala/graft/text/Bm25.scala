@@ -157,4 +157,81 @@ object Bm25 {
         .limit(k)
     }
   }
+
+  /** BATCHED retrieval from the stored index: top-`k` per QUERY for a
+    * whole query relation in ONE pass over the term-pruned postings —
+    * the serving shape of a retrieval deployment, where queries arrive
+    * in batches and the per-query corpus scan of [[topDocs]] (or even
+    * a per-query index probe) would pay Q job overheads for work one
+    * join can do.
+    *
+    * `qterms` is (qid, slot, tok) with slots 1..`slots` — the slot
+    * fixes each term's position in the scoring sum, so the float adds
+    * run in the SAME left-to-right order for every engine and every
+    * partitioning (an unordered SUM over matched terms would make the
+    * 4-decimal rounding partition-dependent). The union of the batch's
+    * terms (a driver-held model-state fetch, bounded by queries ×
+    * slots) pushes into the postings read as an `InSet`, so a stored
+    * tok-sorted index scans only matching row groups — per-batch cost
+    * tracks the BATCH's term postings, not the index. Per-term corpus
+    * dfs fall out of the same pruned relation (postings are unique per
+    * (tok, id)); scoring is the [[topDocs]] composition per slot with
+    * a tf=0 slot contributing exact 0.0; ranks come from a window
+    * partitioned by qid over the matched candidates (k-bounded output,
+    * candidate-bounded input — the per-query equivalent of the
+    * stop-gram df story: a ubiquitous query term makes its query's
+    * candidate list corpus-sized, which is the query's cost to pay).
+    *
+    * Semantics: top-k among MATCHING documents only (ties by id after
+    * 4-decimal rounding). Unlike [[topDocsIndexed]] there is no
+    * unmatched-doc pad — a batched serve answers "best matches per
+    * query", and a query whose terms match fewer than k docs returns
+    * the short list. Emits (qid, idCol, score, rb). */
+  def topDocsBatch(postings: DataFrame, doclen: DataFrame,
+                   stats: DataFrame, idCol: String, qterms: DataFrame,
+                   slots: Int = 3, k: Int = 20,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(slots >= 1 && k >= 1)
+    val tokRows = graft.plans.Materialize.modelState(
+      qterms.select(col("tok")).distinct(),
+      "bm25 batch query-term dictionary (bounded: queries × slots)",
+      1 << 20)
+    val toks: Set[Any] = tokRows.map(_.getString(0): Any).toSet
+    // pin once — the pruned relation feeds the df aggregate and the
+    // scoring join; it is term-postings-sized, never corpus-sized
+    val p = graft.plans.Materialize.stage(
+      if (toks.isEmpty) postings.filter(lit(false))
+      else postings.filter(
+        org.apache.spark.sql.graft.ColumnBridge.inSet("tok", toks)))
+    val tdf = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val joined = p
+      .join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(tdf), Seq("tok"))
+    val aggs = (1 to slots).flatMap { i => Seq(
+      sum(when(col("slot") === i, col("tf")).otherwise(0L))
+        .cast("long").as(s"tf_$i"),
+      max(when(col("slot") === i, col("df"))).as(s"df_$i")) }
+    val m = joined.groupBy(col("qid"), col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val perSlot: Seq[Column] = (1 to slots).map { i =>
+      val tf = col(s"tf_$i")
+      // df is only read when tf > 0 (the term matched this doc, so its
+      // slot row joined and carried the real df); the coalesce keeps
+      // the unmatched-slot NULL from poisoning the CASE's dead branch
+      val dfq = coalesce(col(s"df_$i"), lit(1L))
+      val idf = log((col("n_docs") - dfq + 0.5) / (dfq + 0.5) + 1.0)
+      when(tf === 0L, lit(0.0)).otherwise(
+        idf * (tf * (k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))
+    m.join(doclen, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col(idCol),
+        round(perSlot.reduce(_ + _), 4).as("score"))
+      .withColumn("rb", row_number().over(w).cast("int"))
+      .filter(col("rb") <= k)
+      .select(col("qid"), col(idCol), col("score"), col("rb"))
+  }
 }

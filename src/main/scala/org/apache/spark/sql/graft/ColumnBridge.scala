@@ -37,7 +37,11 @@ object ColumnBridge {
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.InSet(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(name),
-        values))
+        // InSet carries CATALYST-internal values (UTF8String for
+        // strings, not java.lang.String — longs pass through); convert
+        // each element the way Literal construction would
+        values.map(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst)))
 
   /** The predicate's top-level AND conjuncts, each classified. Handles
     * both tree dialects a Column can carry: the connect-agnostic

@@ -192,4 +192,46 @@ class AnnSpec extends AnyFunSuite {
     assert(overlap >= 0.1,
       s"fused top-20 diverged: jaccard=$overlap fn=${ids(a)} timed=${ids(b)}")
   }
+
+  test("q_hybrid_retrieval_batch timed variant: staged batch serve tracks the exact fusion per query") {
+    // same contract as the single-query gate, per qid: the lexical
+    // side is EXACT in both paths (both run Bm25.topDocsBatch — the
+    // timed one over the stored postings, which replay the inline
+    // build row for row), so wherever a (qid, doc) carries a lexical
+    // rank in both outputs the ranks must be EQUAL; the dense side is
+    // the adjudicated IVF-PQ approximation, so the per-query fused
+    // top-10s are required to overlap, not to match.
+    val fn = SparkEntry.queries("q_hybrid_retrieval_batch")(spark, TestSpark.sf)
+    val timed = graft.queries.Registry
+      .benchQueries("q_hybrid_retrieval_batch")(spark, TestSpark.sf)
+    assert(fn.schema == timed.schema,
+      s"schema drift: ${fn.schema} vs ${timed.schema}")
+    val a = fn.collect()
+    val b = timed.collect()
+    assert(a.nonEmpty && b.nonEmpty)
+    def lexRanks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.flatMap(r => if (r.isNullAt(2)) None
+        else Some((r.getLong(0), r.getLong(1)) -> r.getInt(2))).toMap
+    val (la, lb) = (lexRanks(a), lexRanks(b))
+    assert(la.nonEmpty && lb.nonEmpty)
+    la.keySet.intersect(lb.keySet).foreach { key =>
+      assert(la(key) == lb(key),
+        s"lexical rank drift for (qid, doc) $key: ${la(key)} vs ${lb(key)}")
+    }
+    // per-query fused overlap floor — low for the same data reason as
+    // the single-query gate (near-random synthetic embeddings make the
+    // dense lists disagree by DATA); EVERY query must overlap, so a
+    // single broken query cannot hide in an aggregate jaccard
+    def byQid(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val (qa, qb) = (byQid(a), byQid(b))
+    assert(qa.keySet == qb.keySet,
+      s"query sets diverged: ${qa.keySet} vs ${qb.keySet}")
+    qa.keySet.foreach { q =>
+      val j = qa(q).intersect(qb(q)).size.toDouble / qa(q).union(qb(q)).size
+      assert(j >= 0.1, s"query $q fused top-10 diverged: jaccard=$j " +
+        s"fn=${qa(q)} timed=${qb(q)}")
+    }
+  }
 }

@@ -515,6 +515,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("staged BATCH hybrid retrieval: timed serve reads both stored indexes, never the corpora") {
+    // q_hybrid_retrieval_batch's benchFn answers the whole query batch
+    // from the persisted indexes: the postings read carries the pushed
+    // term-set filter, the dense side is cell-routed ADC, and the only
+    // embeddings scans are the query-batch fetches (the qterms
+    // derivation + the two dense consumers); a documents scan means
+    // the lexical side regressed to the corpus pass.
+    val df = graft.queries.Registry
+      .benchQueries("q_hybrid_retrieval_batch")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("graft-hybrid-bench"),
+      s"serve plan does not scan the stage tables:\n$plan")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.count(_.contains("documents.parquet")) == 0, scans)
+    // query-batch fetches only: 3 qterms slot branches + probe routing
+    // + the ADC lookup table — all filtered to the tiny query stratum
+    assert(scans.count(_.contains("embeddings.parquet")) <= 5, scans)
+    assert(scans.count(_.contains("graft-hybrid-bench")) >= 4, scans)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the postings read must carry the pushed term-set membership —
+    // the pruning that keeps the batched serve index-size-independent
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("INSET") || optimized.contains("InSet") ||
+      plan.contains("INSET"), s"no InSet term filter in:\n$optimized")
+  }
+
   test("corpus pipeline: no join — the dedup consumes the scored pass once") {
     // the window dedup must keep the plan single-branch: a groupBy-min +
     // semi join would add a Join node and re-evaluate the expensive

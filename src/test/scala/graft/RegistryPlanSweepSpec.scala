@@ -81,6 +81,8 @@ class RegistryPlanSweepSpec extends AnyFunSuite {
     "q_triplet_mining" -> queryBatchBroadcast,
     "q_retrieval_metrics" -> queryBatchBroadcast,
     "q_hybrid_retrieval" -> (queryBatchBroadcast + " (single stored query vector)"),
+    "q_hybrid_retrieval_batch" -> (queryBatchBroadcast +
+      " (query stratum + its slot-term relation, queries × 3 rows)"),
     "q_bitext_mining_ann" -> ("broadcast side is the X query stratum routed to probe cells; " +
       "mined in bounded query batches at scale, whole-stratum here (fixture)"))
 
