@@ -2230,6 +2230,105 @@ object TextQueries {
              |FROM counted WHERE n >= 2 ORDER BY id""".stripMargin),
       bench = false),
 
+    // INCREMENTAL component maintenance — day-2 DML for the stored
+    // dedup-cluster labels, completing the maintenance pattern the ANN
+    // index (INSERT/DELETE without retrain) and BM25 index (streaming
+    // ingest) already follow: the global clustering runs ONCE
+    // (q_components_stage's stance); arriving duplicate pairs then
+    // update the STORED labels with batch-bounded appends — batch
+    // endpoints' roots resolve through a doc-id-InSet-pruned label
+    // lookup plus the (churn-sized) forwarding relation, the batch's
+    // ROOT graph contracts via star-CC, losers append forwarding
+    // edges, new nodes append labels — nothing is rewritten, nothing
+    // rescans the historical pairs. The fixture's arithmetic edge
+    // classes exercise every path: chain comps, a comp-to-comp merge
+    // through INTERIOR nodes (root resolution, not min endpoints),
+    // new-node attach, new-new pairs, and a second batch whose merges
+    // FORWARD already-forwarded roots (chains in fwd, collapsed by the
+    // star-CC resolution). The oracle recomputes components over ALL
+    // pairs (historical + both batches) by transitive closure — the
+    // incremental answer must equal the from-scratch answer exactly.
+    "q_components_incremental" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-comps-inc").toString
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("id"))
+        def off(k: Int, cond: org.apache.spark.sql.Column) =
+          ids.filter(cond)
+            .select(col("id").as("id_a"), (col("id") + k).as("id_b"))
+            .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+            .select(col("id_a"), col("id_b"))
+        val hist = off(1, col("id") % 20 === 0)
+          .unionByName(off(1, col("id") % 20 === 1))
+        val batch1 = off(20, col("id") % 40 === 2)
+          .unionByName(off(1, col("id") % 20 === 2))
+          .unionByName(off(1, col("id") % 20 === 10))
+        val batch2 = off(9, col("id") % 40 === 21)
+          .unionByName(off(18, col("id") % 40 === 23))
+        // stage 1: historical labels, computed once, stored doc-sorted
+        // with small row groups so batch lookups prune
+        val base = Dedup.connectedComponents(hist)
+          .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+        val labelsT = graft.catalog.ParquetTable(
+          s, "inc_labels", s"$tmp/labels", base.schema,
+          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+        labelsT.overwrite(
+          base.repartition(col("doc_id")).sortWithinPartitions("doc_id"))
+        val fwdSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("old_root",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("new_root",
+            org.apache.spark.sql.types.LongType)))
+        val fwdT = graft.catalog.ParquetTable(
+          s, "inc_fwd", s"$tmp/fwd", fwdSchema).createIfNotExists()
+        // stage 2: two arriving pair batches — append-only updates
+        Seq(batch1, batch2).foreach { b =>
+          val (nl, nf) = graft.plans.IncrementalComponents.batchAppends(
+            labelsT.read(), fwdT.read(), b)
+          // pin before appending: the appends' plans read the tables
+          // they are about to extend
+          val (pl, pf) = (graft.plans.Materialize.stage(nl),
+            graft.plans.Materialize.stage(nf))
+          labelsT.append(pl.sortWithinPartitions("doc_id"))
+          fwdT.append(pf)
+        }
+        val out = graft.plans.Materialize.stage(
+          graft.plans.IncrementalComponents
+            .resolvedLabels(labelsT.read(), fwdT.read())
+            .orderBy(col("doc_id")))
+        graft.ingest.FileOps.deleteRecursively(
+          java.nio.file.Paths.get(tmp))
+        out
+      },
+      Some("""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+             |e AS (
+             |  SELECT a.id AS u, b.id AS v FROM ids a
+             |  JOIN ids b ON b.id = a.id + 1
+             |  WHERE a.id % 20 IN (0, 1, 2, 10)
+             |  UNION ALL
+             |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 20
+             |  WHERE a.id % 40 = 2
+             |  UNION ALL
+             |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 9
+             |  WHERE a.id % 40 = 21
+             |  UNION ALL
+             |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 18
+             |  WHERE a.id % 40 = 23),
+             |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |reach AS (
+             |  SELECT u, v FROM und
+             |  UNION
+             |  SELECT r.u, n.v FROM reach r JOIN und n ON n.u = r.v),
+             |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp_id
+             |         FROM reach GROUP BY u)
+             |SELECT doc_id, comp_id FROM comp ORDER BY doc_id""".stripMargin),
+      // timed family gate: q_components_stage (oracle still gates this
+      // entry; the per-batch cost is bounded by the batch, the one
+      // new kernel — star-CC over the root graph — is q_star_components'
+      // probed shape)
+      bench = false),
+
     // Unicode NFC canonicalization — the pass that must run BEFORE any
     // hash-keyed operator (exact dedup, MinHash shingles, containment
     // grams, token-id lookup): composed "é" (U+00E9) and decomposed

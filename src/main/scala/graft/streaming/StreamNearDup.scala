@@ -198,11 +198,18 @@ object StreamNearDup {
     val storedCnt = pruned.join(broadcast(batchKeys), Seq("band", "bh"))
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__sn"))
-    val okBuckets = newBands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("__nn"))
-      .join(storedCnt, Seq("band", "bh"), "left")
-      .filter(col("__nn") + coalesce(col("__sn"), lit(0L)) < maxBucket)
-      .select(col("band"), col("bh"))
+    // pinned: okBuckets is batch-key-bounded, and its lineage contains
+    // a pruned-index scan — left lazy, each of its THREE consumers
+    // (nb, matching, and nb again inside `within`) would re-run that
+    // scan, which at a ×100 index measured 2.3× slower than computing
+    // the bucket list once (the explicit broadcast hints below keep
+    // the joins map-side despite the pin's lost size stats)
+    val okBuckets = graft.plans.Materialize.stage(
+      newBands.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("__nn"))
+        .join(storedCnt, Seq("band", "bh"), "left")
+        .filter(col("__nn") + coalesce(col("__sn"), lit(0L)) < maxBucket)
+        .select(col("band"), col("bh")))
     val nb = newBands.join(broadcast(okBuckets), Seq("band", "bh"))
     val matching = pruned.join(broadcast(okBuckets), Seq("band", "bh"))
     val cross = nb.join(renamed(matching), Seq("band", "bh"))
