@@ -2329,6 +2329,128 @@ object TextQueries {
       // probed shape)
       bench = false),
 
+    // The STREAMING DEDUP PIPELINE end to end — the round's pieces
+    // composed into the production shape: per micro-batch, (1) the
+    // zero-state stored-index hybrid emits candidate pairs (pushed
+    // bucket-key IN filter, hot buckets capped), (2) candidates
+    // exact-verify against the LANDED corpus — endpoint texts come
+    // from a doc-id-InSet-pruned read of the text stage table plus the
+    // batch itself, never a corpus scan — and (3) verified pairs feed
+    // INCREMENTAL component maintenance (append-only labels +
+    // forwards). Stream state is EMPTY throughout; every relation the
+    // batch touches is bounded by the batch and its candidate fan-out.
+    // Output: every document's final cluster label (singletons = own
+    // id) — gated by the SAME from-scratch oracle as
+    // q_neardup_components (all-pairs trigram-Jaccard verify +
+    // transitive closure), so streaming arrival order, the stored-
+    // index serve, AND the incremental label algebra must jointly land
+    // on the batch answer exactly.
+    "q_stream_dedup_pipeline" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-stream-ddp")
+        val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" trailing")).as("text"))
+        StreamFixtures.writeBatch(tmp, src, docs, "a",
+          parts = 8, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src, planted, "b",
+          parts = 1, mtimeMs = 1000000060000L)
+        val ss = StreamFixtures.childSession(s, 4)
+        import graft.streaming.StreamNearDup
+        val bandSchema = StreamNearDup.bandRelation(
+          Tables.load(ss, dir, "documents").limit(0),
+          "doc_id", "text").schema
+        val idxT = graft.catalog.ParquetTable(
+          ss, "ddp_idx", s"$tmp/idx", bandSchema,
+          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+          .createIfNotExists()
+        val txtT = graft.catalog.ParquetTable(
+          ss, "ddp_txt", s"$tmp/txt", docs.schema,
+          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+          .createIfNotExists()
+        def longField(n: String) = org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.LongType)
+        val labelsT = graft.catalog.ParquetTable(
+          ss, "ddp_labels", s"$tmp/labels",
+          org.apache.spark.sql.types.StructType(
+            Seq(longField("doc_id"), longField("comp_id"))),
+          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+          .createIfNotExists()
+        val fwdT = graft.catalog.ParquetTable(
+          ss, "ddp_fwd", s"$tmp/fwd",
+          org.apache.spark.sql.types.StructType(
+            Seq(longField("old_root"), longField("new_root"))))
+          .createIfNotExists()
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "8")
+          .parquet(src.toString)
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val nb = graft.plans.Materialize.stage(
+              StreamNearDup.bandRelation(batch, "doc_id", "text"))
+            val cands = graft.plans.Materialize.stage(
+              StreamNearDup.hybridCandidates(nb, idxT.read(),
+                threshold = 0.5))
+            // endpoint texts: pruned stored read + the batch itself
+            // (batch docs land in the text table only AFTER verify)
+            val eps = graft.plans.Materialize.modelState(
+              cands.select(col("id_a").as("doc_id"))
+                .unionByName(cands.select(col("id_b").as("doc_id")))
+                .distinct(),
+              "dedup-pipeline candidate endpoints (batch × fan-out, " +
+                "hot-bucket-capped)", 1 << 20)
+            val texts =
+              (if (eps.isEmpty) txtT.read().filter(lit(false))
+               else txtT.read().filter(
+                 org.apache.spark.sql.graft.ColumnBridge.inSet("doc_id",
+                   eps.map(r => Long.box(r.getLong(0)): Any).toSet)))
+                .unionByName(batch.select(col("doc_id"), col("text")))
+            val verified = graft.plans.Materialize.stage(
+              graft.text.Dedup.verifyPairsJaccard(texts, "doc_id",
+                  "text", cands, threshold = 0.5)
+                .select(col("id_a"), col("id_b")))
+            val (nl, nf) = graft.plans.IncrementalComponents
+              .batchAppends(labelsT.read(), fwdT.read(), verified)
+            val (pl, pf) = (graft.plans.Materialize.stage(nl),
+              graft.plans.Materialize.stage(nf))
+            labelsT.append(pl.sortWithinPartitions("doc_id"))
+            fwdT.append(pf)
+            txtT.append(batch.select(col("doc_id"), col("text"))
+              .sortWithinPartitions("doc_id"))
+            idxT.append(nb.sortWithinPartitions("bh"))
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val docsB = Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val allIds = docsB.select(col("doc_id")).unionByName(
+          docsB.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 100000).as("doc_id")))
+        val resolved = graft.plans.IncrementalComponents
+          .resolvedLabels(labelsT.read(), fwdT.read())
+        val out = graft.plans.Materialize.stage(
+          allIds.join(resolved, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("comp_id"), col("doc_id")).as("comp_id"))
+            .orderBy(col("doc_id")))
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        out
+      },
+      Some(s"""WITH RECURSIVE $componentsCtes
+              |SELECT doc_id, comp_id FROM lab
+              |ORDER BY doc_id""".stripMargin),
+      // timed family gate: q_stream_neardup_hybrid (the candidate
+      // serve is its timed shape; the verify + incremental-label
+      // stages are batch-bounded appends)
+      bench = false),
+
     // Unicode NFC canonicalization — the pass that must run BEFORE any
     // hash-keyed operator (exact dedup, MinHash shingles, containment
     // grams, token-id lookup): composed "é" (U+00E9) and decomposed
