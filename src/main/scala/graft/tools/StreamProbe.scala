@@ -287,6 +287,50 @@ object StreamProbe {
     Probe(sec, 0L, 0L)
   }
 
+  /** Steady-state cost of ONE incremental-components batch as the
+    * stored LABEL table grows ×N (40 label rows per corpus doc,
+    * synthetic 4-doc components, doc-sorted with small row groups —
+    * the layout q_components_incremental maintains): a FIXED 100-pair
+    * batch (50 comp-merges through interior nodes, 25 new-node
+    * attaches, 25 new-new pairs) is applied and timed end to end
+    * (pruned root lookup + star-CC over the root graph + both
+    * appends). The row that must stay FLAT: per-batch cost is bounded
+    * by the batch, never the label table. */
+  def incrementalComponentsServe(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-inc")
+    val n = graft.Tables.parquetRowCount(s, dir, "documents") * 40L
+    val base = s.range(n).select(col("id").as("doc_id"),
+      (col("id") - col("id") % 4).as("comp_id"))
+    val labelsT = graft.catalog.ParquetTable(
+      s, "sprobe_inc_labels", s"$tmp/labels", base.schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    // range partitions are already contiguous/sorted by id
+    labelsT.append(base)
+    val fwdT = graft.catalog.ParquetTable(
+      s, "sprobe_inc_fwd", s"$tmp/fwd",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("old_root",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("new_root",
+          org.apache.spark.sql.types.LongType)))).createIfNotExists()
+    import s.implicits._
+    val batch = ((0L until 50L).map(i => (i * 8 + 1, i * 8 + 5)) ++
+      (0L until 25L).map(j => (n * 2 + j, j * 8 + 2)) ++
+      (0L until 25L).map(j => (n * 3 + 2 * j, n * 3 + 2 * j + 1)))
+      .toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    val (nl, nf) = graft.plans.IncrementalComponents.batchAppends(
+      labelsT.read(), fwdT.read(), batch)
+    val (pl, pf) = (graft.plans.Materialize.stage(nl),
+      graft.plans.Materialize.stage(nf))
+    labelsT.append(pl.sortWithinPartitions("doc_id"))
+    fwdT.append(pf)
+    val sec = (System.nanoTime() - t0) / 1e9
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    Probe(sec, 0L, 0L)
+  }
+
   /** q_stream_containment's machinery: seed-gram posting state. */
   def containment(s: SparkSession, dir: String): Probe = {
     val tmp = Files.createTempDirectory("graft-sprobe-sc")
@@ -372,6 +416,7 @@ object StreamProbe {
       "stream_containment" -> containment,
       "stream_containment_hybrid" -> containmentHybrid,
       "stream_containment_hybrid_serve" -> containmentHybridServe,
+      "components_incremental_serve" -> incrementalComponentsServe,
       "stream_vector_ingest" -> vectorIngest)
     val pipelines = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES") match {
       case Some(sel) =>
