@@ -82,6 +82,22 @@ class IncrementalComponentsSpec extends AnyFunSuite {
       == full(hist))
   }
 
+  test("wide-batch fallback (endpoint cap exceeded) lands on the same labels") {
+    // a batch wider than maxBatchIds routes through the distributed
+    // lookup join instead of the driver-held InSet — same answer
+    val hist = Seq((1L, 2L), (10L, 11L))
+    val b = Seq((2L, 10L), (30L, 31L))
+    val labels0 = graft.plans.Materialize.stage(
+      graft.text.Dedup.connectedComponents(hist.toDF("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("comp").as("comp_id")))
+    val fwd0 = Seq.empty[(Long, Long)].toDF("old_root", "new_root")
+    val (nl, nf) = IncrementalComponents.batchAppends(
+      labels0, fwd0, b.toDF("id_a", "id_b"), maxBatchIds = 1)
+    val resolved = labelsOf(IncrementalComponents.resolvedLabels(
+      labels0.unionByName(nl), fwd0.unionByName(nf)))
+    assert(resolved == full(hist ++ b))
+  }
+
   test("compaction folds the forwards into the labels and changes nothing") {
     val hist = Seq((1L, 2L), (10L, 11L), (20L, 21L))
     val (labels, fwd) =
