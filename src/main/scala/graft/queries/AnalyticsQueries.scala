@@ -298,6 +298,7 @@ object AnalyticsQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_pagerank_dangling; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_pagerank_dangling (oracle still gates this entry)
       bench = false),
 
     // Dangling-mass redistribution variant: the supplier-side nodes of

@@ -287,6 +287,7 @@ object CorpusQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_span_dedup; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_span_dedup (oracle still gates this entry)
       bench = false),
 
     // Contamination SEVERITY: the binary flag above quarantines; this
@@ -645,6 +646,7 @@ object CorpusQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_dsir_sample; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_minkprob (oracle still gates this entry)
       bench = false),
 
     // CCNet-style perplexity partition (Wenzek et al. 2020): per
@@ -717,6 +719,7 @@ object CorpusQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_dsir_sample; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_minkprob (oracle still gates this entry)
       bench = false),
 
     // DSIR-style importance resampling (Xie et al. 2023) as a pure
@@ -846,6 +849,7 @@ object CorpusQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_classifier_filter_approx; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_classifier_filter_approx (oracle still gates this entry)
       bench = false),
 
     // The classifier APPLIED as a corpus filter: keep the top decile
@@ -897,6 +901,7 @@ object CorpusQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_classifier_filter_approx; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_classifier_filter_approx (oracle still gates this entry)
       bench = false),
 
     // The 100 TB form of the decile gate: the keep threshold comes
@@ -1760,6 +1765,7 @@ object CorpusQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_train_sequences; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_train_sequences (oracle still gates this entry)
       bench = false),
 
     // Curriculum schedule — difficulty-ordered staged pretraining
@@ -2677,8 +2683,12 @@ object CorpusQueries {
           val bc = toks(batch).groupBy(col("wave"), col("tok"))
             .agg(count(lit(1)).as("c_b"))
           val bt = bc.groupBy(col("wave")).agg(sum(col("c_b")).as("nb"))
-          val support = bc.select(col("wave")).distinct()
-            .crossJoin(ref.select(col("tok")))
+          // support grid = ref vocabulary × the batch's waves: the
+          // WAVE list broadcasts (batch-bounded, a handful of rows)
+          // and the vocab relation streams map-side — never the other
+          // way around, since the vocabulary is corpus-derived
+          val support = ref.select(col("tok"))
+            .crossJoin(broadcast(bc.select(col("wave")).distinct()))
             .unionByName(bc.select(col("wave"), col("tok"))).distinct()
           support.join(broadcast(ref), Seq("tok"), "left")
             .join(bc, Seq("wave", "tok"), "left")

@@ -152,6 +152,7 @@ object PipelineQueries {
              |  DATE '2024-01-15' AS InsertDate,
              |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
              |FROM nation ORDER BY nation_key""".stripMargin),
+      // timed family gate: q_ingest_events (oracle still gates this entry)
       bench = false),
 
     // S1 (json): same slice through the JSON-lines source — the format
@@ -180,6 +181,7 @@ object PipelineQueries {
              |  DATE '2024-01-15' AS InsertDate,
              |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
              |FROM nation ORDER BY nation_key""".stripMargin),
+      // timed family gate: q_ingest_events (oracle still gates this entry)
       bench = false),
 
     // S1 (orc): and the ORC branch — all four source formats of the
@@ -203,6 +205,7 @@ object PipelineQueries {
              |  DATE '2024-01-15' AS InsertDate,
              |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
              |FROM nation ORDER BY nation_key""".stripMargin),
+      // timed family gate: q_ingest_events (oracle still gates this entry)
       bench = false),
 
     // P4: the PII shadow table is byte-identical except masked columns.
@@ -218,6 +221,7 @@ object PipelineQueries {
              |  DATE '2024-01-15' AS InsertDate,
              |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
              |FROM nation ORDER BY nation_key""".stripMargin),
+      // timed family gate: q_ingest_events (oracle still gates this entry)
       bench = false),
 
     // U3/D5/D6: schema drift — a 4th column appears in the feed, the
@@ -235,6 +239,7 @@ object PipelineQueries {
              |  1 AS BatchId, DATE '2024-01-15' AS InsertDate,
              |  TIMESTAMP '2024-01-15 10:00:00' AS ModifiedDateTime
              |FROM nation ORDER BY nation_key""".stripMargin),
+      // timed family gate: q_ingest_events (oracle still gates this entry)
       bench = false),
 
     // The drift event also lands in the column-config catalog table.
@@ -252,6 +257,7 @@ object PipelineQueries {
              |  (1, 'extra_note', 'extra_note', 'string', 4))
              |  t(HeaderID, SourceColumnName, TargetColumnName, TargetDataType, ColumnOrder)
              |ORDER BY ColumnOrder""".stripMargin),
+      // timed family gate: q_ingest_events (oracle still gates this entry)
       bench = false),
 
     // Streaming == batch parity for event-time aggregation: the SAME

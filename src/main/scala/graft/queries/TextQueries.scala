@@ -655,6 +655,7 @@ object TextQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_training_pipeline; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_curation_v3 (oracle still gates this entry)
       bench = false),
 
     // Fixed-window chunking (graft.text.Chunking): long docs split into
@@ -1487,6 +1488,7 @@ object TextQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_curation_v3; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_curation_v3 (oracle still gates this entry)
       bench = false),
 
     // Incremental exact dedup — the daily-ingest form: the new batch is
@@ -1718,6 +1720,7 @@ object TextQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_cluster_best; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_components_stage (oracle still gates this entry)
       bench = false),
 
     // LSH PARAMETER-TUNING report — the engineering step before
@@ -1805,6 +1808,7 @@ object TextQueries {
               |ORDER BY bands, rows_per_band""".stripMargin),
       // tuning math over the q_neardup_pairs sample — the family
       // bench gate already times the detector itself
+      // timed family gate: q_components_stage (oracle still gates this entry)
       bench = false),
 
     // CONTAINMENT dedup: pairs where the smaller doc's 3-gram set is
@@ -1850,6 +1854,7 @@ object TextQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_containment_seed; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_setjoin_prefix (oracle still gates this entry)
       bench = false),
 
     // Cross-corpus near-dup screen: the incoming batch deduped against
@@ -2028,6 +2033,7 @@ object TextQueries {
       // superseded-generation bench prune (r10): the family
       // bench gate is q_cluster_best; this entry stays
       // oracle-gated every round but is no longer timed
+      // timed family gate: q_components_stage (oracle still gates this entry)
       bench = false),
 
     // Dedup SAVINGS report — the accounting a dedup pipeline publishes
@@ -2082,6 +2088,7 @@ object TextQueries {
               |ORDER BY cluster_size""".stripMargin),
       // the detector is already timed by q_cluster_best — the report
       // rollup stays oracle-gated but untimed
+      // timed family gate: q_components_stage (oracle still gates this entry)
       bench = false),
 
     // Quality-keeper dedup: every near-dup cluster keeps its BEST
@@ -2228,6 +2235,7 @@ object TextQueries {
              |  FROM events)
              |SELECT event_id AS id, comp
              |FROM counted WHERE n >= 2 ORDER BY id""".stripMargin),
+      // timed family gate: q_components_stage (oracle still gates this entry)
       bench = false),
 
     // INCREMENTAL component maintenance — day-2 DML for the stored
@@ -2552,6 +2560,7 @@ object TextQueries {
              |FROM k GROUP BY nfc_key
              |HAVING count(DISTINCT raw_key) > 1
              |ORDER BY min_doc""".stripMargin),
+      // timed family gate: q_dedup_exact (oracle still gates this entry)
       bench = false),
 
     // Per-source ADAPTIVE quality gate — a global quality threshold
@@ -2834,6 +2843,7 @@ object TextQueries {
               |ORDER BY d.lang""".stripMargin),
       // the kernel pass is already timed by q_subword_counts — this
       // rollup stays oracle-gated but untimed
+      // timed family gate: q_subword_counts (oracle still gates this entry)
       bench = false),
 
     // Filter-funnel ATTRITION report — the per-stage accounting a

@@ -577,6 +577,7 @@ object VectorQueries {
             expr("ssm div n").as("mean_sil_micro"))
           .orderBy(col("cluster"))
       },
+      // timed family gate: q_kmeans (oracle still gates this entry)
       bench = false, // cost IS the k-means training, already timed by
       // q_kmeans; the scoring pass itself is flat (probe exponent ≈ 0)
       oracle = Some(s"""WITH $kmeansCtes,
@@ -1222,6 +1223,7 @@ object VectorQueries {
       // superseded-generation bench prune: q_ann_pq is the PQ family's
       // timed gate (same training + encode, plus the ADC serve);
       // this entry stays oracle-gated every round but is not timed
+      // timed family gate: q_ann_ivfpq_stage (oracle still gates this entry)
       bench = false),
 
     // ADC retrieval over the PQ codes (asymmetric distance): the query

@@ -15,6 +15,42 @@ class DocsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"COVERAGE.md is missing: ${missing.mkString(", ")}")
   }
 
+  test("every pruned entry names a TIMED family gate") {
+    // the bench-prune contract: an entry removed from the timed suite
+    // must say which timed entry covers its cost family — and that
+    // representative must itself still be timed (a gate naming another
+    // pruned entry covers nothing). Checked against the source text
+    // the way COVERAGE rows are.
+    import scala.jdk.CollectionConverters._
+    val timed = graft.queries.Registry.benchNames.toSet
+    val pruned = graft.queries.Registry.all.map(_._1).filterNot(timed).toSet
+    val entryPat = "\"(q_[a-z0-9_]+)\" -> Q\\(".r
+    val gatePat = "timed (?:family )?gate: ([a-zA-Z0-9_]+)".r
+    val root = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val blocks = scala.collection.mutable.Map[String, String]()
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).foreach { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p))
+        val ms = entryPat.findAllMatchIn(src).toSeq
+        ms.zipWithIndex.foreach { case (m, i) =>
+          val end = if (i + 1 < ms.size) ms(i + 1).start else src.length
+          blocks(m.group(1)) = src.substring(m.start, end)
+        }
+      }
+    val problems = pruned.toSeq.sorted.flatMap { n =>
+      blocks.get(n) match {
+        case None => Some(s"$n: source block not found")
+        case Some(b) => gatePat.findFirstMatchIn(b) match {
+          case None => Some(s"$n: no 'timed family gate:' comment")
+          case Some(g) if !timed(g.group(1)) =>
+            Some(s"$n: gate ${g.group(1)} is itself pruned/unknown")
+          case _ => None
+        }
+      }
+    }
+    assert(problems.isEmpty, s"\n${problems.mkString("\n")}")
+  }
+
   test("no direct localCheckpoint outside Materialize.stage") {
     // Every stage pin must route through graft.plans.Materialize so the
     // reliable-checkpoint cluster idiom (graft.checkpoint.reliable +
