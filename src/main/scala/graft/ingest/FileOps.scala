@@ -29,9 +29,25 @@ object FileOps {
   def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      val w = Files.walk(root)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      finally w.close()
     }
+  }
+
+  /** Directory listing with the underlying stream CLOSED — a bare
+    * `Files.list(dir)` holds an open directory descriptor until GC
+    * finalization, and a long-lived verify/bench JVM sweeping the
+    * registry leaks one per fixture write until it hits the fd ulimit.
+    * Every local listing in the library routes through here. */
+  def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val out = Seq.newBuilder[java.nio.file.Path]
+      s.forEach(p => out += p)
+      out.result()
+    } finally s.close()
   }
 
   /** Poll until the source dir contains at least one file, or timeout. */

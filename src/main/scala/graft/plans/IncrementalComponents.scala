@@ -131,12 +131,16 @@ object IncrementalComponents {
     val merged = Materialize.stage(
       graft.text.Dedup.connectedComponentsStar(rootPairs)
         .select(col("id").as("root"), col("comp").as("newRoot")))
+    // only roots that exist in STORED state need forwarding: a new
+    // node's own-id root is inserted below already at its final root,
+    // and no stored row can reference it. Known-endpoint roots are the
+    // complete candidate set — a losing root is always some endpoint's
+    // resolved root, an unknown endpoint's root is its own UNSEEN id
+    // (a seen id would have a label row and classify as known), and a
+    // previously-forwarded final root reaching this batch does so as a
+    // known endpoint's resolved root.
     val newFwd = merged.filter(col("root") =!= col("newRoot"))
-      // only roots that exist in STORED state need forwarding: a new
-      // node's own-id root is inserted below already at its final
-      // root, and no stored row can reference it
-      .join(cur.filter(col("known")).select(col("root")).distinct()
-        .unionByName(res.select(col("final_root").as("root")).distinct()),
+      .join(cur.filter(col("known")).select(col("root")).distinct(),
         Seq("root"), "left_semi")
       .select(col("root").as("old_root"), col("newRoot").as("new_root"))
     val newLabels = cur.filter(!col("known"))

@@ -1208,8 +1208,7 @@ object CorpusQueries {
         def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
           val stage = tmp.resolve(s"stage_$name")
           df.coalesce(1).write.parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
+          val part = graft.ingest.FileOps.listDir(stage)
             .find(_.getFileName.toString.endsWith(".parquet")).get
           java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
         }
@@ -2706,8 +2705,7 @@ object CorpusQueries {
                      mtimeMs: Long): Unit = {
           val stage = tmp.resolve(s"stage_$name")
           df.coalesce(1).write.parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
+          val part = graft.ingest.FileOps.listDir(stage)
             .find(_.getFileName.toString.endsWith(".parquet")).get
           val dst = src.resolve(s"$name.parquet")
           java.nio.file.Files.move(part, dst)

@@ -862,8 +862,7 @@ object PipelineQueries {
         def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
           val stage = tmp.resolve(s"stage_$name")
           df.coalesce(1).write.parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
+          val part = graft.ingest.FileOps.listDir(stage)
             .find(_.getFileName.toString.endsWith(".parquet")).get
           java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
         }
@@ -1005,8 +1004,7 @@ object PipelineQueries {
         def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
           val stage = tmp.resolve(s"stage_$name")
           df.coalesce(1).write.parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
+          val part = graft.ingest.FileOps.listDir(stage)
             .find(_.getFileName.toString.endsWith(".parquet")).get
           java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
         }
@@ -1145,8 +1143,7 @@ object PipelineQueries {
         def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
           val stage = tmp.resolve(s"stage_$name")
           df.coalesce(1).write.parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
+          val part = graft.ingest.FileOps.listDir(stage)
             .find(_.getFileName.toString.endsWith(".parquet")).get
           java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
         }

@@ -832,8 +832,7 @@ object VectorQueries {
                      mtime: Long): Unit = {
           val stg = tmp.resolve(s"stage_$name")
           df.coalesce(1).write.parquet(stg.toString)
-          val part = java.nio.file.Files.list(stg).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
+          val part = graft.ingest.FileOps.listDir(stg)
             .find(_.getFileName.toString.endsWith(".parquet")).get
           val dst = src.resolve(s"$name.parquet")
           java.nio.file.Files.move(part, dst)
@@ -912,8 +911,7 @@ object VectorQueries {
         def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
           val stage = tmp.resolve(s"stage_$name")
           df.coalesce(1).write.parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).toArray
-            .map(_.asInstanceOf[java.nio.file.Path])
+          val part = graft.ingest.FileOps.listDir(stage)
             .find(_.getFileName.toString.endsWith(".parquet")).get
           java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
         }

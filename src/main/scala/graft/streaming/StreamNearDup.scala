@@ -204,12 +204,23 @@ object StreamNearDup {
     // scan, which at a ×100 index measured 2.3× slower than computing
     // the bucket list once (the explicit broadcast hints below keep
     // the joins map-side despite the pin's lost size stats)
-    val okBuckets = graft.plans.Materialize.stage(
+    val bucketCounts = graft.plans.Materialize.stage(
       newBands.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("__nn"))
         .join(storedCnt, Seq("band", "bh"), "left")
-        .filter(col("__nn") + coalesce(col("__sn"), lit(0L)) < maxBucket)
-        .select(col("band"), col("bh")))
+        .select(col("band"), col("bh"),
+          (col("__nn") + coalesce(col("__sn"), lit(0L))).as("__t")))
+    // NEVER silent: a dropped bucket is a recall trade the operator
+    // made for this batch — surface it (counting the pinned local
+    // relation is free)
+    val dropped = bucketCounts.filter(col("__t") >= maxBucket).count()
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"hybridCandidates: $dropped hot (band, bh) bucket(s) at/past " +
+          s"maxBucket=$maxBucket emitted no pairs this batch — raise " +
+          "maxBucket to trade quadratic bucket cost for their recall")
+    val okBuckets = bucketCounts.filter(col("__t") < maxBucket)
+      .select(col("band"), col("bh"))
     val nb = newBands.join(broadcast(okBuckets), Seq("band", "bh"))
     val matching = pruned.join(broadcast(okBuckets), Seq("band", "bh"))
     val cross = nb.join(renamed(matching), Seq("band", "bh"))

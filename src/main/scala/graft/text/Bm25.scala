@@ -140,11 +140,11 @@ object Bm25 {
     // staged match relation; the pad branch — the only doclen-wide
     // rank — runs solely in these degenerate cases.
     val nMatched = p.select(col(idCol)).distinct().count()
-    val minTopRounded: Double =
-      if (nMatched == 0L) 0.0
-      else graft.plans.Materialize.modelState(
-        matchedTop.agg(min(col("score")).as("m")),
-        "bm25 matched top-k min rounded score (1 row)", 1).head.getDouble(0)
+    // probe the k-th rounded score ONLY when the match count alone
+    // cannot decide the branch — under-k serves skip the rank job
+    def minTopRounded: Double = graft.plans.Materialize.modelState(
+      matchedTop.agg(min(col("score")).as("m")),
+      "bm25 matched top-k min rounded score (1 row)", 1).head.getDouble(0)
     if (nMatched >= k && minTopRounded > 0.0) matchedTop
     else {
       val pad = doclen.select(col(idCol))

@@ -33,8 +33,7 @@ object ProfileStreamSC {
                      parts: Int, mtimeMs: Long): Unit = {
         val stage = tmp.resolve(s"stage_$name")
         df.repartition(parts).write.parquet(stage.toString)
-        val partFiles = Files.list(stage).toArray
-          .map(_.asInstanceOf[java.nio.file.Path])
+        val partFiles = graft.ingest.FileOps.listDir(stage)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .sortBy(_.getFileName.toString)
         partFiles.zipWithIndex.foreach { case (p, i) =>

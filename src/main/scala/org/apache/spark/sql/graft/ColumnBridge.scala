@@ -36,7 +36,10 @@ object ColumnBridge {
   def inSet(name: String, values: Set[Any]): Column =
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.InSet(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(name),
+        // quoted: `name` is ONE column (col(name) semantics) — the
+        // plain apply would dot-split it into a multipart identifier
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(name),
         // InSet carries CATALYST-internal values (UTF8String for
         // strings, not java.lang.String — longs pass through); convert
         // each element the way Literal construction would

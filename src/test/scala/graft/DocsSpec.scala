@@ -28,7 +28,8 @@ class DocsSpec extends AnyFunSuite {
     val gatePat = "timed (?:family )?gate: ([a-zA-Z0-9_]+)".r
     val root = java.nio.file.Paths.get("src/main/scala/graft/queries")
     val blocks = scala.collection.mutable.Map[String, String]()
-    java.nio.file.Files.walk(root).iterator().asScala
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala
       .filter(_.toString.endsWith(".scala")).foreach { p =>
         val src = new String(java.nio.file.Files.readAllBytes(p))
         val ms = entryPat.findAllMatchIn(src).toSeq
@@ -37,6 +38,7 @@ class DocsSpec extends AnyFunSuite {
           blocks(m.group(1)) = src.substring(m.start, end)
         }
       }
+    finally walk.close()
     val problems = pruned.toSeq.sorted.flatMap { n =>
       blocks.get(n) match {
         case None => Some(s"$n: source block not found")
@@ -58,17 +60,20 @@ class DocsSpec extends AnyFunSuite {
     // localCheckpoint call silently opts its operator out.
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
-    val offenders = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala") &&
-        !p.toString.endsWith("plans/Materialize.scala"))
-      .flatMap { p =>
-        new String(java.nio.file.Files.readAllBytes(p)).linesIterator
-          .zipWithIndex
-          .filter { case (l, _) =>
-            l.contains("localCheckpoint(") &&
-              !l.trim.startsWith("//") && !l.trim.startsWith("*") }
-          .map { case (_, i) => s"$p:${i + 1}" }
-      }.toSeq
+    val walk = java.nio.file.Files.walk(root)
+    val offenders =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala") &&
+          !p.toString.endsWith("plans/Materialize.scala"))
+        .flatMap { p =>
+          new String(java.nio.file.Files.readAllBytes(p)).linesIterator
+            .zipWithIndex
+            .filter { case (l, _) =>
+              l.contains("localCheckpoint(") &&
+                !l.trim.startsWith("//") && !l.trim.startsWith("*") }
+            .map { case (_, i) => s"$p:${i + 1}" }
+        }.toSeq
+      finally walk.close()
     assert(offenders.isEmpty,
       s"bare localCheckpoint outside Materialize:\n${offenders.mkString("\n")}")
   }
