@@ -198,29 +198,42 @@ object StreamNearDup {
     val storedCnt = pruned.join(broadcast(batchKeys), Seq("band", "bh"))
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__sn"))
-    // pinned: okBuckets is batch-key-bounded, and its lineage contains
-    // a pruned-index scan — left lazy, each of its THREE consumers
-    // (nb, matching, and nb again inside `within`) would re-run that
-    // scan, which at a ×100 index measured 2.3× slower than computing
-    // the bucket list once (the explicit broadcast hints below keep
-    // the joins map-side despite the pin's lost size stats)
-    val bucketCounts = graft.plans.Materialize.stage(
-      newBands.groupBy(col("band"), col("bh"))
-        .agg(count(lit(1)).as("__nn"))
-        .join(storedCnt, Seq("band", "bh"), "left")
-        .select(col("band"), col("bh"),
-          (col("__nn") + coalesce(col("__sn"), lit(0L))).as("__t")))
-    // NEVER silent: a dropped bucket is a recall trade the operator
-    // made for this batch — surface it (counting the pinned local
-    // relation is free)
-    val dropped = bucketCounts.filter(col("__t") >= maxBucket).count()
-    if (dropped > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"hybridCandidates: $dropped hot (band, bh) bucket(s) at/past " +
-          s"maxBucket=$maxBucket emitted no pairs this batch — raise " +
-          "maxBucket to trade quadratic bucket cost for their recall")
-    val okBuckets = bucketCounts.filter(col("__t") < maxBucket)
-      .select(col("band"), col("bh"))
+    // the counts relation is batch-key-bounded, and its lineage holds
+    // a pruned-index scan feeding THREE consumers (nb, matching, and
+    // nb again inside `within`) — left lazy, each consumer re-ran that
+    // scan (2.3× slower at a ×100 index). Below the key cap the counts
+    // come to the DRIVER (one bounded fetch — cheaper than a
+    // localCheckpoint job + count job per micro-batch) and the bucket
+    // list joins back as a local relation; the wide-batch fallback
+    // pins it distributed instead.
+    val countsRel = newBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__nn"))
+      .join(storedCnt, Seq("band", "bh"), "left")
+      .select(col("band"), col("bh"),
+        (col("__nn") + coalesce(col("__sn"), lit(0L))).as("__t"))
+    def warnDropped(dropped: Long): Unit =
+      // NEVER silent: a dropped bucket is a recall trade the operator
+      // made for this batch — surface it
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"hybridCandidates: $dropped hot (band, bh) bucket(s) at/past " +
+            s"maxBucket=$maxBucket emitted no pairs this batch — raise " +
+            "maxBucket to trade quadratic bucket cost for their recall")
+    val okBuckets =
+      if (keyRows.length > pruneKeyCap) {
+        val pinned = graft.plans.Materialize.stage(countsRel)
+        warnDropped(pinned.filter(col("__t") >= maxBucket).count())
+        pinned.filter(col("__t") < maxBucket).select(col("band"), col("bh"))
+      } else {
+        val cntRows = graft.plans.Materialize.modelState(countsRel,
+          "hybrid bucket membership counts (≤ batch bucket keys)",
+          pruneKeyCap + 1)
+        val (ok, hot) = cntRows.partition(_.getLong(2) < maxBucket)
+        warnDropped(hot.length.toLong)
+        newBands.sparkSession.createDataFrame(
+          java.util.Arrays.asList(ok.map(r =>
+            org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), keySchema)
+      }
     val nb = newBands.join(broadcast(okBuckets), Seq("band", "bh"))
     val matching = pruned.join(broadcast(okBuckets), Seq("band", "bh"))
     val cross = nb.join(renamed(matching), Seq("band", "bh"))
