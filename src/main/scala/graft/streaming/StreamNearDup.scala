@@ -135,25 +135,43 @@ object StreamNearDup {
     * that produce such key sets land on a small index anyway. Raise
     * the cap when serving wide batches against a truly huge index.
     *
-    * `maxBucket` mirrors [[candidateStream]]'s hot-bucket cap, counted
-    * over a bucket's TOTAL membership — stored index PLUS this batch:
-    * a bucket at or past the cap (degenerate boilerplate signatures)
-    * emits no pairs this batch, neither cross NOR within-batch —
-    * without the stored count the new-vs-stored equi-join is quadratic
+    * `maxBucket` bounds hot-bucket fan-out by SALTED SUB-BUCKETING
+    * (r13 — the r12 form dropped hot buckets outright, and dup mass
+    * concentrates exactly there): a bucket whose TOTAL membership
+    * (stored index PLUS this batch) reaches the cap is split into
+    * g = ceil(total / maxBucket) sub-buckets keyed by a hash of the
+    * FULL k-slot signature, and the row joins run on (band, bh, sub).
+    * Cold buckets get g = 1 (sub = 0 on both sides — their plan is
+    * byte-identical to the uncapped form). The salt is chosen so the
+    * recall trade lands where it costs least:
+    *   - identical signatures — template copies, the dominant mass in
+    *     a real boilerplate bucket — always co-bucket, so their pairs
+    *     keep FULL recall at any g; their pair count is also the TRUE
+    *     answer (estimated Jaccard 1 clears any cutoff), so the work
+    *     spent on them is output-sensitive, not wasted;
+    *   - near-identical signatures may split across sub-buckets in
+    *     THIS band (probability ~1/g per hot band) — but a true
+    *     near-dup pair collides independently in each of the `bands`
+    *     bands, and only HOT bands salvage, so the other bands carry
+    *     the pair exactly as before;
+    *   - coincidental collisions (different texts, one shared band
+    *     hash — the quadratic-cost, empty-output case the cap exists
+    *     for) have diverse signatures, so the hash spreads them and
+    *     per-bucket compare cost drops from T² to ~T·maxBucket.
+    * Without the stored count the new-vs-stored equi-join is quadratic
     * in bucket size as the index grows, and without the batch count a
     * degenerate bulk batch makes the within-batch self-join quadratic
-    * in the batch (the same both-sides HAVING
-    * [[StreamSeedGram.hybridSeedPairs]]'s maxDf applies). Both counts
-    * read only join-key columns of batch-key-bounded relations (column
-    * pruning keeps the wide `sig` out), and the recall trade is the
-    * same one the stateful form and the batch stop-gram df cap make. */
+    * in the batch. Both count scans read only join-key columns of
+    * batch-key-bounded relations (column pruning keeps the wide `sig`
+    * out). Salvaged buckets are logged (never silent). Note the
+    * contrast with [[StreamSeedGram.hybridSeedPairs]]'s maxDf, which is
+    * NOT salvaged: that cap is the batch detector's semantic stop-gram
+    * `HAVING df <= maxDf` (oracle-pinned), not an operational bound. */
   def hybridCandidates(newBands: DataFrame, index: DataFrame,
                        threshold: Double = 0.7, k: Int = 64,
                        maxBucket: Int = 10000,
                        pruneKeyCap: Int = 8192): DataFrame = {
     val cutoff = math.max(0.0, threshold - 2.0 / math.sqrt(k.toDouble))
-    def renamed(df: DataFrame) = df.select(col("band"), col("bh"),
-      col("doc_id").as("o_id"), col("sig").as("o_sig"))
     // ONE distinct job computes the batch's bucket-key set; below the
     // cap the driver-held rows then serve BOTH pruning consumers — the
     // pushed bh IN filter and the (band, bh) key join's broadcast side
@@ -211,37 +229,57 @@ object StreamNearDup {
       .join(storedCnt, Seq("band", "bh"), "left")
       .select(col("band"), col("bh"),
         (col("__nn") + coalesce(col("__sn"), lit(0L))).as("__t"))
-    def warnDropped(dropped: Long): Unit =
-      // NEVER silent: a dropped bucket is a recall trade the operator
-      // made for this batch — surface it
-      if (dropped > 0)
+    def warnSalvaged(hot: Long): Unit =
+      // NEVER silent: a salvaged bucket still trades SOME recall in
+      // this band (near-identical signatures may split) — surface it
+      if (hot > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"hybridCandidates: $dropped hot (band, bh) bucket(s) at/past " +
-            s"maxBucket=$maxBucket emitted no pairs this batch — raise " +
-            "maxBucket to trade quadratic bucket cost for their recall")
-    val okBuckets =
+          s"hybridCandidates: $hot hot (band, bh) bucket(s) at/past " +
+            s"maxBucket=$maxBucket salvaged via salted sub-bucketing — " +
+            "identical-signature pairs keep full recall; near-identical " +
+            "pairs may split in this band (other bands still carry them)")
+    // per-bucket sub-bucket count g: 1 below the cap (sub = 0 on both
+    // sides — cold buckets' plan is unchanged), ceil(T / maxBucket)
+    // at/past it, so each sub-bucket's EXPECTED size stays under the
+    // cap and per-bucket compare fan-out drops from T² to ~T·maxBucket.
+    def gOf(t: Long): Int =
+      if (t < maxBucket) 1 else math.ceil(t.toDouble / maxBucket).toInt
+    val gSchema = org.apache.spark.sql.types.StructType(
+      keySchema.fields :+ org.apache.spark.sql.types.StructField(
+        "__g", org.apache.spark.sql.types.IntegerType, nullable = false))
+    val bucketG =
       if (keyRows.length > pruneKeyCap) {
         val pinned = graft.plans.Materialize.stage(countsRel)
-        warnDropped(pinned.filter(col("__t") >= maxBucket).count())
-        pinned.filter(col("__t") < maxBucket).select(col("band"), col("bh"))
+        warnSalvaged(pinned.filter(col("__t") >= maxBucket).count())
+        pinned.select(col("band"), col("bh"),
+          when(col("__t") < maxBucket, lit(1))
+            .otherwise(ceil(col("__t").cast("double") / maxBucket)
+              .cast("int")).as("__g"))
       } else {
         val cntRows = graft.plans.Materialize.modelState(countsRel,
           "hybrid bucket membership counts (≤ batch bucket keys)",
           pruneKeyCap + 1)
-        val (ok, hot) = cntRows.partition(_.getLong(2) < maxBucket)
-        warnDropped(hot.length.toLong)
+        warnSalvaged(cntRows.count(_.getLong(2) >= maxBucket).toLong)
         newBands.sparkSession.createDataFrame(
-          java.util.Arrays.asList(ok.map(r =>
-            org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), keySchema)
+          java.util.Arrays.asList(cntRows.map(r => org.apache.spark.sql.Row(
+            r.get(0), r.get(1), gOf(r.getLong(2)))): _*), gSchema)
       }
-    val nb = newBands.join(broadcast(okBuckets), Seq("band", "bh"))
-    val matching = pruned.join(broadcast(okBuckets), Seq("band", "bh"))
-    val cross = nb.join(renamed(matching), Seq("band", "bh"))
+    // the salt rides each side map-side: a Murmur3 hash of the full
+    // k-slot signature mod the bucket's g (deterministic, partition-
+    // independent — identical signatures always land together)
+    def salted(df: DataFrame) =
+      df.join(broadcast(bucketG), Seq("band", "bh"))
+        .withColumn("__sub", pmod(hash(col("sig")), col("__g")))
+    def renamed(df: DataFrame) = df.select(col("band"), col("bh"),
+      col("__sub"), col("doc_id").as("o_id"), col("sig").as("o_sig"))
+    val nb = salted(newBands)
+    val matching = salted(pruned)
+    val cross = nb.join(renamed(matching), Seq("band", "bh", "__sub"))
       .filter(col("o_id") =!= col("doc_id"))
       .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
       .select(least(col("doc_id"), col("o_id")).as("id_a"),
         greatest(col("doc_id"), col("o_id")).as("id_b"))
-    val within = nb.join(renamed(nb), Seq("band", "bh"))
+    val within = nb.join(renamed(nb), Seq("band", "bh", "__sub"))
       .filter(col("doc_id") < col("o_id"))
       .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
       .select(col("doc_id").as("id_a"), col("o_id").as("id_b"))

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, raise_error, session_window, when}
+import org.apache.spark.sql.functions.{ceil, col, count, hash, lit, max, pmod, raise_error, session_window, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStream
@@ -817,11 +817,14 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("hybrid stored-index hot buckets are capped: boilerplate buckets emit no cross pairs") {
-    // the stored-side analogue of candidateStream's maxBucket: without
-    // it a hot (band, bh) bucket (degenerate boilerplate signatures)
-    // makes the per-batch bucket equi-join quadratic in bucket size,
-    // unbounded as the index grows
+  test("hybrid stored-index hot buckets are SALVAGED: planted boilerplate dups are found, fan-out stays bounded") {
+    // r13 closes the r12 weak mark this test used to PIN (hot buckets
+    // emitted nothing): a (band, bh) bucket at/past maxBucket is now
+    // sub-bucketed by a hash of the full signature — identical-
+    // signature pairs (template copies, where real dup mass
+    // concentrates) keep FULL recall at any cap, while diverse-
+    // signature collisions spread across ceil(T/cap) sub-buckets so
+    // the per-bucket compare fan-out stays ~T·cap instead of T².
     import graft.streaming.StreamNearDup
     val tmp = java.nio.file.Files.createTempDirectory("graft-ndh-cap")
     val boiler = "same boilerplate text repeated across many documents word word word"
@@ -839,23 +842,65 @@ class StreamingSpec extends AnyFunSuite {
       StreamNearDup.hybridCandidates(nb, idx.read(), threshold = 0.7,
           maxBucket = maxBucket)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Set((1L, 11L), (1L, 12L), (1L, 13L), (2L, 21L))
     // cap far above the fixture: every stored near-dup is found
-    assert(pairs(10000) == Set((1L, 11L), (1L, 12L), (1L, 13L), (2L, 21L)))
+    assert(pairs(10000) == full)
     // cap 3 ≤ the boilerplate buckets' total membership (3 stored + 1
-    // arriving): those buckets are skipped this batch; the cold bucket
-    // still serves
-    assert(pairs(3) == Set((2L, 21L)))
-    // the cap also bounds the WITHIN-batch self-join: a degenerate
-    // bulk batch (4 boilerplate docs) emits no within pairs at cap 4
-    // (4 batch + 3 stored ≥ 4) while the distinct pair still lands
+    // arriving): the r12 form emitted NOTHING from those buckets — the
+    // planted identical-signature dups must now survive salvage
+    // (identical sigs always share a sub-bucket), and the cold bucket
+    // serves unchanged
+    assert(pairs(3) == full,
+      "planted boilerplate duplicates must be FOUND through salvage")
+    // a degenerate bulk batch (4 boilerplate docs) at cap 4: all its
+    // genuine pairs (identical signatures — the output-sensitive case)
+    // still land, within-batch included
     val bulk = graft.plans.Materialize.stage(StreamNearDup.bandRelation(
       Seq((1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler),
         (5L, other)).toDF("doc_id", "text"), "doc_id", "text"))
-    val capped = StreamNearDup.hybridCandidates(bulk, idx.read(),
+    val salvaged = StreamNearDup.hybridCandidates(bulk, idx.read(),
         threshold = 0.7, maxBucket = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped == Set((5L, 21L)))
+    val batchBoiler = Seq(1L, 2L, 3L, 4L)
+    val expected = (for {
+      a <- batchBoiler; b <- Seq(11L, 12L, 13L)
+    } yield (a, b)).toSet ++
+      (for { a <- batchBoiler; b <- batchBoiler if a < b } yield (a, b)) +
+      ((5L, 21L))
+    assert(salvaged == expected)
     graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
+  test("hot-bucket salvage bounds sub-bucket sizes for diverse signatures") {
+    // the COST side of salvage: coincidental collisions (shared band
+    // hash, diverse full signatures — the quadratic-cost/empty-output
+    // case maxBucket exists for) must spread across sub-buckets. 40
+    // near-identical docs (one trailing word varies) collide in most
+    // bands while their full 64-slot signatures differ, so the salt —
+    // pmod(hash(sig), ceil(T/cap)) — must keep every sub-bucket well
+    // under T. Replays the operator's own salt formula structurally.
+    import graft.streaming.StreamNearDup
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 40L).map(i => (i, s"$base tail$i"))
+      .toDF("doc_id", "text")
+    val bands = StreamNearDup.bandRelation(docs, "doc_id", "text")
+    val cap = 8
+    val counts = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("t"))
+    val sized = bands.join(counts, Seq("band", "bh"))
+      .withColumn("g", when(col("t") < cap, lit(1))
+        .otherwise(ceil(col("t").cast("double") / cap).cast("int")))
+      .withColumn("sub", pmod(hash(col("sig")), col("g")))
+      .groupBy(col("band"), col("bh"), col("sub"))
+      .agg(count(lit(1)).as("n"), max(col("t")).as("t"))
+      .collect()
+    val hot = sized.filter(_.getAs[Long]("t") >= cap)
+    assert(hot.nonEmpty, "fixture produced no hot buckets — tune it")
+    val maxSub = hot.map(_.getAs[Long]("n")).max
+    // hash unevenness slack ×3: the bound under test is T² → ~T·cap,
+    // i.e. sub-buckets must not stay bucket-sized
+    assert(maxSub <= 3L * cap,
+      s"hot-bucket sub-bucket reached $maxSub rows (cap $cap)")
   }
 
   test("index compaction preserves the hybrid serve answer and defragments the file sets") {
