@@ -263,6 +263,91 @@ object TextQueries {
       |FROM pairs WHERE inter * 1000000 >= uni * 800000
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The incremental-components fixture shared by
+    * `q_components_incremental` and `q_components_compact`: historical
+    * labels computed once and stored doc-sorted (IndexWriteOptions so
+    * batch lookups prune), then TWO arriving pair batches applied as
+    * append-only updates. The arithmetic edge classes exercise every
+    * path: chain comps, a comp-to-comp merge through INTERIOR nodes
+    * (root resolution, not min endpoints), new-node attach, new-new
+    * pairs, and a second batch whose merges FORWARD already-forwarded
+    * roots (chains in fwd, collapsed by star-CC resolution). Returns
+    * the (labels, forwards) stage tables under `tmp` — the caller owns
+    * cleanup. */
+  private def incrementalComponentsFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String, tmp: String)
+      : (graft.catalog.ParquetTable, graft.catalog.ParquetTable) = {
+    val ids = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"))
+    def off(k: Int, cond: org.apache.spark.sql.Column) =
+      ids.filter(cond)
+        .select(col("id").as("id_a"), (col("id") + k).as("id_b"))
+        .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+    val hist = off(1, col("id") % 20 === 0)
+      .unionByName(off(1, col("id") % 20 === 1))
+    val batch1 = off(20, col("id") % 40 === 2)
+      .unionByName(off(1, col("id") % 20 === 2))
+      .unionByName(off(1, col("id") % 20 === 10))
+    val batch2 = off(9, col("id") % 40 === 21)
+      .unionByName(off(18, col("id") % 40 === 23))
+    // stage 1: historical labels, computed once, stored doc-sorted
+    // with small row groups so batch lookups prune
+    val base = Dedup.connectedComponents(hist)
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"))
+    val labelsT = graft.catalog.ParquetTable(
+      s, "inc_labels", s"$tmp/labels", base.schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+    labelsT.overwrite(
+      base.repartition(col("doc_id")).sortWithinPartitions("doc_id"))
+    val fwdSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("old_root",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("new_root",
+        org.apache.spark.sql.types.LongType)))
+    val fwdT = graft.catalog.ParquetTable(
+      s, "inc_fwd", s"$tmp/fwd", fwdSchema).createIfNotExists()
+    // stage 2: two arriving pair batches — append-only updates
+    Seq(batch1, batch2).foreach { b =>
+      val (nl, nf) = graft.plans.IncrementalComponents.batchAppends(
+        labelsT.read(), fwdT.read(), b)
+      // pin before appending: the appends' plans read the tables
+      // they are about to extend
+      val (pl, pf) = (graft.plans.Materialize.stage(nl),
+        graft.plans.Materialize.stage(nf))
+      labelsT.append(pl.sortWithinPartitions("doc_id"))
+      fwdT.append(pf)
+    }
+    (labelsT, fwdT)
+  }
+
+  /** From-scratch transitive closure over ALL pairs (historical + both
+    * batches) — the incremental answer, compacted or not, must equal
+    * the from-scratch answer exactly. */
+  private val componentsIncrementalOracle: String =
+    """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+      |e AS (
+      |  SELECT a.id AS u, b.id AS v FROM ids a
+      |  JOIN ids b ON b.id = a.id + 1
+      |  WHERE a.id % 20 IN (0, 1, 2, 10)
+      |  UNION ALL
+      |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 20
+      |  WHERE a.id % 40 = 2
+      |  UNION ALL
+      |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 9
+      |  WHERE a.id % 40 = 21
+      |  UNION ALL
+      |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 18
+      |  WHERE a.id % 40 = 23),
+      |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |reach AS (
+      |  SELECT u, v FROM und
+      |  UNION
+      |  SELECT r.u, n.v FROM reach r JOIN und n ON n.u = r.v),
+      |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp_id
+      |         FROM reach GROUP BY u)
+      |SELECT doc_id, comp_id FROM comp ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     // Token counting (whitespace + BPE-ish regex) and fingerprinting.
@@ -652,9 +737,6 @@ object TextQueries {
              |         % 10000 < 9000
              |       THEN 'train' ELSE 'val' END AS split
              |FROM deduped ORDER BY doc_id""".stripMargin),
-      // superseded-generation bench prune (r10): the family
-      // bench gate is q_training_pipeline; this entry stays
-      // oracle-gated every round but is no longer timed
       // timed family gate: q_curation_v3 (oracle still gates this entry)
       bench = false),
 
@@ -899,8 +981,7 @@ object TextQueries {
       Some(bm25Oracle),
       benchFn = Some((s, dir) => serveBm25Stage(s,
         bm25StageDirs.computeIfAbsent(dir, d =>
-          buildBm25Stage(s, d, java.nio.file.Files
-            .createTempDirectory("graft-bm25-bench").toString))))),
+          buildBm25Stage(s, d, BenchStage.tempDir("graft-bm25-bench")))))),
 
     // STREAMING ingest into the BM25 inverted index — the day-2 shape
     // of q_bm25_index (the q_ann_index_insert pattern for the text
@@ -1485,9 +1566,6 @@ object TextQueries {
              |FROM gated JOIN r USING (lang)
              |WHERE ('0x' || substr(md5('cv2:' || doc_id), 1, 15))::BIGINT % 10000 < cut
              |ORDER BY doc_id""".stripMargin),
-      // superseded-generation bench prune (r10): the family
-      // bench gate is q_curation_v3; this entry stays
-      // oracle-gated every round but is no longer timed
       // timed family gate: q_curation_v3 (oracle still gates this entry)
       bench = false),
 
@@ -1717,9 +1795,6 @@ object TextQueries {
               |FROM scored
               |WHERE (CASE WHEN un = 0 THEN 0.0 ELSE inter / un END) >= 0.5
               |ORDER BY id_a, id_b""".stripMargin),
-      // superseded-generation bench prune (r10): the family
-      // bench gate is q_cluster_best; this entry stays
-      // oracle-gated every round but is no longer timed
       // timed family gate: q_components_stage (oracle still gates this entry)
       bench = false),
 
@@ -1851,9 +1926,6 @@ object TextQueries {
               |SELECT id_a, id_b, containment
               |FROM scored WHERE containment >= 0.9
               |ORDER BY id_a, id_b""".stripMargin),
-      // superseded-generation bench prune (r10): the family
-      // bench gate is q_containment_seed; this entry stays
-      // oracle-gated every round but is no longer timed
       // timed family gate: q_setjoin_prefix (oracle still gates this entry)
       bench = false),
 
@@ -2030,9 +2102,6 @@ object TextQueries {
       Some(s"""WITH RECURSIVE $componentsCtes
               |SELECT doc_id, comp_id FROM lab
               |ORDER BY doc_id""".stripMargin),
-      // superseded-generation bench prune (r10): the family
-      // bench gate is q_cluster_best; this entry stays
-      // oracle-gated every round but is no longer timed
       // timed family gate: q_components_stage (oracle still gates this entry)
       bench = false),
 
@@ -2086,8 +2155,6 @@ object TextQueries {
               |  CAST(sum(saved) AS BIGINT) AS bytes_saved
               |FROM g2 GROUP BY sz
               |ORDER BY cluster_size""".stripMargin),
-      // the detector is already timed by q_cluster_best — the report
-      // rollup stays oracle-gated but untimed
       // timed family gate: q_components_stage (oracle still gates this entry)
       bench = false),
 
@@ -2260,47 +2327,7 @@ object TextQueries {
       (s, dir) => {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-comps-inc").toString
-        val ids = Tables.load(s, dir, "documents")
-          .select(col("doc_id").as("id"))
-        def off(k: Int, cond: org.apache.spark.sql.Column) =
-          ids.filter(cond)
-            .select(col("id").as("id_a"), (col("id") + k).as("id_b"))
-            .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
-            .select(col("id_a"), col("id_b"))
-        val hist = off(1, col("id") % 20 === 0)
-          .unionByName(off(1, col("id") % 20 === 1))
-        val batch1 = off(20, col("id") % 40 === 2)
-          .unionByName(off(1, col("id") % 20 === 2))
-          .unionByName(off(1, col("id") % 20 === 10))
-        val batch2 = off(9, col("id") % 40 === 21)
-          .unionByName(off(18, col("id") % 40 === 23))
-        // stage 1: historical labels, computed once, stored doc-sorted
-        // with small row groups so batch lookups prune
-        val base = Dedup.connectedComponents(hist)
-          .select(col("id").as("doc_id"), col("comp").as("comp_id"))
-        val labelsT = graft.catalog.ParquetTable(
-          s, "inc_labels", s"$tmp/labels", base.schema,
-          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
-        labelsT.overwrite(
-          base.repartition(col("doc_id")).sortWithinPartitions("doc_id"))
-        val fwdSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("old_root",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("new_root",
-            org.apache.spark.sql.types.LongType)))
-        val fwdT = graft.catalog.ParquetTable(
-          s, "inc_fwd", s"$tmp/fwd", fwdSchema).createIfNotExists()
-        // stage 2: two arriving pair batches — append-only updates
-        Seq(batch1, batch2).foreach { b =>
-          val (nl, nf) = graft.plans.IncrementalComponents.batchAppends(
-            labelsT.read(), fwdT.read(), b)
-          // pin before appending: the appends' plans read the tables
-          // they are about to extend
-          val (pl, pf) = (graft.plans.Materialize.stage(nl),
-            graft.plans.Materialize.stage(nf))
-          labelsT.append(pl.sortWithinPartitions("doc_id"))
-          fwdT.append(pf)
-        }
+        val (labelsT, fwdT) = incrementalComponentsFixture(s, dir, tmp)
         val out = graft.plans.Materialize.stage(
           graft.plans.IncrementalComponents
             .resolvedLabels(labelsT.read(), fwdT.read())
@@ -2309,32 +2336,52 @@ object TextQueries {
           java.nio.file.Paths.get(tmp))
         out
       },
-      Some("""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
-             |e AS (
-             |  SELECT a.id AS u, b.id AS v FROM ids a
-             |  JOIN ids b ON b.id = a.id + 1
-             |  WHERE a.id % 20 IN (0, 1, 2, 10)
-             |  UNION ALL
-             |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 20
-             |  WHERE a.id % 40 = 2
-             |  UNION ALL
-             |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 9
-             |  WHERE a.id % 40 = 21
-             |  UNION ALL
-             |  SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 18
-             |  WHERE a.id % 40 = 23),
-             |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-             |reach AS (
-             |  SELECT u, v FROM und
-             |  UNION
-             |  SELECT r.u, n.v FROM reach r JOIN und n ON n.u = r.v),
-             |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp_id
-             |         FROM reach GROUP BY u)
-             |SELECT doc_id, comp_id FROM comp ORDER BY doc_id""".stripMargin),
+      Some(componentsIncrementalOracle),
       // timed family gate: q_components_stage (oracle still gates this
       // entry; the per-batch cost is bounded by the batch, the one
       // new kernel — star-CC over the root graph — is q_star_components'
       // probed shape)
+      bench = false),
+
+    // COMPACTION of the incremental-components state — the maintenance
+    // cadence that keeps the forwarding relation from growing with
+    // churn forever: [[graft.plans.IncrementalComponents.compacted]]
+    // folds the forwarding closure INTO the label relation (labels
+    // overwritten with the resolved view, forwards truncated), after
+    // which every read resolves through ZERO forwarding hops until the
+    // next merge. The serve after compaction must equal the serve
+    // through the full forwarding closure — gated here by the SAME
+    // from-scratch transitive-closure oracle as
+    // q_components_incremental, on the same fixture (historical labels
+    // + two merge batches, so the pre-compaction forwards are non-
+    // trivial: batch 2 forwards roots batch 1 already forwarded).
+    "q_components_compact" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-comps-cpt").toString
+        val (labelsT, fwdT) = incrementalComponentsFixture(s, dir, tmp)
+        require(fwdT.read().count() > 0,
+          "fixture must accumulate forwarding edges before compaction")
+        val (cl, cf) = graft.plans.IncrementalComponents.compacted(
+          labelsT.read(), fwdT.read())
+        // pin before overwriting: the compacted plan reads the table
+        // it replaces; re-land doc-sorted so batch lookups keep pruning
+        labelsT.overwrite(graft.plans.Materialize.stage(cl)
+          .repartition(col("doc_id")).sortWithinPartitions("doc_id"))
+        require(cf.isEmpty, "compaction must fold forwards to zero")
+        fwdT.truncate()
+        val out = graft.plans.Materialize.stage(
+          graft.plans.IncrementalComponents
+            .resolvedLabels(labelsT.read(), fwdT.read())
+            .orderBy(col("doc_id")))
+        graft.ingest.FileOps.deleteRecursively(
+          java.nio.file.Paths.get(tmp))
+        out
+      },
+      Some(componentsIncrementalOracle),
+      // timed family gate: q_components_stage (oracle still gates this
+      // entry; compaction cost is one label-table rewrite on the
+      // operator's cadence, amortized across the batches between runs)
       bench = false),
 
     // The STREAMING DEDUP PIPELINE end to end — the round's pieces
