@@ -35,14 +35,25 @@ class DocsSpec extends AnyFunSuite {
         val ms = entryPat.findAllMatchIn(src).toSeq
         ms.zipWithIndex.foreach { case (m, i) =>
           val end = if (i + 1 < ms.size) ms(i + 1).start else src.length
-          blocks(m.group(1)) = src.substring(m.start, end)
+          // a duplicate entry name in a second file would silently
+          // OVERWRITE the first block and the later one would absorb
+          // the gate check — Registry already rejects duplicates at
+          // build time, but this check must not depend on walk order
+          assert(blocks.put(m.group(1), src.substring(m.start, end)).isEmpty,
+            s"duplicate source block for entry ${m.group(1)} (in $p)")
         }
       }
     finally walk.close()
+    // gate comments are read from COMMENT LINES only: a 'timed family
+    // gate:' phrase inside an oracle SQL string or a prompt would
+    // otherwise satisfy the check without documenting anything
+    def commentText(block: String): String =
+      block.linesIterator.map(_.trim).filter(_.startsWith("//"))
+        .mkString("\n")
     val problems = pruned.toSeq.sorted.flatMap { n =>
       blocks.get(n) match {
         case None => Some(s"$n: source block not found")
-        case Some(b) => gatePat.findFirstMatchIn(b) match {
+        case Some(b) => gatePat.findFirstMatchIn(commentText(b)) match {
           case None => Some(s"$n: no 'timed family gate:' comment")
           case Some(g) if !timed(g.group(1)) =>
             Some(s"$n: gate ${g.group(1)} is itself pruned/unknown")
