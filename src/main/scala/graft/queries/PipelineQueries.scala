@@ -526,21 +526,28 @@ object PipelineQueries {
           .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val q = raw.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             // sign once, consume twice (candidate joins + index append)
             val nb = graft.plans.Materialize.stage(
               StreamNearDup.bandRelation(batch, "doc_id", "text"))
             pairTable.append(
               StreamNearDup.hybridCandidates(nb, idxTable.read(),
-                threshold = 0.5))
+                threshold = 0.5,
+                // fallback threshold scales with the measured index,
+                // not a constant: wide batches against a huge index
+                // still prune, narrow-vs-small skips the plumbing
+                pruneKeyCap = StreamNearDup.adaptiveKeyCap(
+                  idxTable.tableBytes)))
             // append key-sorted so footer stats stay tight for the
-            // next batch's pushed IN filter. Compaction runs on a
-            // CADENCE in production (compact(Seq("bh")) every N
-            // batches — StreamingSpec pins pair byte-identity across
-            // it, StreamProbe's serve row measures against the
-            // compacted layout); a 2-batch fixture is below any sane
-            // cadence, and per-append bh-sorted files already prune.
+            // next batch's pushed IN filter; compaction fires on the
+            // production CADENCE (every 8 batches — a 2-batch fixture
+            // never pays the rewrite; StreamingSpec pins pair
+            // byte-identity across it and the long-run StreamProbe row
+            // measures bounded files + flat serve under it)
             idxTable.append(nb.sortWithinPartitions("bh"))
+            graft.streaming.IndexMaintenance.maybeCompact(
+              idxTable, bid, every = 8, Seq("bh"))
+            ()
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -747,16 +754,21 @@ object PipelineQueries {
           .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val q = raw.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val nb = graft.plans.Materialize.stage(
               StreamSeedGram.seedRelation(batch, "doc_id", "text",
                 w = 3, seedMod = 8,
                 gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3))))
             pairTable.append(StreamSeedGram.hybridSeedPairs(
-              nb, idxTable.read(), maxDf = 1000))
+              nb, idxTable.read(), maxDf = 1000,
+              pruneKeyCap = graft.streaming.StreamNearDup.adaptiveKeyCap(
+                idxTable.tableBytes)))
             // h-sorted appends: the layout the pushed seed-key IN
-            // filter prunes against (cadence compaction as above)
+            // filter prunes against; cadence compaction as above
             idxTable.append(nb.sortWithinPartitions("h"))
+            graft.streaming.IndexMaintenance.maybeCompact(
+              idxTable, bid, every = 8, Seq("h"))
+            ()
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

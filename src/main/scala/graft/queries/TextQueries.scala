@@ -1027,7 +1027,13 @@ object TextQueries {
             val (p, d, _) = graft.text.Bm25.buildIndex(batch, "doc_id", "text")
             pTable.append(p.sortWithinPartitions("tok"))
             dTable.append(d)
+            // bulk batch compacts immediately (the one rewrite worth
+            // paying out of cadence — it IS the index); steady-state
+            // appends compact on the production cadence
             if (bid == 0L) pTable.compact(Seq("tok"))
+            else graft.streaming.IndexMaintenance.maybeCompact(
+              pTable, bid, every = 8, Seq("tok"))
+            ()
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2445,12 +2451,14 @@ object TextQueries {
           .option("maxFilesPerTrigger", "8")
           .parquet(src.toString)
         val q = raw.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val nb = graft.plans.Materialize.stage(
               StreamNearDup.bandRelation(batch, "doc_id", "text"))
             val cands = graft.plans.Materialize.stage(
               StreamNearDup.hybridCandidates(nb, idxT.read(),
-                threshold = 0.5))
+                threshold = 0.5,
+                pruneKeyCap = StreamNearDup.adaptiveKeyCap(
+                  idxT.tableBytes)))
             // endpoint texts: pruned stored read + the batch itself
             // (batch docs land in the text table only AFTER verify)
             val eps = graft.plans.Materialize.modelState(
@@ -2478,6 +2486,17 @@ object TextQueries {
             txtT.append(batch.select(col("doc_id"), col("text"))
               .sortWithinPartitions("doc_id"))
             idxT.append(nb.sortWithinPartitions("bh"))
+            // production maintenance cadence (a 2-batch fixture never
+            // pays it): band index re-clustered by bucket key, text
+            // and label lookups by doc id — the layouts their pushed
+            // InSet filters prune against
+            graft.streaming.IndexMaintenance.maybeCompact(
+              idxT, bid, every = 8, Seq("bh"))
+            graft.streaming.IndexMaintenance.maybeCompact(
+              txtT, bid, every = 8, Seq("doc_id"))
+            graft.streaming.IndexMaintenance.maybeCompact(
+              labelsT, bid, every = 8, Seq("doc_id"))
+            ()
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

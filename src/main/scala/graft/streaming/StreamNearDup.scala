@@ -65,6 +65,25 @@ object StreamNearDup {
   /** Bucket state: accumulated members (id + signature). */
   final case class Member(id: Long, sig: Array[Long])
 
+  /** Adaptive prune-key cap for the hybrid serves ([[hybridCandidates]]
+    * and [[StreamSeedGram.hybridSeedPairs]]): how many driver-held
+    * batch keys are worth holding before falling back to the full
+    * index scan. The two costs the cap balances scale differently —
+    * driver-side key plumbing grows with the KEY COUNT (measured ~3 s
+    * of planning at 76k keys, ~40 µs/key), while the fallback costs
+    * one scan of the STORED INDEX — so the break-even scales with the
+    * index, not a constant: a wide batch against a huge index should
+    * still prune, and a narrow batch against a small index should skip
+    * the plumbing. Derived from the index's stored data bytes
+    * ([[graft.catalog.ParquetTable.tableBytes]] — a filesystem stat
+    * walk, no Spark job): one key per 64 KiB of index (64 KiB scans in
+    * roughly what one key's plumbing costs on the measured numbers),
+    * floored at the r12-measured-safe 8192 and capped at 1 << 17,
+    * where the key plumbing itself reaches multi-second planning and
+    * a batch that wide amortizes the one scan it pays for. */
+  def adaptiveKeyCap(indexBytes: Long): Int =
+    math.min(1L << 17, math.max(8192L, indexBytes >> 16)).toInt
+
   /** The band-bucket relation of an (idCol, textCol) relation — one
     * row per (band, bh, doc_id, sig), map-only (the text column ends
     * here; only the ~0.5 KB signature travels further). Shared by the

@@ -153,7 +153,8 @@ object StreamProbe {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val nb = graft.plans.Materialize.stage(
             StreamNearDup.bandRelation(batch, "doc_id", "text"))
-          StreamNearDup.hybridCandidates(nb, idxTable.read(), threshold = 0.5)
+          StreamNearDup.hybridCandidates(nb, idxTable.read(), threshold = 0.5,
+              pruneKeyCap = StreamNearDup.adaptiveKeyCap(idxTable.tableBytes))
             .write.mode("append").parquet(out)
           idxTable.append(nb.sortWithinPartitions("bh"))
           // compact after the bulk batch only: the probe has two
@@ -203,7 +204,9 @@ object StreamProbe {
             StreamSeedGram.seedRelation(batch, "doc_id", "text",
               w = 3, seedMod = 8,
               gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3))))
-          StreamSeedGram.hybridSeedPairs(nb, idxTable.read(), maxDf = 1000)
+          StreamSeedGram.hybridSeedPairs(nb, idxTable.read(), maxDf = 1000,
+              pruneKeyCap = graft.streaming.StreamNearDup
+                .adaptiveKeyCap(idxTable.tableBytes))
             .write.mode("append").parquet(out)
           idxTable.append(nb.sortWithinPartitions("h"))
           if (bid == 0L) idxTable.compact(Seq("h"))
@@ -244,12 +247,89 @@ object StreamProbe {
     val nb = graft.plans.Materialize.stage(
       StreamNearDup.bandRelation(planted, "doc_id", "text"))
     val t0 = System.nanoTime()
-    StreamNearDup.hybridCandidates(nb, idxTable.read(), threshold = 0.5)
+    StreamNearDup.hybridCandidates(nb, idxTable.read(), threshold = 0.5,
+        pruneKeyCap = StreamNearDup.adaptiveKeyCap(idxTable.tableBytes))
       .write.mode("append").parquet(tmp.resolve("pairs").toString)
     idxTable.append(nb.sortWithinPartitions("bh"))
     val sec = (System.nanoTime() - t0) / 1e9
     graft.ingest.FileOps.deleteRecursively(tmp)
     Probe(sec, 0L, 0L)
+  }
+
+  /** LONG-RUN behavior of the near-dup hybrid under the production
+    * maintenance cadence — the r12 residue this measures away: per-
+    * batch appends fragment the stored index (one file set per batch;
+    * footer/metadata reads grow with file count), and without cadence
+    * compaction a long-running serve degrades even though every other
+    * per-batch cost is batch-bounded. 40 single-file micro-batches
+    * (the corpus split into 40 waves) run the EXACT entry foreachBatch
+    * shape — sign, pruned serve, pair append, index append,
+    * [[graft.streaming.IndexMaintenance.maybeCompact]] every 8 — and
+    * the probe records per-batch serve seconds and the index's data-
+    * file count after each batch. The claims under test: file count
+    * stays BOUNDED (sawtooth, reset by each compaction — never
+    * monotone growth) and serve time stays FLAT (last-10-batch mean ≈
+    * first-10-batch mean) while the index grows 40×. Emits one detail
+    * JSON line; the returned Probe carries the last-10 mean serve. */
+  def nearDupHybridLongRun(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-ndhl")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val waves = 40
+    (0 until waves).foreach { wv =>
+      graft.queries.StreamFixtures.writeBatch(tmp, src,
+        docs.filter(col("doc_id") % waves === wv), s"w$wv",
+        parts = 1, mtimeMs = 1000000000000L + wv * 60000L)
+    }
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.StreamNearDup
+    val bandSchema = StreamNearDup.bandRelation(
+      graft.Tables.load(ss, dir, "documents").limit(0), "doc_id", "text").schema
+    val idxTable = graft.catalog.ParquetTable(
+      ss, "sprobe_ndhl_idx", s"$tmp/idx", bandSchema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    def dataFiles(): Int = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$tmp/idx")).count(_.getName.endsWith(".parquet"))
+    }
+    val out = tmp.resolve("pairs").toString
+    val perBatch = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val probe = withStream {
+      raw.writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val t0 = System.nanoTime()
+          val nb = graft.plans.Materialize.stage(
+            StreamNearDup.bandRelation(batch, "doc_id", "text"))
+          StreamNearDup.hybridCandidates(nb, idxTable.read(), threshold = 0.5,
+              pruneKeyCap = StreamNearDup.adaptiveKeyCap(idxTable.tableBytes))
+            .write.mode("append").parquet(out)
+          idxTable.append(nb.sortWithinPartitions("bh"))
+          graft.streaming.IndexMaintenance.maybeCompact(
+            idxTable, bid, every = 8, Seq("bh"))
+          perBatch += ((bid, (System.nanoTime() - t0) / 1e9, dataFiles()))
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    val sorted = perBatch.sortBy(_._1)
+    def mean(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
+    val first10 = mean(sorted.take(10).map(_._2).toSeq)
+    val last10 = mean(sorted.takeRight(10).map(_._2).toSeq)
+    val filesMax = if (sorted.isEmpty) 0 else sorted.map(_._3).max
+    val filesEnd = if (sorted.isEmpty) 0 else sorted.last._3
+    println(s"""{"pipeline":"stream_neardup_hybrid_longrun","batches":${sorted.size},"files_max":$filesMax,"files_end":$filesEnd,"serve_sec_first10":${f"$first10%.3f"},"serve_sec_last10":${f"$last10%.3f"}}""")
+    Probe(last10, 0L, 0L)
   }
 
   /** Steady-state serve cost of the containment hybrid — the
@@ -279,7 +359,9 @@ object StreamProbe {
       StreamSeedGram.seedRelation(buried, "doc_id", "text",
         w = 3, seedMod = 8, gramFn = gramFn))
     val t0 = System.nanoTime()
-    StreamSeedGram.hybridSeedPairs(nb, idxTable.read(), maxDf = 1000)
+    StreamSeedGram.hybridSeedPairs(nb, idxTable.read(), maxDf = 1000,
+        pruneKeyCap = graft.streaming.StreamNearDup
+          .adaptiveKeyCap(idxTable.tableBytes))
       .write.mode("append").parquet(tmp.resolve("pairs").toString)
     idxTable.append(nb.sortWithinPartitions("h"))
     val sec = (System.nanoTime() - t0) / 1e9
@@ -413,6 +495,7 @@ object StreamProbe {
       "stream_neardup_ttl" -> nearDupTtl,
       "stream_neardup_hybrid" -> nearDupHybrid,
       "stream_neardup_hybrid_serve" -> nearDupHybridServe,
+      "stream_neardup_hybrid_longrun" -> nearDupHybridLongRun,
       "stream_containment" -> containment,
       "stream_containment_hybrid" -> containmentHybrid,
       "stream_containment_hybrid_serve" -> containmentHybridServe,

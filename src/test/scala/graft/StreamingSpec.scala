@@ -944,6 +944,97 @@ class StreamingSpec extends AnyFunSuite {
     graft.ingest.FileOps.deleteRecursively(tmp)
   }
 
+  test("cadence compaction bounds index file count without changing content") {
+    // IndexMaintenance.maybeCompact is the machinery form of the r12
+    // prose "compact every N batches in production": drive 16 append
+    // batches through the cadence (every = 4) and assert it fires on
+    // exactly the window-closing ids, the data-file count stays
+    // BOUNDED (sawtooth, not monotone growth), and the table content
+    // is untouched — compaction is a layout rewrite, never a data op.
+    import graft.streaming.IndexMaintenance
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cadence")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bh",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val t = graft.catalog.ParquetTable(spark, "cadence_idx",
+      s"$tmp/idx", schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    def dataFiles(): Int = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$tmp/idx")).count(_.getName.endsWith(".parquet"))
+    }
+    val fired = scala.collection.mutable.ArrayBuffer[Long]()
+    val filesSeen = scala.collection.mutable.ArrayBuffer[Int]()
+    (0L until 16L).foreach { bid =>
+      t.append(Seq((bid, bid * 10), (bid, bid * 10 + 1))
+        .toDF("bh", "v").repartition(2))
+      if (IndexMaintenance.maybeCompact(t, bid, every = 4, Seq("bh")))
+        fired += bid
+      filesSeen += dataFiles()
+    }
+    assert(fired.toSeq == Seq(3L, 7L, 11L, 15L))
+    // bounded: between compactions at most `every` appends × 2 files
+    // accumulate on top of the compacted baseline (1 file at this size)
+    assert(filesSeen.max <= 1 + 4 * 2, s"file counts: $filesSeen")
+    assert(filesSeen.last == 1, s"final compaction left ${filesSeen.last} files")
+    // content untouched: every appended row present exactly once
+    assert(t.read().count() == 32)
+    assert(t.read().agg(org.apache.spark.sql.functions.sum(col("v")))
+      .head().getLong(0) == (0L until 16L).map(b => b * 20 + 1).sum)
+    // disabled cadence never fires
+    assert(!IndexMaintenance.maybeCompact(t, 3L, every = 0, Seq("bh")))
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
+  test("adaptive prune-key cap scales with the stored index, both regimes serve correctly") {
+    // the r12 residue: pruneKeyCap was a constant 8192, so a wide batch
+    // against a truly huge index fell back to the full scan unless the
+    // operator re-tuned it. The cap now derives from the index's
+    // measured bytes: floored at the measured-safe 8192 for small
+    // indexes, growing one key per 64 KiB, hard-capped at 1 << 17
+    // where key plumbing itself reaches seconds.
+    import graft.streaming.StreamNearDup
+    assert(StreamNearDup.adaptiveKeyCap(0L) == 8192)
+    assert(StreamNearDup.adaptiveKeyCap(100L * 1024 * 1024) == 8192)
+    // 1 GiB index -> 16384 keys; monotone growth past the floor
+    assert(StreamNearDup.adaptiveKeyCap(1L << 30) == 16384)
+    assert(StreamNearDup.adaptiveKeyCap(1L << 32) == 65536)
+    // hard cap: a petabyte index still caps the driver-held key set
+    assert(StreamNearDup.adaptiveKeyCap(1L << 50) == (1 << 17))
+    // integration, regime 1 (narrow batch vs small index — the
+    // adaptive cap lands on the floor, far above the key set): the
+    // pruned IN-filter plan serves
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptcap")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bands = StreamNearDup.bandRelation(
+      Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
+    val idx = graft.catalog.ParquetTable(spark, "adapt_idx",
+      s"$tmp/idx", bands.schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    idx.append(bands.sortWithinPartitions("bh"))
+    val cap = StreamNearDup.adaptiveKeyCap(idx.tableBytes)
+    assert(cap == 8192, s"small index must land on the floor, got $cap")
+    val nb = graft.plans.Materialize.stage(StreamNearDup.bandRelation(
+      Seq((2L, a + " trailing")).toDF("doc_id", "text"), "doc_id", "text"))
+    val pruned = StreamNearDup.hybridCandidates(nb, idx.read(),
+      threshold = 0.5, pruneKeyCap = cap)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [In(bh"))
+    // regime 2 (batch keys exceed the cap — the wide-bulk fallback):
+    // full bucket join, identical answer
+    val full = StreamNearDup.hybridCandidates(nb, idx.read(),
+      threshold = 0.5, pruneKeyCap = 1)
+    assert(full.collect().toSet == pruned.collect().toSet)
+    assert(pruned.collect().nonEmpty)
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
   test("childSession ships the state-store provider from the scoped override") {
     // the one-flag RocksDB flip for the whole streaming family rests on
     // this plumbing — gate it directly so a silent break cannot turn
