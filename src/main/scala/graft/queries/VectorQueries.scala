@@ -263,6 +263,98 @@ object VectorQueries {
   /** The unfiltered replay — every indexed id is a candidate. */
   private lazy val ivfpqOracleSqlAll: String = ivfpqOracleSql("TRUE")
 
+  /** Full replay of the q_ann_index_health pipeline: quantized k-means
+    * trained on the evens ('km:' seeds, one Lloyd update — the
+    * ivfOracleSql trainer restricted to the historical population),
+    * cosine assignment of the held-out reference window (% 4 = 1) and
+    * the drifted arrivals (% 4 = 3, +0.5 on the first 8 coordinates,
+    * shifted in DOUBLE on both engines), the integer-exact quantized
+    * assignment similarity (the bitext cos_q contract: ×1000-quantized
+    * coords, floor(dot·10⁶/√(nq·nc)) — one identically-rounded double
+    * op), then per-cell means/shares as floor(double-div) and the
+    * drift decision at the 100000-micro thresholds. */
+  private val annIndexHealthOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> floor(x * 1000)) AS e
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |seeds AS (
+      |  SELECT vec_id AS cid, e FROM q
+      |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
+      |    vec_id
+      |  LIMIT 16),
+      |a1 AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT q.vec_id, q.e, s.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, s.e)
+      |          + list_dot_product(s.e, s.e), s.cid) AS rn
+      |    FROM q, seeds s) WHERE rn = 1),
+      |cents AS (
+      |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+      |    SELECT cid, i, floor(sum(e[i]) / count(*)) AS m
+      |    FROM a1, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+      |pop AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, 'train' AS gen
+      |  FROM embeddings WHERE vec_id % 4 = 1
+      |  UNION ALL
+      |  SELECT vec_id,
+      |    list_transform(range(len(embedding)), i ->
+      |      CAST(embedding[i+1] AS DOUBLE)
+      |        + CASE WHEN i < 8 THEN 0.5 ELSE 0.0 END) AS v,
+      |    'new' AS gen
+      |  FROM embeddings WHERE vec_id % 4 = 3),
+      |assign AS (
+      |  SELECT vec_id, gen, v, cid FROM (
+      |    SELECT p.vec_id, p.gen, p.v, c.cid,
+      |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      |        list_cosine_similarity(p.v, c.cv) DESC, c.cid) AS crank
+      |    FROM pop p, cents c) WHERE crank = 1),
+      |sc AS (
+      |  SELECT gen, cid,
+      |    CAST(floor(list_dot_product(qv, cv) * 1000000 /
+      |      sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)))
+      |      AS BIGINT) AS simq
+      |  FROM (SELECT a.gen, a.cid, c.cv,
+      |          list_transform(a.v, x -> floor(x * 1000)) AS qv
+      |        FROM assign a JOIN cents c USING (cid))),
+      |cg AS (SELECT cid, gen, count(*) AS n, sum(simq) AS ssimq
+      |       FROM sc GROUP BY cid, gen),
+      |tots AS (SELECT gen, sum(n) AS tot FROM cg GROUP BY gen),
+      |st AS (
+      |  SELECT cid, gen, n,
+      |    CAST(floor(CAST(ssimq AS DOUBLE) / n) AS BIGINT) AS mean_simq,
+      |    CAST(floor(CAST(n * 1000000 AS DOUBLE) / tot) AS BIGINT)
+      |      AS share_micro
+      |  FROM cg JOIN tots USING (gen)),
+      |tr AS (SELECT cid, n AS n_train, mean_simq AS mean_simq_train,
+      |         share_micro AS share_train_micro
+      |       FROM st WHERE gen = 'train'),
+      |nw AS (SELECT cid, n AS n_new, mean_simq AS mean_simq_new,
+      |         share_micro AS share_new_micro
+      |       FROM st WHERE gen = 'new'),
+      |hj AS (
+      |  SELECT coalesce(tr.cid, nw.cid) AS cid,
+      |    coalesce(n_train, 0) AS n_train,
+      |    coalesce(n_new, 0) AS n_new,
+      |    mean_simq_train, mean_simq_new,
+      |    coalesce(share_train_micro, 0) AS share_train_micro,
+      |    coalesce(share_new_micro, 0) AS share_new_micro
+      |  FROM tr FULL OUTER JOIN nw ON tr.cid = nw.cid)
+      |SELECT CAST(cid AS BIGINT) AS cid,
+      |  CAST(n_train AS BIGINT) AS n_train,
+      |  CAST(n_new AS BIGINT) AS n_new,
+      |  mean_simq_train, mean_simq_new,
+      |  CAST(share_train_micro AS BIGINT) AS share_train_micro,
+      |  CAST(share_new_micro AS BIGINT) AS share_new_micro,
+      |  coalesce(mean_simq_train - mean_simq_new, 0) AS sim_drop_micro,
+      |  abs(share_new_micro - share_train_micro) AS occ_shift_micro,
+      |  (coalesce(mean_simq_train - mean_simq_new, 0) > 100000)
+      |    OR (abs(share_new_micro - share_train_micro) > 100000)
+      |    AS drifted
+      |FROM hj ORDER BY cid""".stripMargin
+
   /** Per-JVM cache of built IVF-PQ stage-table directories, keyed by
     * sf dir — the benchFn serve path builds the index at most once and
     * every subsequent timed attempt reads the stage tables only, so
@@ -973,6 +1065,67 @@ object VectorQueries {
       // timed family gate: q_ann_ivfpq_stage (oracle still gates this
       // entry; the per-batch ingest cost is q_stream_vector_ingest's
       // probed shape plus one map-side projection)
+      bench = false),
+
+    // QUANTIZER DRIFT MONITOR — the day-2 signal q_ann_index_insert
+    // was missing: insert-only maintenance assigns arriving vectors to
+    // STORED centroids forever, so under distribution drift recall
+    // decays silently. graft.vector.IndexHealth computes two signals
+    // from the index's OWN relations (the scored assignment table —
+    // simq stored at assign time — plus the stored centroids; no
+    // corpus pass) and a deterministic per-cell retrain decision, the
+    // RunDecision stance. Fixture: centroids train on the historical
+    // evens; the reference generation is a HELD-OUT served window
+    // (vec_id % 4 = 1 — baselining on the training population itself
+    // is biased, see IndexHealth's scaladoc), and arrivals
+    // (vec_id % 4 = 3) carry a planted +0.5 shift on the first 8
+    // coordinates — real drift the monitor must flag. The oracle
+    // replays everything: quantized k-means on the evens, cosine
+    // assignment of both generations, the integer-exact quantized
+    // assignment similarity, the per-cell means/shares, and the
+    // decision itself.
+    "q_ann_index_health" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ann-health")
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val hist = emb.filter(col("vec_id") % 2 === 0)
+        val cents = graft.vector.KMeans.fitCentroids(
+          hist, "vec_id", "embedding", k = 16, iters = 2)
+        import s.implicits._
+        val centroids = cents.toDF("cid", "embedding")
+        graft.catalog.ParquetTable(s, "health_centroids",
+          s"$tmp/centroids", centroids.schema).overwrite(centroids)
+        val stored = s.read.parquet(s"$tmp/centroids")
+        val reference = emb.filter(col("vec_id") % 4 === 1)
+        val arrivals = emb.filter(col("vec_id") % 4 === 3)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              (x, i) => x + when(i < lit(8), lit(0.5)).otherwise(lit(0.0)))
+              .as("embedding"))
+        val scored = graft.vector.IndexHealth
+          .assignScored(reference, "vec_id", "embedding", stored)
+          .withColumn("gen", lit("train"))
+          .unionByName(graft.vector.IndexHealth
+            .assignScored(arrivals, "vec_id", "embedding", stored)
+            .withColumn("gen", lit("new")))
+        val aT = graft.catalog.ParquetTable(s, "health_assign",
+          s"$tmp/assign", scored.schema).createIfNotExists()
+        aT.append(scored)
+        // the monitor reads ONLY the stored scored-assignment relation
+        val out = graft.plans.Materialize.stage(
+          graft.vector.IndexHealth.cellHealth(
+            aT.read().select(col("cid").cast("long").as("cid"),
+              col("simq"), col("gen")))
+            .orderBy(col("cid")))
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        out
+      },
+      Some(annIndexHealthOracle),
+      // timed family gate: q_ann_ivfpq_stage (oracle still gates this
+      // entry; monitor cost is one hash aggregate of the assignment
+      // relation plus k-bounded joins)
       bench = false),
 
     // STREAMING vector ingestion into the IVF index — the day-2 shape

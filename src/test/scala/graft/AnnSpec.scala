@@ -234,4 +234,47 @@ class AnnSpec extends AnyFunSuite {
         s"fn=${qa(q)} timed=${qb(q)}")
     }
   }
+
+  test("index-health drift monitor: planted drift flips the retrain decision") {
+    // the q_ann_index_health machinery under a controlled A/B: same
+    // stored centroids (trained on the historical evens), same held-out
+    // reference window, and two arrival generations — unshifted
+    // (healthy) vs +0.5 on the first 8 coordinates (drifted). The
+    // healthy run must raise ZERO per-cell retrain decisions at the
+    // default thresholds; the drifted run must raise several, through
+    // BOTH signals (assignment-similarity drop AND occupancy shift).
+    import spark.implicits._
+    import graft.vector.IndexHealth
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val centroids = graft.vector.KMeans.fitCentroids(
+      hist, "vec_id", "embedding", k = 16, iters = 2)
+      .toDF("cid", "embedding")
+    val reference = emb.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding"))
+    def health(arrivals: org.apache.spark.sql.DataFrame) =
+      IndexHealth.cellHealth(
+        IndexHealth.assignScored(reference, "vec_id", "embedding", centroids)
+          .withColumn("gen", lit("train"))
+          .unionByName(
+            IndexHealth.assignScored(arrivals, "vec_id", "embedding", centroids)
+              .withColumn("gen", lit("new"))))
+    val healthy = emb.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id"), col("embedding"))
+    assert(health(healthy).filter(col("drifted")).count() == 0,
+      "healthy arrivals must not trigger a retrain decision")
+    val drifted = emb.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i < lit(8), lit(0.5)).otherwise(lit(0.0)))
+          .as("embedding"))
+    val flagged = health(drifted).filter(col("drifted"))
+      .select(col("sim_drop_micro"), col("occ_shift_micro")).collect()
+    assert(flagged.length >= 3,
+      s"planted drift flagged only ${flagged.length} cell(s)")
+    assert(flagged.exists(_.getLong(0) > 100000L),
+      "no cell flagged through the similarity-drop signal")
+    assert(flagged.exists(_.getLong(1) > 100000L),
+      "no cell flagged through the occupancy-shift signal")
+  }
 }
