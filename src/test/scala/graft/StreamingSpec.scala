@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{ceil, col, count, hash, lit, max, pmod, raise_error, session_window, when}
+import org.apache.spark.sql.functions.{ceil, coalesce, col, count, hash, lit, max, pmod, raise_error, session_window, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStream
@@ -942,6 +942,150 @@ class StreamingSpec extends AnyFunSuite {
     assert(dataFiles() < filesBefore,
       s"compaction did not reduce files: $filesBefore -> ${dataFiles()}")
     graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
+  test("composed dedup pipeline survives a mid-batch crash: restart lands on the from-scratch answer") {
+    // failure injection for q_stream_dedup_pipeline's foreachBatch —
+    // the composition claim the per-piece replay specs cannot make:
+    // the FOUR appends (labels, forwards, texts, band index) are not
+    // atomic as a group, so a crash between them leaves the stores
+    // inconsistent, and the restarted stream REDELIVERS the whole
+    // micro-batch. Exactly-once here is by ALGEBRA, not markers: label
+    // appends are derived from state-at-read (a redelivered endpoint
+    // is 'known' and appends nothing; an applied merge yields no root
+    // pair; a missing forward is re-detected), and the recall stores
+    // (texts, index) tolerate duplicate rows (duplicate candidates are
+    // distinct'd; duplicate gram sets scale intersection and union
+    // together, preserving every jaccard). Two injection points:
+    //  - between the forwards append and the text append (stores
+    //    inconsistent: labels+fwd landed, texts/index missing), and
+    //  - after ALL appends but before the checkpoint commit (the
+    //    duplicate-append case: replay re-appends texts and bands).
+    // Both restarts must land the final labels exactly on the
+    // from-scratch batch answer.
+    import graft.streaming.StreamNearDup
+    val docsLocal = ((0L until 30L).map(i =>
+      (i, (0 until 12).map(t => s"w${i}x$t").mkString(" "))) ++
+      (0L until 10L).map(i =>
+        (i + 1000L, (0 until 12).map(t => s"w${i}x$t").mkString(" ") + " trailing")))
+      .toDF("doc_id", "text")
+    val originals = docsLocal.filter(col("doc_id") < 1000L)
+    val planted = docsLocal.filter(col("doc_id") >= 1000L)
+    val expected = graft.text.Dedup
+      .nearDupComponents(docsLocal, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (crashPoint <- Seq("between-appends", "after-appends")) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-ddp-fi")
+      val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val stage = tmp.resolve(s"stage_$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = graft.ingest.FileOps.listDir(stage)
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = src.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      writeOne(originals, "a", 1000000000000L)
+      writeOne(planted, "b", 1000000060000L)
+      val ss = graft.queries.StreamFixtures.childSession(spark, 4)
+      val bandSchema = StreamNearDup.bandRelation(
+        docsLocal.limit(0), "doc_id", "text").schema
+      def longField(n: String) = org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.LongType)
+      val idxT = graft.catalog.ParquetTable(ss, "fi_idx", s"$tmp/idx",
+        bandSchema,
+        writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+        .createIfNotExists()
+      val txtT = graft.catalog.ParquetTable(ss, "fi_txt", s"$tmp/txt",
+        org.apache.spark.sql.types.StructType(
+          Seq(longField("doc_id"),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))),
+        writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+        .createIfNotExists()
+      val labelsT = graft.catalog.ParquetTable(ss, "fi_labels",
+        s"$tmp/labels", org.apache.spark.sql.types.StructType(
+          Seq(longField("doc_id"), longField("comp_id"))),
+        writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+        .createIfNotExists()
+      val fwdT = graft.catalog.ParquetTable(ss, "fi_fwd", s"$tmp/fwd",
+        org.apache.spark.sql.types.StructType(
+          Seq(longField("old_root"), longField("new_root"))))
+        .createIfNotExists()
+      val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def body(inject: Boolean)(batch: org.apache.spark.sql.DataFrame,
+                                bid: Long): Unit = {
+        val nb = graft.plans.Materialize.stage(
+          StreamNearDup.bandRelation(batch, "doc_id", "text"))
+        val cands = graft.plans.Materialize.stage(
+          StreamNearDup.hybridCandidates(nb, idxT.read(), threshold = 0.5))
+        val eps = graft.plans.Materialize.modelState(
+          cands.select(col("id_a").as("doc_id"))
+            .unionByName(cands.select(col("id_b").as("doc_id"))).distinct(),
+          "failure-injection endpoints", 1 << 20)
+        val texts =
+          (if (eps.isEmpty) txtT.read().filter(lit(false))
+           else txtT.read().filter(
+             org.apache.spark.sql.graft.ColumnBridge.inSet("doc_id",
+               eps.map(r => Long.box(r.getLong(0)): Any).toSet)))
+            .unionByName(batch.select(col("doc_id"), col("text")))
+        val verified = graft.plans.Materialize.stage(
+          graft.text.Dedup.verifyPairsJaccard(texts, "doc_id", "text",
+              cands, threshold = 0.5)
+            .select(col("id_a"), col("id_b")))
+        val (nl, nf) = graft.plans.IncrementalComponents
+          .batchAppends(labelsT.read(), fwdT.read(), verified)
+        val (pl, pf) = (graft.plans.Materialize.stage(nl),
+          graft.plans.Materialize.stage(nf))
+        labelsT.append(pl.sortWithinPartitions("doc_id"))
+        fwdT.append(pf)
+        if (inject && crashPoint == "between-appends" && bid == 1L &&
+            !injected.getAndSet(true))
+          throw new RuntimeException("injected crash between appends")
+        txtT.append(batch.select(col("doc_id"), col("text"))
+          .sortWithinPartitions("doc_id"))
+        idxT.append(nb.sortWithinPartitions("bh"))
+        if (inject && crashPoint == "after-appends" && bid == 1L &&
+            !injected.getAndSet(true))
+          throw new RuntimeException("injected crash after all appends")
+      }
+      def run(inject: Boolean): Unit = {
+        val q = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+          .writeStream
+          .foreachBatch(body(inject) _)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(inject = true)
+      }
+      assert(failure.getMessage.contains("injected crash"), failure.getMessage)
+      assert(injected.get(), "the crash never fired")
+      // restart from the checkpoint: batch 1 is redelivered whole
+      run(inject = false)
+      // the label algebra must not have double-applied anything
+      val labelRows = labelsT.read().collect()
+      assert(labelRows.map(_.getLong(0)).distinct.length == labelRows.length,
+        s"[$crashPoint] duplicate label rows after replay")
+      val resolved = graft.plans.IncrementalComponents
+        .resolvedLabels(labelsT.read(), fwdT.read())
+      val allIds = docsLocal.select(col("doc_id"))
+      val got = allIds.join(resolved, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp_id"), col("doc_id")).as("comp_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"[$crashPoint] restart diverged from the from-scratch answer")
+      graft.ingest.FileOps.deleteRecursively(tmp)
+    }
   }
 
   test("cadence compaction bounds index file count without changing content") {
