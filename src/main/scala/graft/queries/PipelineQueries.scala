@@ -628,6 +628,148 @@ object PipelineQueries {
       // scale story is the StreamProbe flat-state row)
       bench = false),
 
+    // TWO-TIER streaming dedup — the TTL window and the stored-index
+    // hybrid COMPOSED, which is the actual production shape at 100 TB:
+    // a TTL'd in-memory recent window (tier A — bounded state, catches
+    // the within-horizon duplicate mass the moment it arrives) plus a
+    // stored bulk index for everything older (tier B — zero stream
+    // state, full recall at any horizon). The glue is an AGING path:
+    // each arriving batch's band rows land in a PENDING stage table
+    // (horizon-bounded — rate × TTL rows); when a batch's max event
+    // time moves the horizon past a pending row's arrival, the row
+    // migrates into the bh-sorted bulk index (append + bounded
+    // deleteWhere rewrite of the pending table), so the bulk tier
+    // holds exactly what the window has aged out. Candidates =
+    // tier A ∪ tier B, dedup'd, exact-verified — the SAME all-pairs
+    // oracle as every other index representation: the tiering changes
+    // WHERE a pair is found (and what state/scan it costs), never the
+    // verified answer. Fixture: originals at t0; dups of docs 0-9 at
+    // t0+1h (inside the 2h TTL — tier A's cross-batch state finds
+    // them); a novel-text sentinel wave at t0+2.5h advances the
+    // watermark so t0's buckets EVICT; dups of docs 10-19 at t0+3h —
+    // beyond the horizon, found through the aged rows in the bulk
+    // index (tier B). Recall is therefore full while tier A's state
+    // stays bounded by the horizon (the StreamProbe two-tier row
+    // measures exactly that at a fixed ingest rate).
+    "q_stream_neardup_twotier" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-ndtt")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val t0 = 1700000000000L
+        val ttlMs = 2L * 3600000L
+        def at(ms: Long) = lit(new java.sql.Timestamp(ms)).as("arrival")
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        def dups(lo: Int, hi: Int) =
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text"))
+        val sentinels = docs.filter(col("doc_id") < 5).select(
+          (col("doc_id") + 900000).as("doc_id"),
+          concat(lit("sentinelnovel"), col("doc_id").cast("string"),
+            lit(" wholly unique filler tokens "),
+            md5(col("doc_id").cast("string"))).as("text"))
+        StreamFixtures.writeBatch(tmp, src,
+          docs.select(col("doc_id"), col("text"), at(t0)), "a",
+          parts = 1, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src,
+          dups(0, 10).select(col("doc_id"), col("text"), at(t0 + 3600000L)),
+          "b", parts = 1, mtimeMs = 1000000060000L)
+        StreamFixtures.writeBatch(tmp, src,
+          sentinels.select(col("doc_id"), col("text"), at(t0 + 9000000L)),
+          "w", parts = 1, mtimeMs = 1000000120000L)
+        StreamFixtures.writeBatch(tmp, src,
+          dups(10, 20).select(col("doc_id"), col("text"), at(t0 + 10800000L)),
+          "c", parts = 1, mtimeMs = 1000000180000L)
+        val ss = StreamFixtures.childSession(s, 4)
+        import graft.streaming.StreamNearDup
+        def raw() = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        // tier B: pending (band rows still inside the horizon) + bulk
+        // index (aged-out rows, bh-sorted for the pushed IN filter)
+        val pendSchema = StreamNearDup.bandRelationWithTs(
+          graft.Tables.load(ss, dir, "documents").limit(0)
+            .select(col("doc_id"), col("text"), at(t0)),
+          "doc_id", "text", "arrival").schema
+        val pendT = graft.catalog.ParquetTable(
+          ss, "ndtt_pend", s"$tmp/pend", pendSchema).createIfNotExists()
+        val idxT = graft.catalog.ParquetTable(
+          ss, "ndtt_idx", s"$tmp/idx",
+          org.apache.spark.sql.types.StructType(
+            pendSchema.fields.filterNot(_.name == "ts")),
+          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+          .createIfNotExists()
+        val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType)))
+        val pairT = graft.catalog.ParquetTable(
+          ss, "ndtt_pairs", s"$tmp/pairs", pairSchema).createIfNotExists()
+        val qb = raw().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // horizon for this batch: max arrival − TTL (O3 scalar)
+            val cutoff = batch.agg(max(col("arrival"))).head().getTimestamp(0)
+              .getTime - ttlMs
+            // AGE: pending rows past the horizon migrate to the bulk
+            // index; the pending rewrite is horizon-bounded, never
+            // corpus-sized
+            val aged = pendT.read()
+              .filter(col("ts") <= lit(new java.sql.Timestamp(cutoff)))
+            idxT.append(graft.plans.Materialize.stage(aged.drop("ts"))
+              .sortWithinPartitions("bh"))
+            pendT.deleteWhere(
+              col("ts") <= lit(new java.sql.Timestamp(cutoff)))
+            // serve the batch against the BULK tier only — the recent
+            // window is tier A's job
+            val nb = graft.plans.Materialize.stage(
+              StreamNearDup.bandRelationWithTs(batch, "doc_id", "text",
+                "arrival"))
+            pairT.append(StreamNearDup.hybridCandidates(
+              nb.drop("ts"), idxT.read(), threshold = 0.5,
+              pruneKeyCap = StreamNearDup.adaptiveKeyCap(idxT.tableBytes)))
+            pendT.append(nb)
+            graft.streaming.IndexMaintenance.maybeCompact(
+              idxT, bid, every = 8, Seq("bh"))
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/ckptB")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        qb.awaitTermination()
+        // tier A: the TTL'd stateful window over the same arrivals
+        val name = s"stream_ndtt_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val qa = StreamNearDup
+          .candidateStream(raw(), "doc_id", "text", threshold = 0.5,
+            stateTtlMs = Some(ttlMs), eventTimeCol = Some("arrival"))(ss)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        qa.awaitTermination()
+        val cands = ss.table(name)
+          .unionByName(pairT.read())
+          .distinct()
+          .transform(graft.plans.Materialize.stage)
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        val docsB = graft.Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val allB = docsB.unionByName(
+          docsB.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" trailing")).as("text")))
+        graft.text.Dedup.verifyPairsJaccard(allB, "doc_id", "text",
+            cands, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(streamNeardupOracleSql),
+      // timed family gate: q_stream_neardup_hybrid (tier B is its
+      // timed serve shape; tier A's bounded state is the TTL probe
+      // row; the two-tier StreamProbe row measures the composition)
+      bench = false),
+
     // Streaming seed-gram containment: the winnowing posting list as
     // STREAM STATE (StreamSeedGram). Same extreme-asymmetry fixture as
     // q_containment_seed (10 docs buried under ~1500 novel pad tokens

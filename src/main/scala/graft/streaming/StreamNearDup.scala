@@ -93,6 +93,15 @@ object StreamNearDup {
                    w: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
     bandRelationTs(docs, idCol, textCol, w, k, bands, None).drop("ts")
 
+  /** [[bandRelation]] CARRYING the event-time column (as `ts`) — the
+    * two-tier composition's PENDING relation needs each band row's
+    * arrival time to decide when it expires from the recent in-memory
+    * window into the stored bulk index. */
+  def bandRelationWithTs(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, w: Int = 3, k: Int = 64,
+                         bands: Int = 16): DataFrame =
+    bandRelationTs(docs, idCol, textCol, w, k, bands, Some(tsCol))
+
   /** [[bandRelation]] carrying a raw timestamp event-time column `ts`
     * (null when `tsCol` is None) — the TTL'd stateful index needs each
     * member's arrival time to anchor its bucket's eviction deadline,

@@ -169,6 +169,111 @@ object StreamProbe {
     probe
   }
 
+  /** TWO-TIER composition (q_stream_neardup_twotier's machinery) under
+    * the fixed-rate growth model: tier A = the TTL'd stateful window
+    * (1.5 event-hours), tier B = pending→bulk aging + pruned stored-
+    * index serves. The probe's claims: tier A's state stays BOUNDED by
+    * rate × horizon as the corpus (= wave count) grows, while recall
+    * stays FULL — planted copies of WAVE-0 docs arrive in the final
+    * wave, far beyond the horizon, and must be found through tier B's
+    * aged bulk index (tier A evicted their originals long ago). Emits
+    * a detail JSON line with the planted-recall count. */
+  def nearDupTwoTier(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-ndtt")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val waveSize = 25000L
+    val waves = math.max(3,
+      ((graft.Tables.parquetRowCount(s, dir, "documents") + waveSize - 1)
+        / waveSize).toInt)
+    val t0 = 1700000000000L
+    val ttlMs = 5400000L
+    (0 until waves).foreach { wv =>
+      val wave = docs
+        .filter(col("doc_id") % waves === wv)
+        .withColumn("arrival",
+          lit(new java.sql.Timestamp(t0 + wv * 3600000L)))
+      graft.queries.StreamFixtures.writeBatch(tmp, src, wave, s"w$wv",
+        parts = 1, mtimeMs = 1000000000000L + wv * 60000L)
+    }
+    // planted beyond-horizon dups: copies of 10 WAVE-0 docs arriving
+    // after every earlier wave — only the bulk tier can find them
+    val planted = docs.filter(col("doc_id") % waves === 0)
+      .orderBy(col("doc_id")).limit(10)
+      .select((col("doc_id") + 100000000L).as("doc_id"),
+        concat(col("text"), lit(" trailing")).as("text"))
+      .withColumn("arrival",
+        lit(new java.sql.Timestamp(t0 + waves * 3600000L)))
+    graft.queries.StreamFixtures.writeBatch(tmp, src, planted, "wp",
+      parts = 1, mtimeMs = 1000000000000L + waves * 60000L)
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.StreamNearDup
+    val pendSchema = StreamNearDup.bandRelationWithTs(
+      graft.Tables.load(ss, dir, "documents").limit(0)
+        .select(col("doc_id"), col("text"),
+          lit(new java.sql.Timestamp(t0)).as("arrival")),
+      "doc_id", "text", "arrival").schema
+    val pendT = graft.catalog.ParquetTable(
+      ss, "sprobe_ndtt_pend", s"$tmp/pend", pendSchema).createIfNotExists()
+    val idxT = graft.catalog.ParquetTable(
+      ss, "sprobe_ndtt_idx", s"$tmp/idx",
+      org.apache.spark.sql.types.StructType(
+        pendSchema.fields.filterNot(_.name == "ts")),
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    val out = tmp.resolve("pairs").toString
+    def raw() = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val probeB = withStream {
+      raw().writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val cutoff = batch.agg(max(col("arrival"))).head()
+            .getTimestamp(0).getTime - ttlMs
+          val aged = pendT.read()
+            .filter(col("ts") <= lit(new java.sql.Timestamp(cutoff)))
+          idxT.append(graft.plans.Materialize.stage(aged.drop("ts"))
+            .sortWithinPartitions("bh"))
+          pendT.deleteWhere(
+            col("ts") <= lit(new java.sql.Timestamp(cutoff)))
+          val nb = graft.plans.Materialize.stage(
+            StreamNearDup.bandRelationWithTs(batch, "doc_id", "text",
+              "arrival"))
+          StreamNearDup.hybridCandidates(nb.drop("ts"), idxT.read(),
+              threshold = 0.5,
+              pruneKeyCap = StreamNearDup.adaptiveKeyCap(idxT.tableBytes))
+            .write.mode("append").parquet(out)
+          pendT.append(nb)
+          graft.streaming.IndexMaintenance.maybeCompact(
+            idxT, bid, every = 8, Seq("bh"))
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckptB").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val name = s"sprobe_ndtt_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+    val probeA = withStream {
+      StreamNearDup
+        .candidateStream(raw(), "doc_id", "text", threshold = 0.5,
+          stateTtlMs = Some(ttlMs), eventTimeCol = Some("arrival"))(ss)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val tierA = ss.table(name).select(col("id_a"), col("id_b"))
+    val tierB = ss.read.parquet(out).select(col("id_a"), col("id_b"))
+    val foundPlanted = tierA.unionByName(tierB).distinct()
+      .filter(col("id_b") - col("id_a") === 100000000L).count()
+    ss.catalog.dropTempView(name)
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    println(s"""{"pipeline":"stream_neardup_twotier","waves":${waves + 1},"planted_expected":10,"planted_found":$foundPlanted,"tierA_state_rows":${probeA.stateRows},"tierA_sec":${f"${probeA.sec}%.2f"},"tierB_sec":${f"${probeB.sec}%.2f"}}""")
+    Probe(probeA.sec + probeB.sec, probeA.stateRows, probeA.stateBytes)
+  }
+
   /** q_stream_containment_hybrid's machinery: the posting list in a
     * stage table, per-batch broadcast joins, stream state ZERO. */
   def containmentHybrid(s: SparkSession, dir: String): Probe = {
@@ -496,6 +601,7 @@ object StreamProbe {
       "stream_neardup_hybrid" -> nearDupHybrid,
       "stream_neardup_hybrid_serve" -> nearDupHybridServe,
       "stream_neardup_hybrid_longrun" -> nearDupHybridLongRun,
+      "stream_neardup_twotier" -> nearDupTwoTier,
       "stream_containment" -> containment,
       "stream_containment_hybrid" -> containmentHybrid,
       "stream_containment_hybrid_serve" -> containmentHybridServe,
