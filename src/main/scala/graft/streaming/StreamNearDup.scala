@@ -266,52 +266,69 @@ object StreamNearDup {
             s"maxBucket=$maxBucket salvaged via salted sub-bucketing — " +
             "identical-signature pairs keep full recall; near-identical " +
             "pairs may split in this band (other bands still carry them)")
-    // per-bucket sub-bucket count g: 1 below the cap (sub = 0 on both
-    // sides — cold buckets' plan is unchanged), ceil(T / maxBucket)
-    // at/past it, so each sub-bucket's EXPECTED size stays under the
-    // cap and per-bucket compare fan-out drops from T² to ~T·maxBucket.
+    // per-bucket sub-bucket count g: ceil(T / maxBucket) for a hot
+    // bucket, so each sub-bucket's EXPECTED size stays under the cap
+    // and per-bucket compare fan-out drops from T² to ~T·maxBucket.
+    // The salted machinery is built ONLY when some bucket is actually
+    // hot — the common all-cold batch pays no bucket-list join at all
+    // (an equi-join on (band, bh) already restricts both row joins to
+    // matching keys; the r12 ok-bucket join existed only to EXCLUDE
+    // hot buckets, which an all-cold batch doesn't have).
     def gOf(t: Long): Int =
       if (t < maxBucket) 1 else math.ceil(t.toDouble / maxBucket).toInt
     val gSchema = org.apache.spark.sql.types.StructType(
       keySchema.fields :+ org.apache.spark.sql.types.StructField(
         "__g", org.apache.spark.sql.types.IntegerType, nullable = false))
-    val bucketG =
+    val bucketG: Option[DataFrame] =
       if (keyRows.length > pruneKeyCap) {
         val pinned = graft.plans.Materialize.stage(countsRel)
-        warnSalvaged(pinned.filter(col("__t") >= maxBucket).count())
-        pinned.select(col("band"), col("bh"),
+        val hot = pinned.filter(col("__t") >= maxBucket).count()
+        warnSalvaged(hot)
+        if (hot == 0) None
+        else Some(pinned.select(col("band"), col("bh"),
           when(col("__t") < maxBucket, lit(1))
             .otherwise(ceil(col("__t").cast("double") / maxBucket)
-              .cast("int")).as("__g"))
+              .cast("int")).as("__g")))
       } else {
         val cntRows = graft.plans.Materialize.modelState(countsRel,
           "hybrid bucket membership counts (≤ batch bucket keys)",
           pruneKeyCap + 1)
-        warnSalvaged(cntRows.count(_.getLong(2) >= maxBucket).toLong)
-        newBands.sparkSession.createDataFrame(
+        val hot = cntRows.count(_.getLong(2) >= maxBucket).toLong
+        warnSalvaged(hot)
+        if (hot == 0) None
+        else Some(newBands.sparkSession.createDataFrame(
           java.util.Arrays.asList(cntRows.map(r => org.apache.spark.sql.Row(
-            r.get(0), r.get(1), gOf(r.getLong(2)))): _*), gSchema)
+            r.get(0), r.get(1), gOf(r.getLong(2)))): _*), gSchema))
       }
     // the salt rides each side map-side: a Murmur3 hash of the full
     // k-slot signature mod the bucket's g (deterministic, partition-
     // independent — identical signatures always land together)
-    def salted(df: DataFrame) =
-      df.join(broadcast(bucketG), Seq("band", "bh"))
+    def salted(df: DataFrame, g: DataFrame) =
+      df.join(broadcast(g), Seq("band", "bh"))
         .withColumn("__sub", pmod(hash(col("sig")), col("__g")))
-    def renamed(df: DataFrame) = df.select(col("band"), col("bh"),
-      col("__sub"), col("doc_id").as("o_id"), col("sig").as("o_sig"))
-    val nb = salted(newBands)
-    val matching = salted(pruned)
-    val cross = nb.join(renamed(matching), Seq("band", "bh", "__sub"))
-      .filter(col("o_id") =!= col("doc_id"))
-      .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
-      .select(least(col("doc_id"), col("o_id")).as("id_a"),
-        greatest(col("doc_id"), col("o_id")).as("id_b"))
-    val within = nb.join(renamed(nb), Seq("band", "bh", "__sub"))
-      .filter(col("doc_id") < col("o_id"))
-      .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
-      .select(col("doc_id").as("id_a"), col("o_id").as("id_b"))
-    cross.unionByName(within).distinct()
+    def pairsFrom(nb: DataFrame, matching: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+      def renamed(df: DataFrame) = df.select(
+        keys.map(col) ++ Seq(col("doc_id").as("o_id"),
+          col("sig").as("o_sig")): _*)
+      val cross = nb.join(renamed(matching), keys)
+        .filter(col("o_id") =!= col("doc_id"))
+        .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
+        .select(least(col("doc_id"), col("o_id")).as("id_a"),
+          greatest(col("doc_id"), col("o_id")).as("id_b"))
+      val within = nb.join(renamed(nb), keys)
+        .filter(col("doc_id") < col("o_id"))
+        .filter(Dedup.estimatedJaccard(col("sig"), col("o_sig")) >= cutoff)
+        .select(col("doc_id").as("id_a"), col("o_id").as("id_b"))
+      cross.unionByName(within).distinct()
+    }
+    bucketG match {
+      case None =>
+        pairsFrom(newBands, pruned, Seq("band", "bh"))
+      case Some(g) =>
+        pairsFrom(salted(newBands, g), salted(pruned, g),
+          Seq("band", "bh", "__sub"))
+    }
   }
 
   /** Agreement fraction of two k-slot signatures — the JVM mirror of
