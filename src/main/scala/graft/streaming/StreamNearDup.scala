@@ -270,10 +270,14 @@ object StreamNearDup {
     // bucket, so each sub-bucket's EXPECTED size stays under the cap
     // and per-bucket compare fan-out drops from T² to ~T·maxBucket.
     // The salted machinery is built ONLY when some bucket is actually
-    // hot — the common all-cold batch pays no bucket-list join at all
-    // (an equi-join on (band, bh) already restricts both row joins to
-    // matching keys; the r12 ok-bucket join existed only to EXCLUDE
-    // hot buckets, which an all-cold batch doesn't have).
+    // hot — the common all-cold batch keeps the pre-salvage plan
+    // VERBATIM: both row-join sides still join the broadcast batch-key
+    // relation even though an all-cold batch has nothing to exclude,
+    // because that BroadcastHashJoin is what keeps the matching side's
+    // size estimate small enough for the cross join to broadcast it
+    // (a bare InSet-filtered scan inherits the FULL index's size
+    // estimate — no CBO stats — and flips the cross join to a
+    // sort-merge shuffle: measured 1.9 s → 8.9 s on the ×100 serve).
     def gOf(t: Long): Int =
       if (t < maxBucket) 1 else math.ceil(t.toDouble / maxBucket).toInt
     val gSchema = org.apache.spark.sql.types.StructType(
@@ -324,7 +328,9 @@ object StreamNearDup {
     }
     bucketG match {
       case None =>
-        pairsFrom(newBands, pruned, Seq("band", "bh"))
+        pairsFrom(newBands.join(broadcast(batchKeys), Seq("band", "bh")),
+          pruned.join(broadcast(batchKeys), Seq("band", "bh")),
+          Seq("band", "bh"))
       case Some(g) =>
         pairsFrom(salted(newBands, g), salted(pruned, g),
           Seq("band", "bh", "__sub"))
