@@ -277,4 +277,37 @@ class AnnSpec extends AnyFunSuite {
     assert(flagged.exists(_.getLong(1) > 100000L),
       "no cell flagged through the occupancy-shift signal")
   }
+
+  test("retraining on the drifted population clears the monitor's flags") {
+    // the loop the retrain decision exists to close: flags must mean
+    // THE QUANTIZER IS STALE, not \"the data looks different\" — so
+    // after retraining the centroids on the drifted distribution, the
+    // same monitor over the same (shifted) populations must raise ZERO
+    // decisions: reference and arrival generations now both sit where
+    // the quantizer was trained, means align, occupancy settles.
+    import spark.implicits._
+    import graft.vector.IndexHealth
+    def shifted(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i < lit(8), lit(0.5)).otherwise(lit(0.0)))
+          .as("embedding"))
+    val retrained = graft.vector.KMeans.fitCentroids(
+      shifted(emb.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"))),
+      "vec_id", "embedding", k = 16, iters = 2)
+      .toDF("cid", "embedding")
+    val refNew = shifted(emb.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"), col("embedding")))
+    val arrNew = shifted(emb.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id"), col("embedding")))
+    val health = IndexHealth.cellHealth(
+      IndexHealth.assignScored(refNew, "vec_id", "embedding", retrained)
+        .withColumn("gen", lit("train"))
+        .unionByName(
+          IndexHealth.assignScored(arrNew, "vec_id", "embedding", retrained)
+            .withColumn("gen", lit("new"))))
+    assert(health.filter(col("drifted")).count() == 0,
+      "the retrained quantizer must read the drifted population as healthy")
+  }
 }
