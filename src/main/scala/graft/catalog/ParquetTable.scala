@@ -604,6 +604,22 @@ final class ParquetTable(
     if (fs.exists(dest)) sum(dest) else 0L
   }
 
+  /** Number of DATA files currently stored under the table directory —
+    * the companion of [[tableBytes]] (same sidecar exclusion: txn
+    * markers, in-flight stages and success files don't count), used by
+    * compaction-cadence probes/specs to assert file counts stay
+    * bounded. An ad-hoc `*.parquet` walk would miscount during a
+    * compaction swap (the staged dir is visible until the rename). */
+  def dataFileCount: Int = {
+    recover()
+    def cnt(p: Path): Int = fs.listStatus(p).map { st =>
+      if (!isDataFile(st.getPath)) 0
+      else if (st.isDirectory) cnt(st.getPath)
+      else 1
+    }.sum
+    if (fs.exists(dest)) cnt(dest) else 0
+  }
+
   /** OPTIMIZE [ZORDER BY cols] equivalent: compact small files and
     * cluster rows so min/max parquet stats prune on the z columns
     * (modules/auto_loader_steps.py:481-498). On a cluster the

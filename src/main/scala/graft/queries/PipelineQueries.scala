@@ -715,13 +715,17 @@ object PipelineQueries {
               .getTime - ttlMs
             // AGE: pending rows past the horizon migrate to the bulk
             // index; the pending rewrite is horizon-bounded, never
-            // corpus-sized
-            val aged = pendT.read()
+            // corpus-sized — and skipped entirely when nothing aged
+            // (a batch arriving faster than the horizon advances would
+            // otherwise pay a pointless full pending rewrite)
+            val aged = graft.plans.Materialize.stage(pendT.read()
               .filter(col("ts") <= lit(new java.sql.Timestamp(cutoff)))
-            idxT.append(graft.plans.Materialize.stage(aged.drop("ts"))
-              .sortWithinPartitions("bh"))
-            pendT.deleteWhere(
-              col("ts") <= lit(new java.sql.Timestamp(cutoff)))
+              .drop("ts"))
+            if (!aged.isEmpty) {
+              idxT.append(aged.sortWithinPartitions("bh"))
+              pendT.deleteWhere(
+                col("ts") <= lit(new java.sql.Timestamp(cutoff)))
+            }
             // serve the batch against the BULK tier only — the recent
             // window is tier A's job
             val nb = graft.plans.Materialize.stage(

@@ -232,12 +232,15 @@ object StreamProbe {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val cutoff = batch.agg(max(col("arrival"))).head()
             .getTimestamp(0).getTime - ttlMs
-          val aged = pendT.read()
+          // aging skipped when nothing expired (the entry's stance)
+          val aged = graft.plans.Materialize.stage(pendT.read()
             .filter(col("ts") <= lit(new java.sql.Timestamp(cutoff)))
-          idxT.append(graft.plans.Materialize.stage(aged.drop("ts"))
-            .sortWithinPartitions("bh"))
-          pendT.deleteWhere(
-            col("ts") <= lit(new java.sql.Timestamp(cutoff)))
+            .drop("ts"))
+          if (!aged.isEmpty) {
+            idxT.append(aged.sortWithinPartitions("bh"))
+            pendT.deleteWhere(
+              col("ts") <= lit(new java.sql.Timestamp(cutoff)))
+          }
           val nb = graft.plans.Materialize.stage(
             StreamNearDup.bandRelationWithTs(batch, "doc_id", "text",
               "arrival"))
@@ -395,12 +398,6 @@ object StreamProbe {
       ss, "sprobe_ndhl_idx", s"$tmp/idx", bandSchema,
       writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
       .createIfNotExists()
-    def dataFiles(): Int = {
-      def walk(d: java.io.File): Seq[java.io.File] =
-        Option(d.listFiles()).toSeq.flatten
-          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
-      walk(new java.io.File(s"$tmp/idx")).count(_.getName.endsWith(".parquet"))
-    }
     val out = tmp.resolve("pairs").toString
     val perBatch = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
     val raw = ss.readStream
@@ -419,7 +416,8 @@ object StreamProbe {
           idxTable.append(nb.sortWithinPartitions("bh"))
           graft.streaming.IndexMaintenance.maybeCompact(
             idxTable, bid, every = 8, Seq("bh"))
-          perBatch += ((bid, (System.nanoTime() - t0) / 1e9, dataFiles()))
+          perBatch += ((bid, (System.nanoTime() - t0) / 1e9,
+            idxTable.dataFileCount))
           ()
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)

@@ -923,13 +923,7 @@ class StreamingSpec extends AnyFunSuite {
         Seq(4L -> "another unrelated document with novel tokens throughout"))
       .foreach(rows => idx.append(
         bandsOf(rows).repartition(2).sortWithinPartitions("bh")))
-    def dataFiles(): Int = {
-      def walk(d: java.io.File): Seq[java.io.File] =
-        Option(d.listFiles()).toSeq.flatten
-          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
-      walk(new java.io.File(s"$tmp/idx"))
-        .count(_.getName.endsWith(".parquet"))
-    }
+    def dataFiles(): Int = idx.dataFileCount
     val nb = graft.plans.Materialize.stage(bandsOf(Seq(9L -> (base + " more"))))
     def served(): Seq[(Long, Long)] =
       StreamNearDup.hybridCandidates(nb, idx.read(), threshold = 0.5)
@@ -1106,12 +1100,7 @@ class StreamingSpec extends AnyFunSuite {
       s"$tmp/idx", schema,
       writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
       .createIfNotExists()
-    def dataFiles(): Int = {
-      def walk(d: java.io.File): Seq[java.io.File] =
-        Option(d.listFiles()).toSeq.flatten
-          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
-      walk(new java.io.File(s"$tmp/idx")).count(_.getName.endsWith(".parquet"))
-    }
+    def dataFiles(): Int = t.dataFileCount
     val fired = scala.collection.mutable.ArrayBuffer[Long]()
     val filesSeen = scala.collection.mutable.ArrayBuffer[Int]()
     (0L until 16L).foreach { bid =>
