@@ -79,7 +79,16 @@ object StreamSeedGram {
     * df <= maxDf` evaluated against everything landed so far, which is
     * at least as strict as the stateful form's prefix-of-arrival cap;
     * below the cap all three forms agree, and the oracle fixtures sit
-    * far below it. Emits one unordered (id_a < id_b, h) row PER SHARED
+    * far below it. Deliberately NOT salvaged the way
+    * [[StreamNearDup.hybridCandidates]] sub-buckets its hot LSH
+    * buckets (r13): maxDf here is SEMANTIC — the batch detector and
+    * its DuckDB oracle both drop over-df seeds as boilerplate, so a
+    * salvage that let hot seeds emit would make the stream form
+    * STRICTLY more permissive than the batch semantics it must replay
+    * (extra shared-seed rows could promote pairs past the minSeeds
+    * gate that the batch path rejects). The near-dup maxBucket, by
+    * contrast, is purely operational — no batch counterpart — which is
+    * what makes its salvage sound. Emits one unordered (id_a < id_b, h) row PER SHARED
     * SEED, CARRYING the seed hash so recovery counts DISTINCT seeds
     * (`groupBy(pair).agg(countDistinct(h)) >= minSeeds`) — which makes
     * the pair recovery idempotent under micro-batch REPLAY: a
