@@ -629,13 +629,24 @@ final class ParquetTable(
     * `targetPartitions <= 0` (the default) derives the output partition
     * count from the CURRENT table size — one task/file per
     * `targetFileBytes` — so a 100 TB table compacts to ~800k properly
-    * sized files instead of one task writing one giant file. */
+    * sized files instead of one task writing one giant file.
+    *
+    * `remap` rewrites the named columns during the compaction (values
+    * cast to the column's schema type) — the FOLD hook for bookkeeping
+    * partition columns: a table partitioned by a per-batch id
+    * ([[graft.streaming.TieredIndex]]'s `mig`) collapses its historical
+    * partitions into one here, or compaction's output would re-split by
+    * every batch id ever seen and the file count would grow with batch
+    * count instead of staying bounded. */
   def compact(zorderCols: Seq[String] = Nil, targetPartitions: Int = 0,
-              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              remap: Map[String, Column] = Map.empty): Unit = {
     val parts =
       if (targetPartitions > 0) targetPartitions
       else math.max(1, math.ceil(tableBytes.toDouble / targetFileBytes).toInt)
-    val cur = read()
+    val cur = remap.foldLeft(read()) { case (df, (c, v)) =>
+      df.withColumn(c, v.cast(schema(c).dataType))
+    }
     // Partitioned writes require rows ordered by the partition columns
     // within each task; sorting by (partitionCols ++ zorderCols) meets
     // that requirement so the writer adds no extra (non-stable) sort

@@ -637,9 +637,13 @@ object PipelineQueries {
     // each arriving batch's band rows land in a PENDING stage table
     // (horizon-bounded — rate × TTL rows); when a batch's max event
     // time moves the horizon past a pending row's arrival, the row
-    // migrates into the bh-sorted bulk index (append + bounded
-    // deleteWhere rewrite of the pending table), so the bulk tier
-    // holds exactly what the window has aged out. Candidates =
+    // migrates into the bh-sorted bulk index — EXACTLY ONCE under
+    // micro-batch replay: both tables are partitioned by the batch id
+    // and every write is an atomic partition overwrite
+    // (graft.streaming.TieredIndex), so a crash between the index
+    // write and the pending delete can never land an aged row twice.
+    // The bulk tier holds exactly what the window has aged out;
+    // candidates =
     // tier A ∪ tier B, dedup'd, exact-verified — the SAME all-pairs
     // oracle as every other index representation: the tiering changes
     // WHERE a pair is found (and what state/scan it costs), never the
@@ -688,19 +692,19 @@ object PipelineQueries {
           .option("maxFilesPerTrigger", "1")
           .parquet(src.toString)
         // tier B: pending (band rows still inside the horizon) + bulk
-        // index (aged-out rows, bh-sorted for the pushed IN filter)
+        // index (aged-out rows, bh-sorted for the pushed IN filter),
+        // glued by TieredIndex's EXACTLY-ONCE aging: both tables are
+        // mig-partitioned and every per-batch write is an atomic
+        // partition overwrite, so a crash anywhere in the age →
+        // serve → writePending sequence replays without ever
+        // duplicating an index row (StreamingSpec injects the crash
+        // in the exact append/delete window and pins this)
         val pendSchema = StreamNearDup.bandRelationWithTs(
           graft.Tables.load(ss, dir, "documents").limit(0)
             .select(col("doc_id"), col("text"), at(t0)),
           "doc_id", "text", "arrival").schema
-        val pendT = graft.catalog.ParquetTable(
-          ss, "ndtt_pend", s"$tmp/pend", pendSchema).createIfNotExists()
-        val idxT = graft.catalog.ParquetTable(
-          ss, "ndtt_idx", s"$tmp/idx",
-          org.apache.spark.sql.types.StructType(
-            pendSchema.fields.filterNot(_.name == "ts")),
-          writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
-          .createIfNotExists()
+        val tier = graft.streaming.TieredIndex.create(
+          ss, "ndtt", tmp.toString, pendSchema, sortKey = "bh")
         val pairSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id_a",
             org.apache.spark.sql.types.LongType),
@@ -710,33 +714,24 @@ object PipelineQueries {
           ss, "ndtt_pairs", s"$tmp/pairs", pairSchema).createIfNotExists()
         val qb = raw().writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-            // horizon for this batch: max arrival − TTL (O3 scalar)
+            // horizon for this batch: max arrival − TTL (O3 scalar);
+            // AGE first — pending rows past the horizon migrate to the
+            // bulk index (horizon-bounded rewrite, skipped when nothing
+            // aged)
             val cutoff = batch.agg(max(col("arrival"))).head().getTimestamp(0)
               .getTime - ttlMs
-            // AGE: pending rows past the horizon migrate to the bulk
-            // index; the pending rewrite is horizon-bounded, never
-            // corpus-sized — and skipped entirely when nothing aged
-            // (a batch arriving faster than the horizon advances would
-            // otherwise pay a pointless full pending rewrite)
-            val aged = graft.plans.Materialize.stage(pendT.read()
-              .filter(col("ts") <= lit(new java.sql.Timestamp(cutoff)))
-              .drop("ts"))
-            if (!aged.isEmpty) {
-              idxT.append(aged.sortWithinPartitions("bh"))
-              pendT.deleteWhere(
-                col("ts") <= lit(new java.sql.Timestamp(cutoff)))
-            }
+            tier.age(bid, cutoff)
             // serve the batch against the BULK tier only — the recent
             // window is tier A's job
             val nb = graft.plans.Materialize.stage(
               StreamNearDup.bandRelationWithTs(batch, "doc_id", "text",
                 "arrival"))
             pairT.append(StreamNearDup.hybridCandidates(
-              nb.drop("ts"), idxT.read(), threshold = 0.5,
-              pruneKeyCap = StreamNearDup.adaptiveKeyCap(idxT.tableBytes)))
-            pendT.append(nb)
-            graft.streaming.IndexMaintenance.maybeCompact(
-              idxT, bid, every = 8, Seq("bh"))
+              nb.drop("ts"), tier.bulk(), threshold = 0.5,
+              pruneKeyCap = StreamNearDup.adaptiveKeyCap(
+                tier.idxT.tableBytes)))
+            tier.writePending(bid, nb)
+            tier.maintain(bid)
             ()
           }
           .option("checkpointLocation", s"$tmp/ckptB")

@@ -30,11 +30,15 @@ object IndexMaintenance {
     * cadence window of `every` batches (ids `every-1`, `2*every-1`, …
     * — so a 2-batch fixture under the default production cadence never
     * pays a rewrite, while a long run compacts on schedule). Returns
-    * whether compaction ran. `every <= 0` disables the cadence. */
+    * whether compaction ran. `every <= 0` disables the cadence.
+    * `remap` passes through to [[graft.catalog.ParquetTable.compact]]
+    * (the bookkeeping-partition fold hook). */
   def maybeCompact(table: ParquetTable, batchId: Long, every: Int,
-                   zorderCols: Seq[String]): Boolean = {
+                   zorderCols: Seq[String],
+                   remap: Map[String, org.apache.spark.sql.Column] =
+                     Map.empty): Boolean = {
     val fire = every > 0 && batchId % every == (every - 1).toLong
-    if (fire) table.compact(zorderCols)
+    if (fire) table.compact(zorderCols, remap = remap)
     fire
   }
 }

@@ -168,8 +168,10 @@ object StreamNearDup {
     * concentrates exactly there): a bucket whose TOTAL membership
     * (stored index PLUS this batch) reaches the cap is split into
     * g = ceil(total / maxBucket) sub-buckets keyed by a hash of the
-    * FULL k-slot signature, and the row joins run on (band, bh, sub).
-    * Cold buckets get g = 1 (sub = 0 on both sides — their plan is
+    * FULL k-slot signature, and the row joins run on (band, bh, sub)
+    * (g is floored at 2 so a bucket exactly AT the cap still splits —
+    * the hot predicate and the split agree at the boundary). Cold
+    * buckets get g = 1 (sub = 0 on both sides — their plan is
     * byte-identical to the uncapped form). The salt is chosen so the
     * recall trade lands where it costs least:
     *   - identical signatures — template copies, the dominant mass in
@@ -267,49 +269,55 @@ object StreamNearDup {
             "identical-signature pairs keep full recall; near-identical " +
             "pairs may split in this band (other bands still carry them)")
     // per-bucket sub-bucket count g: ceil(T / maxBucket) for a hot
-    // bucket, so each sub-bucket's EXPECTED size stays under the cap
-    // and per-bucket compare fan-out drops from T² to ~T·maxBucket.
-    // The salted machinery is built ONLY when some bucket is actually
-    // hot — the common all-cold batch keeps the pre-salvage plan
-    // VERBATIM: both row-join sides still join the broadcast batch-key
-    // relation even though an all-cold batch has nothing to exclude,
-    // because that BroadcastHashJoin is what keeps the matching side's
-    // size estimate small enough for the cross join to broadcast it
-    // (a bare InSet-filtered scan inherits the FULL index's size
-    // estimate — no CBO stats — and flips the cross join to a
-    // sort-merge shuffle: measured 1.9 s → 8.9 s on the ×100 serve).
+    // bucket — floored at 2, so the hot predicate (T >= maxBucket) and
+    // the split agree at the boundary: a bucket AT the cap is counted
+    // hot and actually sub-buckets (plain ceil would give g = 1 there,
+    // logging a salvage that never happened) — so each sub-bucket's
+    // EXPECTED size stays under the cap and per-bucket compare fan-out
+    // drops from T² to ~T·maxBucket. ONE definition serves both key-cap
+    // regimes: only the HOT rows of the counts relation come to the
+    // driver (structurally tiny — #hot ≤ total membership / maxBucket,
+    // so the 1<<20 bound implies a 10^10-member batch+index join
+    // before it fails, loudly) and gOf is applied there; cold buckets
+    // default to g = 1 through the left join below.
     def gOf(t: Long): Int =
-      if (t < maxBucket) 1 else math.ceil(t.toDouble / maxBucket).toInt
+      if (t < maxBucket) 1
+      else math.max(2, math.ceil(t.toDouble / maxBucket).toInt)
     val gSchema = org.apache.spark.sql.types.StructType(
       keySchema.fields :+ org.apache.spark.sql.types.StructField(
         "__g", org.apache.spark.sql.types.IntegerType, nullable = false))
-    val bucketG: Option[DataFrame] =
-      if (keyRows.length > pruneKeyCap) {
-        val pinned = graft.plans.Materialize.stage(countsRel)
-        val hot = pinned.filter(col("__t") >= maxBucket).count()
-        warnSalvaged(hot)
-        if (hot == 0) None
-        else Some(pinned.select(col("band"), col("bh"),
-          when(col("__t") < maxBucket, lit(1))
-            .otherwise(ceil(col("__t").cast("double") / maxBucket)
-              .cast("int")).as("__g")))
-      } else {
-        val cntRows = graft.plans.Materialize.modelState(countsRel,
+    val hotRows: Array[org.apache.spark.sql.Row] =
+      if (keyRows.length > pruneKeyCap)
+        // wide-batch fallback: the counts relation is distributed, but
+        // the HOT subset is still driver-sized — pin once (three
+        // consumers in lineage, see countsRel note), fetch hot only
+        graft.plans.Materialize.modelState(
+          graft.plans.Materialize.stage(countsRel)
+            .filter(col("__t") >= maxBucket),
+          "hot hybrid buckets (≤ total bucket membership / maxBucket)",
+          1 << 20)
+      else
+        graft.plans.Materialize.modelState(countsRel,
           "hybrid bucket membership counts (≤ batch bucket keys)",
-          pruneKeyCap + 1)
-        val hot = cntRows.count(_.getLong(2) >= maxBucket).toLong
-        warnSalvaged(hot)
-        if (hot == 0) None
-        else Some(newBands.sparkSession.createDataFrame(
-          java.util.Arrays.asList(cntRows.map(r => org.apache.spark.sql.Row(
-            r.get(0), r.get(1), gOf(r.getLong(2)))): _*), gSchema))
-      }
+          pruneKeyCap + 1).filter(_.getLong(2) >= maxBucket)
+    warnSalvaged(hotRows.length.toLong)
+    val bucketG: Option[DataFrame] =
+      if (hotRows.isEmpty) None
+      else Some(newBands.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows.map(r => org.apache.spark.sql.Row(
+          r.get(0), r.get(1), gOf(r.getLong(2)))): _*), gSchema))
     // the salt rides each side map-side: a Murmur3 hash of the full
     // k-slot signature mod the bucket's g (deterministic, partition-
-    // independent — identical signatures always land together)
+    // independent — identical signatures always land together). The
+    // broadcast batch-key join stays underneath exactly as in the cold
+    // plan (it carries the size-estimate correction, see below); the
+    // hot-only g relation left-joins on top, cold buckets coalescing
+    // to g = 1.
     def salted(df: DataFrame, g: DataFrame) =
-      df.join(broadcast(g), Seq("band", "bh"))
-        .withColumn("__sub", pmod(hash(col("sig")), col("__g")))
+      df.join(broadcast(batchKeys), Seq("band", "bh"))
+        .join(broadcast(g), Seq("band", "bh"), "left")
+        .withColumn("__sub",
+          pmod(hash(col("sig")), coalesce(col("__g"), lit(1))))
     def pairsFrom(nb: DataFrame, matching: DataFrame,
                   keys: Seq[String]): DataFrame = {
       def renamed(df: DataFrame) = df.select(

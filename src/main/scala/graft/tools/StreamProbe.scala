@@ -214,14 +214,8 @@ object StreamProbe {
         .select(col("doc_id"), col("text"),
           lit(new java.sql.Timestamp(t0)).as("arrival")),
       "doc_id", "text", "arrival").schema
-    val pendT = graft.catalog.ParquetTable(
-      ss, "sprobe_ndtt_pend", s"$tmp/pend", pendSchema).createIfNotExists()
-    val idxT = graft.catalog.ParquetTable(
-      ss, "sprobe_ndtt_idx", s"$tmp/idx",
-      org.apache.spark.sql.types.StructType(
-        pendSchema.fields.filterNot(_.name == "ts")),
-      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
-      .createIfNotExists()
+    val tier = graft.streaming.TieredIndex.create(
+      ss, "sprobe_ndtt", tmp.toString, pendSchema, sortKey = "bh")
     val out = tmp.resolve("pairs").toString
     def raw() = ss.readStream
       .schema(ss.read.parquet(src.toString).schema)
@@ -232,25 +226,19 @@ object StreamProbe {
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val cutoff = batch.agg(max(col("arrival"))).head()
             .getTimestamp(0).getTime - ttlMs
-          // aging skipped when nothing expired (the entry's stance)
-          val aged = graft.plans.Materialize.stage(pendT.read()
-            .filter(col("ts") <= lit(new java.sql.Timestamp(cutoff)))
-            .drop("ts"))
-          if (!aged.isEmpty) {
-            idxT.append(aged.sortWithinPartitions("bh"))
-            pendT.deleteWhere(
-              col("ts") <= lit(new java.sql.Timestamp(cutoff)))
-          }
+          // exactly-once aging via atomic partition overwrites (the
+          // entry's TieredIndex machinery); skipped when nothing aged
+          tier.age(bid, cutoff)
           val nb = graft.plans.Materialize.stage(
             StreamNearDup.bandRelationWithTs(batch, "doc_id", "text",
               "arrival"))
-          StreamNearDup.hybridCandidates(nb.drop("ts"), idxT.read(),
+          StreamNearDup.hybridCandidates(nb.drop("ts"), tier.bulk(),
               threshold = 0.5,
-              pruneKeyCap = StreamNearDup.adaptiveKeyCap(idxT.tableBytes))
+              pruneKeyCap = StreamNearDup.adaptiveKeyCap(
+                tier.idxT.tableBytes))
             .write.mode("append").parquet(out)
-          pendT.append(nb)
-          graft.streaming.IndexMaintenance.maybeCompact(
-            idxT, bid, every = 8, Seq("bh"))
+          tier.writePending(bid, nb)
+          tier.maintain(bid)
           ()
         }
         .option("checkpointLocation", tmp.resolve("ckptB").toString)
@@ -269,8 +257,16 @@ object StreamProbe {
     }
     val tierA = ss.table(name).select(col("id_a"), col("id_b"))
     val tierB = ss.read.parquet(out).select(col("id_a"), col("id_b"))
+    // recall counted against the EXACT planted set — (original id,
+    // original id + offset) for the 10 wave-0 docs actually copied —
+    // not any coincidental candidate pair whose id delta happens to
+    // equal the offset (which would inflate planted_found)
+    val plantedOrigIds = docs.filter(col("doc_id") % waves === 0)
+      .orderBy(col("doc_id")).limit(10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     val foundPlanted = tierA.unionByName(tierB).distinct()
-      .filter(col("id_b") - col("id_a") === 100000000L).count()
+      .filter(col("id_a").isin(plantedOrigIds: _*) &&
+        col("id_b") === col("id_a") + 100000000L).count()
     ss.catalog.dropTempView(name)
     graft.ingest.FileOps.deleteRecursively(tmp)
     println(s"""{"pipeline":"stream_neardup_twotier","waves":${waves + 1},"planted_expected":10,"planted_found":$foundPlanted,"tierA_state_rows":${probeA.stateRows},"tierA_sec":${f"${probeA.sec}%.2f"},"tierB_sec":${f"${probeB.sec}%.2f"}}""")

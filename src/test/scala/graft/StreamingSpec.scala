@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{ceil, coalesce, col, count, hash, lit, max, pmod, raise_error, session_window, when}
+import org.apache.spark.sql.functions.{ceil, coalesce, col, count, greatest, hash, lit, max, pmod, raise_error, session_window, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStream
@@ -852,6 +852,13 @@ class StreamingSpec extends AnyFunSuite {
     // serves unchanged
     assert(pairs(3) == full,
       "planted boilerplate duplicates must be FOUND through salvage")
+    // boundary: the boilerplate buckets' total membership is EXACTLY
+    // the cap (3 stored + 1 arriving = 4) — the hot predicate counts
+    // them hot, and gOf's floor-at-2 makes them actually sub-bucket
+    // (plain ceil(4/4) = 1 would log a salvage that never split);
+    // identical signatures co-bucket at any g, so recall stays full
+    assert(pairs(4) == full,
+      "a bucket exactly at maxBucket must salvage, not just log")
     // a degenerate bulk batch (4 boilerplate docs) at cap 4: all its
     // genuine pairs (identical signatures — the output-sensitive case)
     // still land, within-batch included
@@ -889,7 +896,8 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("t"))
     val sized = bands.join(counts, Seq("band", "bh"))
       .withColumn("g", when(col("t") < cap, lit(1))
-        .otherwise(ceil(col("t").cast("double") / cap).cast("int")))
+        .otherwise(greatest(lit(2),
+          ceil(col("t").cast("double") / cap).cast("int"))))
       .withColumn("sub", pmod(hash(col("sig")), col("g")))
       .groupBy(col("band"), col("bh"), col("sub"))
       .agg(count(lit(1)).as("n"), max(col("t")).as("t"))
@@ -1291,6 +1299,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches == Seq(80L, 10L),
       s"expected batch split [80, 10], got $batches")
     ss.catalog.dropTempView("sfx_out")
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
+  test("two-tier aging is exactly-once: a crash between the index write and the pending delete never duplicates a row") {
+    // the r13 ADVICE window: the old form appended aged rows to the
+    // bulk index and THEN deleted them from pending, so a crash between
+    // the two made the replayed batch re-age and re-append — duplicates
+    // persisted in the index forever. TieredIndex's mig-partitioned
+    // atomic overwrites make every step idempotent; this test lands a
+    // crash in the exact window (via the injection seam), replays, and
+    // asserts the index holds each aged row exactly once — plus the
+    // late-arrival variant (a replayed batch must not re-age its OWN
+    // pending rows) and the fold-compaction content identity.
+    import graft.streaming.{StreamNearDup, TieredIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndtt-crash")
+    val t0 = 1700000000000L
+    def at(ms: Long) = lit(new Timestamp(ms)).as("arrival")
+    def bands(rows: Seq[(Long, String)], ms: Long) =
+      StreamNearDup.bandRelationWithTs(
+        rows.toDF("doc_id", "text")
+          .select(col("doc_id"), col("text"), at(ms)),
+        "doc_id", "text", "arrival")
+    val docsA = Seq(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven")
+    val rowSchema = bands(docsA, t0).schema
+    val tier = TieredIndex.create(spark, "ndtt_crash", tmp.toString,
+      rowSchema, sortKey = "bh")
+    // batch 0: nothing to age yet; its band rows land in pending
+    tier.age(0L, t0 - 7200000L)
+    tier.writePending(0L, bands(docsA, t0))
+    val pend0 = tier.pendT.read().count()
+    assert(pend0 > 0)
+    // batch 1 arrives 3 h later under a 2 h TTL: batch 0's rows must
+    // age. Crash injected between the index partition write and the
+    // pending delete.
+    val cutoff1 = t0 + 3600000L
+    val boom = intercept[RuntimeException] {
+      tier.age(1L, cutoff1, interruptAfterMigrate =
+        () => throw new RuntimeException("injected crash in the aging window"))
+    }
+    assert(boom.getMessage.contains("injected"))
+    // crash state: rows in the bulk index AND still in pending
+    assert(tier.idxT.read().count() == pend0)
+    assert(tier.pendT.read().count() == pend0)
+    // REPLAY of batch 1: the partition overwrite rewrites the SAME
+    // rows instead of appending beside the crashed attempt's copy
+    tier.age(1L, cutoff1)
+    assert(tier.idxT.read().count() == pend0,
+      "replayed aging duplicated index rows")
+    assert(tier.idxT.read().drop("mig", "sig").distinct().count() == pend0)
+    assert(tier.pendT.read().count() == 0)
+    // second window: batch 1 carries a LATE row (event time already
+    // behind the horizon) and crashes AFTER writePending, BEFORE its
+    // checkpoint commit. The replayed batch re-runs age(1) — which must
+    // NOT re-age batch 1's OWN pending rows (the mig exclusion): the
+    // late row would otherwise land in the bulk index AND be re-written
+    // to pending, duplicating at the next aging.
+    val nb1 = bands(Seq(3L -> "seven eight nine ten eleven twelve"),
+        t0 + 10800000L)
+      .unionByName(bands(Seq(4L -> "late words from the distant past"), t0))
+    tier.writePending(1L, nb1) // first attempt reached here, then crashed
+    tier.age(1L, cutoff1)      // replay opens with aging
+    assert(tier.idxT.read().count() == pend0,
+      "replay re-aged this batch's own pending rows")
+    tier.writePending(1L, nb1)
+    val pend1 = tier.pendT.read().count()
+    // batch 2: the late row (and only it) migrates now, exactly once
+    val lateRows = tier.pendT.read()
+      .filter(col("ts") <= lit(new Timestamp(t0 + 7200000L))).count()
+    assert(lateRows > 0, "fixture lost its late row")
+    tier.age(2L, t0 + 7200000L)
+    assert(tier.idxT.read().count() == pend0 + lateRows)
+    assert(tier.idxT.read().drop("mig", "sig").distinct().count()
+      == pend0 + lateRows)
+    assert(tier.pendT.read().count() == pend1 - lateRows)
+    // fold-compaction collapses the historical mig partitions into one
+    // without changing the bulk tier's content
+    val before = tier.bulk().drop("sig").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    tier.idxT.compact(Seq("bh"),
+      remap = Map("mig" -> lit(TieredIndex.Folded)))
+    val after = tier.bulk().drop("sig").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after == before, "fold-compaction changed the bulk tier")
+    val migs = tier.idxT.read().select("mig").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(migs == Seq(TieredIndex.Folded),
+      s"fold left historical mig partitions behind: $migs")
     graft.ingest.FileOps.deleteRecursively(tmp)
   }
 }

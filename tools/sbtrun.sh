@@ -30,7 +30,15 @@ out=$(tmux capture-pane -t sbt -pS -)
 echo "$out" | grep -E \
   "Tests: succeeded|\*\*\* FAILED|\[success\]|\[error\]|queries dumped|\"metric\"" \
   | tail -12
-# verdict: the LAST [success]/[error] marker decides the exit code
+# verdict: the LAST [success]/[error] marker decides the exit code.
+# NO marker at all (sbt crashed, session restarted, or the output
+# outgrew the tmux history so the markers scrolled away) is NOT a
+# pass — exit with a distinct code so the verify loop can't read a
+# silent false green.
 verdict=$(echo "$out" | grep -oE '\[(success|error)\]' | tail -1)
 [ "$verdict" = "[error]" ] && exit 1
+if [ -z "$verdict" ]; then
+  echo "sbtrun.sh: no [success]/[error] marker in captured output" >&2
+  exit 4
+fi
 exit 0
