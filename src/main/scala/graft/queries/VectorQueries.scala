@@ -97,18 +97,17 @@ object VectorQueries {
       |          + list_dot_product(c.e, c.e), c.cid) AS rn
       |    FROM q, c1 c) WHERE rn = 1)""".stripMargin
 
-  /** The quantized grouped-Lloyd PQ replay shared by q_pq_encode and
-    * q_ann_pq (CTEs: q → sv → seeds → pa1 → pc1 → pa2) — one definition
-    * so the codebooks and anything served from them can never drift.
+  /** The quantized grouped-Lloyd PQ replay (CTEs: q → sv → seeds →
+    * pa1 → pc1 → pa2) with the quantized-population CTE `q`
+    * parameterized — ONE definition of the codebook replay, whatever
+    * population trains it ([[pqCtes]] instantiates it over the full
+    * `embeddings` table; [[ivfpqReplay]] over an arbitrary `pop`).
     * Mirrors [[graft.vector.Pq.fitCodebooks]] at m=8, ksub=16, iters=2:
     * per-subspace salted-md5 seeds, one update round, final assignment
     * with per-subspace distortion. */
-  private val pqCtes: String =
-    """q AS (
-      |  SELECT vec_id,
-      |    list_transform(CAST(embedding AS DOUBLE[]),
-      |                   x -> floor(x * 1000)) AS e
-      |  FROM embeddings),
+  private def pqCtesFrom(qBody: String): String =
+    s"""q AS (
+      |  $qBody),
       |sv AS (
       |  SELECT vec_id, CAST(t.sub AS INT) AS sub,
       |    list_slice(e, t.sub * 8 + 1, t.sub * 8 + 8) AS v
@@ -141,6 +140,15 @@ object VectorQueries {
       |        list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.v)
       |          + list_dot_product(c.v, c.v), c.code) AS rn
       |    FROM sv s JOIN pc1 c USING (sub)) WHERE rn = 1)""".stripMargin
+
+  /** [[pqCtesFrom]] over the full `embeddings` table — shared by
+    * q_pq_encode and q_ann_pq so the codebooks and anything served from
+    * them can never drift. */
+  private val pqCtes: String = pqCtesFrom(
+    """SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> floor(x * 1000)) AS e
+      |  FROM embeddings""".stripMargin)
 
   /** One oracle for BOTH IVF entries (inline and stage-table-served):
     * the stored index memoizes the assignment pass without changing a
@@ -194,17 +202,24 @@ object VectorQueries {
       |SELECT qid, vec_id, CAST(rn AS INT) AS rank
       |FROM ranked WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** Shared by `q_ann_ivfpq` and `q_ann_ivfpq_stage`: the stage tables
-    * only memoize the trained quantizers and the assignment/encode
-    * passes, so the SQL replays BOTH stages (16-cell 'km:' coarse
-    * trainer + float-cosine probe routing, 'pq:' codebook replay +
-    * ADC sum over the candidate set) and must land on identical rows
-    * for either serve path. */
-  private def ivfpqOracleSql(keepCond: String, qMod: Int = 100): String =
-    s"""WITH $pqCtes,
+  /** The full IVF-PQ two-stage replay over an arbitrary POPULATION
+    * relation `pop(vec_id, v DOUBLE[])` — 16-cell 'km:' coarse trainer
+    * + float-cosine probe routing, 'pq:' codebook replay
+    * ([[pqCtesFrom]]) + ADC sum over the candidate set. `popSql`
+    * defines the population (trained on AND indexed — the one-shot
+    * build's stance), `keepCond` filters candidates (the index-delete
+    * replay), `qCond` renders the query-set predicate given a table
+    * alias prefix. Shared by every IVF-PQ serve oracle so the replay
+    * chain can never drift between entries; `q_ann_index_retrain`
+    * instantiates it over the post-retrain training population. */
+  private def ivfpqReplay(popSql: String, keepCond: String,
+                          qCond: String => String): String =
+    s"""WITH pop AS (
+       |  $popSql),
+       |${pqCtesFrom("""SELECT vec_id, list_transform(v, x -> floor(x * 1000)) AS e
+       |  FROM pop""".stripMargin)},
        |data AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings),
+       |  SELECT vec_id, v FROM pop),
        |seeds16 AS (
        |  SELECT vec_id AS cid, e FROM q
        |  ORDER BY ('0x' || substr(md5('km:' || vec_id), 1, 15))::BIGINT,
@@ -229,7 +244,7 @@ object VectorQueries {
        |      AS crank
        |    FROM data d, cents c) WHERE crank = 1),
        |qs AS (SELECT vec_id AS qid, v AS qv FROM data
-       |       WHERE vec_id % $qMod = 0),
+       |       WHERE ${qCond("")}),
        |qassign AS (
        |  SELECT s2.qid, c.cid, row_number() OVER (PARTITION BY s2.qid
        |    ORDER BY list_cosine_similarity(s2.qv, c.cv) DESC, c.cid)
@@ -245,7 +260,7 @@ object VectorQueries {
        |    list_dot_product(s3.v, s3.v) - 2 * list_dot_product(s3.v, c.v)
        |      + list_dot_product(c.v, c.v) AS qdist
        |  FROM sv s3 JOIN pc1 c USING (sub)
-       |  WHERE s3.vec_id % $qMod = 0),
+       |  WHERE ${qCond("s3.")}),
        |sc AS (
        |  SELECT cd.qid, cd.vec_id, CAST(sum(d.qdist) AS BIGINT) AS adc
        |  FROM cand cd
@@ -260,8 +275,43 @@ object VectorQueries {
        |      FROM sc)
        |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Shared by `q_ann_ivfpq` and `q_ann_ivfpq_stage`: the stage tables
+    * only memoize the trained quantizers and the assignment/encode
+    * passes, so the SQL replays BOTH stages over the full `embeddings`
+    * population and must land on identical rows for either serve
+    * path. */
+  private def ivfpqOracleSql(keepCond: String, qMod: Int = 100): String =
+    ivfpqReplay(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      keepCond, p => s"${p}vec_id % $qMod = 0")
+
   /** The unfiltered replay — every indexed id is a candidate. */
   private lazy val ivfpqOracleSqlAll: String = ivfpqOracleSql("TRUE")
+
+  /** The drifted-population CTE shared (textually, via ONE definition)
+    * by the retrain oracle: the held-out reference window plus the
+    * +0.5-shifted arrival window — the population the retrain trains
+    * on AND re-indexes, shifted in DOUBLE on both engines (the
+    * q_ann_index_health fixture). */
+  private val retrainPopSql: String =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id % 4 = 1
+      |  UNION ALL
+      |  SELECT vec_id,
+      |    list_transform(range(len(embedding)), i ->
+      |      CAST(embedding[i+1] AS DOUBLE)
+      |        + CASE WHEN i < 8 THEN 0.5 ELSE 0.0 END) AS v
+      |  FROM embeddings WHERE vec_id % 4 = 3""".stripMargin
+
+  /** Oracle for `q_ann_index_retrain`: the FRESH-BUILD two-stage replay
+    * on the post-retrain quantizers — [[ivfpqReplay]] instantiated over
+    * the reference+arrival population the machinery retrains on. The
+    * entry's serve must land on exactly this, which is only possible if
+    * the machinery actually consumed the drift decision, retrained,
+    * re-encoded and swapped (a serve from the stale generation ranks
+    * differently and reds the row). */
+  private lazy val annIndexRetrainOracle: String =
+    ivfpqReplay(retrainPopSql, "TRUE", p => s"${p}vec_id % 25 = 0")
 
   /** Full replay of the q_ann_index_health pipeline: quantized k-means
     * trained on the evens ('km:' seeds, one Lloyd update — the
@@ -1126,6 +1176,88 @@ object VectorQueries {
       // timed family gate: q_ann_ivfpq_stage (oracle still gates this
       // entry; monitor cost is one hash aggregate of the assignment
       // relation plus k-bounded joins)
+      bench = false),
+
+    // RETRAIN-AND-SWAP — the machinery that CONSUMES
+    // q_ann_index_health's per-cell decision, closing the day-2 loop
+    // the r13 monitor left open. Fixture: generation 0's quantizers
+    // are trained on the HISTORICAL corpus (the evens) but index the
+    // CURRENT population (held-out reference window % 4 = 1 plus
+    // +0.5-shifted arrivals % 4 = 3) — the stale-index state. The
+    // monitor's decision relation is STORED (a table, the RunDecision
+    // stance); IndexRetrain.retrainIfDrifted reads it (k-bounded
+    // fetch), retrains the coarse quantizer and the PQ codebooks on
+    // the reference+arrival window, re-encodes the population, writes
+    // all four relations under generation 1 and publishes them with
+    // ONE atomic pointer rename — serving never sees a half-swapped
+    // mix (AnnSpec injects crashes between every stage write and
+    // proves generation 0 keeps serving until the flip). The oracle is
+    // the FRESH-BUILD two-stage replay on the post-retrain quantizers:
+    // a serve from the stale generation ranks differently, so the
+    // oracle gates that the machinery actually acted on the decision.
+    "q_ann_index_retrain" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-ann-retrain")
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val hist = emb.filter(col("vec_id") % 2 === 0)
+        val reference = emb.filter(col("vec_id") % 4 === 1)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val arrivals = emb.filter(col("vec_id") % 4 === 3)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              (x, i) => x + when(i < lit(8), lit(0.5)).otherwise(lit(0.0)))
+              .as("embedding"))
+        val pop = reference.unionByName(arrivals)
+        val idx = new graft.vector.GenerationalIndex(s, s"$tmp/index")
+        val g0 = idx.nextGen()
+        graft.vector.IndexRetrain.buildGeneration(
+          s, idx.genDir(g0), hist, pop, "vec_id", "embedding")
+        idx.publish(g0)
+        // the monitor over generation 0's stored centroids — the
+        // q_ann_index_health relation, landed in a decision table
+        val stored = s.read.parquet(s"${idx.currentDir()}/centroids")
+        val scored = graft.vector.IndexHealth
+          .assignScored(reference, "vec_id", "embedding", stored)
+          .withColumn("gen", lit("train"))
+          .unionByName(graft.vector.IndexHealth
+            .assignScored(arrivals, "vec_id", "embedding", stored)
+            .withColumn("gen", lit("new")))
+        val decision = graft.vector.IndexHealth.cellHealth(
+          scored.select(col("cid").cast("long").as("cid"),
+            col("simq"), col("gen")))
+        val decT = graft.catalog.ParquetTable(s, "retrain_decision",
+          s"$tmp/decision", decision.schema)
+        decT.overwrite(decision)
+        // MACHINERY: read the stored decision, retrain on the
+        // reference+arrival window, re-encode, atomic pointer swap
+        val swapped = graft.vector.IndexRetrain.retrainIfDrifted(
+          idx, decT.read(), pop, pop, "vec_id", "embedding")
+        require(swapped, "planted drift did not trigger the retrain")
+        // serve from whatever generation the pointer names now
+        val stage = idx.currentDir()
+        val queries = pop.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val cands = Ann.ivfCandidates(s.read.parquet(s"$stage/assign"),
+          queries, "vec_id", "qid", "embedding",
+          s.read.parquet(s"$stage/centroids"), nprobe = 4)
+        val out = graft.plans.Materialize.stage(
+          graft.vector.Pq.adcTopKWithinIndexed(
+              s.read.parquet(s"$stage/codes"), cands, queries,
+              "vec_id", "embedding", "qid", m = 8, dim = 64,
+              s.read.parquet(s"$stage/codebooks"), k = 5)
+            .select(col("qid"), col("vec_id"), cast_rank, col("adc"))
+            .orderBy(col("qid"), col("rank")))
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        out
+      },
+      Some(annIndexRetrainOracle),
+      // timed family gate: q_ann_ivfpq_stage (oracle still gates this
+      // entry; the retrain is the one-shot build re-run over the new
+      // training window, the swap a metadata-only pointer rename, and
+      // the serve the staged IVF-PQ shape q_ann_ivfpq_stage times)
       bench = false),
 
     // STREAMING vector ingestion into the IVF index — the day-2 shape

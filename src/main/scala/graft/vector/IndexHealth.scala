@@ -87,10 +87,20 @@ object IndexHealth {
     * between generations. Means and shares are floor(double-div) —
     * identical floor-division semantics in both engines even for
     * negative sums (Spark's integral `div` truncates toward zero and
-    * would disagree below zero). */
+    * would disagree below zero).
+    *
+    * `minCellN` gates the per-cell decision on EVIDENCE: a cell must
+    * carry at least that many rows in BOTH generations to flag — a
+    * 2-member cell's mean similarity is sample noise, not a quantizer
+    * signal, and production monitors act only where they have support
+    * (the AnnSpec forward-monitor proof uses this; the sub-threshold
+    * columns still report, so an operator can see starved cells). The
+    * default 0 keeps every cell eligible — the configuration the
+    * `q_ann_index_health` oracle replays. */
   def cellHealth(assign: DataFrame,
                  simDropMicro: Long = 100000L,
-                 occShiftMicro: Long = 100000L): DataFrame = {
+                 occShiftMicro: Long = 100000L,
+                 minCellN: Long = 0L): DataFrame = {
     val cg = assign.groupBy(col("cid"), col("gen"))
       .agg(count(lit(1)).as("n"), sum(col("simq")).as("ssimq"))
     // per-generation totals: a generations-sized aggregate (2 rows) —
@@ -118,7 +128,8 @@ object IndexHealth {
       .withColumn("occ_shift_micro",
         abs(col("share_new_micro") - col("share_train_micro")))
       .withColumn("drifted",
-        col("sim_drop_micro") > simDropMicro ||
-          col("occ_shift_micro") > occShiftMicro)
+        (col("sim_drop_micro") > simDropMicro ||
+          col("occ_shift_micro") > occShiftMicro) &&
+          col("n_train") >= minCellN && col("n_new") >= minCellN)
   }
 }

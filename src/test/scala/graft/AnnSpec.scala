@@ -310,4 +310,171 @@ class AnnSpec extends AnyFunSuite {
     assert(health.filter(col("drifted")).count() == 0,
       "the retrained quantizer must read the drifted population as healthy")
   }
+
+  // -------- retrain-and-swap machinery (q_ann_index_retrain) --------
+
+  private def shifted8(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => x + when(i < lit(8), lit(0.5)).otherwise(lit(0.0)))
+        .as("embedding"))
+
+  /** The q_ann_index_retrain fixture: historical evens (gen-0 training),
+    * held-out reference window, drifted arrivals, and their union (the
+    * population the retrain trains on and indexes). */
+  private lazy val retrainFixture = {
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val reference = emb.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val arrivals = shifted8(
+      emb.filter(col("vec_id") % 4 === 3)
+        .select(col("vec_id"), col("embedding")))
+    (hist, reference, arrivals, reference.unionByName(arrivals))
+  }
+
+  private def serveFrom(stage: String,
+                        queries: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, Int, Long)] =
+    graft.vector.Pq.adcTopKWithinIndexed(
+        spark.read.parquet(s"$stage/codes"),
+        Ann.ivfCandidates(spark.read.parquet(s"$stage/assign"), queries,
+          "vec_id", "qid", "embedding",
+          spark.read.parquet(s"$stage/centroids"), nprobe = 4),
+        queries, "vec_id", "embedding", "qid", m = 8, dim = 64,
+        spark.read.parquet(s"$stage/codebooks"), k = 5)
+      .select(col("qid"), col("vec_id"), col("rank").cast("int"), col("adc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("retrain swap is atomic: a crash between any two stage writes leaves the OLD generation serving, never a mix") {
+    // the four IVF-PQ relations are rewritten per retrain; four
+    // independent table swaps would have three windows in which a
+    // reader sees new centroids beside old codes. GenerationalIndex
+    // closes them: the rebuild lands under an unpublished g<N> dir and
+    // ONE atomic pointer rename publishes all four together. Inject a
+    // crash after EVERY stage write (1..4 — including after the last
+    // write, before the flip) and assert the pointer and the served
+    // rows are bit-identical to generation 0 each time; then complete
+    // the retrain and assert the serve equals a from-scratch build on
+    // the new training population (the entry's oracle stance).
+    import spark.implicits._
+    import graft.vector.{GenerationalIndex, IndexRetrain}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retrain-crash")
+    val (hist, _, _, pop) = retrainFixture
+    val queries = pop.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val idx = new GenerationalIndex(spark, s"$tmp/index")
+    IndexRetrain.buildGeneration(spark, idx.genDir(idx.nextGen()),
+      hist, pop, "vec_id", "embedding")
+    idx.publish(0L)
+    val before = serveFrom(idx.currentDir(), queries)
+    assert(before.nonEmpty)
+    val decision = Seq((0L, true)).toDF("cid", "drifted")
+    for (step <- 1 to 4) {
+      val boom = intercept[RuntimeException] {
+        IndexRetrain.retrainIfDrifted(idx, decision, pop, pop,
+          "vec_id", "embedding", interrupt = i =>
+            if (i == step)
+              throw new RuntimeException(s"injected crash after write $step"))
+      }
+      assert(boom.getMessage.contains("injected"))
+      assert(idx.currentGen().contains(0L),
+        s"crash after stage write $step moved the pointer")
+      assert(serveFrom(idx.currentDir(), queries) == before,
+        s"serve changed after a crash at stage write $step")
+    }
+    // the retry lands on the same generation number (pointer never
+    // moved), overwrites the crash debris, and publishes atomically
+    assert(IndexRetrain.retrainIfDrifted(idx, decision, pop, pop,
+      "vec_id", "embedding"))
+    assert(idx.currentGen().contains(1L))
+    val after = serveFrom(idx.currentDir(), queries)
+    assert(after != before,
+      "retrained quantizers must rank differently (else the oracle " +
+        "could not distinguish a stale serve)")
+    val fresh = java.nio.file.Files.createTempDirectory("graft-retrain-fresh")
+    IndexRetrain.buildGeneration(spark, s"$fresh/g", pop, pop,
+      "vec_id", "embedding")
+    assert(after == serveFrom(s"$fresh/g", queries),
+      "post-swap serve must equal the from-scratch build on the new population")
+    // superseded generation swept; a clean decision leaves things alone
+    assert(!new java.io.File(s"$tmp/index/g0").exists(),
+      "publish did not sweep the superseded generation")
+    assert(!IndexRetrain.retrainIfDrifted(idx,
+      Seq((0L, false)).toDF("cid", "drifted"), pop, pop,
+      "vec_id", "embedding"))
+    assert(idx.currentGen().contains(1L))
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    graft.ingest.FileOps.deleteRecursively(fresh)
+  }
+
+  test("the machinery path clears the monitor: post-swap assignment quality recovers and the forward monitor is quiet") {
+    // AnnSpec's flag-clearing proof re-run THROUGH the machinery: the
+    // REAL cellHealth decision (not a fabricated row) trips
+    // retrainIfDrifted, and after the swap (a) the drifted arrivals'
+    // assignment similarity against the PUBLISHED generation's stored
+    // centroids is better than against the stale ones — retraining
+    // recovered quantization quality, not just shuffled labels — and
+    // (b) the forward-looking monitor (two held-out halves of the NEW
+    // distribution, the post-retrain monitoring regime) raises ZERO
+    // decisions. Comparing the OLD reference window against new
+    // arrivals would flag forever under ANY quantizer — the
+    // distribution genuinely changed; that is the documented rebase-
+    // the-baseline-after-retrain stance (flags mean stale quantizer,
+    // not different data).
+    import graft.vector.{GenerationalIndex, IndexHealth, IndexRetrain}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retrain-clear")
+    val (hist, reference, arrivals, pop) = retrainFixture
+    val idx = new GenerationalIndex(spark, s"$tmp/index")
+    IndexRetrain.buildGeneration(spark, idx.genDir(idx.nextGen()),
+      hist, pop, "vec_id", "embedding")
+    idx.publish(0L)
+    def monitor(train: org.apache.spark.sql.DataFrame,
+                fresh: org.apache.spark.sql.DataFrame,
+                centroids: org.apache.spark.sql.DataFrame,
+                minCellN: Long = 0L) =
+      IndexHealth.cellHealth(
+        IndexHealth.assignScored(train, "vec_id", "embedding", centroids)
+          .withColumn("gen", lit("train"))
+          .unionByName(
+            IndexHealth.assignScored(fresh, "vec_id", "embedding", centroids)
+              .withColumn("gen", lit("new"))),
+        minCellN = minCellN)
+    def meanSimq(pop0: org.apache.spark.sql.DataFrame,
+                 centroids: org.apache.spark.sql.DataFrame): Double =
+      IndexHealth.assignScored(pop0, "vec_id", "embedding", centroids)
+        .agg(avg(col("simq"))).head().getDouble(0)
+    val g0cents = spark.read.parquet(s"${idx.currentDir()}/centroids")
+    val decision = monitor(reference, arrivals, g0cents)
+    assert(decision.filter(col("drifted")).count() >= 3,
+      "fixture lost its planted drift")
+    // measured BEFORE the swap: publish() sweeps the superseded
+    // generation, so a lazy read of g0 would dangle afterwards
+    val stale = meanSimq(arrivals, g0cents)
+    assert(IndexRetrain.retrainIfDrifted(idx, decision, pop, pop,
+      "vec_id", "embedding"), "the real decision relation must trip the retrain")
+    val g1cents = spark.read.parquet(s"${idx.currentDir()}/centroids")
+    val recovered = meanSimq(arrivals, g1cents)
+    assert(recovered > stale,
+      f"retraining did not recover assignment quality: $stale%.0f -> $recovered%.0f")
+    // forward windows: two id-parity halves of the SERVED MIXTURE
+    // (reference ∪ arrivals) — the population future arrivals resemble;
+    // same distribution on both sides, so a quiet monitor means the
+    // quantizer fits, with enough rows per cell that occupancy shares
+    // are not dominated by small-sample noise
+    val halfA = pop.filter(col("vec_id") % 8 === 1 || col("vec_id") % 8 === 3)
+    val halfB = pop.filter(col("vec_id") % 8 === 5 || col("vec_id") % 8 === 7)
+    // minCellN = 8: at this fixture size (~125 rows a half over 16
+    // cells) a 2-member cell's mean similarity is sample noise — the
+    // monitor's evidence gate exists for exactly this
+    val noisy = monitor(halfA, halfB, g1cents, minCellN = 8L)
+      .filter(col("drifted")).collect()
+    assert(noisy.isEmpty,
+      s"the forward monitor must be quiet on the retrained generation:\n" +
+        noisy.mkString("\n"))
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
 }

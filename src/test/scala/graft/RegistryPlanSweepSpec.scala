@@ -77,6 +77,7 @@ class RegistryPlanSweepSpec extends AnyFunSuite {
     "q_ann_pq" -> queryBatchBroadcast,
     "q_ann_ivfpq" -> (queryBatchBroadcast + ", consumed twice (probe routing + ADC lookup table)"),
     "q_ann_ivfpq_stage" -> (queryBatchBroadcast + ", consumed twice (probe routing + ADC lookup table)"),
+    "q_ann_index_retrain" -> (queryBatchBroadcast + ", consumed twice (probe routing + ADC lookup table)"),
     "q_ann_ivfpq_batch" -> (queryBatchBroadcast +
       ", consumed twice (probe routing + ADC lookup table); the 10x batch is still a query relation"),
     "q_ann_rerank" -> queryBatchBroadcast,
