@@ -22,6 +22,28 @@ object Bench {
     // One warm-up action so JVM/codegen startup isn't billed to the
     // first query in the list.
     Tables.load(spark, sfDir, "nation").count()
+    // CALIBRATION: a fixed-cost, IO-free, data-independent query —
+    // 400M codegen'd hashes across all 32 local threads — timed FIRST
+    // and LAST in every run and reported in the JSON. Round-over-round
+    // totals on this box are unreadable raw (PERF_NOTES logs 150.7 →
+    // 199.4 s full-run spread on an UNCHANGED tree under ambient load);
+    // the calibration pins what the machine was worth that run, so a
+    // bench delta can be read as (total/cal) ratios instead of raw
+    // seconds, and cal_last/cal_first exposes load drift WITHIN the
+    // run. Min-of-2 like every entry, outside all entry timings.
+    def calibrate(): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 400000000L, 1, 32)
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id")).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    // one discarded pass first: the calibration measures MACHINE LOAD,
+    // not this JVM's codegen/JIT warmth (a cold first pass read ~1.6×
+    // the warm cost and would masquerade as ambient load)
+    calibrate()
+    val calFirst = calibrate()
     // Reset session state between timed attempts (outside the timed
     // region): the ingest/dedup entries leave behind memory-sink temp
     // views, localCheckpoint RDD blocks and cached relations, and over
@@ -96,6 +118,7 @@ object Bench {
       reapDebris()
       (name, pos, attempts)
     }
+    val calLast = calibrate()
     val results = detail.map { case (name, _, attempts) =>
       name -> (if (attempts.exists(_.sec < 0)) -1.0 else attempts.map(_.sec).min)
     }
@@ -113,7 +136,7 @@ object Bench {
     def toJson(entries: Seq[(String, Double)], omitted: Int): String = {
       val qsJson = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir","count":${results.size},"omitted":$omitted,"failed":${results.size - ok.size}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal_first":${fmt(calFirst)},"cal_last":${fmt(calLast)},"queries":$qsJson,"sf":"$sfDir","count":${results.size},"omitted":$omitted,"failed":${results.size - ok.size}}"""
     }
     val full = toJson(results, 0)
     val line =
