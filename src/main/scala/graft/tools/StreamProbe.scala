@@ -273,6 +273,67 @@ object StreamProbe {
     Probe(probeA.sec + probeB.sec, probeA.stateRows, probeA.stateBytes)
   }
 
+  /** SALVAGE RECALL, measured — turns StreamNearDup's ~1/g hot-band
+    * argument into numbers. Synthetic signatures (the salvage operates
+    * on the band relation, so the probe constructs it directly) force
+    * ONE hot bucket: 200 filler docs plus every planted original share
+    * band 0's four slots while all other slots are unique per doc.
+    * Two planted families measure the two sides of the trade:
+    *
+    *  - NEAR-IDENTICAL pairs (2 of 64 slots perturbed, est. Jaccard
+    *    0.97): the dup differs in bands 1-2 but co-buckets with its
+    *    original in 14 COLD bands — the "other bands carry the pair"
+    *    claim. Expected found = planted at EVERY g.
+    *  - HOT-ONLY pairs (one slot perturbed in each of the 15 cold
+    *    bands, est. Jaccard 0.77 — still far above the 4σ cutoff):
+    *    the ONLY co-bucketing band is the hot one, so found/planted
+    *    directly measures the salted split — expected ~1/g (identical
+    *    signatures would keep full recall; these differ, so the salt
+    *    separates them with probability (g-1)/g).
+    *
+    * g is forced through maxBucket: the hot bucket's total membership
+    * is 320 (260 stored + 60 arriving), so caps {100000, 160, 80, 40}
+    * yield g = {1 (cold baseline), 2, 4, 8}. One detail JSON line per
+    * g reports found/planted for both families. */
+  def nearDupSalvageRecall(s: SparkSession, dir: String): Probe = {
+    import s.implicits._
+    val k = 64
+    val bands = 16
+    def sig(base: Long, perturb: Set[Int] = Set.empty): Array[Long] =
+      (0 until k).map { j =>
+        val v = if (j < 4) 777000L + j else base * 64L + j
+        if (perturb(j)) v + 1000000000L else v
+      }.toArray
+    val fillers = (0 until 200).map(i => (10000L + i, sig(100000L + i)))
+    val nearOrig = (0 until 20).map(p => (20000L + p, sig(200000L + p)))
+    val nearDup = (0 until 20).map(p =>
+      (120000L + p, sig(200000L + p, Set(5, 9))))
+    val hotOrig = (0 until 40).map(q => (30000L + q, sig(300000L + q)))
+    val hotDup = (0 until 40).map(q =>
+      (130000L + q, sig(300000L + q, (1 until 16).map(_ * 4).toSet)))
+    def bandsOf(rows: Seq[(Long, Array[Long])]) =
+      graft.plans.Materialize.stage(
+        s.createDataset(rows).toDF("doc_id", "sig")
+          .select(col("doc_id"), col("sig"),
+            explode(graft.text.Dedup.bandHashes(col("sig"), k, bands)).as("b"))
+          .select(col("b.band").as("band"), col("b.bh").as("bh"),
+            col("doc_id"), col("sig")))
+    val index = bandsOf(fillers ++ nearOrig ++ hotOrig)
+    val batch = bandsOf(nearDup ++ hotDup)
+    val t0 = System.nanoTime()
+    Seq((1, 100000), (2, 160), (4, 80), (8, 40)).foreach { case (g, mb) =>
+      val pairs = graft.streaming.StreamNearDup
+        .hybridCandidates(batch, index, threshold = 0.5, maxBucket = mb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nearFound = (0 until 20).count(p =>
+        pairs((20000L + p, 120000L + p)))
+      val hotFound = (0 until 40).count(q =>
+        pairs((30000L + q, 130000L + q)))
+      println(s"""{"pipeline":"stream_neardup_salvage_recall","g":$g,"max_bucket":$mb,"near_identical_found":$nearFound,"near_identical_planted":20,"hot_only_found":$hotFound,"hot_only_planted":40}""")
+    }
+    Probe((System.nanoTime() - t0) / 1e9, 0L, 0L)
+  }
+
   /** q_stream_containment_hybrid's machinery: the posting list in a
     * stage table, per-batch broadcast joins, stream state ZERO. */
   def containmentHybrid(s: SparkSession, dir: String): Probe = {
@@ -596,6 +657,7 @@ object StreamProbe {
       "stream_neardup_hybrid_serve" -> nearDupHybridServe,
       "stream_neardup_hybrid_longrun" -> nearDupHybridLongRun,
       "stream_neardup_twotier" -> nearDupTwoTier,
+      "stream_neardup_salvage_recall" -> nearDupSalvageRecall,
       "stream_containment" -> containment,
       "stream_containment_hybrid" -> containmentHybrid,
       "stream_containment_hybrid_serve" -> containmentHybridServe,
