@@ -49,6 +49,17 @@ import graft.catalog.ParquetTable
   *    whenever the delete (and therefore any fold that followed it)
   *    committed.
   *
+  * ==Late arrivals==
+  * A row whose event time is already behind the horizon when it
+  * arrives is DROPPED by tier A (candidateStream's 0 ms-slack
+  * watermark), served against the bulk tier on arrival (so it still
+  * pairs with everything already aged), lands in pending pre-aged and
+  * migrates on the next batch's aging — after which future arrivals
+  * find it through tier B. The one trade: its pairs against the
+  * still-in-window rows are missed — the same trade the TTL'd
+  * single-tier form makes for a dup arriving after eviction. Pinned
+  * end to end by StreamingSpec's late-arrival test.
+  *
   * Call order per batch (the entry/probe foreachBatch contract):
   * [[age]] → serve against [[bulk]] → [[writePending]] → [[maintain]].
   */

@@ -1302,6 +1302,109 @@ class StreamingSpec extends AnyFunSuite {
     graft.ingest.FileOps.deleteRecursively(tmp)
   }
 
+  test("two-tier late arrivals: dropped by tier A's watermark, served against the bulk tier, migrated next batch, findable ever after") {
+    // END-TO-END late-arrival semantics of the q_stream_neardup_twotier
+    // composition — the r13 verdict's open question. A row arriving
+    // with an event time already BEHIND the horizon:
+    //  (a) is DROPPED by tier A (0 ms-slack watermark — consistent
+    //      with candidateStream's documented stance), so it pairs with
+    //      NOTHING in the recent window: a late dup of a still-
+    //      in-window original is missed — the same trade as the TTL'd
+    //      single-tier form, where a dup arriving after eviction
+    //      misses; documented, pinned here;
+    //  (b) IS served against the bulk tier on arrival — a late dup of
+    //      an already-aged original is found through tier B;
+    //  (c) lands in pending pre-aged and migrates into the bulk index
+    //      on the NEXT batch's aging — after which FUTURE (non-late)
+    //      duplicates find it through tier B, while the in-window
+    //      original it missed is still paired by tier A for those
+    //      future arrivals. Net: only the (late row ↔ recent window)
+    //      pairs are traded away, exactly once, never silently growing.
+    import graft.streaming.{StreamNearDup, TieredIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndtt-late")
+    val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+    val t0 = 1700000000000L
+    val ttlMs = 2L * 3600000L
+    val h = 3600000L
+    def at(ms: Long) = org.apache.spark.sql.functions
+      .lit(new Timestamp(ms)).as("arrival")
+    val xText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val yText = "one two three four five six seven eight nine ten eleven twelve"
+    def docs(rows: Seq[(Long, String)], ms: Long) =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), at(ms))
+    // b0: X's original; b1: sentinel + Y's original (watermark moves to
+    // t0+2.5h, X ages); b2: LATE dups of X and Y at event time t0;
+    // b3: sentinel (the late rows age); b4: a future dup of Y.
+    Seq(
+      (docs(Seq(1L -> xText), t0), "b0"),
+      (docs(Seq(901L -> "sentinel unique filler tokens first wave entirely novel words here",
+        2L -> yText), t0 + (2.5 * h).toLong), "b1"),
+      (docs(Seq(11L -> (xText + " trailing"), 12L -> (yText + " trailing")), t0), "b2"),
+      (docs(Seq(902L -> "sentinel second wave other novel filler tokens wholly distinct text"), t0 + 3 * h), "b3"),
+      (docs(Seq(13L -> (yText + " trailing more")), t0 + (3.5 * h).toLong), "b4")
+    ).zipWithIndex.foreach { case ((df, name), i) =>
+      graft.queries.StreamFixtures.writeBatch(tmp, src, df, name,
+        parts = 1, mtimeMs = 1000000000000L + i * 60000L)
+    }
+    val ss = graft.queries.StreamFixtures.childSession(spark, 4)
+    def raw() = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val rowSchema = StreamNearDup.bandRelationWithTs(
+      docs(Seq(1L -> xText), t0).limit(0), "doc_id", "text", "arrival").schema
+    val tier = TieredIndex.create(ss, "ndtt_late", tmp.toString,
+      rowSchema, sortKey = "bh")
+    val out = tmp.resolve("pairs").toString
+    val qb = raw().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val cutoff = batch.agg(max(col("arrival"))).head()
+          .getTimestamp(0).getTime - ttlMs
+        tier.age(bid, cutoff)
+        val nb = graft.plans.Materialize.stage(
+          StreamNearDup.bandRelationWithTs(batch, "doc_id", "text", "arrival"))
+        StreamNearDup.hybridCandidates(nb.drop("ts"), tier.bulk(),
+            threshold = 0.5)
+          .write.mode("append").parquet(out)
+        tier.writePending(bid, nb)
+        tier.maintain(bid)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckptB")
+      .trigger(Trigger.AvailableNow()).start()
+    qb.awaitTermination()
+    val qa = StreamNearDup
+      .candidateStream(raw(), "doc_id", "text", threshold = 0.5,
+        stateTtlMs = Some(ttlMs), eventTimeCol = Some("arrival"))(ss)
+      .writeStream.format("memory").queryName("ndtt_late_a")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    qa.awaitTermination()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tierB = pairSet(ss.read.parquet(out))
+    val tierA = pairSet(ss.table("ndtt_late_a"))
+    // (b) late dup of the AGED original found through tier B on arrival
+    assert(tierB.contains((1L, 11L)), s"tierB=$tierB")
+    // (a) the documented trade: the late dup of the still-in-window
+    // original is found by NEITHER tier (tier A dropped the late row;
+    // tier B's bulk does not hold the in-window original)
+    assert(!tierA.contains((2L, 12L)) && !tierB.contains((2L, 12L)),
+      s"late-vs-recent pair should be the documented miss: A=$tierA B=$tierB")
+    // (c) the late row MIGRATED on the next batch's aging (it is in the
+    // bulk index) and a FUTURE dup finds it through tier B...
+    assert(tier.bulk().filter(col("doc_id") === 12L).count() > 0,
+      "late row did not migrate into the bulk index")
+    assert(tierB.contains((12L, 13L)), s"tierB=$tierB")
+    // ...while tier A still pairs that future dup with the in-window
+    // original the late row missed
+    assert(tierA.contains((2L, 13L)), s"tierA=$tierA")
+    ss.catalog.dropTempView("ndtt_late_a")
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
   test("two-tier aging is exactly-once: a crash between the index write and the pending delete never duplicates a row") {
     // the r13 ADVICE window: the old form appended aged rows to the
     // bulk index and THEN deleted them from pending, so a crash between
