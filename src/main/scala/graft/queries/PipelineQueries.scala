@@ -936,6 +936,135 @@ object PipelineQueries {
       // scale story is probe-measured: 0 state rows, 2x faster at x100)
       bench = false),
 
+    // TWO-TIER streaming containment — the q_stream_neardup_twotier
+    // composition applied to the seed-gram posting family: a TTL'd
+    // in-memory recent window (tier A — StreamSeedGram.seedPairStreamTtl,
+    // bounded state, emits one (pair, h) row per shared seed) plus the
+    // stored h-sorted bulk posting index for everything older (tier B —
+    // hybridSeedPairs, zero stream state), glued by TieredIndex's
+    // EXACTLY-ONCE aging (mig-partitioned atomic overwrites — the same
+    // machinery, crash-spec'd once, reused). Candidates = tier A ∪
+    // tier B with the min-shared-seeds rule counting DISTINCT seeds
+    // across tiers (a pair found through both tiers for the same seed
+    // counts it once — also what makes replay idempotent), then the
+    // exact containment verify. SAME oracle as the stateful and hybrid
+    // forms: tiering changes WHERE a pair is found, never the answer.
+    // Fixture: originals at t0; buried copies of docs 0-4 at t0+1h
+    // (inside the 2 h TTL — tier A pairs them); a novel sentinel wave
+    // at t0+2.5h advances the watermark past t0's postings; buried
+    // copies of docs 5-9 at t0+3h — beyond the horizon, found through
+    // the postings the aging path moved into the bulk index.
+    "q_stream_containment_twotier" -> Q(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-stream-sctt")
+        val src = Files.createDirectories(tmp.resolve("src"))
+        val t0 = 1700000000000L
+        val ttlMs = 2L * 3600000L
+        def at(ms: Long) = lit(new java.sql.Timestamp(ms)).as("arrival")
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val pad = array_join(
+          transform(sequence(lit(1), lit(1499)),
+            i => concat(lit("pady"), i.cast("string"))), " ")
+        def buried(d: org.apache.spark.sql.DataFrame, lo: Int, hi: Int) =
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi).select(
+            (col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" "), pad).as("text"))
+        val sentinels = docs.filter(col("doc_id") < 5).select(
+          (col("doc_id") + 900000).as("doc_id"),
+          concat(lit("sentinelnovel"), col("doc_id").cast("string"),
+            lit(" wholly unique filler tokens "),
+            md5(col("doc_id").cast("string"))).as("text"))
+        StreamFixtures.writeBatch(tmp, src,
+          docs.select(col("doc_id"), col("text"), at(t0)), "a",
+          parts = 1, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src,
+          buried(docs, 0, 5).select(col("doc_id"), col("text"),
+            at(t0 + 3600000L)), "b", parts = 1, mtimeMs = 1000000060000L)
+        StreamFixtures.writeBatch(tmp, src,
+          sentinels.select(col("doc_id"), col("text"), at(t0 + 9000000L)),
+          "w", parts = 1, mtimeMs = 1000000120000L)
+        StreamFixtures.writeBatch(tmp, src,
+          buried(docs, 5, 10).select(col("doc_id"), col("text"),
+            at(t0 + 10800000L)), "c", parts = 1, mtimeMs = 1000000180000L)
+        val ss = StreamFixtures.childSession(s, 4)
+        import graft.streaming.{StreamSeedGram, TieredIndex}
+        val gramFn = Some(
+          graft.text.Dedup.portableGramHashes(_: org.apache.spark.sql.Column, 3))
+        def raw() = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        val rowSchema = StreamSeedGram.seedRelationWithTs(
+          graft.Tables.load(ss, dir, "documents").limit(0)
+            .select(col("doc_id"), col("text"), at(t0)),
+          "doc_id", "text", "arrival", w = 3, seedMod = 8,
+          gramFn = gramFn).schema
+        val tier = TieredIndex.create(ss, "sctt", tmp.toString,
+          rowSchema, sortKey = "h")
+        val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType)))
+        val pairT = graft.catalog.ParquetTable(
+          ss, "sctt_pairs", s"$tmp/pairs", pairSchema).createIfNotExists()
+        val qb = raw().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val cutoff = batch.agg(max(col("arrival"))).head()
+              .getTimestamp(0).getTime - ttlMs
+            tier.age(bid, cutoff)
+            val nb = graft.plans.Materialize.stage(
+              StreamSeedGram.seedRelationWithTs(batch, "doc_id", "text",
+                "arrival", w = 3, seedMod = 8, gramFn = gramFn))
+            pairT.append(StreamSeedGram.hybridSeedPairs(
+              nb.drop("ts"), tier.bulk(), maxDf = 1000,
+              pruneKeyCap = graft.streaming.StreamNearDup.adaptiveKeyCap(
+                tier.idxT.tableBytes)))
+            tier.writePending(bid, nb)
+            tier.maintain(bid)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/ckptB")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        qb.awaitTermination()
+        // tier A: the TTL'd stateful posting window over the same
+        // arrivals, emitting (pair, h)
+        val name = s"stream_sctt_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+        val qa = StreamSeedGram
+          .seedPairStreamTtl(raw(), "doc_id", "text",
+            stateTtlMs = ttlMs, eventTimeCol = "arrival",
+            w = 3, seedMod = 8, maxDf = 1000, gramFn = gramFn)(ss)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        qa.awaitTermination()
+        val cands = ss.table(name)
+          .unionByName(pairT.read())
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(countDistinct(col("h")).as("shared"))
+          .filter(col("shared") >= 2)
+          .select(col("id_a"), col("id_b"))
+          .transform(graft.plans.Materialize.stage)
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        val docsB = graft.Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val allB = docsB.unionByName(buried(docsB, 0, 10))
+        graft.text.Dedup.verifyPairsContainment(allB, "doc_id", "text",
+            cands, threshold = 0.9, w = 3,
+            gramFn = Some(graft.text.Dedup.portableGramHashes(_, 3)))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(streamContainmentOracleSql),
+      // timed family gate: q_stream_containment (tier B's serve shape
+      // is the probe-measured hybrid; tier A's bounded state and the
+      // beyond-horizon recovery are the StreamProbe two-tier row)
+      bench = false),
+
     "q_stream_windows" -> Q(
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft-stream-win")

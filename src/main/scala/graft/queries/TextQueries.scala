@@ -2491,14 +2491,19 @@ object TextQueries {
             idxT.append(nb.sortWithinPartitions("bh"))
             // production maintenance cadence (a 2-batch fixture never
             // pays it): band index re-clustered by bucket key, text
-            // and label lookups by doc id — the layouts their pushed
-            // InSet filters prune against
+            // lookups by doc id — the layouts their pushed InSet
+            // filters prune against; the LABEL pair gets semantic
+            // maintenance — the forwarding chains FOLD into the label
+            // table (q_components_compact's machinery) because plain
+            // file compaction leaves the resolve closure deepening
+            // with every merge batch (long-run probe: 2.9 → 5.4 s per
+            // batch over 40 batches unfolded, flat with the fold)
             graft.streaming.IndexMaintenance.maybeCompact(
               idxT, bid, every = 8, Seq("bh"))
             graft.streaming.IndexMaintenance.maybeCompact(
               txtT, bid, every = 8, Seq("doc_id"))
-            graft.streaming.IndexMaintenance.maybeCompact(
-              labelsT, bid, every = 8, Seq("doc_id"))
+            graft.streaming.IndexMaintenance.maybeFoldComponents(
+              labelsT, fwdT, bid, every = 8)
             ()
           }
           .option("checkpointLocation", s"$tmp/ckpt")

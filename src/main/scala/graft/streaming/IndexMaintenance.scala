@@ -41,4 +41,34 @@ object IndexMaintenance {
     if (fire) table.compact(zorderCols, remap = remap)
     fire
   }
+
+  /** Cadence maintenance for the INCREMENTAL-COMPONENTS pair: fold the
+    * forwarding chains into the label table
+    * ([[graft.plans.IncrementalComponents.compacted]] — the
+    * q_components_compact machinery) and truncate the forwards. This is
+    * SEMANTIC maintenance, not just file compaction: without it the
+    * resolve closure deepens with every merge batch and the composed
+    * dedup pipeline's per-batch cost grows with history (the r14
+    * long-run probe measured 2.9 → 5.4 s over 40 batches with plain
+    * file compaction; folding keeps it flat). The fold rewrite IS the
+    * file compaction too — one doc-sorted overwrite.
+    *
+    * Crash-safe by IDEMPOTENCY rather than atomicity across the two
+    * tables: folded labels contain no old roots, so resolving through
+    * stale forwards after a crash between the overwrite and the
+    * truncate changes nothing, and a replayed fold folds the same
+    * fixpoint again. */
+  def maybeFoldComponents(labels: ParquetTable, forwards: ParquetTable,
+                          batchId: Long, every: Int): Boolean = {
+    val fire = every > 0 && batchId % every == (every - 1).toLong
+    if (fire) {
+      val (cl, _) = graft.plans.IncrementalComponents.compacted(
+        labels.read(), forwards.read())
+      labels.overwrite(graft.plans.Materialize.stage(cl)
+        .repartition(org.apache.spark.sql.functions.col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+      forwards.truncate()
+    }
+    fire
+  }
 }

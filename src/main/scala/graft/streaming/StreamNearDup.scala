@@ -65,24 +65,129 @@ object StreamNearDup {
   /** Bucket state: accumulated members (id + signature). */
   final case class Member(id: Long, sig: Array[Long])
 
+  /** Calibration of [[adaptiveKeyCap]]'s break-even. The cap balances
+    * two costs that scale differently: driver-side key plumbing grows
+    * with the KEY COUNT (`perKeyNanos` each — collect, local-relation
+    * build, InSet construction, planning), while the fallback costs one
+    * scan of the STORED INDEX (`scanBytesPerSec`). One key is therefore
+    * worth holding per [[bytesPerKey]] = perKeyNanos · scanBytesPerSec
+    * of index. [[KeyCapCalibration.Default]] carries THIS box's
+    * measured numbers (~40 µs/key — ~3 s of plumbing at 76k keys — vs
+    * ~1.6 GB/s of full-index scan → 64 KiB/key); on different hardware
+    * run [[KeyCapCalibration.measure]] once and pass the result to
+    * [[adaptiveKeyCap]] — the constants transfer by measurement, not by
+    * faith. Answers never depend on the calibration (the cap only picks
+    * WHICH plan serves — StreamingSpec pins regime-identical results). */
+  final case class KeyCapCalibration(perKeyNanos: Long,
+                                     scanBytesPerSec: Long) {
+    /** Index bytes one key's plumbing pays for. */
+    def bytesPerKey: Long =
+      math.max(1L, perKeyNanos * scanBytesPerSec / 1000000000L)
+  }
+
+  object KeyCapCalibration {
+    /** The build box's measured constants (r12/r13 probe forensics):
+      * 40 µs/key, 1.6 GB/s → 64 KiB of index per key. */
+    val Default: KeyCapCalibration = KeyCapCalibration(40000L, 1638400000L)
+
+    /** One-time micro-measurement of the two constants on the current
+      * hardware, CLAMPED to sane bounds (a timer hiccup must never
+      * produce a degenerate cap) and logged. Per-key cost: build the
+      * driver-held key relation and the pushed InSet filter for 8192
+      * keys and force planning — the exact plumbing the serve pays; no
+      * job runs. Scan throughput: one pass over a freshly written
+      * ~128 MB incompressible parquet relation (xxhash64 columns — a
+      * compressible fixture would flatter the scan). Memoized per JVM
+      * via [[measured]].
+      *
+      * Reading the result vs [[Default]]: the per-key cost is measured
+      * AT the 8192-key floor, where plumbing is cheapest — it grows
+      * superlinearly toward the 1 << 17 ceiling (Default's 40 µs was
+      * observed at 76k keys), so a floor-anchored measurement derives
+      * a SMALLER bytes-per-key and a more prune-eager cap. Either
+      * constant only moves the plan-choice break-even between the
+      * clamps; the served answer never depends on it. */
+    def measure(spark: SparkSession): KeyCapCalibration = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64}
+      val k = 8192
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bh",
+          org.apache.spark.sql.types.LongType)))
+      val rows = (0 until k).map(i =>
+        org.apache.spark.sql.Row(i % 16, i.toLong * 2654435761L))
+      val t0 = System.nanoTime()
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      val keys = rows.map(r => Long.box(r.getLong(1)): Any).toSet
+      local.filter(org.apache.spark.sql.graft.ColumnBridge
+        .inSet("bh", keys)).queryExecution.executedPlan
+      val perKey = (System.nanoTime() - t0) / k
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-keycap-cal")
+      val scanPerSec =
+        try {
+          spark.range(0, 4000000L, 1, 32)
+            .select(xxhash64(col("id")).as("bh"),
+              xxhash64(col("id") + 1).as("x1"),
+              xxhash64(col("id") + 2).as("x2"),
+              xxhash64(col("id") + 3).as("x3"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          val bytes = graft.ingest.FileOps.listDir(tmp)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => java.nio.file.Files.size(p)).sum
+          val t1 = System.nanoTime()
+          // touch EVERY column (column pruning would read a quarter of
+          // the bytes) with modulo-bounded terms (a raw sum of random
+          // longs overflows under ANSI)
+          spark.read.parquet(tmp.toString)
+            .agg(fsum(col("bh") % 1000000L + col("x1") % 1000000L +
+              col("x2") % 1000000L + col("x3") % 1000000L)).head()
+          (bytes.toDouble * 1e9 / (System.nanoTime() - t1)).toLong
+        } finally graft.ingest.FileOps.deleteRecursively(tmp)
+      val cal = KeyCapCalibration(
+        math.min(1000000L, math.max(2000L, perKey)),
+        math.min(64L << 30, math.max(64L << 20, scanPerSec)))
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"adaptiveKeyCap calibration: ${cal.perKeyNanos} ns/key, " +
+          s"${cal.scanBytesPerSec >> 20} MB/s scan -> " +
+          s"${cal.bytesPerKey >> 10} KiB of index per key" +
+          (if (cal.perKeyNanos != perKey || cal.scanBytesPerSec != scanPerSec)
+             s" (raw $perKey ns/key, ${scanPerSec >> 20} MB/s clamped)"
+           else ""))
+      cal
+    }
+
+    @volatile private var cached: Option[KeyCapCalibration] = None
+
+    /** [[measure]], memoized per JVM. */
+    def measured(spark: SparkSession): KeyCapCalibration =
+      cached.getOrElse {
+        val c = measure(spark)
+        cached = Some(c)
+        c
+      }
+  }
+
   /** Adaptive prune-key cap for the hybrid serves ([[hybridCandidates]]
     * and [[StreamSeedGram.hybridSeedPairs]]): how many driver-held
     * batch keys are worth holding before falling back to the full
-    * index scan. The two costs the cap balances scale differently —
-    * driver-side key plumbing grows with the KEY COUNT (measured ~3 s
-    * of planning at 76k keys, ~40 µs/key), while the fallback costs
-    * one scan of the STORED INDEX — so the break-even scales with the
-    * index, not a constant: a wide batch against a huge index should
-    * still prune, and a narrow batch against a small index should skip
-    * the plumbing. Derived from the index's stored data bytes
+    * index scan. The break-even scales with the index, not a constant —
+    * a wide batch against a huge index should still prune, and a
+    * narrow batch against a small index should skip the plumbing.
+    * Derived from the index's stored data bytes
     * ([[graft.catalog.ParquetTable.tableBytes]] — a filesystem stat
-    * walk, no Spark job): one key per 64 KiB of index (64 KiB scans in
-    * roughly what one key's plumbing costs on the measured numbers),
-    * floored at the r12-measured-safe 8192 and capped at 1 << 17,
-    * where the key plumbing itself reaches multi-second planning and
-    * a batch that wide amortizes the one scan it pays for. */
-  def adaptiveKeyCap(indexBytes: Long): Int =
-    math.min(1L << 17, math.max(8192L, indexBytes >> 16)).toInt
+    * walk, no Spark job) at one key per [[KeyCapCalibration.bytesPerKey]]
+    * (64 KiB on this box's measured constants; pass
+    * [[KeyCapCalibration.measured]] on other hardware), floored at the
+    * r12-measured-safe 8192 and capped at 1 << 17, where the key
+    * plumbing itself reaches multi-second planning and a batch that
+    * wide amortizes the one scan it pays for. */
+  def adaptiveKeyCap(indexBytes: Long,
+                     cal: KeyCapCalibration = KeyCapCalibration.Default): Int =
+    math.min(1L << 17,
+      math.max(8192L, indexBytes / cal.bytesPerKey)).toInt
 
   /** The band-bucket relation of an (idCol, textCol) relation — one
     * row per (band, bh, doc_id, sig), map-only (the text column ends

@@ -42,8 +42,19 @@ object StreamSeedGram {
   /** One document's publication of one seed gram. */
   final case class SeedDoc(h: Long, doc_id: Long)
 
+  /** [[SeedDoc]] carrying the event time — raw TIMESTAMP end to end so
+    * the watermark's attribute metadata survives (the
+    * [[StreamNearDup.BucketDoc]] note). */
+  final case class SeedDocTs(h: Long, doc_id: Long, ts: java.sql.Timestamp)
+
   /** Unordered candidate pair (id_a < id_b), one row per shared seed. */
   final case class SeedPair(id_a: Long, id_b: Long)
+
+  /** [[SeedPair]] CARRYING the shared seed hash — what the two-tier
+    * composition unions with the stored-index rows so the min-shared-
+    * seeds recovery can count DISTINCT seeds across tiers (a pair found
+    * through both tiers for the same seed must count that seed once). */
+  final case class SeedPairH(id_a: Long, id_b: Long, h: Long)
 
   /** The seed-posting relation of an (idCol, textCol) relation — one
     * row per (h, doc_id) publication, map-only (the text ends here).
@@ -60,6 +71,25 @@ object StreamSeedGram {
       .select(col("doc_id"),
         explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"))
       .select(col("h"), col("doc_id"))
+  }
+
+  /** [[seedRelation]] CARRYING the event-time column (as `ts`) — the
+    * containment two-tier composition's PENDING relation needs each
+    * posting row's arrival time to decide when it ages into the stored
+    * bulk index. The timestamp column passes through UNWRAPPED so
+    * watermark metadata survives. */
+  def seedRelationWithTs(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, w: Int = 3, seedMod: Int = 8,
+                         gramFn: Option[Column => Column] = None): DataFrame = {
+    val gram: Column => Column =
+      gramFn.getOrElse(Dedup.fastGramHashes(_: Column, w))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        gram(col(textCol)).as("g"), col(tsCol).as("__ts"))
+      .select(col("doc_id"),
+        explode(filter(col("g"), h => pmod(h, lit(seedMod)) === 0)).as("h"),
+        col("__ts"))
+      .select(col("h"), col("doc_id"), col("__ts").as("ts"))
   }
 
   /** Per-shared-seed pairs of ONE arriving batch against a STORED
@@ -183,6 +213,59 @@ object StreamSeedGram {
           }
           state.update(members)
           out.result().iterator
+      }
+  }
+
+  /** The TTL'd (recent-window) form of [[seedPairStream]], emitting the
+    * shared seed hash — tier A of the containment two-tier composition
+    * (`q_stream_containment_twotier`), mirroring
+    * [[StreamNearDup.candidateStream]]'s TTL mode: a posting bucket
+    * whose newest member is older than `stateTtlMs` when the watermark
+    * passes is evicted (EVENT-time timeout — deterministic under
+    * replay), so state holds the arrival horizon instead of every
+    * posting ever published. Beyond-horizon containment pairs are the
+    * stored bulk index's job ([[hybridSeedPairs]] over the aged
+    * postings — the two-tier glue is [[TieredIndex]]). The 0 ms-slack
+    * watermark drops late rows here exactly as candidateStream does;
+    * the composition's late-arrival semantics are pinned in
+    * StreamingSpec. */
+  def seedPairStreamTtl(docs: DataFrame, idCol: String, textCol: String,
+                        stateTtlMs: Long, eventTimeCol: String,
+                        w: Int = 3, seedMod: Int = 8, maxDf: Int = 1000,
+                        gramFn: Option[Column => Column] = None)(
+      implicit spark: SparkSession): Dataset[SeedPairH] = {
+    import spark.implicits._
+    val src = docs.filter(col(eventTimeCol).isNotNull)
+      .withWatermark(eventTimeCol, "0 milliseconds")
+    val seeds = seedRelationWithTs(src, idCol, textCol, eventTimeCol,
+      w, seedMod, gramFn).as[SeedDocTs]
+    seeds
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[List[Long], SeedPairH](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (h, rows: Iterator[SeedDocTs], state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[SeedPairH]
+            val batch = rows.toSeq
+            batch.sortBy(_.doc_id).foreach { d =>
+              if (!members.contains(d.doc_id) && members.size < maxDf) {
+                members.foreach { m =>
+                  out += SeedPairH(math.min(m, d.doc_id),
+                    math.max(m, d.doc_id), h)
+                }
+                members = d.doc_id :: members
+              }
+            }
+            state.update(members)
+            state.setTimeoutTimestamp(
+              math.max(batch.map(_.ts.getTime).max + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
       }
   }
 }

@@ -492,6 +492,311 @@ object StreamProbe {
     Probe(last10, 0L, 0L)
   }
 
+  /** TWO-TIER containment (q_stream_containment_twotier's machinery)
+    * under the fixed-rate growth model — the [[nearDupTwoTier]] row for
+    * the seed-gram posting family: tier A = the TTL'd stateful posting
+    * window (1.5 event-hours, state bounded by rate × horizon), tier
+    * B = pending→bulk aging + pruned stored-posting serves. Planted
+    * beyond-horizon containment: 10 wave-0 ORIGINALS (copies of docs
+    * 0-9, whose seed counts the containment fixtures prove sufficient)
+    * whose pad-BURIED copies arrive in the final wave, hours past the
+    * horizon — only the aged bulk postings can pair them. Emits a
+    * detail JSON line with planted recall and tier-A peak state. */
+  def containmentTwoTier(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-sctt")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val waveSize = 25000L
+    val waves = math.max(3,
+      ((graft.Tables.parquetRowCount(s, dir, "documents") + waveSize - 1)
+        / waveSize).toInt)
+    val t0 = 1700000000000L
+    val ttlMs = 5400000L
+    val gramFn = Some(
+      graft.text.Dedup.portableGramHashes(_: org.apache.spark.sql.Column, 3))
+    val origs = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    (0 until waves).foreach { wv =>
+      val base = docs.filter(col("doc_id") % waves === wv)
+      val wave = (if (wv == 0) base.unionByName(origs) else base)
+        .withColumn("arrival",
+          lit(new java.sql.Timestamp(t0 + wv * 3600000L)))
+      graft.queries.StreamFixtures.writeBatch(tmp, src, wave, s"w$wv",
+        parts = 1, mtimeMs = 1000000000000L + wv * 60000L)
+    }
+    val pad = array_join(
+      transform(sequence(lit(1), lit(1499)),
+        i => concat(lit("pady"), i.cast("string"))), " ")
+    val planted = origs
+      .select((col("doc_id") + 100000000L).as("doc_id"),
+        concat(col("text"), lit(" "), pad).as("text"))
+      .withColumn("arrival",
+        lit(new java.sql.Timestamp(t0 + waves * 3600000L)))
+    graft.queries.StreamFixtures.writeBatch(tmp, src, planted, "wp",
+      parts = 1, mtimeMs = 1000000000000L + waves * 60000L)
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.{StreamSeedGram, TieredIndex}
+    val rowSchema = StreamSeedGram.seedRelationWithTs(
+      graft.Tables.load(ss, dir, "documents").limit(0)
+        .select(col("doc_id"), col("text"),
+          lit(new java.sql.Timestamp(t0)).as("arrival")),
+      "doc_id", "text", "arrival", w = 3, seedMod = 8,
+      gramFn = gramFn).schema
+    val tier = TieredIndex.create(ss, "sprobe_sctt", tmp.toString,
+      rowSchema, sortKey = "h")
+    val out = tmp.resolve("pairs").toString
+    def raw() = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val probeB = withStream {
+      raw().writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val cutoff = batch.agg(max(col("arrival"))).head()
+            .getTimestamp(0).getTime - ttlMs
+          tier.age(bid, cutoff)
+          val nb = graft.plans.Materialize.stage(
+            StreamSeedGram.seedRelationWithTs(batch, "doc_id", "text",
+              "arrival", w = 3, seedMod = 8, gramFn = gramFn))
+          StreamSeedGram.hybridSeedPairs(nb.drop("ts"), tier.bulk(),
+              maxDf = 1000,
+              pruneKeyCap = graft.streaming.StreamNearDup
+                .adaptiveKeyCap(tier.idxT.tableBytes))
+            .write.mode("append").parquet(out)
+          tier.writePending(bid, nb)
+          tier.maintain(bid)
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckptB").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val name = s"sprobe_sctt_${tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")}"
+    val probeA = withStream {
+      StreamSeedGram
+        .seedPairStreamTtl(raw(), "doc_id", "text",
+          stateTtlMs = ttlMs, eventTimeCol = "arrival",
+          w = 3, seedMod = 8, maxDf = 1000, gramFn = gramFn)(ss)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    // the min-shared-seeds recovery across BOTH tiers, then exact
+    // planted-id matching (the nearDupTwoTier counting fix)
+    val cands = ss.table(name).select(col("id_a"), col("id_b"), col("h"))
+      .unionByName(ss.read.parquet(out))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("h")).as("shared"))
+      .filter(col("shared") >= 2)
+    val foundPlanted = cands
+      .filter(col("id_a") >= 700000L && col("id_a") < 700010L &&
+        col("id_b") === col("id_a") + 100000000L).count()
+    // DETECTABLE planted set: an original with < 2 seed grams can never
+    // pair under the min-shared-seeds rule — in the batch detector and
+    // its oracle exactly as here (at sf0.1, doc 0 carries 1 seed) — so
+    // recall is counted against what the rule can express, not the raw
+    // plant count
+    val expected = graft.streaming.StreamSeedGram
+      .seedRelation(origs, "doc_id", "text", w = 3, seedMod = 8,
+        gramFn = gramFn)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n"))
+      .filter(col("n") >= 2).count()
+    ss.catalog.dropTempView(name)
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    println(s"""{"pipeline":"stream_containment_twotier","waves":${waves + 1},"planted_expected":$expected,"planted_found":$foundPlanted,"tierA_state_rows":${probeA.stateRows},"tierA_sec":${f"${probeA.sec}%.2f"},"tierB_sec":${f"${probeB.sec}%.2f"}}""")
+    Probe(probeA.sec + probeB.sec, probeA.stateRows, probeA.stateBytes)
+  }
+
+  /** LONG-RUN behavior of the containment hybrid under the production
+    * maintenance cadence — the [[nearDupHybridLongRun]] measurement for
+    * the posting index: 40 single-file micro-batches run the exact
+    * entry foreachBatch shape (seed-publish, pruned serve, pair append,
+    * h-sorted posting append, compact every 8); claims: file count
+    * bounded (sawtooth), serve flat while the posting index grows
+    * 40×. */
+  def containmentHybridLongRun(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-schl")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val waves = 40
+    (0 until waves).foreach { wv =>
+      graft.queries.StreamFixtures.writeBatch(tmp, src,
+        docs.filter(col("doc_id") % waves === wv), s"w$wv",
+        parts = 1, mtimeMs = 1000000000000L + wv * 60000L)
+    }
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.StreamSeedGram
+    val gramFn = Some(
+      graft.text.Dedup.portableGramHashes(_: org.apache.spark.sql.Column, 3))
+    val seedSchema = StreamSeedGram.seedRelation(
+      graft.Tables.load(ss, dir, "documents").limit(0),
+      "doc_id", "text").schema
+    val idxTable = graft.catalog.ParquetTable(
+      ss, "sprobe_schl_idx", s"$tmp/idx", seedSchema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    val out = tmp.resolve("pairs").toString
+    val perBatch = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val probe = withStream {
+      raw.writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val t0 = System.nanoTime()
+          val nb = graft.plans.Materialize.stage(
+            StreamSeedGram.seedRelation(batch, "doc_id", "text",
+              w = 3, seedMod = 8, gramFn = gramFn))
+          StreamSeedGram.hybridSeedPairs(nb, idxTable.read(), maxDf = 1000,
+              pruneKeyCap = graft.streaming.StreamNearDup
+                .adaptiveKeyCap(idxTable.tableBytes))
+            .write.mode("append").parquet(out)
+          idxTable.append(nb.sortWithinPartitions("h"))
+          graft.streaming.IndexMaintenance.maybeCompact(
+            idxTable, bid, every = 8, Seq("h"))
+          perBatch += ((bid, (System.nanoTime() - t0) / 1e9,
+            idxTable.dataFileCount))
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    val sorted = perBatch.sortBy(_._1)
+    def mean(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
+    val first10 = mean(sorted.take(10).map(_._2).toSeq)
+    val last10 = mean(sorted.takeRight(10).map(_._2).toSeq)
+    val filesMax = if (sorted.isEmpty) 0 else sorted.map(_._3).max
+    val filesEnd = if (sorted.isEmpty) 0 else sorted.last._3
+    println(s"""{"pipeline":"stream_containment_hybrid_longrun","batches":${sorted.size},"files_max":$filesMax,"files_end":$filesEnd,"serve_sec_first10":${f"$first10%.3f"},"serve_sec_last10":${f"$last10%.3f"}}""")
+    Probe(last10, 0L, 0L)
+  }
+
+  /** LONG-RUN behavior of the COMPOSED dedup pipeline
+    * (q_stream_dedup_pipeline's foreachBatch: pruned candidate serve →
+    * endpoint-pruned exact verify → incremental components, FOUR stage
+    * tables of which three compact on the cadence): 40 single-file
+    * micro-batches; claims: every compacted table's file count stays
+    * bounded and per-batch cost stays flat while all four tables grow
+    * 40×. */
+  def dedupPipelineLongRun(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-ddpl")
+    val src = Files.createDirectories(tmp.resolve("src"))
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val waves = 40
+    (0 until waves).foreach { wv =>
+      graft.queries.StreamFixtures.writeBatch(tmp, src,
+        docs.filter(col("doc_id") % waves === wv), s"w$wv",
+        parts = 1, mtimeMs = 1000000000000L + wv * 60000L)
+    }
+    val ss = graft.queries.StreamFixtures.childSession(s, 8)
+    import graft.streaming.StreamNearDup
+    val bandSchema = StreamNearDup.bandRelation(
+      graft.Tables.load(ss, dir, "documents").limit(0),
+      "doc_id", "text").schema
+    val idxT = graft.catalog.ParquetTable(
+      ss, "sprobe_ddpl_idx", s"$tmp/idx", bandSchema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    val txtT = graft.catalog.ParquetTable(
+      ss, "sprobe_ddpl_txt", s"$tmp/txt", docs.schema,
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    def longField(n: String) = org.apache.spark.sql.types.StructField(
+      n, org.apache.spark.sql.types.LongType)
+    val labelsT = graft.catalog.ParquetTable(
+      ss, "sprobe_ddpl_labels", s"$tmp/labels",
+      org.apache.spark.sql.types.StructType(
+        Seq(longField("doc_id"), longField("comp_id"))),
+      writeOptions = graft.catalog.ParquetTable.IndexWriteOptions)
+      .createIfNotExists()
+    val fwdT = graft.catalog.ParquetTable(
+      ss, "sprobe_ddpl_fwd", s"$tmp/fwd",
+      org.apache.spark.sql.types.StructType(
+        Seq(longField("old_root"), longField("new_root"))))
+      .createIfNotExists()
+    val perBatch = scala.collection.mutable
+      .ArrayBuffer[(Long, Double, Int, Int, Int, Boolean)]()
+    val raw = ss.readStream
+      .schema(ss.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val probe = withStream {
+      raw.writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val t0 = System.nanoTime()
+          val nb = graft.plans.Materialize.stage(
+            StreamNearDup.bandRelation(batch, "doc_id", "text"))
+          val cands = graft.plans.Materialize.stage(
+            StreamNearDup.hybridCandidates(nb, idxT.read(),
+              threshold = 0.5,
+              pruneKeyCap = StreamNearDup.adaptiveKeyCap(idxT.tableBytes)))
+          val eps = graft.plans.Materialize.modelState(
+            cands.select(col("id_a").as("doc_id"))
+              .unionByName(cands.select(col("id_b").as("doc_id")))
+              .distinct(),
+            "dedup-pipeline candidate endpoints", 1 << 20)
+          val texts =
+            (if (eps.isEmpty) txtT.read().filter(lit(false))
+             else txtT.read().filter(
+               org.apache.spark.sql.graft.ColumnBridge.inSet("doc_id",
+                 eps.map(r => Long.box(r.getLong(0)): Any).toSet)))
+              .unionByName(batch.select(col("doc_id"), col("text")))
+          val verified = graft.plans.Materialize.stage(
+            graft.text.Dedup.verifyPairsJaccard(texts, "doc_id",
+                "text", cands, threshold = 0.5)
+              .select(col("id_a"), col("id_b")))
+          val (nl, nf) = graft.plans.IncrementalComponents
+            .batchAppends(labelsT.read(), fwdT.read(), verified)
+          val (pl, pf) = (graft.plans.Materialize.stage(nl),
+            graft.plans.Materialize.stage(nf))
+          labelsT.append(pl.sortWithinPartitions("doc_id"))
+          fwdT.append(pf)
+          txtT.append(batch.select(col("doc_id"), col("text"))
+            .sortWithinPartitions("doc_id"))
+          idxT.append(nb.sortWithinPartitions("bh"))
+          // maintenance is timed APART from serving: the cadence
+          // rewrite costs O(current table), by design — amortized 1/8
+          // per batch and partition-scopeable at 100 TB — and folding
+          // it into a per-batch serve mean would read as serve growth
+          val maint = graft.streaming.IndexMaintenance.maybeCompact(
+            idxT, bid, every = 8, Seq("bh"))
+          graft.streaming.IndexMaintenance.maybeCompact(
+            txtT, bid, every = 8, Seq("doc_id"))
+          graft.streaming.IndexMaintenance.maybeFoldComponents(
+            labelsT, fwdT, bid, every = 8)
+          perBatch += ((bid, (System.nanoTime() - t0) / 1e9,
+            idxT.dataFileCount, txtT.dataFileCount, labelsT.dataFileCount,
+            maint))
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    val sorted = perBatch.sortBy(_._1)
+    def mean(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
+    val serveOnly = sorted.filterNot(_._6)
+    val first10 = mean(serveOnly.take(10).map(_._2).toSeq)
+    val last10 = mean(serveOnly.takeRight(10).map(_._2).toSeq)
+    val maints = sorted.filter(_._6).map(_._2)
+    def fm(get: ((Long, Double, Int, Int, Int, Boolean)) => Int) =
+      (sorted.map(get).max, sorted.last match { case t => get(t) })
+    val (idxMax, idxEnd) = fm(_._3)
+    val (txtMax, txtEnd) = fm(_._4)
+    val (labMax, labEnd) = fm(_._5)
+    println(s"""{"pipeline":"stream_dedup_pipeline_longrun","batches":${sorted.size},"files_idx_max":$idxMax,"files_idx_end":$idxEnd,"files_txt_max":$txtMax,"files_txt_end":$txtEnd,"files_labels_max":$labMax,"files_labels_end":$labEnd,"serve_sec_first10":${f"$first10%.3f"},"serve_sec_last10":${f"$last10%.3f"},"maint_sec_first":${f"${maints.headOption.getOrElse(0.0)}%.3f"},"maint_sec_last":${f"${maints.lastOption.getOrElse(0.0)}%.3f"}}""")
+    Probe(last10, 0L, 0L)
+  }
+
   /** Steady-state serve cost of the containment hybrid — the
     * [[nearDupHybridServe]] measurement for the posting index. */
   def containmentHybridServe(s: SparkSession, dir: String): Probe = {
@@ -661,6 +966,9 @@ object StreamProbe {
       "stream_containment" -> containment,
       "stream_containment_hybrid" -> containmentHybrid,
       "stream_containment_hybrid_serve" -> containmentHybridServe,
+      "stream_containment_hybrid_longrun" -> containmentHybridLongRun,
+      "stream_containment_twotier" -> containmentTwoTier,
+      "stream_dedup_pipeline_longrun" -> dedupPipelineLongRun,
       "components_incremental_serve" -> incrementalComponentsServe,
       "stream_vector_ingest" -> vectorIngest)
     val pipelines = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES") match {

@@ -1173,6 +1173,26 @@ class StreamingSpec extends AnyFunSuite {
       threshold = 0.5, pruneKeyCap = 1)
     assert(full.collect().toSet == pruned.collect().toSet)
     assert(pruned.collect().nonEmpty)
+    // SELF-CALIBRATION (r13 residue: the 64 KiB/key break-even
+    // hard-coded one box's numbers): measure() derives the per-key
+    // plumbing cost and scan throughput on the hardware at hand,
+    // clamped against timer hiccups and logged. The served ANSWER must
+    // be calibration-independent — the cap only picks which plan runs.
+    val cal = StreamNearDup.KeyCapCalibration.measured(spark)
+    assert(cal.perKeyNanos >= 2000L && cal.perKeyNanos <= 1000000L,
+      s"per-key cost escaped the clamps: $cal")
+    assert(cal.scanBytesPerSec >= (64L << 20) &&
+      cal.scanBytesPerSec <= (64L << 30),
+      s"scan throughput escaped the clamps: $cal")
+    val capM = StreamNearDup.adaptiveKeyCap(idx.tableBytes, cal)
+    assert(capM >= 8192 && capM <= (1 << 17), s"derived cap $capM")
+    info(s"measured calibration: ${cal.perKeyNanos} ns/key, " +
+      s"${cal.scanBytesPerSec >> 20} MB/s -> ${cal.bytesPerKey >> 10} " +
+      s"KiB/key, cap $capM at ${idx.tableBytes} index bytes")
+    val prunedM = StreamNearDup.hybridCandidates(nb, idx.read(),
+      threshold = 0.5, pruneKeyCap = capM)
+    assert(prunedM.collect().toSet == pruned.collect().toSet,
+      "measured calibration changed the served answer")
     graft.ingest.FileOps.deleteRecursively(tmp)
   }
 
