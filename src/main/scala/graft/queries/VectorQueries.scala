@@ -1260,6 +1260,152 @@ object VectorQueries {
       // the serve the staged IVF-PQ shape q_ann_ivfpq_stage times)
       bench = false),
 
+    // The COMPLETE ANN day-2 loop as ONE STREAMING pipeline — ingest,
+    // monitor, retrain, swap, serve, composed the way a deployment
+    // actually runs them: each arriving embedding batch is (1)
+    // encode-appended into the CURRENT generation's index relations
+    // against its STORED quantizers (the q_ann_index_insert shape,
+    // generation resolved through the pointer per batch), (2) scored
+    // at assign time into the monitor's assignment relation (the
+    // first served window is the held-out reference generation, later
+    // batches are 'new'), and (3) the cadence runs cellHealth on the
+    // STORED relation and feeds the decision straight into
+    // IndexRetrain.retrainIfDrifted — which retrains on the LANDED
+    // vector table (never lineage), re-encodes it, and publishes a new
+    // generation with the one atomic pointer rename; the monitor's
+    // baseline then REBASES (scored relation truncated — flags mean
+    // stale quantizer, not different data; the next windows re-seed
+    // it). The evidence gate (minCellN = 8) is what keeps the
+    // reference-only first batch deterministically quiet: every cell
+    // has n_new = 0 until a second generation lands. Fixture and final
+    // state are EXACTLY q_ann_index_retrain's (reference window then
+    // +0.5-shifted arrivals, retrain fires on the arrival batch), so
+    // the SAME fresh-build oracle gates that the streaming composition
+    // lands where the batch machinery does.
+    "q_stream_ann_maintain" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-stream-annm")
+        val src = java.nio.file.Files.createDirectories(tmp.resolve("src"))
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val hist = emb.filter(col("vec_id") % 2 === 0)
+        val reference = emb.filter(col("vec_id") % 4 === 1)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val arrivals = emb.filter(col("vec_id") % 4 === 3)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              (x, i) => x + when(i < lit(8), lit(0.5)).otherwise(lit(0.0)))
+              .as("embedding"))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                     mtime: Long): Unit = {
+          val stg = tmp.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(stg.toString)
+          val part = graft.ingest.FileOps.listDir(stg)
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = src.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        writeOne(reference, "a", 1000000000000L)
+        writeOne(arrivals, "b", 1000000060000L)
+        val ss = StreamFixtures.childSession(s, 4)
+        import graft.vector.{GenerationalIndex, IndexHealth, IndexRetrain}
+        // generation 0: quantizers trained on the HISTORICAL corpus,
+        // index relations EMPTY (they fill by streaming encode-append)
+        val idx = new GenerationalIndex(ss, s"$tmp/index")
+        IndexRetrain.buildGeneration(ss, idx.genDir(idx.nextGen()),
+          hist, reference.limit(0), "vec_id", "embedding")
+        idx.publish(0L)
+        // landed vectors (what retraining trains on and re-encodes) and
+        // the monitor's scored-assignment relation; generation 0's
+        // assign/codes relations start EMPTY (directories without
+        // files), so their schemas are declared rather than inferred
+        import org.apache.spark.sql.types.{IntegerType, LongType,
+          StringType, StructField, StructType}
+        val vecsT = graft.catalog.ParquetTable(ss, "annm_vecs",
+          s"$tmp/vecs", reference.schema).createIfNotExists()
+        val healthT = graft.catalog.ParquetTable(ss, "annm_health",
+          s"$tmp/health", StructType(Seq(
+            StructField("vec_id", LongType), StructField("cid", LongType),
+            StructField("simq", LongType), StructField("gen", StringType))))
+          .createIfNotExists()
+        val assignSchema = StructType(Seq(
+          StructField("vec_id", LongType), StructField("cid", LongType)))
+        val codesSchema = StructType(Seq(
+          StructField("vec_id", LongType), StructField("sub", IntegerType),
+          StructField("code", LongType)))
+        val raw = ss.readStream
+          .schema(ss.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src.toString)
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val sb = batch.sparkSession
+            val stage = idx.currentDir()
+            val cents = sb.read.parquet(s"$stage/centroids")
+            // (1) encode-append into the CURRENT generation (stored
+            // quantizers only — no training lineage per batch)
+            graft.catalog.ParquetTable(sb, "annm_assign",
+              s"$stage/assign", assignSchema)
+              .append(Ann.ivfAssign(batch, "vec_id", "embedding", cents))
+            val books = graft.vector.Pq.booksFrom(
+              sb.read.parquet(s"$stage/codebooks"))
+            graft.catalog.ParquetTable(sb, "annm_codes",
+              s"$stage/codes", codesSchema)
+              .append(graft.vector.Pq
+                .encode(batch, "vec_id", "embedding", 8, 64, books)
+                .select(col("vec_id"), col("sub"), col("code")))
+            vecsT.append(batch)
+            // (2) scored at assign time: first window = the held-out
+            // reference generation, later windows = 'new'
+            healthT.append(IndexHealth
+              .assignScored(batch, "vec_id", "embedding", cents)
+              .withColumn("gen", lit(if (bid == 0L) "train" else "new")))
+            // (3) monitor → decision → machinery, every batch (the
+            // cadence); minCellN gates the single-generation state
+            val decision = IndexHealth.cellHealth(
+              healthT.read().select(col("cid").cast("long").as("cid"),
+                col("simq"), col("gen")), minCellN = 8L)
+            if (IndexRetrain.retrainIfDrifted(idx, decision,
+                vecsT.read(), vecsT.read(), "vec_id", "embedding"))
+              // baseline REBASE: flags mean stale quantizer; the
+              // retrained generation starts a fresh monitoring regime
+              healthT.truncate()
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(idx.currentGen().contains(1L),
+          "planted drift did not retrain through the streaming cadence")
+        // serve from whatever generation the pointer names now
+        val stage = idx.currentDir()
+        val queries = vecsT.read().filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val cands = Ann.ivfCandidates(ss.read.parquet(s"$stage/assign"),
+          queries, "vec_id", "qid", "embedding",
+          ss.read.parquet(s"$stage/centroids"), nprobe = 4)
+        val out = graft.plans.Materialize.stage(
+          graft.vector.Pq.adcTopKWithinIndexed(
+              ss.read.parquet(s"$stage/codes"), cands, queries,
+              "vec_id", "embedding", "qid", m = 8, dim = 64,
+              ss.read.parquet(s"$stage/codebooks"), k = 5)
+            .select(col("qid"), col("vec_id"), cast_rank, col("adc"))
+            .orderBy(col("qid"), col("rank")))
+        graft.ingest.FileOps.deleteRecursively(tmp)
+        out
+      },
+      Some(annIndexRetrainOracle),
+      // timed family gate: q_ann_ivfpq_stage (oracle still gates this
+      // entry; per-batch ingest is the q_ann_index_insert probed shape,
+      // the monitor one hash aggregate, the retrain the one-shot build
+      // on its cadence, the serve the staged IVF-PQ shape)
+      bench = false),
+
     // STREAMING vector ingestion into the IVF index — the day-2 shape
     // of q_ann_ivf_stage: centroids are trained once on the historical
     // corpus; arriving embedding batches are assigned to their nearest

@@ -78,6 +78,7 @@ class RegistryPlanSweepSpec extends AnyFunSuite {
     "q_ann_ivfpq" -> (queryBatchBroadcast + ", consumed twice (probe routing + ADC lookup table)"),
     "q_ann_ivfpq_stage" -> (queryBatchBroadcast + ", consumed twice (probe routing + ADC lookup table)"),
     "q_ann_index_retrain" -> (queryBatchBroadcast + ", consumed twice (probe routing + ADC lookup table)"),
+    "q_stream_ann_maintain" -> (queryBatchBroadcast + ", consumed twice (probe routing + ADC lookup table)"),
     "q_ann_ivfpq_batch" -> (queryBatchBroadcast +
       ", consumed twice (probe routing + ADC lookup table); the 10x batch is still a query relation"),
     "q_ann_rerank" -> queryBatchBroadcast,
