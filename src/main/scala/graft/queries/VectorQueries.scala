@@ -1298,19 +1298,10 @@ object VectorQueries {
             transform(col("embedding").cast("array<double>"),
               (x, i) => x + when(i < lit(8), lit(0.5)).otherwise(lit(0.0)))
               .as("embedding"))
-        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-                     mtime: Long): Unit = {
-          val stg = tmp.resolve(s"stage_$name")
-          df.coalesce(1).write.parquet(stg.toString)
-          val part = graft.ingest.FileOps.listDir(stg)
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          val dst = src.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
-        writeOne(reference, "a", 1000000000000L)
-        writeOne(arrivals, "b", 1000000060000L)
+        StreamFixtures.writeBatch(tmp, src, reference, "a",
+          parts = 1, mtimeMs = 1000000000000L)
+        StreamFixtures.writeBatch(tmp, src, arrivals, "b",
+          parts = 1, mtimeMs = 1000000060000L)
         val ss = StreamFixtures.childSession(s, 4)
         import graft.vector.{GenerationalIndex, IndexHealth, IndexRetrain}
         // generation 0: quantizers trained on the HISTORICAL corpus,
@@ -1359,11 +1350,18 @@ object VectorQueries {
                 .encode(batch, "vec_id", "embedding", 8, 64, books)
                 .select(col("vec_id"), col("sub"), col("code")))
             vecsT.append(batch)
-            // (2) scored at assign time: first window = the held-out
-            // reference generation, later windows = 'new'
+            // (2) scored at assign time: the first window into an
+            // EMPTY monitor relation becomes the held-out reference
+            // generation — true at bootstrap AND after every rebase,
+            // which is what keeps the loop re-armed for the NEXT drift
+            // wave (a batch-id-based tag would retrain at most once:
+            // post-truncate windows would all land 'new' with nothing
+            // to compare against, and the monitor would go silent
+            // forever; AnnSpec proves a second wave retrains again)
+            val tag = if (healthT.read().isEmpty) "train" else "new"
             healthT.append(IndexHealth
               .assignScored(batch, "vec_id", "embedding", cents)
-              .withColumn("gen", lit(if (bid == 0L) "train" else "new")))
+              .withColumn("gen", lit(tag)))
             // (3) monitor → decision → machinery, every batch (the
             // cadence); minCellN gates the single-generation state
             val decision = IndexHealth.cellHealth(

@@ -351,14 +351,12 @@ object StreamNearDup {
     val storedCnt = pruned.join(broadcast(batchKeys), Seq("band", "bh"))
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__sn"))
-    // the counts relation is batch-key-bounded, and its lineage holds
-    // a pruned-index scan feeding THREE consumers (nb, matching, and
-    // nb again inside `within`) — left lazy, each consumer re-ran that
-    // scan (2.3× slower at a ×100 index). Below the key cap the counts
-    // come to the DRIVER (one bounded fetch — cheaper than a
-    // localCheckpoint job + count job per micro-batch) and the bucket
-    // list joins back as a local relation; the wide-batch fallback
-    // pins it distributed instead.
+    // the counts relation is batch-key-bounded and (since the hot-only
+    // refactor) has exactly ONE consumer — the hot-bucket fetch below;
+    // the g relation it produces joins back as a LOCAL relation in both
+    // key-cap regimes, so nothing here needs a pin: below the key cap
+    // the full counts come to the driver in one bounded fetch, in the
+    // wide-batch fallback only the (structurally tiny) hot subset does.
     val countsRel = newBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__nn"))
       .join(storedCnt, Seq("band", "bh"), "left")
@@ -394,11 +392,11 @@ object StreamNearDup {
     val hotRows: Array[org.apache.spark.sql.Row] =
       if (keyRows.length > pruneKeyCap)
         // wide-batch fallback: the counts relation is distributed, but
-        // the HOT subset is still driver-sized — pin once (three
-        // consumers in lineage, see countsRel note), fetch hot only
+        // the HOT subset is still driver-sized — one bounded fetch
+        // (countsRel has no other consumer since the hot-only refactor:
+        // the g relation joins back as a LOCAL relation, so no pin)
         graft.plans.Materialize.modelState(
-          graft.plans.Materialize.stage(countsRel)
-            .filter(col("__t") >= maxBucket),
+          countsRel.filter(col("__t") >= maxBucket),
           "hot hybrid buckets (≤ total bucket membership / maxBucket)",
           1 << 20)
       else

@@ -282,7 +282,8 @@ object StreamProbe {
     *
     *  - NEAR-IDENTICAL pairs (2 of 64 slots perturbed, est. Jaccard
     *    0.97): the dup differs in bands 1-2 but co-buckets with its
-    *    original in 14 COLD bands — the "other bands carry the pair"
+    *    original in 13 COLD bands (slots 5 and 9 sit in bands 1-2; band 0
+    *    is the hot one) — the "other bands carry the pair"
     *    claim. Expected found = planted at EVERY g.
     *  - HOT-ONLY pairs (one slot perturbed in each of the 15 cold
     *    bands, est. Jaccard 0.77 — still far above the 4σ cutoff):

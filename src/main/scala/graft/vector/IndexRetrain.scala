@@ -67,7 +67,10 @@ final class GenerationalIndex(val spark: SparkSession, val root: String) {
 
   /** Atomically flip the pointer to generation `g`, then sweep every
     * other generation directory (superseded data, or debris from a
-    * crash between a previous flip and its sweep). */
+    * crash between a previous flip and its sweep) AND any
+    * `_current.tmp-*` pointer file a crash between create and rename
+    * left behind (each attempt uses a fresh UUID, so without the sweep
+    * the debris would accumulate across retrains forever). */
   def publish(g: Long): Unit = {
     val f = fs
     f.mkdirs(new HPath(root))
@@ -83,6 +86,8 @@ final class GenerationalIndex(val spark: SparkSession, val root: String) {
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("g") && n != s"g$g")
         f.delete(st.getPath, true)
+      else if (st.isFile && n.startsWith("_current.tmp-"))
+        f.delete(st.getPath, false)
     }
   }
 }

@@ -475,6 +475,28 @@ class AnnSpec extends AnyFunSuite {
     assert(noisy.isEmpty,
       s"the forward monitor must be quiet on the retrained generation:\n" +
         noisy.mkString("\n"))
+    // RE-ARM: the maintenance loop must catch the NEXT drift wave too
+    // (q_stream_ann_maintain rebases its baseline on the first window
+    // after a swap — a one-shot loop is not a loop). Cycle 2: the
+    // post-retrain arrival window re-seeds as the reference and a
+    // SECOND wave drifts in a FRESH direction (+1.0 on coordinates
+    // 8-15 — a repeat of the same +0.5 shift would be geometrically
+    // milder against the mixture-trained generation-1 centroids and is
+    // exactly the drift they were retrained to absorb); the monitor
+    // flags again and the machinery publishes generation 2.
+    val arrivals2 = arrivals.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + when(i >= lit(8) && i < lit(16), lit(1.0)).otherwise(lit(0.0)))
+        .as("embedding"))
+    val decision2 = monitor(arrivals, arrivals2, g1cents)
+    assert(decision2.filter(col("drifted")).count() >= 3,
+      "the rebased monitor missed the second drift wave")
+    assert(IndexRetrain.retrainIfDrifted(idx, decision2,
+      arrivals.unionByName(arrivals2), arrivals.unionByName(arrivals2),
+      "vec_id", "embedding"),
+      "the second decision must trip a second retrain")
+    assert(idx.currentGen().contains(2L))
     graft.ingest.FileOps.deleteRecursively(tmp)
   }
 }
