@@ -1266,10 +1266,13 @@ object VectorQueries {
     // encode-appended into the CURRENT generation's index relations
     // against its STORED quantizers (the q_ann_index_insert shape,
     // generation resolved through the pointer per batch), (2) scored
-    // at assign time into the monitor's assignment relation (the
-    // first served window is the held-out reference generation, later
-    // batches are 'new'), and (3) the cadence runs cellHealth on the
-    // STORED relation and feeds the decision straight into
+    // at assign time and FOLDED into the monitor's sufficient-
+    // statistics relation — (cid, gen) → (n, ssimq), k × gens rows
+    // maintained by UpsertSink's exactly-once additive merge, so the
+    // monitor costs O(k) per batch at any history length (the first
+    // served window is the held-out reference generation), and (3)
+    // the cadence runs cellHealthFromStats on the STORED stats
+    // relation and feeds the decision straight into
     // IndexRetrain.retrainIfDrifted — which retrains on the LANDED
     // vector table (never lineage), re-encodes it, and publishes a new
     // generation with the one atomic pointer rename; the monitor's
@@ -1318,11 +1321,26 @@ object VectorQueries {
           StringType, StructField, StructType}
         val vecsT = graft.catalog.ParquetTable(ss, "annm_vecs",
           s"$tmp/vecs", reference.schema).createIfNotExists()
-        val healthT = graft.catalog.ParquetTable(ss, "annm_health",
-          s"$tmp/health", StructType(Seq(
-            StructField("vec_id", LongType), StructField("cid", LongType),
-            StructField("simq", LongType), StructField("gen", StringType))))
+        // the monitor's state is the SUFFICIENT-STATISTICS relation
+        // (cid, gen) → (n, ssimq) — k × generations ROWS maintained by
+        // an additive exactly-once MERGE per batch (UpsertSink's
+        // txn-marker machinery), NOT the per-row scored history:
+        // per-batch monitor cost is O(k) at any history length, and a
+        // redelivered batch can neither double-count a cell's stats
+        // nor re-fire a retrain (the replayed merge is marker-skipped,
+        // so a post-rebase replay sees the EMPTY rebased stats)
+        val statsT = graft.catalog.ParquetTable(ss, "annm_stats",
+          s"$tmp/stats", StructType(Seq(
+            StructField("cid", LongType), StructField("gen", StringType),
+            StructField("n", LongType), StructField("ssimq", LongType))))
           .createIfNotExists()
+        val statsSink = new graft.streaming.UpsertSink(statsT,
+          Seq("cid", "gen"),
+          Map("n" -> (graft.catalog.Merge.tgt("n") +
+                graft.catalog.Merge.src("n")),
+            "ssimq" -> (graft.catalog.Merge.tgt("ssimq") +
+              graft.catalog.Merge.src("ssimq"))),
+          s"$tmp/ckpt")
         val assignSchema = StructType(Seq(
           StructField("vec_id", LongType), StructField("cid", LongType)))
         val codesSchema = StructType(Seq(
@@ -1350,28 +1368,32 @@ object VectorQueries {
                 .encode(batch, "vec_id", "embedding", 8, 64, books)
                 .select(col("vec_id"), col("sub"), col("code")))
             vecsT.append(batch)
-            // (2) scored at assign time: the first window into an
-            // EMPTY monitor relation becomes the held-out reference
-            // generation — true at bootstrap AND after every rebase,
-            // which is what keeps the loop re-armed for the NEXT drift
-            // wave (a batch-id-based tag would retrain at most once:
-            // post-truncate windows would all land 'new' with nothing
-            // to compare against, and the monitor would go silent
-            // forever; AnnSpec proves a second wave retrains again)
-            val tag = if (healthT.read().isEmpty) "train" else "new"
-            healthT.append(IndexHealth
+            // (2) scored at assign time, folded into the stats table:
+            // the first window into an EMPTY monitor relation becomes
+            // the held-out reference generation — true at bootstrap
+            // AND after every rebase, which is what keeps the loop
+            // re-armed for the NEXT drift wave (a batch-id-based tag
+            // would retrain at most once: post-truncate windows would
+            // all land 'new' with nothing to compare against, and the
+            // monitor would go silent forever; AnnSpec proves a second
+            // wave retrains again)
+            val tag = if (statsT.read().isEmpty) "train" else "new"
+            statsSink.apply(IndexHealth.scoredStats(IndexHealth
               .assignScored(batch, "vec_id", "embedding", cents)
-              .withColumn("gen", lit(tag)))
+              .withColumn("gen", lit(tag))
+              .select(col("cid").cast("long").as("cid"),
+                col("simq"), col("gen"))), bid)
             // (3) monitor → decision → machinery, every batch (the
             // cadence); minCellN gates the single-generation state
-            val decision = IndexHealth.cellHealth(
-              healthT.read().select(col("cid").cast("long").as("cid"),
-                col("simq"), col("gen")), minCellN = 8L)
+            val decision = IndexHealth.cellHealthFromStats(
+              statsT.read(), minCellN = 8L)
             if (IndexRetrain.retrainIfDrifted(idx, decision,
                 vecsT.read(), vecsT.read(), "vec_id", "embedding"))
               // baseline REBASE: flags mean stale quantizer; the
               // retrained generation starts a fresh monitoring regime
-              healthT.truncate()
+              // (truncate carries the txn markers forward, so a
+              // replayed pre-rebase batch stays marker-skipped)
+              statsT.truncate()
             ()
           }
           .option("checkpointLocation", s"$tmp/ckpt")

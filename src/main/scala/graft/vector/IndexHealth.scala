@@ -100,9 +100,31 @@ object IndexHealth {
   def cellHealth(assign: DataFrame,
                  simDropMicro: Long = 100000L,
                  occShiftMicro: Long = 100000L,
-                 minCellN: Long = 0L): DataFrame = {
-    val cg = assign.groupBy(col("cid"), col("gen"))
+                 minCellN: Long = 0L): DataFrame =
+    cellHealthFromStats(scoredStats(assign),
+      simDropMicro, occShiftMicro, minCellN)
+
+  /** Per-(cell, generation) SUFFICIENT STATISTICS of a scored
+    * assignment relation — (cid, gen, n, ssimq). Everything
+    * [[cellHealth]] decides from derives from these two exact
+    * integers, and they are ADDITIVE and order-independent: a
+    * streaming monitor maintains them with an incremental `tgt + src`
+    * MERGE (the [[graft.streaming.UpsertSink]] exactly-once additive
+    * pattern — `q_stream_ann_maintain` does exactly this) instead of
+    * re-aggregating its whole scored history every batch, so per-batch
+    * monitor cost is k × generations ROWS at any history length, and a
+    * redelivered batch can never double-count a cell. */
+  def scoredStats(scored: DataFrame): DataFrame =
+    scored.groupBy(col("cid"), col("gen"))
       .agg(count(lit(1)).as("n"), sum(col("simq")).as("ssimq"))
+
+  /** [[cellHealth]] from a pre-aggregated [[scoredStats]] relation —
+    * the streaming monitor's entry point (its stats table IS this
+    * relation, maintained additively). */
+  def cellHealthFromStats(cg: DataFrame,
+                          simDropMicro: Long = 100000L,
+                          occShiftMicro: Long = 100000L,
+                          minCellN: Long = 0L): DataFrame = {
     // per-generation totals: a generations-sized aggregate (2 rows) —
     // broadcast is structurally bounded, not a corpus fact
     val tots = cg.groupBy(col("gen")).agg(sum(col("n")).as("tot"))

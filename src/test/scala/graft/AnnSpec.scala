@@ -411,6 +411,56 @@ class AnnSpec extends AnyFunSuite {
     graft.ingest.FileOps.deleteRecursively(fresh)
   }
 
+  test("monitor sufficient statistics: the additive exactly-once merge equals full re-aggregation, redelivery counts once") {
+    // the streaming monitor's state is (cid, gen) → (n, ssimq), folded
+    // per batch by UpsertSink's additive txn-marker merge — O(k) per
+    // batch at any history length. Two contracts: (a) the decision
+    // computed FROM the stats equals the decision computed from the
+    // full scored history (the sums are exact integers, so this is
+    // bit-equality, not approximation); (b) a REDELIVERED batch is
+    // marker-skipped, so additive stats can never double-count — the
+    // failure mode that would skew occupancy shares toward whichever
+    // generation happened to crash mid-batch.
+    import spark.implicits._
+    import graft.vector.{IndexHealth, KMeans}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-health-stats")
+    val (hist, reference, arrivals, _) = retrainFixture
+    val centroids = KMeans.fitCentroids(
+      hist, "vec_id", "embedding", k = 16, iters = 2).toDF("cid", "embedding")
+    def scored(df: org.apache.spark.sql.DataFrame, g: String) =
+      IndexHealth.assignScored(df, "vec_id", "embedding", centroids)
+        .withColumn("gen", lit(g))
+        .select(col("cid").cast("long").as("cid"), col("simq"), col("gen"))
+    val statsT = graft.catalog.ParquetTable(spark, "health_stats",
+      s"$tmp/stats", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("gen",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ssimq",
+          org.apache.spark.sql.types.LongType)))).createIfNotExists()
+    val sink = new graft.streaming.UpsertSink(statsT, Seq("cid", "gen"),
+      Map("n" -> (graft.catalog.Merge.tgt("n") + graft.catalog.Merge.src("n")),
+        "ssimq" -> (graft.catalog.Merge.tgt("ssimq") +
+          graft.catalog.Merge.src("ssimq"))), s"$tmp/ckpt")
+    sink.apply(IndexHealth.scoredStats(scored(reference, "train")), 0L)
+    sink.apply(IndexHealth.scoredStats(scored(arrivals, "new")), 1L)
+    // redelivery of batch 1: must be marker-skipped, not re-added
+    sink.apply(IndexHealth.scoredStats(scored(arrivals, "new")), 1L)
+    val viaStats = IndexHealth.cellHealthFromStats(statsT.read())
+      .orderBy(col("cid")).collect().toSeq
+    val full = IndexHealth.cellHealth(
+        scored(reference, "train").unionByName(scored(arrivals, "new")))
+      .orderBy(col("cid")).collect().toSeq
+    assert(viaStats == full,
+      "additive stats diverged from the full re-aggregation")
+    assert(viaStats.exists(_.getAs[Boolean]("drifted")),
+      "fixture lost its planted drift through the stats path")
+    graft.ingest.FileOps.deleteRecursively(tmp)
+  }
+
   test("the machinery path clears the monitor: post-swap assignment quality recovers and the forward monitor is quiet") {
     // AnnSpec's flag-clearing proof re-run THROUGH the machinery: the
     // REAL cellHealth decision (not a fabricated row) trips
