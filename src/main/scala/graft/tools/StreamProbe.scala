@@ -914,6 +914,82 @@ object StreamProbe {
     probe
   }
 
+  /** LONG-RUN behavior of the ANN maintenance loop
+    * (q_stream_ann_maintain's per-batch work): 20 healthy arrival
+    * waves (the corpus re-landed with fresh ids each wave — no drift,
+    * so no retrain fires and the probe isolates the STEADY-STATE
+    * cost): encode-append against the stored quantizers, fold the
+    * scored assignment into the sufficient-statistics relation
+    * (UpsertSink additive merge), run cellHealthFromStats, decide.
+    * Claims: per-batch cost stays FLAT while the landed index grows
+    * 20× — the monitor reads k × generations STATS rows, never the
+    * scored history — and the decision stays quiet on healthy waves
+    * (zero retrains). */
+  def annMaintainLongRun(s: SparkSession, dir: String): Probe = {
+    val tmp = Files.createTempDirectory("graft-sprobe-annm")
+    import graft.vector.{GenerationalIndex, IndexHealth, IndexRetrain}
+    val emb = graft.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val idx = new GenerationalIndex(s, s"$tmp/index")
+    IndexRetrain.buildGeneration(s, idx.genDir(idx.nextGen()),
+      hist, emb.limit(0), "vec_id", "embedding")
+    idx.publish(0L)
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val vecsT = graft.catalog.ParquetTable(s, "sprobe_annm_vecs",
+      s"$tmp/vecs", emb.schema).createIfNotExists()
+    val statsT = graft.catalog.ParquetTable(s, "sprobe_annm_stats",
+      s"$tmp/stats", StructType(Seq(
+        StructField("cid", LongType), StructField("gen", StringType),
+        StructField("n", LongType), StructField("ssimq", LongType))))
+      .createIfNotExists()
+    val sink = new graft.streaming.UpsertSink(statsT, Seq("cid", "gen"),
+      Map("n" -> (graft.catalog.Merge.tgt("n") +
+            graft.catalog.Merge.src("n")),
+        "ssimq" -> (graft.catalog.Merge.tgt("ssimq") +
+          graft.catalog.Merge.src("ssimq"))), s"$tmp/ckpt")
+    val assignSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("cid", LongType)))
+    val waves = 20
+    var retrains = 0
+    val perWave = (0 until waves).map { wv =>
+      val batch = graft.plans.Materialize.stage(
+        emb.select((col("vec_id") + lit(wv * 1000000L)).as("vec_id"),
+          col("embedding")))
+      val t0 = System.nanoTime()
+      val stage = idx.currentDir()
+      val cents = s.read.parquet(s"$stage/centroids")
+      graft.catalog.ParquetTable(s, "sprobe_annm_assign",
+        s"$stage/assign", assignSchema)
+        .append(graft.vector.Ann.ivfAssign(
+          batch, "vec_id", "embedding", cents))
+      vecsT.append(batch)
+      val tag = if (statsT.read().isEmpty) "train" else "new"
+      sink.apply(IndexHealth.scoredStats(IndexHealth
+        .assignScored(batch, "vec_id", "embedding", cents)
+        .withColumn("gen", lit(tag))
+        .select(col("cid").cast("long").as("cid"),
+          col("simq"), col("gen"))), wv.toLong)
+      val decision = IndexHealth.cellHealthFromStats(
+        statsT.read(), minCellN = 8L)
+      if (IndexRetrain.retrainIfDrifted(idx, decision,
+          vecsT.read(), vecsT.read(), "vec_id", "embedding")) {
+        retrains += 1
+        statsT.truncate()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val statsRows = statsT.read().count()
+    graft.ingest.FileOps.deleteRecursively(tmp)
+    def mean(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
+    val first5 = mean(perWave.take(5))
+    val last5 = mean(perWave.takeRight(5))
+    println(s"""{"pipeline":"ann_maintain_longrun","waves":$waves,"retrains":$retrains,"stats_rows":$statsRows,"sec_first5":${f"$first5%.3f"},"sec_last5":${f"$last5%.3f"}}""")
+    Probe(last5, 0L, 0L)
+  }
+
   /** q_stream_vector_ingest's machinery: stateless foreachBatch
     * assignment against broadcast centroids — the probe documents that
     * state stays ZERO while throughput scales with the table. */
@@ -971,6 +1047,7 @@ object StreamProbe {
       "stream_containment_twotier" -> containmentTwoTier,
       "stream_dedup_pipeline_longrun" -> dedupPipelineLongRun,
       "components_incremental_serve" -> incrementalComponentsServe,
+      "ann_maintain_longrun" -> annMaintainLongRun,
       "stream_vector_ingest" -> vectorIngest)
     val pipelines = sys.env.get("SPARK_GRAFT_PROBE_ENTRIES") match {
       case Some(sel) =>
